@@ -1,0 +1,462 @@
+"""Pure-numpy per-segment kernels with exact ts2g2 output parity.
+
+These are the vectorized compute cores that run inside Arrow batches
+(``mapInPandas`` / ``applyInPandas``) on executors.  Each kernel consumes one
+segment (a 1-D float64 array) and emits edge tuples.  Parity contract: the
+edge SET (and, where the reference is deterministic, the weights) must equal
+what zangrcar/ts2g2 produces for the same input.  Reference semantics are
+cited by file:line; no reference code is copied — the reference computes the
+same predicates with O(n^2)/O(n^3) Python loops over NetworkX, these kernels
+use O(n^2)-worst-case vectorized prefix scans with an exact boundary recheck.
+
+Float discipline: every comparison the reference makes in float64 is either
+reproduced with the identical expression (HVG max-compare, digitize, argsort
+ties) or guarded: a fast vectorized predicate classifies pairs, and pairs
+within a relative tolerance band of the decision boundary are re-evaluated
+with the reference's literal arithmetic, so the decision bit is identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# relative band inside which we re-evaluate with reference-literal arithmetic
+_BOUNDARY_RTOL = 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Visibility graphs  (ref: to_graph/strategies.py:479-546, 581-695, 698-751)
+# ---------------------------------------------------------------------------
+
+def nvg_edges(y: np.ndarray, limit: int = 0) -> np.ndarray:
+    """Natural visibility graph extra edges (beyond the path graph).
+
+    Reference predicate (to_graph/strategies.py:627-635): pair (x1,x2) is
+    obstructed iff any intermediate point (x, y) with x in
+    [x1+limit+1, x2) satisfies  y > slope*x + offset  where
+    slope=(y2-y1)/(x2-x1), offset=y2-slope*x2 (strict >).  The ``limit``
+    SKIPS the first ``limit`` intermediates (it does not gate pair distance),
+    so all pairs with x2-x1 <= limit+1 are unconditionally visible.
+
+    Fast path: visible(i,j) iff max_{k in window}(slope(i,k)) <= slope(i,j)
+    (mathematically equivalent; prefix max per anchor => O(n^2) total).
+    Pairs within a relative tolerance of the max are re-decided with the
+    reference-literal expression so boundary bits match exactly.
+
+    Returns int64 array (m, 2) of (src, dst) with src < dst, excluding the
+    path-graph edges (j == i+1), which the caller always includes.
+    """
+    n = len(y)
+    out: list[tuple[int, int]] = []
+    if n < 3:
+        return np.empty((0, 2), dtype=np.int64)
+    y = np.asarray(y, dtype=np.float64)
+    for i in range(n - 2):
+        js = np.arange(i + 1, n)
+        slopes = (y[i + 1:] - y[i]) / (js - i)
+        # prefix max of slopes over permissible obstructors k >= i+limit+1
+        obstr = slopes.copy()
+        if limit > 0:
+            obstr[: min(limit, len(obstr))] = -np.inf
+        # M[t] = max over obstructors strictly before j = i+1+t
+        M = np.empty_like(obstr)
+        M[0] = -np.inf
+        np.maximum.accumulate(obstr[:-1], out=M[1:])
+        cand = js >= i + 2  # skip path edge (handled by caller)
+        tol = _BOUNDARY_RTOL * (np.abs(M) + np.abs(slopes) + 1.0)
+        visible = M < slopes - tol
+        boundary = cand & ~visible & (M <= slopes + tol)
+        for t in np.nonzero(boundary)[0]:
+            j = i + 1 + t
+            visible[t] = not _nvg_obstructed_ref(y, i, j, limit)
+        sel = np.nonzero(cand & visible)[0]
+        out.extend((i, i + 1 + int(t)) for t in sel)
+    return (
+        np.array(out, dtype=np.int64)
+        if out
+        else np.empty((0, 2), dtype=np.int64)
+    )
+
+
+def _nvg_obstructed_ref(y: np.ndarray, x1: int, x2: int, limit: int) -> bool:
+    """Literal reference arithmetic (to_graph/strategies.py:627-635)."""
+    y1 = float(y[x1])
+    y2 = float(y[x2])
+    slope = (y2 - y1) / (x2 - x1)
+    offset = y2 - slope * x2
+    ks = np.arange(x1 + limit + 1, x2, dtype=np.float64)
+    if len(ks) == 0:
+        return False
+    return bool(np.any(y[x1 + limit + 1: x2] > slope * ks + offset))
+
+
+def hvg_edges(y: np.ndarray, limit: int = 0) -> np.ndarray:
+    """Horizontal visibility graph extra edges (beyond the path graph).
+
+    Reference predicate (to_graph/strategies.py:687-692): obstructed iff any
+    intermediate (skipping the first ``limit``) has  y > max(y1, y2)
+    (strict).  max/compare are exact in float64, so the prefix-max scan is
+    bit-identical with no recheck needed.
+    """
+    n = len(y)
+    out: list[tuple[int, int]] = []
+    if n < 3:
+        return np.empty((0, 2), dtype=np.int64)
+    y = np.asarray(y, dtype=np.float64)
+    for i in range(n - 2):
+        seg = y[i + 1:]
+        obstr = seg.copy()
+        if limit > 0:
+            obstr[: min(limit, len(obstr))] = -np.inf
+        M = np.empty_like(obstr)
+        M[0] = -np.inf
+        np.maximum.accumulate(obstr[:-1], out=M[1:])
+        js = np.arange(i + 1, n)
+        visible = (js >= i + 2) & (M <= np.maximum(y[i], seg))
+        sel = np.nonzero(visible)[0]
+        out.extend((i, i + 1 + int(t)) for t in sel)
+        # early exit: once the running max exceeds every future max(y1,y2)
+        # we could stop, but numpy scan is already O(n) per anchor.
+    return (
+        np.array(out, dtype=np.int64)
+        if out
+        else np.empty((0, 2), dtype=np.int64)
+    )
+
+
+def visibility_graph(
+    y: np.ndarray,
+    kind: str = "natural",
+    limit: int = 0,
+    angle: float | None = None,
+    angle_abs: bool = True,
+    weighted: bool = False,
+    weight_abs: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full visibility graph: path edges + visibility edges, optional angle
+    constraint and angle edge weights.
+
+    Mirrors TimeseriesToGraphStrategy.to_graph (to_graph/strategies.py:
+    490-542): the path graph over 0..n-1 is ALWAYS present; the pairwise
+    visibility scan may re-add (i, i+1) with a weight.  The angle constraint
+    (strategies.py:739-748) is ANDed: obstructed iff atan(slope) <
+    visibility_angle (abs variants).  Edge weight (strategies.py:24-29) is
+    atan((y2-y1)/(x2-x1)), optionally abs.
+
+    Returns (edges[m,2] int64 sorted (src,dst), weights[m] float64 — NaN
+    where the edge exists unweighted, i.e. a path edge the scan rejected).
+    """
+    n = len(y)
+    y = np.asarray(y, dtype=np.float64)
+    if n == 0:
+        return np.empty((0, 2), dtype=np.int64), np.empty(0)
+    if kind == "natural":
+        extra = nvg_edges(y, limit)
+    elif kind == "horizontal":
+        extra = hvg_edges(y, limit)
+    else:
+        raise ValueError(f"unknown visibility kind: {kind}")
+    # adjacent pairs: no intermediates -> always pass the visibility
+    # constraint; they are also path edges.
+    adj = np.stack(
+        [np.arange(n - 1, dtype=np.int64), np.arange(1, n, dtype=np.int64)],
+        axis=1,
+    ) if n > 1 else np.empty((0, 2), dtype=np.int64)
+    scan_edges = np.concatenate([adj, extra]) if len(extra) else adj
+    if angle is not None and len(scan_edges):
+        keep = _angle_visible(y, scan_edges, angle, angle_abs)
+        scan_edges = scan_edges[keep]
+    if weighted:
+        dy = y[scan_edges[:, 1]] - y[scan_edges[:, 0]]
+        dx = (scan_edges[:, 1] - scan_edges[:, 0]).astype(np.float64)
+        w = np.arctan(dy / dx)
+        if weight_abs:
+            w = np.abs(w)
+    else:
+        w = np.full(len(scan_edges), np.nan)
+    # union with path edges (unweighted where the scan rejected them)
+    if len(adj):
+        have = set(map(tuple, scan_edges.tolist()))
+        missing = [e for e in adj.tolist() if tuple(e) not in have]
+        if missing:
+            scan_edges = np.concatenate(
+                [scan_edges, np.array(missing, dtype=np.int64)]
+            )
+            w = np.concatenate([w, np.full(len(missing), np.nan)])
+    order = np.lexsort((scan_edges[:, 1], scan_edges[:, 0]))
+    return scan_edges[order], w[order]
+
+
+def _angle_visible(
+    y: np.ndarray, edges: np.ndarray, angle: float, angle_abs: bool
+) -> np.ndarray:
+    """Angle constraint (to_graph/strategies.py:739-748): obstructed iff
+    atan(slope) < visibility_angle; abs of both when angle_abs."""
+    dy = y[edges[:, 1]] - y[edges[:, 0]]
+    dx = (edges[:, 1] - edges[:, 0]).astype(np.float64)
+    a = np.arctan(dy / dx)
+    va = angle
+    if angle_abs:
+        a = np.abs(a)
+        va = abs(angle)
+    keep = a >= va
+    # boundary recheck with math.atan (reference uses math.atan on scalars)
+    near = np.abs(a - va) <= _BOUNDARY_RTOL * (np.abs(a) + abs(va) + 1.0)
+    for t in np.nonzero(near)[0]:
+        s = float(dy[t] / dx[t])
+        ang = math.atan(s)
+        if angle_abs:
+            ang = abs(ang)
+        keep[t] = not (ang < va)
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# Ordinal partition graph  (ref: to_graph/strategies.py:45-141)
+# ---------------------------------------------------------------------------
+
+def ordinal_patterns(
+    y: np.ndarray,
+    w: int,
+    tau: int,
+    use_quantiles: bool = False,
+    Q: int = 4,
+) -> np.ndarray:
+    """Ordinal patterns for every embedding window.
+
+    Embeddings (strategies.py:52-55): windows y[i : i+w*tau : tau] for
+    i in 0..n-w*tau.  Rank pattern (strategies.py:64-70): stable sort by
+    value, ties keep index order (verified [2,2,1] -> (1,2,0)).  Quantile
+    pattern (strategies.py:58-63): rank = #within-window thresholds
+    strictly below the value, thresholds = np.quantile(window,
+    linspace(0,1,Q+1)[1:-1]).
+
+    Returns int64 array (num_windows, w) of ranks.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    m = n - w * tau + 1
+    if m <= 0:
+        return np.empty((0, w), dtype=np.int64)
+    idx = np.arange(m)[:, None] + np.arange(0, w * tau, tau)[None, :]
+    E = y[idx]
+    if use_quantiles:
+        qs = np.linspace(0, 1, Q + 1)[1:-1]
+        thr = np.quantile(E, qs, axis=1).T  # (m, Q-1)
+        ranks = (E[:, :, None] > thr[:, None, :]).sum(axis=2)
+        return ranks.astype(np.int64)
+    order = np.argsort(E, axis=1, kind="stable")
+    ranks = np.empty((m, w), dtype=np.int64)
+    rows = np.arange(m)[:, None]
+    ranks[rows, order] = np.arange(w)[None, :]
+    return ranks
+
+
+def multivariate_ordinal_patterns(
+    series: list[np.ndarray], w: int, tau: int
+) -> np.ndarray:
+    """Multivariate up/down patterns (strategies.py:72-94): per variable,
+    sign(diff)>0 over the window, concatenated variable-major."""
+    n = min(len(s) for s in series)
+    m = n - w * tau + 1
+    if m <= 0:
+        return np.empty((0, len(series) * (w - 1)), dtype=np.int64)
+    cols = []
+    for s in series:
+        s = np.asarray(s, dtype=np.float64)
+        idx = np.arange(m)[:, None] + np.arange(0, w * tau, tau)[None, :]
+        E = s[idx]
+        cols.append((np.diff(E, axis=1) > 0).astype(np.int64))
+    return np.concatenate(cols, axis=1)
+
+
+def opg_edges(patterns: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Transition edges between consecutive patterns.
+
+    Weight = transition_count / num_patterns (strategies.py:110-122 — the
+    denominator is the number of PATTERNS, not transitions).
+
+    Returns (src_patterns[m,w], dst_patterns[m,w], weights[m]).
+    """
+    npat = len(patterns)
+    if npat < 2:
+        w = patterns.shape[1] if patterns.ndim == 2 else 0
+        e = np.empty((0, w), dtype=np.int64)
+        return e, e, np.empty(0)
+    a = patterns[:-1]
+    b = patterns[1:]
+    pairs = np.concatenate([a, b], axis=1)
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    w = patterns.shape[1]
+    return uniq[:, :w], uniq[:, w:], counts / float(npat)
+
+
+# ---------------------------------------------------------------------------
+# Quantile graph  (ref: to_graph/strategies.py:400-476)
+# ---------------------------------------------------------------------------
+
+def quantile_bins_indices(
+    y: np.ndarray, Q: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Literal reference discretization (strategies.py:407-413):
+    bins = np.quantile(y, linspace(0,1,Q+1)); bins[0] -= 1e-9;
+    indices = np.digitize(y, bins, right=True) - 1."""
+    y = np.asarray(y, dtype=np.float64)
+    bins = np.quantile(y, np.linspace(0, 1, Q + 1))
+    bins[0] -= 1e-9
+    idx = np.digitize(y, bins, right=True) - 1
+    return bins, idx
+
+
+def qg_edges(
+    y: np.ndarray, Q: int, phi: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Quantile-graph transition edges with per-source normalization
+    (strategies.py:437-459).  Returns (edges[m,2] int64, weights[m]).
+    Nodes 0..Q-1 always exist; only edges are returned here."""
+    _, idx = quantile_bins_indices(y, Q)
+    if len(idx) <= phi:
+        return np.empty((0, 2), dtype=np.int64), np.empty(0)
+    src = idx[:-phi]
+    dst = idx[phi:]
+    pairs = np.stack([src, dst], axis=1)
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    w = counts.astype(np.float64)
+    # normalize per source node over its successors
+    for s in np.unique(uniq[:, 0]):
+        mask = uniq[:, 0] == s
+        tot = w[mask].sum()
+        if tot > 0:
+            w[mask] = w[mask] / tot
+    return uniq, w
+
+
+def qg_mean_jump_length(y: np.ndarray, Q: int, phi_max: int) -> np.ndarray:
+    """mean_jump_length (strategies.py:415-425): for each phi in 1..phi_max,
+    mean over edges of |i-j| * weight."""
+    out = []
+    for phi in range(1, phi_max + 1):
+        e, w = qg_edges(y, Q, phi)
+        jumps = np.abs(e[:, 0] - e[:, 1]) * w
+        out.append(np.mean(jumps) if len(jumps) else np.nan)
+    return np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# Proximity networks  (ref: to_graph/strategies.py:175-397)
+# ---------------------------------------------------------------------------
+
+def _segment_matrix(y: np.ndarray, L: int) -> np.ndarray:
+    n = len(y)
+    m = n - L + 1
+    if m <= 0:
+        return np.empty((0, L))
+    idx = np.arange(m)[:, None] + np.arange(L)[None, :]
+    return np.asarray(y, dtype=np.float64)[idx]
+
+
+def proximity_cycle_edges(
+    y: np.ndarray, L: int, threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cycle/correlation network (strategies.py:257-309 — the two methods are
+    the same computation): nodes = stride-1 length-L segments, edge (i,j),
+    i<j, iff pearson corr STRICTLY > threshold; weight = corr.
+
+    Vectorized centered-dot-product correlation with a boundary recheck via
+    per-pair np.corrcoef (the reference's literal call) so the strict->
+    decision bit matches.
+    """
+    S = _segment_matrix(y, L)
+    m = len(S)
+    if m < 2:
+        return np.empty((0, 2), dtype=np.int64), np.empty(0)
+    C = S - S.mean(axis=1, keepdims=True)
+    norm = np.sqrt((C * C).sum(axis=1))
+    denom = norm[:, None] * norm[None, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = (C @ C.T) / denom
+    iu, ju = np.triu_indices(m, k=1)
+    cv = corr[iu, ju]
+    tol = _BOUNDARY_RTOL * (np.abs(cv) + abs(threshold) + 1.0)
+    keep = cv > threshold + tol
+    near = ~keep & (cv > threshold - tol)
+    wv = cv.copy()
+    for t in np.nonzero(near)[0]:
+        c = float(np.corrcoef(S[iu[t]], S[ju[t]])[0, 1])
+        keep[t] = c > threshold
+        wv[t] = c
+    # NaN correlations (zero-variance segments) never satisfy strict >
+    keep &= ~np.isnan(cv)
+    e = np.stack([iu[keep], ju[keep]], axis=1).astype(np.int64)
+    return e, wv[keep]
+
+
+def proximity_epsilon_edges(
+    y: np.ndarray, epsilon: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """eps-recurrence network (strategies.py:334-351): nodes = points, edge
+    (i,j), i<j, iff |y_i - y_j| <= eps; weight = distance.  Exact."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    iu, ju = np.triu_indices(n, k=1)
+    d = np.abs(y[iu] - y[ju])
+    keep = d <= epsilon
+    e = np.stack([iu[keep], ju[keep]], axis=1).astype(np.int64)
+    return e, d[keep]
+
+
+def _pdist_matrix(y: np.ndarray) -> np.ndarray:
+    """Replicates squareform(pdist(y.reshape(-1,1))) bit-for-bit:
+    euclidean distance of 1-D points = sqrt((a-b)^2) (NOT abs)."""
+    y = np.asarray(y, dtype=np.float64)
+    d = y[:, None] - y[None, :]
+    return np.sqrt(d * d)
+
+
+def proximity_knn_edges(
+    y: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-NN network (strategies.py:353-372): each node connects to
+    argsort(dist_row)[1:k] — i.e. k-1 neighbors (reference off-by-one
+    preserved), ties broken by np.argsort's default (quicksort) order,
+    reproduced by calling the same argsort.  Undirected dedup like nx.
+    Weight = distance (last writer wins in nx; distances are symmetric so
+    equal either way)."""
+    D = _pdist_matrix(y)
+    n = len(D)
+    seen: dict[tuple[int, int], float] = {}
+    for i in range(n):
+        nn = np.argsort(D[i])[1:k]
+        for j in nn:
+            a, b = (i, int(j)) if i < j else (int(j), i)
+            seen[(a, b)] = float(D[i, j])
+    if not seen:
+        return np.empty((0, 2), dtype=np.int64), np.empty(0)
+    e = np.array(sorted(seen), dtype=np.int64)
+    w = np.array([seen[tuple(t)] for t in e.tolist()])
+    return e, w
+
+
+def proximity_annn_edges(
+    y: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Adaptive NN network (strategies.py:374-397): per node i,
+    threshold_i = mean(sorted(dist_row)[1:k+1]) * 1.2; connect all j != i
+    with dist STRICTLY < threshold_i.  Literal arithmetic reproduced."""
+    D = _pdist_matrix(y)
+    n = len(D)
+    seen: dict[tuple[int, int], float] = {}
+    for i in range(n):
+        sd = np.sort(D[i])
+        thr = np.mean(sd[1: k + 1]) * 1.2
+        js = np.nonzero((D[i] < thr) & (np.arange(n) != i))[0]
+        for j in js:
+            a, b = (i, int(j)) if i < j else (int(j), i)
+            seen[(a, b)] = float(D[i, j])
+    if not seen:
+        return np.empty((0, 2), dtype=np.int64), np.empty(0)
+    e = np.array(sorted(seen), dtype=np.int64)
+    w = np.array([seen[tuple(t)] for t in e.tolist()])
+    return e, w
