@@ -11,6 +11,7 @@ pinned to the published recurrence, not to a library).
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
@@ -20,16 +21,23 @@ import pytest
 REFERENCE_PATH = "/root/reference"
 
 
+def _mod(name: str) -> types.ModuleType:
+    """Stub module with a real ModuleSpec (pyspark probes find_spec)."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _install_stub_modules() -> None:
     if "scipy" in sys.modules and hasattr(sys.modules["scipy"], "_ts2g2_stub"):
         return
 
     # --- scipy (pdist/squareform are real; ref uses them at
     #     to_graph/strategies.py:363,384) ---
-    scipy = types.ModuleType("scipy")
+    scipy = _mod("scipy")
     scipy._ts2g2_stub = True
-    spatial = types.ModuleType("scipy.spatial")
-    distance = types.ModuleType("scipy.spatial.distance")
+    spatial = _mod("scipy.spatial")
+    distance = _mod("scipy.spatial.distance")
 
     def pdist(X, metric="euclidean"):
         X = np.asarray(X, dtype=np.float64)
@@ -53,7 +61,7 @@ def _install_stub_modules() -> None:
     spatial.distance = distance
     scipy.spatial = spatial
 
-    stats = types.ModuleType("scipy.stats")
+    stats = _mod("scipy.stats")
 
     def pearsonr(a, b):
         a = np.asarray(a, dtype=np.float64)
@@ -81,7 +89,7 @@ def _install_stub_modules() -> None:
     stats.kendalltau = kendalltau
     scipy.stats = stats
 
-    interpolate = types.ModuleType("scipy.interpolate")
+    interpolate = _mod("scipy.interpolate")
 
     def interp1d(x, y, kind="linear"):
         return lambda xi: np.interp(xi, x, y)
@@ -96,7 +104,7 @@ def _install_stub_modules() -> None:
     sys.modules["scipy.interpolate"] = interpolate
 
     # --- deprecated ---
-    dep = types.ModuleType("deprecated")
+    dep = _mod("deprecated")
 
     def deprecated(*args, **kwargs):
         if len(args) == 1 and callable(args[0]) and not kwargs:
@@ -111,8 +119,8 @@ def _install_stub_modules() -> None:
     sys.modules["deprecated"] = dep
 
     # --- matplotlib ---
-    mpl = types.ModuleType("matplotlib")
-    plt = types.ModuleType("matplotlib.pyplot")
+    mpl = _mod("matplotlib")
+    plt = _mod("matplotlib.pyplot")
     for name in (
         "figure", "plot", "title", "xlabel", "ylabel", "grid", "show",
     ):
@@ -122,8 +130,8 @@ def _install_stub_modules() -> None:
     sys.modules["matplotlib.pyplot"] = plt
 
     # --- dtaidistance (standard DTW DP; diagonal-preferring backtrack) ---
-    dtai = types.ModuleType("dtaidistance")
-    dtw = types.ModuleType("dtaidistance.dtw")
+    dtai = _mod("dtaidistance")
+    dtw = _mod("dtaidistance.dtw")
 
     def warping_paths(s1, s2, use_c=False, **kwargs):
         s1 = np.asarray(s1, dtype=np.float64)

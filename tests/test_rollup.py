@@ -1,0 +1,181 @@
+"""Rollup correctness: kernel vs relational vs duckdb oracle; tier-from-tier
+exactness; gap-fill; codec round-trip through Spark; pipeline resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ts2g2_spark import datagen
+from ts2g2_spark.plans import chunks as chunks_mod
+from ts2g2_spark.plans import rollup as rollup_mod
+from ts2g2_spark.plans.points import explode_points
+from ts2g2_spark.plans.pipeline import RollupPipeline
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def input_df(spark):
+    df = datagen.tokenized_sequences(spark, N_DOCS, seed=42)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def gappy_df(spark):
+    df = datagen.tokenized_sequences(spark, 10, seed=42, gap_p=0.05)
+    df.cache().count()
+    return df
+
+
+def test_datagen_deterministic(spark):
+    a = datagen.tokenized_sequences(spark, 5, seed=42).collect()
+    b = datagen.tokenized_sequences(
+        spark, 5, seed=42, num_partitions=3).collect()
+    am = {r.doc_id: (r.tokens, r.source) for r in a}
+    bm = {r.doc_id: (r.tokens, r.source) for r in b}
+    assert am == bm
+    assert all(8 <= len(t) <= 4096 for t, _ in am.values())
+
+
+def test_kernel_rollup_matches_relational(spark, input_df):
+    """Map-only array rollup == groupBy rollup over exploded points."""
+    k = rollup_mod.rollup_from_tokens(input_df, tier="1m").toPandas()
+    pts = explode_points(input_df)
+    r = rollup_mod.rollup_points(pts, "1m", order_col="idx").toPandas()
+    for df in (k, r):
+        df.sort_values(["doc_id", "bucket_ts"], inplace=True,
+                       ignore_index=True)
+    assert len(k) == len(r)
+    assert (k["doc_id"] == r["doc_id"]).all()
+    assert (k["bucket_ts"] == r["bucket_ts"]).all()
+    for c in ("cnt", "min", "max", "first", "last"):
+        assert np.array_equal(k[c].to_numpy(), r[c].to_numpy()), c
+    # sums: token values are integers <= 50257 summed over <=60 points, all
+    # exactly representable -> exact equality required
+    assert np.array_equal(k["sum"].to_numpy(), r["sum"].to_numpy())
+
+
+def test_tier_from_tier_exact(spark, input_df):
+    """Continuous-aggregate contract: 1h from 1m == 1h from raw points."""
+    m1 = rollup_mod.rollup_from_tokens(input_df, tier="1m")
+    h_from_m = rollup_mod.rollup_tier_up(m1, "1h").toPandas()
+    h_direct = rollup_mod.rollup_from_tokens(input_df, tier="1h").toPandas()
+    for df in (h_from_m, h_direct):
+        df.sort_values(["doc_id", "bucket_ts"], inplace=True,
+                       ignore_index=True)
+    assert len(h_from_m) == len(h_direct)
+    for c in ("doc_id", "bucket_ts", "cnt", "min", "max", "first", "last",
+              "sum"):
+        assert np.array_equal(
+            h_from_m[c].to_numpy(), h_direct[c].to_numpy()), c
+    d_from_h = rollup_mod.rollup_tier_up(
+        rollup_mod.rollup_tier_up(m1, "1h"), "1d").toPandas()
+    d_direct = rollup_mod.rollup_from_tokens(input_df, tier="1d").toPandas()
+    for df in (d_from_h, d_direct):
+        df.sort_values(["doc_id", "bucket_ts"], inplace=True,
+                       ignore_index=True)
+    assert np.array_equal(d_from_h["sum"].to_numpy(),
+                          d_direct["sum"].to_numpy())
+
+
+def test_rollup_vs_duckdb_oracle(spark, input_df):
+    import duckdb
+
+    pts = explode_points(input_df).toPandas()
+    got = rollup_mod.rollup_from_tokens(input_df, tier="1m").toPandas()
+    got = got.sort_values(["doc_id", "bucket_ts"], ignore_index=True)
+    ora = duckdb.sql(
+        """
+        select doc_id, time_bucket(interval '1 minute', ts) bucket_ts,
+               count(*) cnt, sum(value) "sum", min(value) "min",
+               max(value) "max",
+               arg_min(value, idx) "first", arg_max(value, idx) "last"
+        from pts group by 1,2 order by 1,2
+        """
+    ).df()
+    assert len(got) == len(ora)
+    for c in ("cnt", "min", "max", "first", "last", "sum"):
+        assert np.allclose(got[c].to_numpy(), ora[c].to_numpy(),
+                           rtol=0, atol=0), c
+
+
+def test_kernel_gapfill_matches_relational(spark, gappy_df):
+    k = rollup_mod.rollup_from_tokens(
+        gappy_df, tier="1m", gapfill=True, positions_col="positions"
+    ).toPandas()
+    sparse = rollup_mod.rollup_from_tokens(
+        gappy_df, tier="1m", gapfill=False, positions_col="positions")
+    r = rollup_mod.gapfill(sparse, "1m").toPandas()
+    for df in (k, r):
+        df.sort_values(["doc_id", "bucket_ts"], inplace=True,
+                       ignore_index=True)
+    assert len(k) == len(r)
+    assert (k["gapfilled"] == r["gapfilled"]).all()
+    assert (k["cnt"] == r["cnt"]).all()
+    assert k["gapfilled"].sum() > 0  # gaps actually exercised
+    # dense invariant: filled + present == full span per doc
+    for doc, g in k.groupby("doc_id"):
+        span = (g["bucket_ts"].max() - g["bucket_ts"].min()).total_seconds()
+        assert len(g) == span / 60 + 1
+
+
+def test_chunks_roundtrip_token_equality(spark, input_df):
+    ch = chunks_mod.compress_chunks(input_df, chunk_points=512)
+    dec = chunks_mod.decompress_chunks(ch).toPandas()
+    orig = input_df.toPandas()
+    om = {r.doc_id: np.asarray(r.tokens, dtype=np.int32)
+          for r in orig.itertuples()}
+    dm = {r.doc_id: np.asarray(r.tokens, dtype=np.int32)
+          for r in dec.itertuples()}
+    assert set(om) == set(dm)
+    for k in om:
+        assert np.array_equal(om[k], dm[k]), k  # pinned per-row invariant
+    # compression actually compresses vs raw 8-byte doubles
+    sizes = ch.selectExpr(
+        "sum(octet_length(val_gorilla)) vb", "sum(n) n").collect()[0]
+    assert sizes.vb < sizes.n * 8
+
+
+def test_pipeline_resume(spark, input_df, tmp_path):
+    root = str(tmp_path / "cat")
+    p1 = RollupPipeline(spark, root, run_id="r1")
+    # simulate a kill after the 1h tier commit
+    p1.run(input_df, "test_input", stop_after="rollup_1h")
+    assert [s["stage"] for s in p1.stage_log] == ["rollup_1m", "rollup_1h"]
+    before = p1.cat.read("rollup_1h").toPandas().sort_values(
+        ["doc_id", "bucket_ts"], ignore_index=True)
+
+    p2 = RollupPipeline(spark, root, run_id="r2")
+    out = p2.run(input_df, "test_input")
+    skipped = {s["stage"] for s in p2.stage_log if s.get("skipped")}
+    assert skipped == {"rollup_1m", "rollup_1h"}  # resumed, not recomputed
+    after = out["rollup_1h"].toPandas().sort_values(
+        ["doc_id", "bucket_ts"], ignore_index=True)
+    assert before.equals(after)  # no duplicates, identical table
+    # lineage rows exist for every executed stage
+    lin = out["lineage"].toPandas()
+    assert {"rollup_1m", "rollup_1h", "rollup_1d", "chunks"} <= set(
+        lin["stage"])
+    assert (lin["rows"] > 0).any()
+    # input change -> full recompute
+    p3 = RollupPipeline(spark, root, run_id="r3")
+    p3.run(input_df, "different_input_desc")
+    assert not any(s.get("skipped") for s in p3.stage_log)
+
+
+def test_retention(spark, input_df, tmp_path):
+    root = str(tmp_path / "cat2")
+    p = RollupPipeline(spark, root, run_id="r1")
+    out = p.run(input_df, "x")
+    n_before = out["rollup_1m"].count()
+    # cutoff at base+120s: typical docs (~256 tokens at 1s cadence) keep
+    # only their buckets from 120s on
+    now = 1704067200 + 100_000
+    kept = p.retention(now, horizons={"1m": 99_880, "1h": 10**9,
+                                      "1d": 10**9})
+    n_after = kept["rollup_1m"].count()
+    assert 0 < n_after < n_before
+    mins = kept["rollup_1m"].agg({"bucket_ts": "min"}).collect()[0][0]
+    assert mins.timestamp() >= now - 99_880

@@ -1,0 +1,88 @@
+"""Deterministic generator for the engine's input table
+(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)
+— BASELINE.json input_hint / FIXTURES.md §1.
+
+Fully distributed: spark.range(N) -> mapInPandas, one independent PCG64
+stream per doc (SeedSequence([seed, doc_index])), so any subset of docs can
+be regenerated identically on any partitioning — the generator itself is
+resume-safe and cluster-size-invariant.  Sources follow a Zipf(s) law over
+20 buckets, deliberately hot-keyed to exercise salting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+VOCAB = 50257
+N_SOURCES = 20
+ZIPF_S = 1.2
+
+
+def _zipf_probs(n: int = N_SOURCES, s: float = ZIPF_S) -> np.ndarray:
+    w = 1.0 / np.arange(1, n + 1) ** s
+    return w / w.sum()
+
+
+def _gen_batch(ids: np.ndarray, seed: int, gap_p: float) -> pd.DataFrame:
+    probs = _zipf_probs()
+    rows = []
+    for i in ids:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, int(i)]))
+        ln = rng.lognormal(mean=np.log(256), sigma=0.8)
+        n = int(np.clip(ln, 8, 4096))
+        toks = rng.integers(0, VOCAB, size=n, dtype=np.int32)
+        src = f"src_{rng.choice(N_SOURCES, p=probs):02d}"
+        if gap_p > 0.0:
+            keep = rng.random(n) >= gap_p
+            # outage-style gaps: drop a random INTERIOR minute bucket (not
+            # the first/last, so the gap sits inside the per-series span and
+            # gap-fill has something to fill — per-position drops alone
+            # never empty a 60-point bucket)
+            n_buckets = n // 60
+            if n_buckets >= 3 and rng.random() < 0.8:
+                gone = int(rng.integers(1, n_buckets - 1))
+                keep[gone * 60: (gone + 1) * 60] = False
+            if not keep.any():
+                keep[0] = True
+            positions = np.nonzero(keep)[0].astype(np.int32)
+            toks = toks[keep]
+        else:
+            positions = None
+        rows.append(
+            {
+                "doc_id": f"doc_{int(i):012d}",
+                "tokens": toks,
+                "n_tok": len(toks),
+                "source": src,
+                **({"positions": positions} if gap_p > 0.0 else {}),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def tokenized_sequences(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    gap_p: float = 0.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Build the input table. gap_p > 0 drops each position with prob gap_p
+    (seeded) and adds a positions:array<int> column for gap-fill tests."""
+    schema = SCHEMA + (", positions array<int>" if gap_p > 0.0 else "")
+    parts = num_partitions or max(
+        spark.sparkContext.defaultParallelism, n_docs // 5000 or 1
+    )
+    base = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _gen_batch(pdf["id"].to_numpy(), seed, gap_p)
+
+    return base.mapInPandas(gen, schema=schema)

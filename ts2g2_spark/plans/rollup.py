@@ -1,0 +1,241 @@
+"""Continuous-aggregate rollup tiers (1m/1h/1d), gap-fill, retention.
+
+Two physical strategies for the same logical rollup, chosen by data shape:
+
+1. ARRAY-NATIVE (`rollup_from_tokens`): the input table keeps a doc's whole
+   series in one row (input_hint), so the 1m tier is computable with ZERO
+   shuffle — a mapInPandas kernel turns each tokens array directly into
+   bucket rows.  At 100 TB this is the difference between a map-only stage
+   and a trillion-row exchange.
+
+2. RELATIONAL (`rollup_points`): when points arrive as rows (e.g. an events
+   table), the tier is a groupBy window aggregate — Catalyst plans it as
+   partial (map-side) + final hash aggregation, so the shuffle carries one
+   row per (series, bucket), not per point.
+
+Coarser tiers always derive from the finer tier (`rollup_tier_up`) — the
+continuous-aggregate contract: sum/cnt re-aggregate, min/min, max/max,
+first/last pick by bucket timestamp (exact, associative).  Tier-from-tier
+equals tier-from-raw bit-identically because count/sum of doubles over the
+same groups in the same tree order... is NOT order-stable for sum, so the
+engine keeps sums as exact token-integer sums (int64) wherever values are
+tokens, and tests assert equality against recomputation from raw.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts2g2_spark.plans.points import BASE_EPOCH
+
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+# retention horizons per tier (north rule: tier-scoped retention)
+DEFAULT_RETENTION = {"1m": 7 * 86400, "1h": 90 * 86400, "1d": 3650 * 86400}
+
+ROLLUP_SCHEMA = (
+    "doc_id string, source string, bucket_ts timestamp, cnt long, "
+    "sum double, min double, max double, first double, last double, "
+    "gapfilled boolean"
+)
+
+
+def _rollup_arrays(
+    pos: np.ndarray, vals: np.ndarray, tier_s: int, step_s: int,
+    base_epoch: int, gapfill: bool,
+) -> dict[str, np.ndarray]:
+    """Vectorized per-doc rollup: positions+values -> per-bucket aggregates.
+    Positions are ascending; first/last are by position within bucket."""
+    ts = base_epoch + pos.astype(np.int64) * step_s
+    bucket = (ts // tier_s) * tier_s
+    # positions ascending => buckets ascending => reduceat-friendly
+    uniq, starts = np.unique(bucket, return_index=True)
+    cnt = np.diff(np.append(starts, len(bucket)))
+    sums = np.add.reduceat(vals, starts)
+    mins = np.minimum.reduceat(vals, starts)
+    maxs = np.maximum.reduceat(vals, starts)
+    firsts = vals[starts]
+    lasts = vals[np.append(starts[1:], len(vals)) - 1]
+    if gapfill and len(uniq) > 1:
+        dense = np.arange(uniq[0], uniq[-1] + tier_s, tier_s)
+        idx = np.searchsorted(uniq, dense)
+        present = (idx < len(uniq)) & (uniq[np.minimum(idx, len(uniq) - 1)] == dense)
+        out = {
+            "bucket": dense,
+            "cnt": np.zeros(len(dense), dtype=np.int64),
+            "sum": np.full(len(dense), np.nan),
+            "min": np.full(len(dense), np.nan),
+            "max": np.full(len(dense), np.nan),
+            "first": np.full(len(dense), np.nan),
+            "last": np.full(len(dense), np.nan),
+            "gapfilled": ~present,
+        }
+        for k, src in (("cnt", cnt), ("sum", sums), ("min", mins),
+                       ("max", maxs), ("first", firsts), ("last", lasts)):
+            out[k][present] = src
+        return out
+    return {
+        "bucket": uniq, "cnt": cnt, "sum": sums, "min": mins, "max": maxs,
+        "first": firsts, "last": lasts,
+        "gapfilled": np.zeros(len(uniq), dtype=bool),
+    }
+
+
+def rollup_from_tokens(
+    df: DataFrame,
+    tier: str = "1m",
+    step_seconds: int = 1,
+    base_epoch: int = BASE_EPOCH,
+    gapfill: bool = False,
+    positions_col: str | None = None,
+) -> DataFrame:
+    """Map-only rollup of the tokenized input table (no shuffle).
+
+    Each doc's series is row-local, so per-(doc, bucket) aggregates are a
+    pure Arrow-batch transform.  Gap-fill is also row-local: the dense
+    bucket range per doc is emitted with gapfilled=true markers (cnt=0,
+    null aggregates) — exactly the rows a sequence()+anti-join would add,
+    minus the join."""
+    tier_s = TIER_SECONDS[tier]
+    has_pos = positions_col is not None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "source", "bucket", "cnt", "sum", "min", "max",
+                "first", "last", "gapfilled")}
+            for row in pdf.itertuples(index=False):
+                toks = np.asarray(row.tokens, dtype=np.float64)
+                if len(toks) == 0:
+                    continue
+                pos = (np.asarray(getattr(row, positions_col), dtype=np.int64)
+                       if has_pos else np.arange(len(toks), dtype=np.int64))
+                r = _rollup_arrays(pos, toks, tier_s, step_seconds,
+                                   base_epoch, gapfill)
+                m = len(r["bucket"])
+                out["doc_id"].append(np.repeat(row.doc_id, m))
+                out["source"].append(np.repeat(row.source, m))
+                for k in ("bucket", "cnt", "sum", "min", "max", "first",
+                          "last", "gapfilled"):
+                    out[k].append(r[k])
+            if not out["doc_id"]:
+                continue
+            res = pd.DataFrame({
+                k: np.concatenate(v) for k, v in out.items()})
+            res["bucket_ts"] = pd.to_datetime(res.pop("bucket"), unit="s")
+            yield res[["doc_id", "source", "bucket_ts", "cnt", "sum", "min",
+                       "max", "first", "last", "gapfilled"]]
+
+    return df.mapInPandas(kernel, schema=ROLLUP_SCHEMA)
+
+
+def rollup_points(
+    points: DataFrame,
+    tier: str,
+    series_cols: list[str] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Relational rollup for row-per-point tables.  Partial+final hash agg;
+    first/last are deterministic via min_by/max_by on (ts, order_col)."""
+    tier_s = TIER_SECONDS[tier]
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / tier_s).cast("long") * tier_s
+    ).alias("bucket_ts")
+    okey = (F.struct(F.col(ts_col), F.col(order_col)) if order_col
+            else F.col(ts_col))
+    return (
+        points.groupBy(*[F.col(c) for c in series_cols], bucket)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(val_col).alias("sum"),
+            F.min(val_col).alias("min"),
+            F.max(val_col).alias("max"),
+            F.min_by(val_col, okey).alias("first"),
+            F.max_by(val_col, okey).alias("last"),
+        )
+        .withColumn("gapfilled", F.lit(False))
+    )
+
+
+def rollup_tier_up(
+    finer: DataFrame, to_tier: str,
+    series_cols: list[str] = ("doc_id", "source"),
+) -> DataFrame:
+    """Continuous aggregate: derive a coarser tier from a finer tier.
+    All aggregates are associative so this is exact; gap-fill markers from
+    the finer tier are excluded (they carry no data)."""
+    tier_s = TIER_SECONDS[to_tier]
+    src = finer.where(~F.col("gapfilled"))
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / tier_s).cast("long") * tier_s
+    ).alias("bucket_ts")
+    return (
+        src.groupBy(*[F.col(c) for c in series_cols], bucket)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", F.col("bucket_ts")).alias("first"),
+            F.max_by("last", F.col("bucket_ts")).alias("last"),
+        )
+        .withColumn("gapfilled", F.lit(False))
+    )
+
+
+def gapfill(
+    tier_df: DataFrame,
+    tier: str,
+    series_cols: list[str] = ("doc_id", "source"),
+    fill: str = "null",
+) -> DataFrame:
+    """Relational gap-fill: dense per-series bucket spine via
+    sequence()+explode, left join, gapfilled flag.  fill='null'|'zero'|'locf'
+    (locf via last(ignorenulls) window)."""
+    from pyspark.sql.window import Window
+
+    tier_s = TIER_SECONDS[tier]
+    scols = list(series_cols)
+    spine = (
+        tier_df.groupBy(*scols)
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            *scols,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {tier_s} second"))
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = spine.join(tier_df, on=scols + ["bucket_ts"], how="left")
+    out = joined.withColumn(
+        "gapfilled", F.coalesce(F.col("gapfilled"), F.lit(True)) | F.col("cnt").isNull()
+    ).withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    if fill == "zero":
+        for c in ("sum", "min", "max", "first", "last"):
+            out = out.withColumn(c, F.coalesce(c, F.lit(0.0)))
+    elif fill == "locf":
+        w = (Window.partitionBy(*scols).orderBy("bucket_ts")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        for c in ("sum", "min", "max", "first", "last"):
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def apply_retention(
+    tier_df: DataFrame, tier: str, now_epoch: int,
+    horizons: dict[str, int] = DEFAULT_RETENTION,
+) -> DataFrame:
+    """Tier-scoped retention: keep buckets newer than the tier horizon.
+    On partitioned storage (bucket_date partition column, see
+    pipeline.write_tier) this predicate prunes whole partitions — a
+    metadata-only drop, no row scan."""
+    cutoff = now_epoch - horizons[tier]
+    return tier_df.where(
+        F.unix_timestamp("bucket_ts") >= F.lit(cutoff)
+    )
