@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship rollup pipeline on sf0.001.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the engine-native training-data ops); `oracle_sql()` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+
+Cross-engine determinism rules used throughout:
+  * every float aggregate that is ORDER-SENSITIVE across engines is either
+    computed in exact integer space (cents trick for TPC-H money) or
+    rounded (6-9 dp) identically on both sides;
+  * first/last use a composite bigint order key
+    (unix_micros(ts)-BASE)*100000+event_id so ties cannot exist;
+  * ranks break ties by id.
 """
 
 from __future__ import annotations
@@ -12,27 +19,952 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_US = 1704067200000000  # 2024-01-01 in microseconds
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _okey() -> F.Column:
+    return (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(BASE_US)
+            ) * F.lit(100000) + F.col("event_id")
+
+
+_OKEY_SQL = "(epoch_us(ts) - 1704067200000000) * 100000 + event_id"
+
+
+# ---------------------------------------------------------------- rollups
+_TRUNC = {60: "minute", 3600: "hour", 86400: "day"}
+
+
+def _rollup_events(spark, sf_dir, tier_s: int) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = F.date_trunc(_TRUNC[tier_s], "ts").alias("bucket_ts")
+    return (
+        ev.groupBy("user_id", bucket)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.min_by("value", _okey()).alias("first_val"),
+            F.max_by("value", _okey()).alias("last_val"),
+        )
+    )
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _rollup_events(spark, sf_dir, 60)
+
+
+def _rollup_sql(tier_s: int) -> str:
+    unit = _TRUNC[tier_s]
+    return f"""
+    select user_id,
+           date_trunc('{unit}', ts) as bucket_ts,
+           count(*) as cnt,
+           round(sum(value), 6) as sum_val,
+           min(value) as min_val,
+           max(value) as max_val,
+           arg_min(value, {_OKEY_SQL}) as first_val,
+           arg_max(value, {_OKEY_SQL}) as last_val
+    from events group by 1, 2
+    """
+
+
+def q_rollup_1h_tiered(spark, sf_dir):
+    """1h tier derived from the 1m tier (continuous-aggregate path); the
+    oracle recomputes from raw — equality proves tier-from-tier exactness.
+    ts2g2 has no rollup path (engine-native, SURVEY §2.7)."""
+    ev = _events(spark, sf_dir)
+    m_bucket = F.date_trunc("minute", "ts").alias("bucket_ts")
+    m1 = ev.groupBy("user_id", m_bucket).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.min_by("value", _okey()).alias("first_val"),
+        F.max_by("value", _okey()).alias("last_val"),
+    )
+    h_bucket = F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
+    return m1.groupBy("user_id", h_bucket).agg(
+        F.sum("cnt").alias("cnt"),
+        F.round(F.sum("s"), 6).alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+        F.min_by("first_val", F.col("bucket_ts")).alias("first_val"),
+        F.max_by("last_val", F.col("bucket_ts")).alias("last_val"),
+    )
+
+
+def q_rollup_1d_tiered(spark, sf_dir):
+    """1d tier derived from an intermediate 1h tier (two-level continuous
+    aggregate); oracle recomputes from raw."""
+    ev = _events(spark, sf_dir)
+    h_bucket = F.date_trunc("hour", "ts").alias("bucket_ts")
+    h1 = ev.groupBy("user_id", h_bucket).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.min_by("value", _okey()).alias("first_val"),
+        F.max_by("value", _okey()).alias("last_val"),
+    )
+    d_bucket = F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+    return h1.groupBy("user_id", d_bucket).agg(
+        F.sum("cnt").alias("cnt"),
+        F.round(F.sum("s"), 6).alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+        F.min_by("first_val", F.col("bucket_ts")).alias("first_val"),
+        F.max_by("last_val", F.col("bucket_ts")).alias("last_val"),
+    )
+
+
+def q_gapfill_1h(spark, sf_dir):
+    """Dense hourly spine per user between its first and last hour;
+    gapfilled marks hours with no events (engine-native op, SURVEY §2.7)."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("bucket_ts"),
+        )
+    )
+    return (
+        spine.join(hourly, ["user_id", "bucket_ts"], "left")
+        .select(
+            "user_id", "bucket_ts",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.col("cnt").isNull().alias("gapfilled"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+with hourly as (
+  select user_id, date_trunc('hour', ts) as bucket_ts, count(*) as cnt
+  from events group by 1, 2
+), span as (
+  select user_id, min(bucket_ts) lo, max(bucket_ts) hi from hourly group by 1
+), spine as (
+  select user_id,
+         unnest(generate_series(lo, hi, interval '1 hour')) as bucket_ts
+  from span
+)
+select s.user_id, s.bucket_ts, coalesce(h.cnt, 0) as cnt,
+       (h.cnt is null) as gapfilled
+from spine s left join hourly h
+  on s.user_id = h.user_id and s.bucket_ts = h.bucket_ts
+"""
+
+
+def q_retention_1m_recent(spark, sf_dir):
+    """Retention predicate on the 1m tier: keep only the final 7 days of
+    each dataset (cutoff = max bucket - 7d).  The filter compiles to a
+    partition/file prune on date-partitioned storage."""
+    m1 = _rollup_events(spark, sf_dir, 60).select(
+        "user_id", "bucket_ts", "cnt")
+    mx = m1.agg(F.max("bucket_ts").alias("mx"))
+    return m1.join(F.broadcast(mx)).where(
+        F.col("bucket_ts") >= F.col("mx") - F.expr("interval 7 days")
+    ).select("user_id", "bucket_ts", "cnt")
+
+
+RETENTION_SQL = """
+with m1 as (
+  select user_id,
+         date_trunc('minute', ts) bucket_ts,
+         count(*) cnt
+  from events group by 1, 2
+), mx as (select max(bucket_ts) mx from m1)
+select user_id, bucket_ts, cnt from m1, mx
+where bucket_ts >= mx - interval '7 days'
+"""
+
+
+def q_codec_roundtrip(spark, sf_dir):
+    """Delta-of-delta + Gorilla round-trip per user series; ok must be true
+    for every row (exactness invariant made a queryable fact)."""
+    import pandas as pd
+
+    from ts2g2_spark.functions import codecs
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()  # ns
+        v = g["value"].to_numpy()
+        ok = bool(
+            np.array_equal(codecs.dod_decode(codecs.dod_encode(ts)), ts)
+            and np.array_equal(
+                codecs.gorilla_decode(codecs.gorilla_encode(v)).view("u8"),
+                v.view("u8"),
+            )
+        )
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_pts": [len(g)],
+             "roundtrip_ok": [ok]})
+
+    return ev.groupBy("user_id").applyInPandas(
+        kern, schema="user_id long, n_pts long, roundtrip_ok boolean")
+
+
+CODEC_SQL = """
+select user_id, count(*) as n_pts, true as roundtrip_ok
+from events group by 1
+"""
+
+
+# ------------------------------------------------------------- graph ops
+def _event_series(spark, sf_dir):
+    from ts2g2_spark.operators import graphs
+
+    ev = _events(spark, sf_dir)
+    return graphs.series_from_points(
+        ev, "user_id", ts_col="ts", val_col="value", order_col="event_id")
+
+
+_PTS_CTE = """
+pts as (
+  select user_id,
+         row_number() over (partition by user_id order by ts, event_id) - 1
+           as pos,
+         value as v
+  from events
+)
+"""
+
+
+def q_hvg_edges(spark, sf_dir):
+    """Horizontal visibility graph per user series (G2,
+    to_graph/strategies.py:687-692)."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    return graphs.visibility_edges(s, kind="horizontal").select(
+        F.col("series_key").cast("long").alias("user_id"), "src", "dst")
+
+
+HVG_SQL = f"""
+with {_PTS_CTE}
+select a.user_id, a.pos as src, b.pos as dst
+from pts a join pts b
+  on a.user_id = b.user_id and b.pos > a.pos
+where not exists (
+  select 1 from pts m
+  where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+    and m.v > greatest(a.v, b.v)
+)
+"""
+
+
+def q_hvg_edges_limit2(spark, sf_dir):
+    """HVG with limit=2: the first 2 intermediates are skipped as
+    obstructors (reference limit semantics, strategies.py:689-691)."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    return graphs.visibility_edges(s, kind="horizontal", limit=2).select(
+        F.col("series_key").cast("long").alias("user_id"), "src", "dst")
+
+
+HVG_LIMIT2_SQL = f"""
+with {_PTS_CTE}
+select a.user_id, a.pos as src, b.pos as dst
+from pts a join pts b
+  on a.user_id = b.user_id and b.pos > a.pos
+where not exists (
+  select 1 from pts m
+  where m.user_id = a.user_id and m.pos > a.pos + 2 and m.pos < b.pos
+    and m.v > greatest(a.v, b.v)
+)
+"""
+
+
+def q_nvg_edges(spark, sf_dir):
+    """Natural visibility graph per user series (G1,
+    to_graph/strategies.py:627-635)."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    return graphs.visibility_edges(s, kind="natural").select(
+        F.col("series_key").cast("long").alias("user_id"), "src", "dst")
+
+
+NVG_SQL = f"""
+with {_PTS_CTE}
+select a.user_id, a.pos as src, b.pos as dst
+from pts a join pts b
+  on a.user_id = b.user_id and b.pos > a.pos
+where not exists (
+  select 1 from pts m
+  where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+    and m.v > ((b.v - a.v) / (b.pos - a.pos)) * m.pos
+              + (b.v - ((b.v - a.v) / (b.pos - a.pos)) * b.pos)
+)
+"""
+
+
+def q_opg_edges_w3(spark, sf_dir):
+    """Ordinal-partition graph w=3 tau=1 per user (G6,
+    to_graph/strategies.py:45-141), kernel path (map-only)."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    return graphs.opg_edges(s, 3, 1).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "src_pattern", "dst_pattern", "weight")
+
+
+OPG_SQL = f"""
+with {_PTS_CTE},
+pat as (
+  select a.user_id, a.pos,
+         cast((case when b.v <  a.v then 1 else 0 end)
+            + (case when c.v <  a.v then 1 else 0 end) as varchar)
+         || ',' ||
+         cast((case when a.v <= b.v then 1 else 0 end)
+            + (case when c.v <  b.v then 1 else 0 end) as varchar)
+         || ',' ||
+         cast((case when a.v <= c.v then 1 else 0 end)
+            + (case when b.v <= c.v then 1 else 0 end) as varchar)
+           as pattern
+  from pts a
+  join pts b on b.user_id = a.user_id and b.pos = a.pos + 1
+  join pts c on c.user_id = a.user_id and c.pos = a.pos + 2
+),
+trans as (
+  select user_id, pattern as src_pattern,
+         lead(pattern) over (partition by user_id order by pos)
+           as dst_pattern
+  from pat
+),
+np as (select user_id, count(*) n from pat group by 1)
+select t.user_id, t.src_pattern, t.dst_pattern,
+       count(*) / any_value(np.n) as weight
+from trans t join np on t.user_id = np.user_id
+where t.dst_pattern is not null
+group by t.user_id, t.src_pattern, t.dst_pattern
+"""
+
+
+def q_qg_edges_q4(spark, sf_dir):
+    """Quantile graph Q=4 phi=1 per user (G8,
+    to_graph/strategies.py:400-461), Catalyst-relational path."""
+    from ts2g2_spark.operators import graphs
+
+    ev = _events(spark, sf_dir)
+    return graphs.qg_edges_relational(
+        ev, "user_id", 4, 1, ts_col="ts", val_col="value",
+        order_col="event_id",
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "src", "dst", "weight")
+
+
+QG_SQL = f"""
+with {_PTS_CTE},
+b as (
+  select user_id, quantile_cont(v, [0.0, 0.25, 0.5, 0.75, 1.0]) qb
+  from pts group by 1
+),
+binned as (
+  select p.user_id, p.pos,
+         len(list_filter(
+               list_prepend(b.qb[1] - 1e-9, b.qb[2:5]),
+               x -> x < p.v)) - 1 as q
+  from pts p join b on p.user_id = b.user_id
+),
+trans as (
+  select user_id, q as src,
+         lead(q) over (partition by user_id order by pos) as dst
+  from binned
+),
+cnts as (
+  select user_id, src, dst, count(*) c
+  from trans where dst is not null group by 1, 2, 3
+)
+select user_id, src::BIGINT as src, dst::BIGINT as dst,
+       c / sum(c) over (partition by user_id, src) as weight
+from cnts
+"""
+
+
+def q_qg_mean_jump(spark, sf_dir):
+    """Mean jump length for phi in 1..2 (G9, strategies.py:415-425 —
+    reproduced; the reference's own method crashes upstream)."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["ts", "event_id"])
+        y = g["value"].to_numpy()
+        out = []
+        for phi in (1, 2):
+            e, w = kernels.qg_edges(y, 4, phi)
+            jumps = np.abs(e[:, 0] - e[:, 1]) * w
+            out.append({"user_id": g["user_id"].iloc[0], "phi": phi,
+                        "mean_jump": round(float(np.mean(jumps)), 9)})
+        return pd.DataFrame(out)
+
+    return ev.groupBy("user_id").applyInPandas(
+        kern, schema="user_id long, phi int, mean_jump double")
+
+
+QG_JUMP_SQL = f"""
+with {_PTS_CTE},
+b as (
+  select user_id, quantile_cont(v, [0.0, 0.25, 0.5, 0.75, 1.0]) qb
+  from pts group by 1
+),
+binned as (
+  select p.user_id, p.pos,
+         len(list_filter(
+               list_prepend(b.qb[1] - 1e-9, b.qb[2:5]),
+               x -> x < p.v)) - 1 as q
+  from pts p join b on p.user_id = b.user_id
+),
+phis as (select unnest([1, 2]) as phi),
+trans as (
+  select binned.user_id, phis.phi, q as src,
+         lead(q, phis.phi) over (partition by binned.user_id, phis.phi
+                                 order by pos) as dst
+  from binned cross join phis
+),
+cnts as (
+  select user_id, phi, src, dst, count(*) c
+  from trans where dst is not null group by 1, 2, 3, 4
+),
+w as (
+  select user_id, phi, src, dst,
+         c / sum(c) over (partition by user_id, phi, src) as weight
+  from cnts
+)
+select user_id, phi::INT as phi,
+       round(avg(abs(src - dst) * weight), 9) as mean_jump
+from w group by 1, 2
+"""
+
+
+# --------------------------------------------------------- events windows
+def q_sessionize_30m(spark, sf_dir):
+    """Sessionization (30 min inactivity gap) — the standard streaming-ish
+    window op, batch form."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = ev.select(
+        "user_id", "ts",
+        (F.coalesce(
+            us - F.lag(us).over(w),
+            F.lit(10**15),
+        ) > 1800 * 1_000_000).cast("int").alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SESSION_SQL = """
+with flagged as (
+  select user_id,
+         case when coalesce(epoch_us(ts) - epoch_us(lag(ts) over
+                (partition by user_id order by ts, event_id)),
+                1000000000000000) > 1800 * 1000000
+              then 1 else 0 end as new_session
+  from events
+)
+select user_id, sum(new_session)::BIGINT as n_sessions,
+       count(*) as n_events
+from flagged group by 1
+"""
+
+
+def q_daily_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("sum_val"),
+    )
+
+
+DAILY_SQL = """
+select date_trunc('day', ts)::TIMESTAMP as day, event_type,
+       count(*) as n_events, count(distinct user_id) as n_users,
+       round(sum(value), 6) as sum_val
+from events group by 1, 2
+"""
+
+
+# ------------------------------------------------------------ relational
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary; money in exact integer cents so the
+    sums are order-independent across engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0
+             ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+select l_returnflag, l_linestatus,
+       sum(l_quantity)::DOUBLE as sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0 as sum_base_price,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT)) / 10000.0
+         as sum_disc_price,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT)
+           * (100 + round(l_tax * 100)::BIGINT)) / 1000000.0 as sum_charge,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by 1, 2
+"""
+
+
+def q_tpch_q3_top10(spark, sf_dir):
+    """TPC-H Q3-style: broadcast the filtered dim side, top-10 by exact
+    integer revenue (deterministic order incl. ties by orderkey)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(price_c * (100 - disc_c)) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+select l_orderkey, o_orderdate,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where o_orderdate < timestamp '1995-03-15 00:00:00'
+group by 1, 2
+order by revenue desc, l_orderkey asc
+limit 10
+"""
+
+
+# ---------------------------------------------------- documents / dedup
+def q_dedup_exact(spark, sf_dir):
+    from ts2g2_spark.operators import dedup
+
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+select md5(text) as content_hash, count(*) as dup_cnt,
+       min(doc_id) as keep_id
+from documents group by 1 having count(*) > 1
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.fingerprints(_docs(spark, sf_dir))
+
+
+FINGERPRINT_SQL = r"""
+select doc_id,
+       md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g'))) as fingerprint
+from documents
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.token_counts(_docs(spark, sf_dir))
+
+
+TOKEN_COUNTS_SQL = r"""
+select doc_id,
+       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT as n_ws_tokens,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1))
+         ::BIGINT as n_bpe_ish,
+       length(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                '\s+', ' ', 'g')))::BIGINT as n_chars_norm
+from documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.quality_scores(_docs(spark, sf_dir))
+
+
+QUALITY_SQL = r"""
+select doc_id,
+       length(text)::BIGINT as n_chars,
+       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT as n_words,
+       round(length(text) / greatest(
+         len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+         as mean_word_len,
+       round(len(regexp_extract_all(text, '([^\w\s])', 1))
+             / greatest(length(text), 1), 6) as punct_ratio,
+       round(len(regexp_extract_all(text, '([A-Z])', 1))
+             / greatest(length(text), 1), 6) as upper_ratio,
+       round(len(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|is|that|with)\b', 1))
+             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+         as stopword_ratio
+from documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.lang_id(_docs(spark, sf_dir))
+
+
+def _lang_sql() -> str:
+    from ts2g2_spark.operators.text import LANG_MARKERS
+
+    score = {
+        lang: (
+            r"len(regexp_extract_all(lower(text), '\b("
+            + "|".join(ws) + r")\b', 1))"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(score[lang] for lang in langs) + ")"
+    pick = "case " + " ".join(
+        f"when {score[lang]} = best and best > 0 then '{lang}'"
+        for lang in langs
+    ) + " else 'und' end"
+    return f"""
+with scored as (
+  select doc_id, text, {best} as best from documents
+)
+select doc_id, {pick} as lang_pred, best::BIGINT as score from scored
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs >= 0.5 (engine-native
+    dedup family, SURVEY §2.7)."""
+    from ts2g2_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n_words=3, threshold=0.5
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+NGRAM_JACCARD_SQL = r"""
+with w as (
+  select doc_id,
+         string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g')), ' ') ws
+  from documents
+),
+sh as (
+  select distinct doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] sh
+  from w, lateral unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+    as t(i)
+  where length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0
+),
+sz as (select doc_id, count(*) n from sh group by 1),
+inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) i
+  from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select doc_a, doc_b,
+       round(i / (sa.n + sb.n - i), 6) as jaccard
+from inter
+join sz sa on doc_a = sa.doc_id
+join sz sb on doc_b = sb.doc_id
+where i / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash(64) + LSH(8 bands) candidate pairs, verified by exact
+    Jaccard >= 0.5 on candidates only (no SQL oracle: minhash permutations
+    are engine-side; verified in tests against a Python oracle and here
+    against the exact-jaccard query by containment)."""
+    from ts2g2_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, n_hashes=64, n_words=3)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8)
+    return dedup.ngram_jaccard_pairs(
+        docs, n_words=3, threshold=0.5, candidates=cands
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3). No SQL oracle (md5-per-word
+    fingerprint is engine-side); pinned by unit tests."""
+    from ts2g2_spark.operators import dedup
+
+    fps = dedup.simhash_fingerprints(_docs(spark, sf_dir))
+    return dedup.simhash_near_pairs(fps, max_hamming=3)
+
+
+# ------------------------------------------------------------ embeddings
+def q_ann_cosine_top5(spark, sf_dir):
+    """Exact brute-force cosine top-5 for queries vec_id < 5."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        "rank")
+
+
+ANN_SQL = """
+with emb as (select vec_id, embedding::DOUBLE[] e from embeddings),
+q as (select vec_id query_id, e qv from emb where vec_id < 5),
+scored as (
+  select q.query_id, c.vec_id neighbor_id,
+         list_cosine_similarity(q.qv, c.e) cosine
+  from emb c cross join q
+  where c.vec_id != q.query_id
+),
+ranked as (
+  select query_id, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, round(cosine, 6) as cosine, rank::BIGINT as rank
+from ranked where rank <= 5
+"""
+
+
+def q_ann_lsh_top5(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (scale path; no oracle — approximate
+    by design, recall measured in tests against brute force)."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_bucket_topk(emb, q, k=5)
+
+
+def q_ann_ivf_top5(spark, sf_dir):
+    """IVF approximate top-5 (scale path; no oracle)."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, q, k=5, n_lists=8, nprobe=3)
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    sq = F.aggregate(
+        F.expr("transform(embedding, x -> cast(x as double))"),
+        F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id", "label", F.round(F.sqrt(sq), 6).alias("l2_norm"))
+
+
+NORM_SQL = """
+select vec_id, label,
+       round(sqrt(list_aggregate(
+         list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+         as l2_norm
+from embeddings
+"""
+
+
+def q_centroid_by_label(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(x as double))")
+            ).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
+CENTROID_SQL = """
+select label, (t.i - 1)::INT as dim,
+       round(avg(embedding[t.i]::DOUBLE), 6) as centroid
+from embeddings,
+     lateral unnest(generate_series(1, len(embedding))) as t(i)
+group by 1, 2
+"""
+
+
+# -------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
+    sf_dir = "/root/testdata/sf0.001"
+    m1 = q_rollup_1m(spark, sf_dir)
+    h = m1.groupBy(
+        "user_id",
+        F.date_trunc("hour", "bucket_ts").alias("bucket_ts"),
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.round(F.sum("sum_val"), 6).alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+    spine = (
+        h.groupBy("user_id")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select("user_id", F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket_ts"))
+    )
+    return spine.join(h, ["user_id", "bucket_ts"], "left").select(
+        "user_id", "bucket_ts",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        "sum_val", "min_val", "max_val",
+        F.col("cnt").isNull().alias("gapfilled"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_tiered": q_rollup_1h_tiered,
+        "rollup_1d_tiered": q_rollup_1d_tiered,
+        "gapfill_1h": q_gapfill_1h,
+        "retention_1m_recent": q_retention_1m_recent,
+        "codec_roundtrip": q_codec_roundtrip,
+        "hvg_edges": q_hvg_edges,
+        "hvg_edges_limit2": q_hvg_edges_limit2,
+        "nvg_edges": q_nvg_edges,
+        "opg_edges_w3": q_opg_edges_w3,
+        "qg_edges_q4": q_qg_edges_q4,
+        "qg_mean_jump": q_qg_mean_jump,
+        "sessionize_30m": q_sessionize_30m,
+        "daily_counts": q_daily_counts,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "dedup_exact": q_dedup_exact,
+        "fingerprints": q_fingerprints,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_near": q_simhash_near,
+        "ann_cosine_top5": q_ann_cosine_top5,
+        "ann_lsh_top5": q_ann_lsh_top5,
+        "ann_ivf_top5": q_ann_ivf_top5,
+        "embedding_norms": q_embedding_norms,
+        "centroid_by_label": q_centroid_by_label,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _rollup_sql(60),
+        "rollup_1h_tiered": _rollup_sql(3600),
+        "rollup_1d_tiered": _rollup_sql(86400),
+        "gapfill_1h": GAPFILL_SQL,
+        "retention_1m_recent": RETENTION_SQL,
+        "codec_roundtrip": CODEC_SQL,
+        "hvg_edges": HVG_SQL,
+        "hvg_edges_limit2": HVG_LIMIT2_SQL,
+        "nvg_edges": NVG_SQL,
+        "opg_edges_w3": OPG_SQL,
+        "qg_edges_q4": QG_SQL,
+        "qg_mean_jump": QG_JUMP_SQL,
+        "sessionize_30m": SESSION_SQL,
+        "daily_counts": DAILY_SQL,
+        "tpch_q1": TPCH_Q1_SQL,
+        "tpch_q3_top10": TPCH_Q3_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "fingerprints": FINGERPRINT_SQL,
+        "token_counts": TOKEN_COUNTS_SQL,
+        "quality_scores": QUALITY_SQL,
+        "lang_id": _lang_sql(),
+        "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "ann_cosine_top5": ANN_SQL,
+        "embedding_norms": NORM_SQL,
+        "centroid_by_label": CENTROID_SQL,
+        # minhash_lsh_candidates / simhash_near / ann_lsh_top5 / ann_ivf_top5:
+        # intentionally no oracle (engine-side hashing / approximate by
+        # design) -> driver records rows-only checks.
+    }

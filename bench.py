@@ -1,0 +1,109 @@
+"""Benchmark runner.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "rollup_points_per_sec": ...}
+
+Every query is forced through the noop sink (full materialization of all
+columns — count() would let Catalyst prune work).  The north-rule headline
+(rolled-up points/sec across all three tiers) is measured on the
+engine-native tokenized table produced by datagen at a size proportional to
+the sf directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1h_tiered",
+    "rollup_1d_tiered",
+    "gapfill_1h",
+    "codec_roundtrip",
+    "hvg_edges",
+    "nvg_edges",
+    "opg_edges_w3",
+    "qg_edges_q4",
+    "sessionize_30m",
+    "daily_counts",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "fingerprints",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "ngram_jaccard",
+    "minhash_lsh_candidates",
+    "simhash_near",
+    "ann_cosine_top5",
+    "ann_lsh_top5",
+    "embedding_norms",
+    "centroid_by_label",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    import __spark_entry__ as entry_mod
+    from ts2g2_spark import datagen
+    from ts2g2_spark.plans import rollup as rollup_mod
+    from ts2g2_spark.plans.points import salted_repartition
+    from ts2g2_spark.session import get_spark
+
+    spark = get_spark(app_name="ts2g2_bench", parallelism=cpus,
+                      shuffle_partitions=cpus)
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    # north-rule headline: rolled-up points/sec through all three tiers
+    # (map-only 1m kernel + tier-from-tier 1h/1d) on the tokenized table.
+    n_docs = max(int(20000 * sf * 10), 500)  # sf0.1 -> 20k docs (~5.6M pts)
+    toks = salted_repartition(
+        datagen.tokenized_sequences(spark, n_docs, seed=42), buckets=64)
+    toks = toks.localCheckpoint()  # pin input so datagen cost is excluded
+    n_points = toks.selectExpr("sum(n_tok)").collect()[0][0]
+    t0 = time.time()
+    m1 = rollup_mod.rollup_from_tokens(toks, tier="1m", gapfill=True)
+    m1 = m1.localCheckpoint()
+    h1 = rollup_mod.rollup_tier_up(m1, "1h").localCheckpoint()
+    _force(rollup_mod.rollup_tier_up(h1, "1d"))
+    rollup_dt = time.time() - t0
+    pps = n_points / rollup_dt
+
+    out = {
+        "metric": "headline-queries wall sec (sf parquet) + rollup tiers",
+        "value": round(total + rollup_dt, 3),
+        "unit": "sec",
+        "queries": {**times, "rollup_tiers_tokens": round(rollup_dt, 3)},
+        "sf": sf,
+        "rollup_points_per_sec": int(pps),
+        "rollup_points": int(n_points),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Local simulation of the driver's correctness gate: run every queries()
+entry and its oracle_sql() twin at sf0.001, compare row counts + sorted
+values (order-insensitive, column-name-aligned) — the same comparison shape
+the driver uses at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        if g[c].dtype == "float64":
+            for a, b in zip(g[c], e[c]):
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                assert a == b, f"{name}.{c}: {a!r} != {b!r}"
+        else:
+            bad = (g[c].astype(str) != e[c].astype(str))
+            assert not bad.any(), (
+                f"{name}.{c}: first diff "
+                f"{g[c][bad].iloc[0]!r} != {e[c][bad].iloc[0]!r}")
+
+
+ORACLED = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_vs_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    got = q(spark, SF_DIR).toPandas()
+    exp = duck.sql(entry_mod.oracle_sql()[name]).df()
+    _compare(got, exp, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"user_id", "bucket_ts", "cnt", "gapfilled"} <= set(
+        df.columns)
+
+
+def test_rows_only_queries_run(spark):
+    for name in set(entry_mod.queries()) - set(entry_mod.oracle_sql()):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0, name

@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families, Spark-first:
+  * exact          — md5 hash-groupBy (partial-agg'd; the 100 TB shuffle
+                     carries one row per distinct hash)
+  * MinHash + LSH  — shingle -> K minhashes -> B bands -> bucket equi-join;
+                     candidate verification by exact Jaccard on the
+                     candidates only (never all-pairs)
+  * SimHash        — 64-bit sign-of-weighted-sum fingerprint; near-dup by
+                     hamming distance via bit_count(xor) on banded buckets
+  * n-gram Jaccard — exact set similarity via shingle inner join (bounded
+                     by shared-shingle pairs, not n^2)
+
+Hashes are md5-derived (functions/hashing.py) so oracle engines reproduce
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts2g2_spark.functions.hashing import h64, h64_py, normalize_text
+
+# Mersenne-prime modulus universal hashing for minhash permutations:
+# perm_i(x) = (a_i * x + b_i) mod p — a/b derived from md5 of the index so
+# every engine/run agrees.  31-bit space so a*x stays < 2^62 (ANSI-safe
+# int64 arithmetic, no overflow).
+_P = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (h64_py(f"minhash_a_{i}") % (_P - 1) + 1, h64_py(f"minhash_b_{i}") % _P)
+        for i in range(n_hashes)
+    ]
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (content_hash, dup_cnt, keep_id) for groups with
+    >1 member.  keep_id = min doc_id (deterministic survivor)."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text",
+             n_words: int = 5) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, sh string).
+    Pure Catalyst: split + sequence/transform + explode + distinct-per-doc
+    via array_distinct before the explode (cheaper than global distinct)."""
+    words = F.split(normalize_text(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n_words, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n_words)),
+        )
+    )
+    return docs.select(
+        "doc_id", F.explode(grams).alias("sh")
+    ).where(F.length("sh") > 0)
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 64,
+    n_words: int = 5,
+) -> DataFrame:
+    """(doc_id, sig array<long>[n_hashes]).  One shuffle: groupBy(doc_id)
+    with n_hashes min() partial aggregates — map-side combine keeps the
+    exchange at one row per doc."""
+    sh = shingles(docs, text_col, n_words)
+    base = sh.withColumn("h", F.pmod(h64("sh"), F.lit(_P)))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    ]
+    wide = base.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Band the signatures and bucket-join: docs sharing any band land in
+    the same bucket.  Output distinct (doc_a < doc_b) candidate pairs.
+    The join is an equi-join on (band_id, band_hash) — shuffle-partitioned
+    by bucket, never all-pairs."""
+    n = sigs.select(F.size("sig")).first()[0]
+    rows = n // bands
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws(",", *[
+                    F.element_at("sig", b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_words: int = 5,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs >= threshold.
+
+    Without candidates: pairs sharing >=1 shingle (inner join on shingle,
+    group to intersection counts).  With candidates (e.g. LSH output): only
+    verifies those pairs.  Output (doc_a, doc_b, jaccard)."""
+    sh = shingles(docs, text_col, n_words).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            candidates.select(
+                F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")),
+            (F.col("doc_a") == F.col("ca")) & (F.col("doc_b") == F.col("cb")),
+            "inner",
+        ).select("doc_a", "doc_b", "inter")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+             ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc (Charikar 2002): sign of the per-bit sum of
+    word-hash bits weighted by term frequency.
+
+    Arrow-batched kernel; per batch, only UNIQUE words are md5-hashed
+    (vocabulary dedup), then the bit-sum is a vectorized scatter-add."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                text = (r.text or "").lower()
+                words = [w for w in "".join(
+                    ch if ch.isalnum() or ch.isspace() else " "
+                    for ch in text).split() if w]
+                if not words:
+                    ids.append(r.doc_id)
+                    hashes.append(0)
+                    continue
+                uniq, counts = np.unique(np.array(words), return_counts=True)
+                hv = np.array([h64_py(w) for w in uniq.tolist()],
+                              dtype=np.uint64)
+                bitmat = (hv[:, None] >> np.arange(bits, dtype=np.uint64)
+                          [None, :]) & np.uint64(1)
+                signed = np.where(bitmat == 1, 1, -1) * counts[:, None]
+                sums = signed.sum(axis=0)
+                fp = np.uint64(0)
+                for bpos in np.nonzero(sums > 0)[0]:
+                    fp |= np.uint64(1) << np.uint64(bpos)
+                ids.append(r.doc_id)
+                hashes.append(np.int64(fp.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        kern, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by hamming distance <= max_hamming.
+
+    Scale path: 16-bit band buckets (pigeonhole: any pair within hamming
+    <= bands-1 shares at least one exact band) -> equi-join per band ->
+    exact popcount(xor) filter.  bit_count is JVM-side."""
+    banded = fps.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(
+                F.lit(0xFFFF)).alias(f"b{b}")
+            for b in range(bands)
+        ])).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus with JVM-side zip_with/aggregate arithmetic,
+so the scan stays in whole-stage codegen and the corpus is read once.
+
+Scale paths:
+  * LSH (random hyperplanes): bucket equi-join, then exact rerank inside
+    buckets — sub-linear candidate generation.
+  * IVF (inverted file): k-means-lite centroids (seeded, one refinement
+    pass), assign corpus to nearest centroid, probe nprobe nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ts2g2_spark.functions.hashing import h64_py
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query.
+
+    (query_id, neighbor_id, cosine, rank).  Queries are broadcast (the
+    small side by construction); ties broken by neighbor id so results are
+    total-ordered and engine-independent.  Self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "lsh") -> np.ndarray:
+    rng = np.random.default_rng(h64_py(f"{seed}_{dim}_{n_planes}") % 2**32)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: sign-of-projection bucket join + exact rerank
+    within the bucket.  Recall < 1 by design; same output schema as
+    cosine_topk.  The hyperplanes are deterministic (seeded from md5), so
+    results are reproducible across runs/cluster sizes."""
+    dim = len(corpus.select(vec_col).first()[0])
+    H = _hyperplanes(dim, n_planes)
+    plane_cols = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(h)) for h in H[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ) > 0, F.lit(1)
+        ).otherwise(F.lit(0)).alias(f"p{p}")
+        for p in range(n_planes)
+    ]
+    bucket = F.concat_ws("", *[F.col(f"p{p}") for p in range(n_planes)])
+    cb = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"), *plane_cols
+                       ).withColumn("bucket", bucket).drop(
+        *[f"p{p}" for p in range(n_planes)])
+    qb = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"), *plane_cols
+                        ).withColumn("bucket", bucket).drop(
+        *[f"p{p}" for p in range(n_planes)])
+    joined = cb.join(F.broadcast(qb), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: seeded deterministic centroids (hash-sampled
+    corpus vectors + one Lloyd refinement), corpus assigned to nearest list
+    (broadcast centroids), queries probe the nprobe nearest lists."""
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_lists)
+        .collect()
+    )
+    cents = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+
+    # one Lloyd pass, computed distributed: assign + mean per list
+    assigned = _assign_lists(corpus, cents, id_col, vec_col)
+    means = (
+        assigned.groupBy("list_id")
+        .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
+               for i in range(cents.shape[1])])
+        .collect()
+    )
+    for r in means:
+        cents[r["list_id"]] = [r[f"c{i}"] for i in range(cents.shape[1])]
+
+    corpus_l = _assign_lists(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        "list_id")
+    queries_l = _probe_lists(queries, cents, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode("probe_lists").alias("list_id"))
+    joined = corpus_l.join(F.broadcast(queries_l), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k)
+
+
+def _dist2_to_centroid(vec_col: str, c: np.ndarray):
+    arr = F.array(*[F.lit(float(x)) for x in c])
+    d = F.zip_with(F.col(vec_col), arr, lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _assign_lists(df: DataFrame, cents: np.ndarray, id_col: str,
+                  vec_col: str) -> DataFrame:
+    dists = F.array(*[_dist2_to_centroid(vec_col, c) for c in cents])
+    return df.withColumn("d_", dists).withColumn(
+        "list_id",
+        (F.array_position(F.col("d_"), F.array_min(F.col("d_"))) - 1
+         ).cast("int"),
+    ).drop("d_")
+
+
+def _probe_lists(df: DataFrame, cents: np.ndarray, nprobe: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    dists = F.array(*[_dist2_to_centroid(vec_col, c) for c in cents])
+    idx = F.transform(
+        F.slice(F.array_sort(
+            F.zip_with(dists, F.array(*[F.lit(i) for i in range(len(cents))]),
+                       lambda d, i: F.struct(d.alias("d"), i.alias("i")))),
+            1, nprobe),
+        lambda s: s["i"],
+    )
+    return df.withColumn("probe_lists", idx)
