@@ -875,6 +875,234 @@ group by 1, 2
 
 
 # -------------------------------------------------------------- contract
+# ------------------------------------------------- linking (SURVEY §2.4)
+def _daily_nodes(spark, sf_dir, max_users: int):
+    """Per-user daily buckets as a node frame (graph_key=user, ord=day
+    rank, node_id=user:date, value=daily sum)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < max_users)
+    daily = ev.groupBy(
+        F.col("user_id"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.round(F.sum("value"), 6).alias("val"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    return daily.select(
+        F.col("user_id").cast("string").alias("graph_key"),
+        F.concat_ws(":", F.col("user_id"),
+                    F.date_format("day", "yyyy-MM-dd")).alias("node_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        F.col("val").alias("value"),
+        F.array().cast("array<double>").alias("values"),
+    )
+
+
+def q_link_seasonality_7(spark, sf_dir):
+    """L1: link every daily node to the node 7 positions later
+    (ref strategy_linking_graph.py:34-50)."""
+    from ts2g2_spark.operators import linking
+
+    nodes = _daily_nodes(spark, sf_dir, 100)
+    return linking.link_seasonality(nodes, 7).select("src", "dst")
+
+
+LINK_SEASONALITY_SQL = """
+with daily as (
+  select user_id, date_trunc('day', ts) as day,
+         round(sum(value), 6) as val
+  from events where user_id < 100 group by 1, 2
+),
+ordered as (
+  select user_id || ':' || strftime(day, '%Y-%m-%d') as node_id,
+         lead(user_id || ':' || strftime(day, '%Y-%m-%d'), 7)
+           over (partition by user_id order by day) as linked
+  from daily
+)
+select node_id as src, linked as dst from ordered where linked is not null
+"""
+
+
+def q_link_value_range(spark, sf_dir):
+    """L2: all user-node pairs with |avg value| difference < 0.05
+    (banded self-join; ref strategy_linking_graph.py:63-85)."""
+    from ts2g2_spark.operators import linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 200)
+    nodes = ev.groupBy("user_id").agg(F.avg("value").alias("v")).select(
+        F.lit("g").alias("graph_key"),
+        F.col("user_id").cast("string").alias("node_id"),
+        F.col("user_id").cast("long").alias("ord"),
+        F.col("v").alias("value"),
+        F.array().cast("array<double>").alias("values"),
+    )
+    return linking.link_value_within_range(nodes, 0.05).select("src", "dst")
+
+
+LINK_VALUE_RANGE_SQL = """
+with nodes as (
+  select user_id::VARCHAR as node_id, avg(value) as v
+  from events where user_id < 200 group by user_id
+)
+select least(a.node_id, b.node_id) as src,
+       greatest(a.node_id, b.node_id) as dst
+from nodes a join nodes b
+  on a.node_id < b.node_id and abs(a.v - b.v) < 0.05
+"""
+
+
+def q_link_cooccurrence(spark, sf_dir):
+    """L5: equal-order nodes of different graphs linked
+    (ref strategy_linking_multi_graphs.py:121-177)."""
+    from ts2g2_spark.operators import linking
+
+    nodes = _daily_nodes(spark, sf_dir, 20)
+    return linking.link_time_cooccurrence(nodes).select("src", "dst")
+
+
+LINK_COOCCURRENCE_SQL = """
+with daily as (
+  select user_id, date_trunc('day', ts) as day
+  from events where user_id < 20 group by 1, 2
+),
+ordered as (
+  select user_id,
+         user_id || ':' || strftime(day, '%Y-%m-%d') as node_id,
+         row_number() over (partition by user_id order by day) - 1 as ord
+  from daily
+)
+select least(a.node_id, b.node_id) as src,
+       greatest(a.node_id, b.node_id) as dst
+from ordered a join ordered b
+  on a.ord = b.ord and a.node_id < b.node_id
+"""
+
+
+# ----------------------------------------------- analytics (SURVEY §2.6)
+def q_embedding_rank(spark, sf_dir):
+    """E4 ranking: cosine distance to the constant 0.5 base vector, rank
+    with (distance, id) tie-break (ref embeddings/ts2g2_embeddings.py:
+    65-88)."""
+    from ts2g2_spark.operators import analytics
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.lit("m").alias("method"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("vector"))
+    return analytics.embedding_ranking(emb).select(
+        "id", F.round("distance", 9).alias("distance"), "rank")
+
+
+EMBEDDING_RANK_SQL = """
+with d as (
+  select vec_id as id,
+         1 - (0.5 * list_aggregate(embedding::DOUBLE[], 'sum')) /
+             (sqrt(len(embedding) * 0.25) *
+              sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                                 x -> x * x), 'sum')))
+           as distance
+  from embeddings
+)
+select id, round(distance, 9) as distance,
+       row_number() over (order by distance, id) as rank
+from d
+"""
+
+
+def q_kendall_tau(spark, sf_dir):
+    """E4 Kendall tau between the cosine-base ranking and an L2-norm
+    ranking of the same embeddings (exact O(n^2) pair aggregate)."""
+    from pyspark.sql.window import Window
+
+    from ts2g2_spark.operators import analytics
+
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), F.lit("m").alias("method"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("vector"))
+    rank_a = analytics.embedding_ranking(emb)
+    norm = F.sqrt(F.aggregate("vector", F.lit(0.0),
+                              lambda a, x: a + x * x))
+    rank_b = emb.select(
+        "id", norm.alias("n")).withColumn(
+        "rank", F.row_number().over(Window.orderBy("n", "id")))
+    return analytics.kendall_tau(rank_a, rank_b).select(
+        F.round("tau", 9).alias("tau"))
+
+
+KENDALL_TAU_SQL = """
+with v as (
+  select vec_id as id, embedding::DOUBLE[] e from embeddings
+  where vec_id < 300
+),
+m as (
+  select id,
+         1 - (0.5 * list_aggregate(e, 'sum')) /
+             (sqrt(len(e) * 0.25) *
+              sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')))
+           as dist,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) as nrm
+  from v
+),
+ra as (select id, row_number() over (order by dist, id) as ra from m),
+rb as (select id, row_number() over (order by nrm, id) as rb from m),
+j as (select ra.id, ra.ra, rb.rb from ra join rb using (id)),
+p as (
+  select sign(x.ra - y.ra) * sign(x.rb - y.rb) as s
+  from j x join j y on x.id < y.id
+)
+select round((sum(case when s > 0 then 1 else 0 end)
+            - sum(case when s < 0 then 1 else 0 end))::DOUBLE
+             / count(*), 9) as tau
+from p
+"""
+
+
+def q_eigencentrality_hvg(spark, sf_dir):
+    """E1: eigenvector-centrality embedding of per-user HVGs (no SQL
+    oracle: dominant-eigenvector solve; rows-only check).  Parity with
+    networkx is pinned in tests/test_analytics.py."""
+    from ts2g2_spark.operators import analytics, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    series = graphs.series_from_points(
+        ev, "user_id", order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 64).alias("values"))
+    edges = graphs.visibility_edges(series, kind="horizontal")
+    return analytics.eigenvector_centrality(edges).select(
+        "series_key", F.round(F.element_at("embedding", 1), 9)
+        .alias("c0"), F.size("embedding").alias("n"))
+
+
+def q_generate_sequences(spark, sf_dir):
+    """R2 generative inversion on per-user QGs, seeded (no SQL oracle:
+    stochastic walk; rows-only).  Bit-parity with the seeded reference is
+    pinned in tests/test_generate.py."""
+    from ts2g2_spark.operators import generate, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    out = generate.generate_quantile_sequences(
+        series, Q=4, ts_length=50, run_seed=42)
+    return out.select("series_key", "py_seed",
+                      F.size("seq").alias("seq_len"))
+
+
+def q_link_dtw(spark, sf_dir):
+    """L8 DTW linking of per-user daily-sum series (no SQL oracle: O(n m)
+    DP; rows-only).  DP parity is pinned in tests/test_linking.py."""
+    from ts2g2_spark.operators import graphs, linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 6)
+    daily = ev.groupBy(
+        F.col("user_id"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    series = graphs.series_from_points(
+        daily, "user_id", ts_col="day", val_col="v")
+    return linking.link_dtw(series).select("src", "dst")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     sf_dir = "/root/testdata/sf0.001"
@@ -929,6 +1157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_near": q_simhash_near,
+        "link_seasonality_7": q_link_seasonality_7,
+        "link_value_range": q_link_value_range,
+        "link_cooccurrence": q_link_cooccurrence,
+        "link_dtw": q_link_dtw,
+        "embedding_rank": q_embedding_rank,
+        "kendall_tau": q_kendall_tau,
+        "eigencentrality_hvg": q_eigencentrality_hvg,
+        "generate_sequences": q_generate_sequences,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
@@ -961,6 +1197,14 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": QUALITY_SQL,
         "lang_id": _lang_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "link_seasonality_7": LINK_SEASONALITY_SQL,
+        "link_value_range": LINK_VALUE_RANGE_SQL,
+        "link_cooccurrence": LINK_COOCCURRENCE_SQL,
+        "embedding_rank": EMBEDDING_RANK_SQL,
+        "kendall_tau": KENDALL_TAU_SQL,
+        # link_dtw / eigencentrality_hvg / generate_sequences: no SQL
+        # oracle (DP / eigensolver / seeded RNG) -> rows-only checks;
+        # parity pinned by the reference-oracle pytest suites.
         "ann_cosine_top5": ANN_SQL,
         "embedding_norms": NORM_SQL,
         "centroid_by_label": CENTROID_SQL,

@@ -57,6 +57,21 @@ def test_kernel_rollup_matches_relational(spark, input_df):
     assert np.array_equal(k["sum"].to_numpy(), r["sum"].to_numpy())
 
 
+def test_relational_from_tokens_matches_kernel(spark, input_df):
+    """rollup_from_tokens_relational (posexplode + codegen hash agg — the
+    scaling-benchmark path) == the Arrow-kernel path, bit-exact."""
+    k = rollup_mod.rollup_from_tokens(input_df, tier="1m").toPandas()
+    r = rollup_mod.rollup_from_tokens_relational(
+        input_df, tier="1m").toPandas()
+    for df in (k, r):
+        df.sort_values(["doc_id", "bucket_ts"], inplace=True,
+                       ignore_index=True)
+    assert len(k) == len(r)
+    for c in ("doc_id", "bucket_ts", "cnt", "sum", "min", "max", "first",
+              "last"):
+        assert np.array_equal(k[c].to_numpy(), r[c].to_numpy()), c
+
+
 def test_tier_from_tier_exact(spark, input_df):
     """Continuous-aggregate contract: 1h from 1m == 1h from raw points."""
     m1 = rollup_mod.rollup_from_tokens(input_df, tier="1m")

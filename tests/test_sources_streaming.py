@@ -1,0 +1,71 @@
+"""Sources (S1/S4) and the Structured-Streaming 1m-tier seam."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ts2g2_spark.plans import rollup as R
+from ts2g2_spark.sources import io as src
+from ts2g2_spark.streaming import ingest
+
+
+def test_read_csv_series(spark, tmp_path):
+    p = tmp_path / "prices.csv"
+    p.write_text(
+        "Date,Open,Close\n"
+        "2024-01-01,1.0,10.5\n"
+        "2024-01-02,2.0,11.0\n"
+        "2024-01-03,3.0,9.75\n")
+    df = src.read_csv_series(spark, str(p), "Close", series_key="px")
+    rows = df.orderBy("idx").collect()
+    assert [r.value for r in rows] == [10.5, 11.0, 9.75]
+    assert rows[0].ts.year == 2024
+    assert rows[0].series_key == "px"
+
+
+def test_series_from_array(spark):
+    df = src.series_from_array(spark, [1, 2, 3], "a")
+    assert df.collect()[0].values == [1.0, 2.0, 3.0]
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def mk_points(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+            F.lit("src_00").alias("source"),
+            F.timestamp_seconds(1704067200 + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 10).cast("double").alias("value"),
+        )
+
+    mk_points(0, 500).write.mode("append").parquet(in_dir)
+    tier = ingest.streaming_rollup_1m(
+        ingest.stream_points(spark, in_dir))
+    ingest.run_available_now(tier, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    want = (
+        R.rollup_points(mk_points(0, 500), "1m")
+        .drop("first", "last")
+    )
+    assert got.count() == want.count()
+    assert (got.select("doc_id", "bucket_ts", "cnt", "sum", "min", "max")
+            .exceptAll(want.select("doc_id", "bucket_ts", "cnt", "sum",
+                                   "min", "max")).count()) == 0
+
+    # incremental catch-up: append a disjoint minute range, rerun; the
+    # checkpoint must emit ONLY the new buckets (no duplicates)
+    mk_points(100000, 100200).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_rollup_1m(ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    got2 = spark.read.parquet(out_dir)
+    want2 = R.rollup_points(
+        mk_points(0, 500).unionAll(mk_points(100000, 100200)), "1m")
+    assert got2.count() == want2.count()

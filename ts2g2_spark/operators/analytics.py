@@ -1,0 +1,122 @@
+"""Embedding / analytics operators (SURVEY §2.6, E1 + E4).
+
+E2 (Doc2Vec) and E3 (TS2Vec) are out of scope: gensim/torch are not
+installed and the reference's vendored ts2vec directory is empty upstream
+(embeddings/ts2g2_embeddings.py:122 import fails there too, SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ------------------------------------------------------------------ E1
+def eigenvector_centrality_kernel(
+    n: int, src: np.ndarray, dst: np.ndarray
+) -> np.ndarray:
+    """Eigenvector centrality of an undirected graph, matching
+    nx.eigenvector_centrality_numpy (ref core/model.py:433: the reference
+    then takes `list(dict)` — the node KEYS, not the centralities; the
+    engine implements the documented intent, the centrality VECTOR):
+    dominant eigenvector of the adjacency matrix, L2-normalized, sign
+    chosen so the sum is positive."""
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0
+    A[dst, src] = 1.0
+    vals, vecs = np.linalg.eigh(A)
+    v = vecs[:, int(np.argmax(vals))]
+    v = v * np.sign(v.sum() or 1.0)
+    nrm = np.linalg.norm(v)
+    return v / nrm if nrm else v
+
+
+def eigenvector_centrality(edges: DataFrame) -> DataFrame:
+    """Per-series eigenvector-centrality embedding from an edge frame
+    (series_key, src, dst).  Per-series graphs are segment-sized, so one
+    groupBy packs the adjacency and a map-only Arrow kernel solves each —
+    no iterative join-agg rounds on the cluster (SURVEY §2.6 E1)."""
+    packed = edges.groupBy("series_key").agg(
+        F.collect_list("src").alias("srcs"),
+        F.collect_list("dst").alias("dsts"),
+        (F.greatest(F.max("src"), F.max("dst")) + 1).alias("n"),
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                v = eigenvector_centrality_kernel(
+                    int(r.n),
+                    np.asarray(r.srcs, np.int64),
+                    np.asarray(r.dsts, np.int64))
+                rows.append({"series_key": r.series_key, "embedding": v})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return packed.mapInPandas(
+        kern, schema="series_key string, embedding array<double>")
+
+
+# ------------------------------------------------------------------ E4
+def embedding_ranking(
+    embeddings: DataFrame,
+    id_col: str = "id",
+    method_col: str = "method",
+    vector_col: str = "vector",
+    base_value: float = 0.5,
+) -> DataFrame:
+    """Cosine-distance-to-constant-base ranking per embedding method (ref
+    embeddings/ts2g2_embeddings.py:65-88: distance = 1 - cos(v, [0.5]*d),
+    sort by (distance, id) — the reference's `sorted(zip(distances, ids))`
+    tie-breaks by id).  Pure DataFrame: the dot product against a constant
+    vector reduces to base * sum(v), so distance = 1 - base*sum(v) /
+    (|base_vec| * |v|) — no UDF, and rank() is a window over method."""
+    d = F.size(F.col(vector_col))
+    sum_v = F.aggregate(vector_col, F.lit(0.0), lambda a, x: a + x)
+    norm_v = F.sqrt(F.aggregate(
+        vector_col, F.lit(0.0), lambda a, x: a + x * x))
+    norm_b = F.sqrt(d.cast("double")) * F.lit(base_value)
+    dist = F.lit(1.0) - (F.lit(base_value) * sum_v) / (norm_b * norm_v)
+    ranked = embeddings.select(
+        F.col(method_col).alias("method"),
+        F.col(id_col).alias("id"),
+        dist.alias("distance"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("method").orderBy("distance", "id")),
+    )
+    return ranked
+
+
+def kendall_tau(
+    ranking_a: DataFrame, ranking_b: DataFrame
+) -> DataFrame:
+    """Exact Kendall tau between two rankings (id, rank) — the reference
+    correlates the distance-ordered id sequences
+    (embeddings/ts2g2_embeddings.py:91-95); with distinct ranks that
+    equals tau over per-id rank pairs.  O(n^2) pair self-join + aggregate:
+    Spark-native, partial-agg'd, no driver collect (SURVEY §2.6 E4)."""
+    a = ranking_a.select(F.col("id").alias("id"),
+                         F.col("rank").alias("ra"))
+    b = ranking_b.select(F.col("id").alias("id"),
+                         F.col("rank").alias("rb"))
+    j = a.join(b, "id")
+    p = (
+        j.alias("x").join(j.alias("y"),
+                          F.col("x.id") < F.col("y.id"))
+        .select(
+            (F.signum(F.col("x.ra") - F.col("y.ra"))
+             * F.signum(F.col("x.rb") - F.col("y.rb"))).alias("s"))
+    )
+    return p.agg(
+        (F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+         - F.sum(F.when(F.col("s") < 0, 1).otherwise(0))).alias("cd"),
+        F.count(F.lit(1)).alias("pairs"),
+    ).select((F.col("cd") / F.col("pairs")).alias("tau"))

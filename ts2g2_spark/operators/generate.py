@@ -1,0 +1,201 @@
+"""Graph -> time-series generation as a Spark operator (SURVEY §2.5).
+
+Per-series graphs arrive as edge/node frames (adjacency-as-data, §1.2);
+`pack_graph_rows` folds them into one row per series (groupBy + sorted
+collect), and `generate_sequences` walks each packed graph inside an Arrow
+kernel with a DETERMINISTIC per-series seed derived from (run_seed,
+series_key) — recorded in the output so lineage can replay any row
+(SURVEY §4.3 "deterministic RNG for R-ops").
+
+The walks themselves are embarrassingly parallel across series: one
+mapInPandas stage, zero shuffle beyond the pack groupBy.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts2g2_spark.operators import genkernels as gk
+
+PACKED_SCHEMA = (
+    "series_key string, n long, node_values array<array<double>>, "
+    "adj_src array<long>, adj_dst array<long>"
+)
+SEQ_SCHEMA = "series_key string, py_seed long, np_seed long, seq array<double>"
+
+
+def pack_graph_rows(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(series_key, node_id, values[]) + (series_key, src, dst) -> one row
+    per series with positional adjacency arrays.  Node ids must be the
+    0..n-1 insertion positions (the engine's graph builders emit exactly
+    that)."""
+    nv = nodes.groupBy("series_key").agg(
+        F.max("node_id").alias("max_id"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("node_id", "values"))),
+            lambda s: s["values"],
+        ).alias("node_values"),
+    )
+    ea = edges.groupBy("series_key").agg(
+        F.array_sort(F.collect_list(F.struct("src", "dst"))).alias("e"))
+    return (
+        nv.join(ea, "series_key", "left")
+        .select(
+            "series_key",
+            (F.col("max_id") + 1).alias("n"),
+            "node_values",
+            F.coalesce(F.transform("e", lambda s: s["src"]),
+                       F.array().cast("array<long>")).alias("adj_src"),
+            F.coalesce(F.transform("e", lambda s: s["dst"]),
+                       F.array().cast("array<long>")).alias("adj_dst"),
+        )
+    )
+
+
+def _seeds(run_seed: int, series_key: str) -> tuple[int, int]:
+    """Stable per-series seed split (crc32 is stable across processes —
+    NEVER hash(): PYTHONHASHSEED would break replay)."""
+    base = zlib.crc32(f"{run_seed}:{series_key}".encode())
+    return base & 0x7FFFFFFF, (base ^ 0x5DEECE66) & 0x7FFFFFFF
+
+
+def _graph_from_row(row) -> gk.GraphData:
+    n = int(row.n)
+    neighbors: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(row.adj_src, row.adj_dst):
+        s, d = int(s), int(d)
+        neighbors[s].append(d)
+        neighbors[d].append(s)  # undirected adjacency, insertion order
+    values = [list(map(float, v)) for v in row.node_values]
+    return gk.GraphData(values=values, neighbors=neighbors)
+
+
+def generate_sequences(
+    packed: DataFrame,
+    ts_length: int,
+    value_strategy: str = "random",
+    node_strategy: str = "randomly",
+    skip: int = 0,
+    switch: int = 1,
+    run_seed: int = 42,
+) -> DataFrame:
+    """Walk every packed per-series graph; returns the generated sequence
+    plus the seeds used (lineage/replay contract)."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                g = _graph_from_row(r)
+                ps, ns = _seeds(run_seed, r.series_key)
+                rng = gk.Rng.seeded(ps, ns)
+                seq = gk.walk_plain([g], ts_length, value_strategy,
+                                    node_strategy, rng, skip=skip,
+                                    switch=switch)[0]
+                rows.append({"series_key": r.series_key, "py_seed": ps,
+                             "np_seed": ns,
+                             "seq": np.asarray(seq, np.float64)})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return packed.mapInPandas(kern, schema=SEQ_SCHEMA)
+
+
+def generate_quantile_sequences(
+    series: DataFrame,
+    Q: int,
+    ts_length: int,
+    value_strategy: str = "quantile_random",
+    node_strategy: str = "randomly",
+    skip: int = 0,
+    switch: int = 1,
+    run_seed: int = 42,
+) -> DataFrame:
+    """Quantile-graph inversion straight from the series frame
+    (series_key, values): the kernel rebuilds the reference's quantile
+    state (bins with the 1e-9 epsilon, recorded per-bin values —
+    to_graph/strategies.py:407-435) and walks it, all row-local."""
+    from ts2g2_spark.operators import kernels as K
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                y = np.asarray(r.values, np.float64)
+                bins, idx = K.quantile_bins_indices(y, Q)
+                q_values: list[list[float]] = [[] for _ in range(Q)]
+                for i, b in enumerate(idx):
+                    q_values[int(b)].append(float(y[i]))
+                e, _ = K.qg_edges(y, Q)
+                neighbors: list[list[int]] = [[] for _ in range(Q)]
+                for s, d in e.tolist():
+                    neighbors[s].append(d)
+                g = gk.GraphData(values=[[] for _ in range(Q)],
+                                 neighbors=neighbors,
+                                 q_bins=bins.tolist(), q_values=q_values)
+                ps, ns = _seeds(run_seed, r.series_key)
+                rng = gk.Rng.seeded(ps, ns)
+                seq = gk.walk_quantile([g], ts_length, value_strategy,
+                                       node_strategy, rng, skip=skip,
+                                       switch=switch)[0]
+                rows.append({"series_key": r.series_key, "py_seed": ps,
+                             "np_seed": ns,
+                             "seq": np.asarray(seq, np.float64)})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return series.mapInPandas(kern, schema=SEQ_SCHEMA)
+
+
+def generate_ordinal_sequences(
+    series: DataFrame,
+    w: int,
+    tau: int,
+    hist_bins: int,
+    ts_length: int,
+    node_strategy: str = "randomly",
+    skip: int = 0,
+    switch: int = 1,
+    run_seed: int = 42,
+) -> DataFrame:
+    """Ordinal-partition inversion from the series frame: rebuilds the OPG
+    (patterns + transitions, to_graph/strategies.py:96-126) and the
+    histogram state (core/model.py:225-233) row-locally, then walks
+    (core/model.py:673-716)."""
+    from ts2g2_spark.operators import kernels as K
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                y = np.asarray(r.values, np.float64)
+                pats = K.ordinal_patterns(y, w, tau)
+                uniq = list(dict.fromkeys(map(tuple, pats.tolist())))
+                index = {p: i for i, p in enumerate(uniq)}
+                neighbors: list[list[int]] = [[] for _ in range(len(uniq))]
+                for a, b in zip(pats[:-1], pats[1:]):
+                    ia, ib = index[tuple(a)], index[tuple(b)]
+                    if ib not in neighbors[ia]:
+                        neighbors[ia].append(ib)
+                freqs, bins = np.histogram(y, bins=hist_bins)
+                g = gk.GraphData(values=[[] for _ in uniq],
+                                 neighbors=neighbors, patterns=uniq)
+                ps, ns = _seeds(run_seed, r.series_key)
+                rng = gk.Rng.seeded(ps, ns)
+                seq = gk.walk_ordinal_partition(
+                    [g], ts_length, node_strategy, rng,
+                    freqs=[freqs.astype(np.float64)], bins=[bins],
+                    w=w, tau=tau, skip=skip, switch=switch)[0]
+                rows.append({"series_key": r.series_key, "py_seed": ps,
+                             "np_seed": ns,
+                             "seq": np.asarray(seq, np.float64)})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return series.mapInPandas(kern, schema=SEQ_SCHEMA)

@@ -1,0 +1,397 @@
+"""Intra- and multi-graph linking (SURVEY §2.4, L1-L12) as DataFrame joins.
+
+The reference links graphs with O(V^2) nested Python loops over NetworkX
+(to_graph/strategy_linking_graph.py, strategy_linking_multi_graphs.py); here
+every linking strategy is a join / window function over node and edge
+frames, so Catalyst picks the physical join and the operators hold at
+cluster scale.
+
+Data contract — the "node frame":
+    (graph_key string, node_id string, ord long, value double,
+     values array<double>)
+  * graph_key  — which constituent graph the node belongs to (one per
+    variable / per sliding window; the reference's md5 dict key)
+  * node_id    — globally unique node label (reference: "{md5}_{node}")
+  * ord        — insertion order within its graph (the reference's 'order'
+    node attribute, set at strategy_linking_multi_graphs.py:148-151)
+  * value      — first element of the node's 'value' list (what
+    StrategyLinkingGraphByValueWithinRange compares, strategy_linking_graph
+    .py:81-83)
+  * values     — the node's 'timeseries' attribute (what correlation
+    strategies correlate, strategy_linking_multi_graphs.py:62-66)
+
+Linking output — edge rows (src string, dst string, weight double,
+binding string); src/dst are node_ids.  Undirected strategies emit each
+edge once with src <= dst (NetworkX Graph dedup canonicalized).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LINK_EDGE_SCHEMA = "src string, dst string, weight double, binding string"
+
+
+def _canon(a: Column, b: Column) -> list[Column]:
+    return [F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")]
+
+
+# --------------------------------------------------------------- L1
+def link_seasonality(nodes: DataFrame, period: int) -> DataFrame:
+    """Edge between the i-th and (i+period)-th node of each graph in
+    insertion order (ref strategy_linking_graph.py:34-50: loop i in
+    range(len(nodes) - period)).  lead() window — one shuffle on graph_key,
+    no join."""
+    w = Window.partitionBy("graph_key").orderBy("ord")
+    nxt = F.lead("node_id", period).over(w)
+    return (
+        nodes.select("graph_key", "node_id", nxt.alias("linked"))
+        .where(F.col("linked").isNotNull())
+        .select(
+            F.col("node_id").alias("src"), F.col("linked").alias("dst"),
+            F.lit(None).cast("double").alias("weight"),
+            F.lit("seasonality").alias("binding"),
+        )
+    )
+
+
+# --------------------------------------------------------------- L2
+def link_value_within_range(
+    nodes: DataFrame, allowed_difference: float
+) -> DataFrame:
+    """All node pairs (across the composed graph) with
+    |value_a - value_b| < allowed_difference, a != b (ref
+    strategy_linking_graph.py:63-85; both directions iterated, nx.Graph
+    dedups -> canonical src<=dst here).
+
+    Physical plan: banded self-join — bucket = floor(value / d), join on
+    bucket adjacency instead of a cross product, so the cost is
+    O(n * band_occupancy) not O(n^2)."""
+    d = float(allowed_difference)
+    b = nodes.select(
+        "node_id", "value", F.floor(F.col("value") / d).alias("bucket")
+    )
+    left = b.alias("a")
+    right = (
+        b.select(
+            "node_id", "value",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"),
+                        F.col("bucket") + 1)
+            ).alias("bucket"),
+        ).alias("bb")
+    )
+    return (
+        left.join(right, on="bucket")
+        .where(
+            (F.col("a.node_id") < F.col("bb.node_id"))
+            & (F.abs(F.col("a.value") - F.col("bb.value")) < d)
+        )
+        .select(
+            *_canon(F.col("a.node_id"), F.col("bb.node_id")),
+            F.lit(None).cast("double").alias("weight"),
+            F.lit("timesteps").alias("binding"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+# --------------------------------------------------------------- L3/L4
+def _pearson_pairs(pairs: DataFrame, binding: str) -> DataFrame:
+    """Vectorized Pearson over joined (values_a, values_b) columns;
+    NaN -> 0 like the reference (strategy_linking_multi_graphs.py:66-68)."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ws = np.empty(len(pdf))
+            for i, (a, b) in enumerate(zip(pdf["values_a"], pdf["values_b"])):
+                a = np.asarray(a, np.float64)
+                b = np.asarray(b, np.float64)
+                n = min(len(a), len(b))
+                # pandas Series.corr aligns on index; reference resets the
+                # index so alignment is positional over the common length
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    c = np.corrcoef(a[:n], b[:n])[0, 1] if n >= 2 else np.nan
+                ws[i] = 0.0 if np.isnan(c) else c
+            yield pd.DataFrame({
+                "src": pdf["src"], "dst": pdf["dst"], "weight": ws,
+                "binding": binding,
+            })
+
+    return pairs.mapInPandas(kern, schema=LINK_EDGE_SCHEMA)
+
+
+def link_correlation(nodes: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Pearson-weighted edge between EVERY distinct node pair of the
+    composed graph (ref strategy_linking_multi_graphs.py:41-77 — the loop
+    is all ordered pairs; nx.Graph keeps one undirected edge, corr is
+    symmetric).  group_col keys the pairing per window-group for the
+    sliding-window variant (L4, lines 80-118).
+
+    Physical plan: self-join a < b — at reference scale the node count is
+    the variable count, so Spark broadcasts the smaller side; the grouped
+    variant joins on (group, a<b)."""
+    cols = ["node_id", "values"] + ([group_col] if group_col else [])
+    n = nodes.select(*cols)
+    on = F.col("a.node_id") < F.col("b.node_id")
+    if group_col:
+        on = (F.col(f"a.{group_col}") == F.col(f"b.{group_col}")) & on
+    pairs = (
+        n.alias("a").join(n.alias("b"), on=on)
+        .select(
+            F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"),
+            F.col("a.values").alias("values_a"),
+            F.col("b.values").alias("values_b"),
+        )
+    )
+    return _pearson_pairs(pairs, "Correlation")
+
+
+# --------------------------------------------------------------- L5
+def link_time_cooccurrence(nodes: DataFrame) -> DataFrame:
+    """Edge between nodes of different graphs with equal insertion order
+    (ref strategy_linking_multi_graphs.py:121-177: after per-graph 'order'
+    assignment, every pair of distinct composed-graph positions with equal
+    order is linked).  Equi-join on ord — shuffle carries one row per node,
+    join key is the order index."""
+    n = nodes.select("graph_key", "node_id", "ord")
+    return (
+        n.alias("a").join(n.alias("b"), on="ord")
+        .where(F.col("a.node_id") < F.col("b.node_id"))
+        .select(
+            *_canon(F.col("a.node_id"), F.col("b.node_id")),
+            F.lit(None).cast("double").alias("weight"),
+            F.lit("positional").alias("binding"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+# --------------------------------------------------------------- L6
+def link_positional_correlation(nodes: DataFrame) -> DataFrame:
+    """L5 plus Pearson weight of the two nodes' timeseries attributes (ref
+    strategy_linking_multi_graphs.py:180-240)."""
+    n = nodes.select("node_id", "ord", "values")
+    pairs = (
+        n.alias("a").join(n.alias("b"), on="ord")
+        .where(F.col("a.node_id") < F.col("b.node_id"))
+        .select(
+            F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"),
+            F.col("a.values").alias("values_a"),
+            F.col("b.values").alias("values_b"),
+        )
+    )
+    return _pearson_pairs(pairs, "positional")
+
+
+# --------------------------------------------------------------- L7
+def link_sliding_window_chain(segment_graphs: DataFrame) -> DataFrame:
+    """Chain consecutive sliding-window graphs as supernodes, per variable
+    (ref strategy_linking_multi_graphs.py:242-285: h.add_edge(g_i, g_{i+1})
+    following graph_order).  Input frame: (series_key string,
+    seg_ord long, graph_id string) — one row per window-graph supernode.
+    lead() window, no join."""
+    w = Window.partitionBy("series_key").orderBy("seg_ord")
+    nxt = F.lead("graph_id").over(w)
+    return (
+        segment_graphs.select("series_key", "graph_id", nxt.alias("linked"))
+        .where(F.col("linked").isNotNull())
+        .select(
+            F.col("graph_id").alias("src"), F.col("linked").alias("dst"),
+            F.lit(None).cast("double").alias("weight"),
+            F.lit("sliding window").alias("binding"),
+        )
+    )
+
+
+# --------------------------------------------------------------- L8
+def dtw_path(s1: np.ndarray, s2: np.ndarray) -> list[tuple[int, int]]:
+    """DTW optimal warping path (ref strategy_linking_multi_graphs.py:
+    310-316 via dtaidistance.dtw).  dtaidistance is absent upstream and
+    here, so the engine pins the contract to the published DTW recurrence:
+    D[i,j] = (s1[i]-s2[j])^2 + min(D[i-1,j-1], D[i-1,j], D[i,j-1]),
+    backtrack preferring the diagonal on ties (first-minimum order
+    diag/up/left).  O(n*m) DP, vectorized per row."""
+    s1 = np.asarray(s1, np.float64)
+    s2 = np.asarray(s2, np.float64)
+    n, m = len(s1), len(s2)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        c = (s1[i - 1] - s2) ** 2
+        # vectorized row update: D[i,j] needs D[i,j-1] (left), so scan the
+        # row with a running min — still O(m) per row, no inner Python loop
+        # over the three candidates.
+        diag = D[i - 1, :-1]
+        up = D[i - 1, 1:]
+        best = np.minimum(diag, up)
+        row = np.empty(m + 1)
+        row[0] = np.inf
+        for j in range(1, m + 1):
+            row[j] = c[j - 1] + min(best[j - 1], row[j - 1])
+        D[i] = row
+    # backtrack (diag, up, left) first-minimum, mirroring the conftest stub
+    # and dtaidistance.dtw.best_path tie behavior
+    i, j = n, m
+    path = [(i - 1, j - 1)]
+    while i > 1 or j > 1:
+        cands = ((D[i - 1, j - 1], i - 1, j - 1), (D[i - 1, j], i - 1, j),
+                 (D[i, j - 1], i, j - 1))
+        _, i, j = min(cands, key=lambda t: t[0])
+        path.append((i - 1, j - 1))
+    path.reverse()
+    return path
+
+
+def link_dtw(series: DataFrame) -> DataFrame:
+    """DTW linking (ref strategy_linking_multi_graphs.py:288-333): for each
+    series pair (i < j), compute the DTW best path over the RAW series and
+    link the nodes at each aligned (a, b) position.  Input = series frame
+    (series_key, values); node ids are "{series_key}:{pos}" — callers join
+    back to real node labels if needed.
+
+    Physical plan: self-join on key order (variable-count scale -> Spark
+    broadcasts), DTW DP inside an Arrow kernel per pair."""
+    n = series.select("series_key", "values")
+    pairs = (
+        n.alias("a").join(n.alias("b"),
+                          on=F.col("a.series_key") < F.col("b.series_key"))
+        .select(
+            F.col("a.series_key").alias("key_a"),
+            F.col("b.series_key").alias("key_b"),
+            F.col("a.values").alias("values_a"),
+            F.col("b.values").alias("values_b"),
+        )
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for a, b in dtw_path(np.asarray(r.values_a, np.float64),
+                                     np.asarray(r.values_b, np.float64)):
+                    rows.append({
+                        "src": f"{r.key_a}:{a}", "dst": f"{r.key_b}:{b}",
+                        "weight": None,
+                        "binding": "dynamical time warping",
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pairs.mapInPandas(kern, schema=LINK_EDGE_SCHEMA)
+
+
+# --------------------------------------------------------------- L10
+def manual_edge(
+    nodes: DataFrame, pos_1: int, pos_2: int, weight: float | None = None
+) -> DataFrame:
+    """add_edge by node position (ref core/model.py:271-277: positions
+    index the node list in insertion order).  Composed-graph order =
+    (graph_key, ord)."""
+    w = Window.orderBy("graph_key", "ord")
+    pos = nodes.select(
+        "node_id", (F.row_number().over(w) - 1).alias("pos"))
+    a = pos.where(F.col("pos") == pos_1).select(
+        F.col("node_id").alias("src"))
+    b = pos.where(F.col("pos") == pos_2).select(
+        F.col("node_id").alias("dst"))
+    return a.crossJoin(b).select(
+        "src", "dst", F.lit(weight).cast("double").alias("weight"),
+        F.lit("manual").alias("binding"),
+    )
+
+
+# --------------------------------------------------------------- L11
+def combine_identical_nodes(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Merge nodes with equal `value`, union their neighborhoods.
+
+    The reference's own implementation (core/model.py:323-350) is a NO-OP:
+    it tests `(node, attrs) tuple not in graph` (always true, so every
+    iteration `continue`s) and would KeyError on `node_1[attribute]` if it
+    ever got past — verified in tests/test_linking.py.  The engine
+    implements the DOCUMENTED intent ("combines nodes that have same value
+    of attribute", core/model.py:324-325): canonical node = first by
+    insertion order per value; edges rewritten onto canonicals.
+
+    Returns (merged_nodes, rewritten_edges).  Aggregation + two equi-joins
+    (SURVEY §2.4 L11)."""
+    w = Window.partitionBy("value").orderBy("graph_key", "ord")
+    canon = nodes.withColumn(
+        "canon_id", F.first("node_id").over(w)
+    )
+    mapping = canon.select("node_id", "canon_id")
+    merged = (
+        canon.groupBy("value", "canon_id")
+        .agg(
+            F.min_by(F.struct("graph_key", "ord"), F.struct("graph_key", "ord"))
+            .alias("k"),
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("graph_key", "ord", "values"))
+                ).getField("values")
+            ).alias("values"),
+        )
+        .select(
+            F.col("k.graph_key").alias("graph_key"),
+            F.col("canon_id").alias("node_id"),
+            F.col("k.ord").alias("ord"), "value", "values",
+        )
+    )
+    e = (
+        edges.join(mapping.withColumnRenamed("node_id", "src"), "src")
+        .drop("src").withColumnRenamed("canon_id", "src")
+        .join(mapping.withColumnRenamed("node_id", "dst"), "dst")
+        .drop("dst").withColumnRenamed("canon_id", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(*_canon(F.col("src"), F.col("dst")), "weight", "binding")
+        .dropDuplicates(["src", "dst"])
+    )
+    return merged, e
+
+
+# --------------------------------------------------------------- L12
+def combine_identical_subgraphs(
+    segment_graphs: DataFrame, chain_edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Merge sliding-window supernodes whose window-graphs are identical
+    (ref core/model.py:289-321: set-equal edge lists; identical graphs get
+    identical md5-relabelled node ids, so set equality <=> same
+    fingerprint).  Input frame: (series_key, seg_ord, graph_id,
+    fingerprint) with fingerprint = hash of the canonical edge list
+    (G16, core/model.py:220-223).  Canonical supernode = first seg_ord per
+    (series_key, fingerprint); chain edges rewritten, self-loops dropped.
+
+    groupBy + two equi-joins; no driver-side graph objects."""
+    w = Window.partitionBy("series_key", "fingerprint").orderBy("seg_ord")
+    canon = segment_graphs.withColumn(
+        "canon_id", F.first("graph_id").over(w))
+    mapping = canon.select("graph_id", "canon_id")
+    merged = (
+        canon.groupBy("series_key", "fingerprint", "canon_id")
+        .agg(F.min("seg_ord").alias("seg_ord"),
+             F.sort_array(F.collect_list("seg_ord")).alias("merged_seg_ords"))
+        .select("series_key",
+                F.col("canon_id").alias("graph_id"),
+                "seg_ord", "fingerprint", "merged_seg_ords")
+    )
+    e = (
+        chain_edges.join(
+            mapping.withColumnRenamed("graph_id", "src"), "src")
+        .drop("src").withColumnRenamed("canon_id", "src")
+        .join(mapping.withColumnRenamed("graph_id", "dst"), "dst")
+        .drop("dst").withColumnRenamed("canon_id", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(*_canon(F.col("src"), F.col("dst")), "weight", "binding")
+        .dropDuplicates(["src", "dst"])
+    )
+    return merged, e

@@ -133,6 +133,43 @@ def rollup_from_tokens(
     return df.mapInPandas(kernel, schema=ROLLUP_SCHEMA)
 
 
+def rollup_from_tokens_relational(
+    df: DataFrame,
+    tier: str = "1m",
+    step_seconds: int = 1,
+    base_epoch: int = BASE_EPOCH,
+    positions_col: str | None = None,
+) -> DataFrame:
+    """Pure-JVM tier build from the tokenized table: posexplode inside the
+    task + partial (map-side) hash aggregate, so whole-stage codegen covers
+    the hot path and the exchange carries one row per (doc, bucket), never
+    per point.  Measured ~1.5x the Arrow-kernel path's throughput and
+    better core scaling (BENCH/BASELINE.md); the kernel path
+    (`rollup_from_tokens`) remains the choice when in-kernel gap-fill or
+    compression fusion is wanted.
+
+    first/last per bucket are by position (deterministic: positions are
+    unique within a doc)."""
+    tier_s = TIER_SECONDS[tier]
+    if positions_col:
+        pz = F.posexplode(F.arrays_zip(positions_col, "tokens")).alias(
+            "i", "pz")
+        pos = F.col(f"pz.{positions_col}").cast("long")
+        val = F.col("pz.tokens").cast("double")
+    else:
+        pz = F.posexplode("tokens").alias("i", "tok")
+        pos = F.col("i").cast("long")
+        val = F.col("tok").cast("double")
+    pts = df.select("doc_id", "source", pz).select(
+        "doc_id", "source",
+        F.timestamp_seconds(
+            base_epoch + pos * step_seconds).alias("ts"),
+        pos.alias("pos"),
+        val.alias("value"),
+    )
+    return rollup_points(pts, tier, order_col="pos")
+
+
 def rollup_points(
     points: DataFrame,
     tier: str,
@@ -195,27 +232,38 @@ def gapfill(
     series_cols: list[str] = ("doc_id", "source"),
     fill: str = "null",
 ) -> DataFrame:
-    """Relational gap-fill: dense per-series bucket spine via
-    sequence()+explode, left join, gapfilled flag.  fill='null'|'zero'|'locf'
-    (locf via last(ignorenulls) window)."""
+    """Relational gap-fill, join-free: per series, lead(bucket_ts) finds
+    each gap and sequence()+explode emits exactly the missing interior
+    buckets, unioned with the original rows.  One window shuffle on the
+    series key — no spine build, no second scan of the tier, no join (the
+    spine-join formulation reads the tier twice and exchanges both sides;
+    this reads it once).  fill='null'|'zero'|'locf' (locf via
+    last(ignorenulls) window)."""
     from pyspark.sql.window import Window
 
     tier_s = TIER_SECONDS[tier]
     scols = list(series_cols)
-    spine = (
-        tier_df.groupBy(*scols)
-        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+    w = Window.partitionBy(*scols).orderBy("bucket_ts")
+    nxt = F.lead("bucket_ts").over(w)
+    agg_cols = ["cnt", "sum", "min", "max", "first", "last"]
+    gaps = (
+        tier_df.select(*scols, "bucket_ts", nxt.alias("nxt"))
+        .where(F.col("nxt") > F.col("bucket_ts")
+               + F.expr(f"interval {tier_s} second"))
         .select(
             *scols,
-            F.explode(
-                F.sequence("lo", "hi", F.expr(f"interval {tier_s} second"))
-            ).alias("bucket_ts"),
+            F.explode(F.sequence(
+                F.col("bucket_ts") + F.expr(f"interval {tier_s} second"),
+                F.col("nxt") - F.expr(f"interval {tier_s} second"),
+                F.expr(f"interval {tier_s} second"),
+            )).alias("bucket_ts"),
+            F.lit(0).cast("long").alias("cnt"),
+            *[F.lit(None).cast("double").alias(c) for c in agg_cols[1:]],
+            F.lit(True).alias("gapfilled"),
         )
     )
-    joined = spine.join(tier_df, on=scols + ["bucket_ts"], how="left")
-    out = joined.withColumn(
-        "gapfilled", F.coalesce(F.col("gapfilled"), F.lit(True)) | F.col("cnt").isNull()
-    ).withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    out = tier_df.select(*scols, "bucket_ts", *agg_cols, "gapfilled") \
+        .unionAll(gaps)
     if fill == "zero":
         for c in ("sum", "min", "max", "first", "last"):
             out = out.withColumn(c, F.coalesce(c, F.lit(0.0)))
