@@ -999,11 +999,11 @@ with d as (
              (sqrt(len(embedding) * 0.25) *
               sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
                                                  x -> x * x), 'sum')))
-           as distance
+           as d_raw
   from embeddings
 )
-select id, round(distance, 9) as distance,
-       row_number() over (order by distance, id) as rank
+select id, round(d_raw, 9) as distance,
+       row_number() over (order by d_raw, id) as rank
 from d
 """
 
@@ -1103,6 +1103,55 @@ def q_link_dtw(spark, sf_dir):
     return linking.link_dtw(series).select("src", "dst")
 
 
+# ----------------------------------------------- multimodal (SURVEY §2.7)
+def _media_from_docs(spark, sf_dir):
+    """Documents as opaque media rows: payload = utf8 bytes of the text
+    (the multimodal plumbing is byte-typed; real images swap in)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(32).alias("width"), F.lit(32).alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"),
+    )
+
+
+def q_media_dedup(spark, sf_dir):
+    """Exact media dedup by content hash — shuffle carries (hash, id),
+    never payload bytes."""
+    from ts2g2_spark.operators import multimodal as mm
+
+    groups = mm.exact_media_dedup(_media_from_docs(spark, sf_dir))
+    return groups.select(
+        F.explode("members").alias("media_id"),
+        F.element_at("members", 1).alias("canonical"),
+    )
+
+
+MEDIA_DEDUP_SQL = """
+with g as (
+  select doc_id::VARCHAR as media_id,
+         min(doc_id::VARCHAR) over (partition by text) as canonical,
+         count(*) over (partition by text) as n
+  from documents
+)
+select media_id, canonical from g where n > 1
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Decode + featurize plumbing over binary media (deterministic fake
+    decoder — media libs absent; no SQL oracle, rows-only; the Spark-side
+    schema/batching contract is pinned in tests/test_multimodal.py)."""
+    from ts2g2_spark.operators import multimodal as mm
+
+    media = _media_from_docs(spark, sf_dir).limit(500)
+    return mm.extract_features(media, feat_dim=16).select(
+        "media_id", "feat_dim",
+        F.round(F.element_at("feature", 1), 3).alias("f0"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1165,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "eigencentrality_hvg": q_eigencentrality_hvg,
         "generate_sequences": q_generate_sequences,
+        "media_dedup": q_media_dedup,
+        "media_features": q_media_features,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
@@ -1202,9 +1253,11 @@ def oracle_sql() -> dict[str, str]:
         "link_cooccurrence": LINK_COOCCURRENCE_SQL,
         "embedding_rank": EMBEDDING_RANK_SQL,
         "kendall_tau": KENDALL_TAU_SQL,
-        # link_dtw / eigencentrality_hvg / generate_sequences: no SQL
-        # oracle (DP / eigensolver / seeded RNG) -> rows-only checks;
-        # parity pinned by the reference-oracle pytest suites.
+        "media_dedup": MEDIA_DEDUP_SQL,
+        # link_dtw / eigencentrality_hvg / generate_sequences /
+        # media_features: no SQL oracle (DP / eigensolver / seeded RNG /
+        # binary decode) -> rows-only checks; parity pinned by the
+        # reference-oracle pytest suites.
         "ann_cosine_top5": ANN_SQL,
         "embedding_norms": NORM_SQL,
         "centroid_by_label": CENTROID_SQL,

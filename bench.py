@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "ann_lsh_top5",
     "embedding_norms",
     "centroid_by_label",
+    "link_seasonality_7",
+    "link_value_range",
+    "link_cooccurrence",
+    "embedding_rank",
+    "kendall_tau",
+    "media_dedup",
 ]
 
 

@@ -72,6 +72,14 @@ def _install_stub_modules() -> None:
     def kendalltau(a, b):
         a = np.asarray(a)
         b = np.asarray(b)
+        # the reference feeds ID STRINGS (embeddings/ts2g2_embeddings.py:
+        # 94) — real scipy would TypeError on those, a latent upstream
+        # bug; the stub realizes the documented intent by replacing
+        # non-numeric values with their lexicographic rank codes.
+        if not np.issubdtype(a.dtype, np.number):
+            a = np.argsort(np.argsort(a))
+        if not np.issubdtype(b.dtype, np.number):
+            b = np.argsort(np.argsort(b))
         n = len(a)
         conc = disc = 0
         for i in range(n):
@@ -83,7 +91,13 @@ def _install_stub_modules() -> None:
                     disc += 1
         denom = n * (n - 1) / 2
         tau = (conc - disc) / denom if denom else np.nan
-        return types.SimpleNamespace(statistic=tau, correlation=tau), np.nan
+        # scipy returns a namedtuple-like SignificanceResult: attribute
+        # access AND tuple unpacking both work
+        import collections
+
+        Res = collections.namedtuple("SignificanceResult",
+                                     ["statistic", "pvalue"])
+        return Res(tau, np.nan)
 
     stats.pearsonr = pearsonr
     stats.kendalltau = kendalltau
@@ -167,6 +181,25 @@ def _install_stub_modules() -> None:
     dtai.dtw = dtw
     sys.modules["dtaidistance"] = dtai
     sys.modules["dtaidistance.dtw"] = dtw
+
+    # --- numba (embeddings/ts2g2_embeddings.py:110 imports it; passthrough
+    #     jit decorators are enough — the oracle paths we call don't rely
+    #     on compilation) ---
+    numba = _mod("numba")
+
+    def _jit(*args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+
+        def wrap(f):
+            return f
+
+        return wrap
+
+    numba.jit = _jit
+    numba.njit = _jit
+    numba.prange = range
+    sys.modules["numba"] = numba
 
 
 def pytest_configure(config):

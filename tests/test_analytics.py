@@ -43,8 +43,19 @@ def test_eigenvector_centrality_spark(spark):
 def test_embedding_ranking_and_tau_parity(spark, reference):
     """Reference EmbeddingRanking with hand-set embedding dictionaries
     (embeddings/ts2g2_embeddings.py:65-95) vs the engine's DataFrame
-    ranking + exact-pair Kendall tau."""
-    from embeddings.ts2g2_embeddings import EmbeddingRanking
+    ranking + exact-pair Kendall tau.
+
+    The reference module's TAIL imports gensim / torch / its own (empty
+    upstream) vendored ts2vec (lines 108-126), so the module can't import
+    anywhere; EmbeddingRanking itself (lines 28-102) only needs
+    numpy + scipy.stats — exec just that prefix as the oracle."""
+    src = open("/root/reference/embeddings/ts2g2_embeddings.py").read()
+    prefix = src.split("import networkx as nx", 1)[0]
+    prefix = prefix.replace("from core.model import TimeseriesView",
+                            "TimeseriesView = object")
+    ns: dict = {}
+    exec(compile(prefix, "ts2g2_embeddings_prefix", "exec"), ns)
+    EmbeddingRanking = ns["EmbeddingRanking"]
 
     rng = np.random.default_rng(8)
     ids = list("abcde")

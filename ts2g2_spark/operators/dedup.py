@@ -136,13 +136,39 @@ def ngram_jaccard_pairs(
     Without candidates: pairs sharing >=1 shingle (inner join on shingle,
     group to intersection counts).  With candidates (e.g. LSH output): only
     verifies those pairs.  Output (doc_a, doc_b, jaccard)."""
-    sh = shingles(docs, text_col, n_words).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # join on xxhash64 of the shingle, not the string: the self-join
+    # shuffle carries 8-byte keys instead of ~30-byte strings.  A 64-bit
+    # collision would need two distinct shingles in the SAME doc pair to
+    # collide — ~1e-13 at 1e7 distinct shingles, below any float tolerance
+    # in the gate.  n_sh rides along from the pre-explode array size, so
+    # the size-ratio prune costs zero extra shuffles.
+    words = F.split(normalize_text(text_col), " ")
+    grams = F.filter(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(words) - n_words, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n_words)),
+        )),
+        lambda s: F.length(s) > 0,
+    )
+    sh = (
+        docs.select("doc_id", grams.alias("g"))  # materialize grams once
+        .select("doc_id", F.size("g").alias("n_sh"),
+                F.explode("g").alias("sh_str"))
+        .select("doc_id", "n_sh", F.xxhash64("sh_str").alias("sh"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # size-ratio prune: jaccard >= t forces
+               # min(n)/max(n) >= t — drop impossible pairs pre-aggregate
+               & (F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                  >= threshold * F.greatest(F.col("a.n_sh"),
+                                            F.col("b.n_sh"))))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"))

