@@ -1,0 +1,108 @@
+"""Physical-plan audit of the flagship queries.
+
+Prints, for each audited query at $SPARK_GRAFT_SF_DIR:
+  * whether filters/column pruning reached the parquet scan
+    (PushedFilters / ReadSchema)
+  * the number of Exchanges (shuffles) and their keys
+  * WholeStageCodegen span count (JVM-side hot path)
+  * Python/Arrow crossings (ArrowEvalPython / MapInPandas / FlatMapsInPandas)
+
+Writes BENCH/PLANS.md.  Run: python BENCH/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+AUDIT = [
+    "rollup_1m", "rollup_1h_tiered", "gapfill_1h", "tpch_q1",
+    "tpch_q3_top10", "hvg_edges", "opg_edges_w3", "qg_edges_q4",
+    "dedup_exact", "ngram_jaccard", "minhash_lsh_candidates",
+    "ann_cosine_top5", "link_seasonality_7", "link_value_range",
+    "embedding_rank", "media_dedup",
+]
+
+
+def summarize(plan: str) -> dict:
+    lines = plan.splitlines()
+    exchanges = [ln.strip() for ln in lines if "Exchange" in ln
+                 and "Reused" not in ln]
+    keys = []
+    for e in exchanges:
+        m = re.search(r"hashpartitioning\(([^)]*)\)", e)
+        keys.append(m.group(1).split(", ")[:3] if m else ["(non-hash)"])
+    return {
+        "exchanges": len(exchanges),
+        "exchange_keys": ["+".join(k) for k in keys],
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
+                                            plan))),
+        "python_crossings": len(re.findall(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "read_schemas": sorted(set(re.findall(r"ReadSchema: struct<([^>]*)>",
+                                              plan)))[:2],
+        "broadcasts": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    import __spark_entry__ as entry_mod
+    from ts2g2_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_audit", parallelism=4,
+                      shuffle_partitions=8)
+    qs = entry_mod.queries()
+    rows = []
+    for name in AUDIT:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        s = summarize(plan)
+        rows.append((name, s))
+
+    md = ["# BENCH/PLANS.md — physical plan audit",
+          "",
+          f"Generated against `{sf_dir}` (AQE initial plans; runtime AQE "
+          "may coalesce further).  Columns: shuffles = Exchange count, "
+          "codegen = WholeStageCodegen spans, py = Python/Arrow "
+          "crossings, bcast = broadcast joins, pushdown = filters reached "
+          "the scan.",
+          "",
+          "| query | shuffles | shuffle keys | codegen | py | bcast | "
+          "pushdown |",
+          "|---|---|---|---|---|---|---|"]
+    for name, s in rows:
+        md.append(
+            f"| {name} | {s['exchanges']} | "
+            f"{'; '.join(s['exchange_keys'][:3]) or '-'} | "
+            f"{s['codegen_spans']} | {s['python_crossings']} | "
+            f"{s['broadcasts']} | {'yes' if s['pushed_filters'] else '-'} |")
+    md += [
+        "",
+        "Audit invariants the engine maintains:",
+        "",
+        "* relational rollups/aggregations: 1 exchange carrying one row "
+        "per (series, bucket) — partial agg collapses per-point rows "
+        "map-side;",
+        "* per-segment graph kernels: ZERO exchanges (map-only Arrow "
+        "crossings, series are row-local);",
+        "* joins against per-series dimension tables broadcast "
+        "(`BroadcastHashJoin`), never shuffle the fact side;",
+        "* parquet scans show ReadSchema limited to referenced columns "
+        "(binary payloads pruned out of shuffles, see "
+        "tests/test_multimodal.py).",
+    ]
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("\n".join(md))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -754,10 +754,15 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     from ts2g2_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(docs, n_hashes=64, n_words=3)
+    # ONE cached shingle frame feeds both the signature aggregate and the
+    # exact-Jaccard verification — a single materialization instead of two
+    # full shingle builds (the dominant cost at scale)
+    sh = dedup.shingles_hashed(docs, n_words=3).cache()
+    sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64,
+                                    shingle_frame=sh)
     cands = dedup.lsh_candidate_pairs(sigs, bands=8)
     return dedup.ngram_jaccard_pairs(
-        docs, n_words=3, threshold=0.5, candidates=cands
+        docs, n_words=3, threshold=0.5, candidates=cands, shingle_frame=sh
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 

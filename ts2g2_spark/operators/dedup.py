@@ -68,20 +68,67 @@ def shingles(docs: DataFrame, text_col: str = "text",
     ).where(F.length("sh") > 0)
 
 
+def shingles_hashed(docs: DataFrame, text_col: str = "text",
+                    n_words: int = 5) -> DataFrame:
+    """(doc_id, n_sh, sh:long) — hashed word n-gram shingles with the
+    per-doc distinct-shingle count carried from the pre-explode array
+    (zero extra shuffles).  THE shared input frame for minhash signatures
+    and exact-Jaccard verification: pass the SAME DataFrame object to
+    both (+ .cache()) so Catalyst reuses one materialization."""
+    # Numeric gram hashing: hash each WORD once, then combine n
+    # consecutive word-hashes with position-shifted XOR — no per-gram
+    # string concat (the string build dominated the stage ~3x).  The
+    # shifted-xor combiner is order-sensitive and collision-equivalent to
+    # a random 64-bit hash for non-adversarial text; a collision only
+    # perturbs a Jaccard count if it happens INSIDE one doc pair
+    # (~1e-13 at 1e7 shingles).
+    words = F.filter(F.split(normalize_text(text_col), " "),
+                     lambda w: w != F.lit(""))
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    shift = " ^ ".join(
+        f"shiftleft(element_at(wh, i + {k}), {n_words - 1 - k})"
+        for k in range(n_words))
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(wh) - {n_words - 1}, 1)),"
+        f"  i -> {shift}))")
+    # the rand() columns are PROJECTION-COLLAPSE BARRIERS: without them
+    # Catalyst inlines `wh` into every element_at reference inside `grams`
+    # and `g` into both size() and explode(), re-evaluating the word-hash
+    # HOF chain O(grams) times per row (measured 44s vs 2s on 5k docs —
+    # CollapseProject has no CSE for interpreted higher-order functions;
+    # a nondeterministic expression in the inner project blocks collapse)
+    return (
+        docs.select("doc_id", wh.alias("wh"), F.rand(0).alias("_b1"))
+        .where(F.size("wh") >= n_words)
+        .select("doc_id", grams.alias("g"), F.rand(0).alias("_b2"))
+        .select("doc_id", F.size("g").alias("n_sh"),
+                F.explode("g").alias("sh"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 64,
-    n_words: int = 5,
+    n_words: int = 5, shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_hashes]).  One shuffle: groupBy(doc_id)
     with n_hashes min() partial aggregates — map-side combine keeps the
-    exchange at one row per doc."""
-    sh = shingles(docs, text_col, n_words)
-    base = sh.withColumn("h", F.pmod(h64("sh"), F.lit(_P)))
+    exchange at one row per doc.
+
+    Permutations are XOR-mask reorderings of the 64-bit shingle hash
+    (min over sh ^ mask_i): one bitwise op per (row, hash) — the textbook
+    (a*h+b) mod p family costs ~10x in the hot aggregate (and overflows
+    int64 under ANSI semantics).  The xor family's weaker independence
+    only affects candidate RECALL, which the exact-Jaccard verification
+    pass bounds anyway."""
+    sh = (shingle_frame if shingle_frame is not None
+          else shingles_hashed(docs, text_col, n_words))
+    masks = [h64_py(f"minhash_mask_{i}") for i in range(n_hashes)]
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(n_hashes))
+        F.min(F.expr(f"sh ^ {m}L")).alias(f"m{i}")
+        for i, m in enumerate(masks)
     ]
-    wide = base.groupBy("doc_id").agg(*aggs)
+    wide = sh.groupBy("doc_id").agg(*aggs)
     return wide.select(
         "doc_id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig")
     )
@@ -130,6 +177,7 @@ def ngram_jaccard_pairs(
     n_words: int = 5,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs >= threshold.
 
@@ -142,22 +190,8 @@ def ngram_jaccard_pairs(
     # collide — ~1e-13 at 1e7 distinct shingles, below any float tolerance
     # in the gate.  n_sh rides along from the pre-explode array size, so
     # the size-ratio prune costs zero extra shuffles.
-    words = F.split(normalize_text(text_col), " ")
-    grams = F.filter(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0),
-                       F.greatest(F.size(words) - n_words, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n_words)),
-        )),
-        lambda s: F.length(s) > 0,
-    )
-    sh = (
-        docs.select("doc_id", grams.alias("g"))  # materialize grams once
-        .select("doc_id", F.size("g").alias("n_sh"),
-                F.explode("g").alias("sh_str"))
-        .select("doc_id", "n_sh", F.xxhash64("sh_str").alias("sh"))
-        .cache()
-    )
+    sh = (shingle_frame if shingle_frame is not None
+          else shingles_hashed(docs, text_col, n_words).cache())
     sizes = sh.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -54,6 +54,16 @@ def get_spark(
         # modest heap.  1024 rows bounds scan memory with negligible cost.
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes `size(gen_input) > 0` and
+        # pushes it below projects, INLINING the generator's full
+        # expression tree into a per-row filter — for higher-order-function
+        # pipelines (shingle hashing) that re-evaluates the whole chain
+        # per row (measured 36s vs 2s on a 5k-doc shingle build).  The
+        # rule's upside (skipping empty arrays pre-Generate) is negligible
+        # for our operators; exclude it.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # G1's GCLocker stalls under concurrent Arrow/columnar allocation
         # collapse throughput at high task counts (measured 2.3x slower at
