@@ -39,8 +39,8 @@ def summarize(plan: str) -> dict:
     return {
         "exchanges": len(exchanges),
         "exchange_keys": ["+".join(k) for k in keys],
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
-                                            plan))),
+        # codegen stages print as "*(n) Operator" in executedPlan strings
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python_crossings": len(re.findall(
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
