@@ -1,0 +1,59 @@
+"""ANN operators: exact baseline vs LSH (AND-OR amplified) vs IVF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts2g2_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("embedding"))
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def exact(emb):
+    q = emb.where(F.col("vec_id") < 5)
+    return {(r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk(emb, q, k=5).collect()}
+
+
+def test_cosine_topk_shape(emb, exact):
+    assert len(exact) == 25  # 5 queries x top-5, self excluded
+
+
+def test_lsh_recall_and_pruning(emb, exact):
+    q = emb.where(F.col("vec_id") < 5)
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.lsh_bucket_topk(emb, q, k=5).collect()}
+    assert len(got) == 25
+    recall = len(got & exact) / len(exact)
+    # near-random synthetic embeddings are sign-LSH's adversarial case;
+    # measured 0.52 at defaults — assert a conservative floor
+    assert recall >= 0.3, recall
+
+
+def test_ivf_recall(emb, exact):
+    q = emb.where(F.col("vec_id") < 5)
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(emb, q, k=5).collect()}
+    assert len(got) == 25
+    assert len(got & exact) / len(exact) >= 0.3
+
+
+def test_lsh_deterministic(emb):
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in
+               similarity.lsh_bucket_topk(emb, q, k=5).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in
+               similarity.lsh_bucket_topk(emb, q, k=5).collect())
+    assert a == b
