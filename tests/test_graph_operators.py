@@ -146,3 +146,69 @@ def test_segment_visibility_pipeline(spark, series_df, reference):
         g = edges[edges.series_key == f"vg_demo#{s}"]
         got = {(int(r.src), int(r.dst)) for r in g.itertuples()}
         assert got == set(ref)
+
+
+def test_multivariate_opg_parity(spark, reference):
+    """G7: multivariate up/down OPG vs the reference's multivariate path
+    (to_graph/strategies.py:72-94,107-126)."""
+    rng = np.random.default_rng(19)
+    s1 = rng.normal(size=40)
+    s2 = rng.normal(size=40)
+    w, tau = 3, 2
+
+    strat = reference.strategies.TimeseriesToOrdinalPatternGraph(w, tau)
+    ref_g = strat.to_graph(
+        reference.model.TimeseriesArrayStream([s1, s2])).graph
+    ref = {
+        (",".join(map(str, a)), ",".join(map(str, b))): d["weight"]
+        for a, b, d in ref_g.edges(data=True)
+    }
+
+    df = spark.createDataFrame(
+        [("m", [s1.tolist(), s2.tolist()])],
+        "series_key string, variables array<array<double>>")
+    got = {(r.src_pattern, r.dst_pattern): r.weight
+           for r in graphs.opg_edges_multivariate(df, w, tau).collect()}
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=0)
+
+
+def test_grouped_correlation_linking(spark, reference):
+    """L4: correlation linking keyed per window-group
+    (strategy_linking_multi_graphs.py:80-118 runs L3 independently per
+    group j — parity via per-group L3 oracle)."""
+    from to_graph.strategy_linking_multi_graphs import (
+        PearsonCorrelation,
+        StrategyLinkingGraphsByCorrelation,
+    )
+    import networkx as nx
+    import pandas as pd
+    from ts2g2_spark.operators import linking
+
+    rng = np.random.default_rng(23)
+    rows = []
+    ref = {}
+    for grp in ("w0", "w1"):
+        graphs_d = {}
+        for k in range(3):
+            ts = pd.Series(rng.normal(size=15))
+            g = nx.Graph()
+            g.add_node(f"{grp}_s{k}", timeseries=ts)
+            graphs_d[f"{grp}_h{k}"] = g
+            rows.append((grp, f"{grp}_s{k}", k, float("nan"), ts.tolist()))
+        strat = StrategyLinkingGraphsByCorrelation(None, PearsonCorrelation())
+        strat.set_graphs(graphs_d, None, None)
+        rg, _ = strat.apply()
+        for a, b, d in rg.edges(data=True):
+            ref[tuple(sorted((str(a), str(b))))] = d["weight"]
+
+    nodes = spark.createDataFrame(
+        rows, "grp string, node_id string, ord long, value double, "
+              "values array<double>")
+    got = {tuple(sorted((r.src, r.dst))): r.weight
+           for r in linking.link_correlation(nodes, group_col="grp")
+           .collect()}
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12)

@@ -182,6 +182,30 @@ def opg_edges(
     return df.mapInPandas(kern, schema=PAT_EDGE_SCHEMA)
 
 
+def opg_edges_multivariate(df: DataFrame, w: int, tau: int) -> DataFrame:
+    """Multivariate OPG (G7, ref to_graph/strategies.py:72-94,107-126):
+    per-variable up/down diff patterns concatenated variable-major, then
+    the same transition aggregate (weight = count / #patterns).  Input
+    frame: (series_key, variables array<array<double>>) — all variables of
+    one multivariate series row-local, so the kernel stays map-only."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                series = [np.asarray(v, np.float64) for v in r.variables]
+                pats = kernels.multivariate_ordinal_patterns(series, w, tau)
+                s, d, wt = kernels.opg_edges(pats)
+                for ss, dd, ww in zip(_pat_str(s), _pat_str(d), wt.tolist()):
+                    rows.append({"series_key": r.series_key,
+                                 "src_pattern": ss, "dst_pattern": dd,
+                                 "weight": ww})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kern, schema=PAT_EDGE_SCHEMA)
+
+
 def opg_edges_relational(
     points: DataFrame,
     key_col: str,
