@@ -26,20 +26,6 @@ from pyspark.sql import functions as F
 
 from ts2g2_spark.functions.hashing import h64, h64_py, normalize_text
 
-# Mersenne-prime modulus universal hashing for minhash permutations:
-# perm_i(x) = (a_i * x + b_i) mod p — a/b derived from md5 of the index so
-# every engine/run agrees.  31-bit space so a*x stays < 2^62 (ANSI-safe
-# int64 arithmetic, no overflow).
-_P = (1 << 31) - 1
-
-
-def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
-    return [
-        (h64_py(f"minhash_a_{i}") % (_P - 1) + 1, h64_py(f"minhash_b_{i}") % _P)
-        for i in range(n_hashes)
-    ]
-
-
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup groups: (content_hash, dup_cnt, keep_id) for groups with
     >1 member.  keep_id = min doc_id (deterministic survivor)."""
