@@ -1157,8 +1157,33 @@ def q_media_features(spark, sf_dir):
         F.round(F.element_at("feature", 1), 3).alias("f0"))
 
 
+def _ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """The driver runs these callables in ITS session, not ours — pin the
+    runtime-settable confs correctness and performance depend on:
+    UTC (date_trunc/bucket timestamps must match the DuckDB oracle),
+    Arrow crossings, and the InferFiltersFromGenerate exclusion (that rule
+    inlines generator expression trees into per-row filters — see
+    ts2g2_spark/session.py)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    return spark
+
+
+def _with_confs(fn):
+    def wrapped(spark, sf_dir):
+        return fn(_ensure_session_confs(spark), sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
+    _ensure_session_confs(spark)
     sf_dir = "/root/testdata/sf0.001"
     m1 = q_rollup_1m(spark, sf_dir)
     h = m1.groupBy(
@@ -1186,7 +1211,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _with_confs(fn) for name, fn in _RAW_QUERIES.items()}
+
+
+_RAW_QUERIES = {
         "rollup_1m": q_rollup_1m,
         "rollup_1h_tiered": q_rollup_1h_tiered,
         "rollup_1d_tiered": q_rollup_1d_tiered,
