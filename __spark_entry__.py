@@ -1108,6 +1108,60 @@ def q_link_dtw(spark, sf_dir):
     return linking.link_dtw(series).select("src", "dst")
 
 
+# ------------------------------------------- proximity networks (G11-G15)
+def q_proximity_eps(spark, sf_dir):
+    """G13 ε-recurrence network over per-user event series (first 200
+    points): edge (i<j) iff |v_i - v_j| <= ε, weight = distance
+    (ref to_graph/strategies.py:334-351)."""
+    from ts2g2_spark.operators import graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 200).alias("values"))
+    return graphs.proximity_edges(
+        series, method="recurrence", recurrence_type="epsilon",
+        epsilon=0.05,
+    ).select("series_key", "src", "dst",
+             F.round("weight", 6).alias("weight"))
+
+
+PROXIMITY_EPS_SQL = """
+with pts as (
+  select user_id,
+         row_number() over (partition by user_id
+                            order by ts, event_id) - 1 as idx,
+         value
+  from events where user_id < 10
+)
+select a.user_id::VARCHAR as series_key,
+       a.idx as src, b.idx as dst,
+       round(abs(a.value - b.value), 6) as weight
+from pts a join pts b
+  on a.user_id = b.user_id and a.idx < b.idx
+     and abs(a.value - b.value) <= 0.05
+where a.idx < 200 and b.idx < 200
+"""
+
+
+def q_proximity_knn(spark, sf_dir):
+    """G14 k-NN proximity network (k-1 neighbors, reference off-by-one
+    preserved; argsort tie order is engine-side -> rows-only check, parity
+    pinned vs the reference in tests/test_kernels_parity.py)."""
+    from ts2g2_spark.operators import graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 100).alias("values"))
+    return graphs.proximity_edges(
+        series, method="recurrence", recurrence_type="k-nnn", k=5
+    ).select("series_key", "src", "dst",
+             F.round("weight", 6).alias("weight"))
+
+
 # ----------------------------------------------- multimodal (SURVEY §2.7)
 def _media_from_docs(spark, sf_dir):
     """Documents as opaque media rows: payload = utf8 bytes of the text
@@ -1249,6 +1303,8 @@ _RAW_QUERIES = {
         "generate_sequences": q_generate_sequences,
         "media_dedup": q_media_dedup,
         "media_features": q_media_features,
+        "proximity_eps": q_proximity_eps,
+        "proximity_knn": q_proximity_knn,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
@@ -1287,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_rank": EMBEDDING_RANK_SQL,
         "kendall_tau": KENDALL_TAU_SQL,
         "media_dedup": MEDIA_DEDUP_SQL,
+        "proximity_eps": PROXIMITY_EPS_SQL,
         # link_dtw / eigencentrality_hvg / generate_sequences /
         # media_features: no SQL oracle (DP / eigensolver / seeded RNG /
         # binary decode) -> rows-only checks; parity pinned by the
