@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "embedding_rank",
     "kendall_tau",
     "media_dedup",
+    "proximity_eps",
+    "eigencentrality_hvg",
+    "generate_sequences",
 ]
 
 
