@@ -50,6 +50,14 @@ def test_ivf_recall(emb, exact):
     assert len(got & exact) / len(exact) >= 0.3
 
 
+def test_ivf_seeding_plan(emb):
+    """Seeding must be a per-partition top-K (TakeOrderedAndProject), not a
+    global sort: no Exchange/Sort stage may appear in the seeding plan."""
+    plan = similarity.ivf_seed_plan(emb, n_lists=8)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_lsh_deterministic(emb):
     q = emb.where(F.col("vec_id") < 3)
     a = sorted((r.query_id, r.neighbor_id, r.rank) for r in

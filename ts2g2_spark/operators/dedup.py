@@ -121,13 +121,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8
+    sigs: DataFrame, bands: int = 8, n_hashes: int | None = None
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any band land in
     the same bucket.  Output distinct (doc_a < doc_b) candidate pairs.
     The join is an equi-join on (band_id, band_hash) — shuffle-partitioned
-    by bucket, never all-pairs."""
-    n = sigs.select(F.size("sig")).first()[0]
+    by bucket, never all-pairs.
+
+    Pass n_hashes (the signature width) to keep plan construction
+    action-free; when omitted, a one-row fallback job reads it from the
+    frame."""
+    n = (n_hashes if n_hashes is not None
+         else sigs.select(F.size("sig")).first()[0])
     rows = n // bands
     banded = sigs.select(
         "doc_id",

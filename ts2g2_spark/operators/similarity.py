@@ -6,16 +6,38 @@ so the scan stays in whole-stage codegen and the corpus is read once.
 
 Scale paths:
   * LSH (random hyperplanes): bucket equi-join, then exact rerank inside
-    buckets — sub-linear candidate generation.
+    buckets — sub-linear candidate generation.  Bucketing is ONE Arrow
+    kernel doing a single numpy matmul per batch (higher-order functions
+    are interpreted, not codegen'd — 96 HOF expressions per row measured
+    ~10x slower than the matmul kernel).
   * IVF (inverted file): k-means-lite centroids (seeded, one refinement
     pass), assign corpus to nearest centroid, probe nprobe nearest lists.
+
+Changelog (round 2):
+  * lsh_bucket_topk defaults remain 6 planes x 16 tables (AND-OR
+    amplification, introduced round 1; the original prototype used
+    12 planes x 1 table).  Callers wanting the low-replication variant
+    pass n_planes=12, n_tables=1 explicitly.
+  * bucket ids are now int64 codes (table_offset + bit code), not strings
+    — cheaper shuffle keys; candidate sets are unchanged because the
+    hyperplanes are identical.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from ts2g2_spark.functions.hashing import h64_py
@@ -75,6 +97,59 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "lsh") -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
+def _lsh_bucketed(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, n_tables: int
+) -> DataFrame:
+    """(_id, _v, _n, bucket) rows: one row per (input row, hash table).
+
+    The sign-bit matrix for ALL tables is one numpy matmul per Arrow batch
+    (batch_matrix @ stacked_hyperplanes.T); bucket code = table_offset +
+    bits-as-int.  L2 norms ride along from the same batch (vectorized) so
+    the rerank never recomputes them per candidate pair.  Hyperplanes are
+    deterministic (md5-seeded) and rebuilt identically on every worker —
+    no driver action, no broadcast needed at this size (n_tables x
+    n_planes x dim doubles)."""
+    out_schema = StructType([
+        StructField("_id", df.schema[id_col].dataType),
+        StructField("_v", ArrayType(DoubleType())),
+        StructField("_n", DoubleType()),
+        StructField("_buckets", ArrayType(LongType())),
+    ])
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+    offsets = np.arange(n_tables, dtype=np.int64) * (2 ** n_planes)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["_v"].to_numpy())  # (B, dim) float64
+            if H is None:
+                dim = M.shape[1]
+                H = np.vstack([
+                    _hyperplanes(dim, n_planes, seed=f"lsh_t{t}")
+                    for t in range(n_tables)
+                ])  # (T*P, dim)
+            bits = (M @ H.T) > 0  # (B, T*P)
+            codes = (
+                bits.reshape(len(pdf), n_tables, n_planes).astype(np.int64)
+                @ weights
+            ) + offsets[None, :]  # (B, T)
+            yield pd.DataFrame({
+                "_id": pdf["_id"],
+                "_v": pdf["_v"],
+                "_n": np.sqrt((M * M).sum(axis=1)),
+                "_buckets": list(codes),
+            })
+
+    mapped = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(kern, out_schema)
+    return mapped.select(
+        "_id", "_v", "_n", F.explode("_buckets").alias("bucket"))
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,35 +173,12 @@ def lsh_bucket_topk(
     embeddings — the adversarial case for sign LSH; clustered real
     embeddings concentrate cosine mass and recall rises sharply at the
     same settings."""
-    dim = len(corpus.select(vec_col).first()[0])
-
-    def buckets_col(v):
-        per_table = []
-        for t in range(n_tables):
-            H = _hyperplanes(dim, n_planes, seed=f"lsh_t{t}")
-            bits = [
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            v,
-                            F.array(*[F.lit(float(h)) for h in H[p]]),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ) > 0, F.lit("1")
-                ).otherwise(F.lit("0"))
-                for p in range(n_planes)
-            ]
-            per_table.append(F.concat(F.lit(f"t{t}:"), *bits))
-        return F.array(*per_table)
-
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        F.explode(buckets_col(F.col(vec_col))).alias("bucket"))
-    qb = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(buckets_col(F.col(vec_col))).alias("bucket"))
+    cb = _lsh_bucketed(corpus, id_col, vec_col, n_planes, n_tables).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_n").alias("cn"), "bucket")
+    qb = _lsh_bucketed(queries, id_col, vec_col, n_planes, n_tables).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_n").alias("qn"), "bucket")
     joined = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -136,7 +188,7 @@ def lsh_bucket_topk(
     scored = joined.select(
         "query_id", "neighbor_id",
         (_dot(F.col("qv"), F.col("cv"))
-         / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+         / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
@@ -155,10 +207,17 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: seeded deterministic centroids (hash-sampled
     corpus vectors + one Lloyd refinement), corpus assigned to nearest list
-    (broadcast centroids), queries probe the nprobe nearest lists."""
+    (broadcast centroids), queries probe the nprobe nearest lists.
+
+    Seeding plan: `orderBy(xxhash64(id)).limit(n_lists)` compiles to
+    TakeOrderedAndProject — a per-partition top-n_lists HEAP plus a driver
+    merge of n_partitions x n_lists rows, NOT a global sort/shuffle of the
+    corpus (asserted in tests/test_similarity.py::test_ivf_seeding_plan).
+    The only driver-side data are the n_lists seed vectors and the n_lists
+    Lloyd means — both O(n_lists x dim)."""
     seed_rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
         .limit(n_lists)
         .collect()
     )
@@ -192,6 +251,17 @@ def ivf_topk(
         F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k)
+
+
+def ivf_seed_plan(corpus: DataFrame, n_lists: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """Physical plan of the IVF seeding step (for plan-shape tests)."""
+    return (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_lists)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def _dist2_to_centroid(vec_col: str, c: np.ndarray):
