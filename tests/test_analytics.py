@@ -86,3 +86,35 @@ def test_embedding_ranking_and_tau_parity(spark, reference):
         ranked.where(ranked.method == "m0"),
         ranked.where(ranked.method == "m1")).collect()[0].tau
     assert tau == pytest.approx(ref_tau, abs=1e-12)
+
+
+def test_eigenvector_centrality_node_counts(spark):
+    """With node_counts: trailing isolated nodes are kept (embedding sized
+    to n) and edgeless series still emit a row."""
+    import networkx as nx
+
+    edges = spark.createDataFrame(
+        [("s", 0, 1), ("s", 1, 2)],
+        "series_key string, src long, dst long")
+    counts = spark.createDataFrame(
+        [("s", 5), ("empty", 3)], "series_key string, n long")
+    rows = {r.series_key: r for r in analytics.eigenvector_centrality(
+        edges, node_counts=counts).collect()}
+    assert len(rows["s"].embedding) == 5  # nodes 3,4 isolated but present
+    g = nx.path_graph(3)
+    ref = nx.eigenvector_centrality(g, max_iter=2000, tol=1e-12)
+    # path-graph part dominates; isolated nodes get ~0 centrality
+    assert np.allclose(rows["s"].embedding[:3],
+                       [ref[i] for i in range(3)], atol=1e-6)
+    assert np.allclose(rows["s"].embedding[3:], 0.0, atol=1e-9)
+    assert len(rows["empty"].embedding) == 3  # edgeless series emits a row
+
+
+def test_embedding_ranking_zero_norm_sorts_last(spark):
+    emb = spark.createDataFrame(
+        [(1, "m", [1.0, 0.0]), (2, "m", [0.0, 0.0]), (3, "m", [0.0, 1.0])],
+        "id long, method string, vector array<double>")
+    rows = {r.id: r for r in analytics.embedding_ranking(emb).collect()}
+    assert rows[2].distance is None
+    assert rows[2].rank == 3  # degenerate vector cannot claim the top rank
+    assert {rows[1].rank, rows[3].rank} == {1, 2}

@@ -365,3 +365,17 @@ def test_generate_ordinal_spark(spark):
         series, w=3, tau=1, hist_bins=8, ts_length=24)
     row = out.collect()[0]
     assert len(row.seq) >= 24
+
+
+def test_quantile_value_strategy_empty_bin_fallback():
+    """A bin with no recorded values (duplicate-heavy series) must not
+    IndexError; the value falls back to a uniform draw inside the bin."""
+    from ts2g2_spark.operators import genkernels as gk
+
+    g = gk.GraphData(
+        values=[[], []], neighbors=[[1], [0]],
+        q_bins=[0.0, 1.0, 2.0], q_values=[[0.5, 0.6], []])
+    rng = gk.Rng.seeded(1, 2)
+    seq: list[float] = []
+    gk._append_value("quantile", rng, g, {}, 0, 1, seq)  # empty bin 1
+    assert len(seq) == 1 and 1.0 <= seq[0] <= 2.0

@@ -330,3 +330,34 @@ def test_combine_identical_subgraphs_engine(spark):
     assert m["gA"].merged_seg_ords == [0, 2]
     got = {(r.src, r.dst) for r in e.collect()}
     assert got == {("gA", "gB")}
+
+
+# ---------------------------------------------------------- L8 banded DTW
+def test_dtw_band_inf_equals_exact():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        a = rng.normal(size=40)
+        b = rng.normal(size=35)
+        exact = linking.dtw_path(a, b)
+        assert linking.dtw_path(a, b, band=max(len(a), len(b))) == exact
+
+
+def test_dtw_band_is_valid_path():
+    """A narrow band still yields a monotone contiguous warping path from
+    (0,0) to (n-1,m-1)."""
+    rng = np.random.default_rng(8)
+    a = rng.normal(size=60)
+    b = rng.normal(size=60)
+    p = linking.dtw_path(a, b, band=3)
+    assert p[0] == (0, 0) and p[-1] == (59, 59)
+    for (i1, j1), (i2, j2) in zip(p, p[1:]):
+        assert (i2 - i1, j2 - j1) in {(0, 1), (1, 0), (1, 1)}
+
+
+def test_link_dtw_band_param(spark):
+    s = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0, 2.0]), ("b", [1.0, 3.0, 2.0, 2.0])],
+        "series_key string, values array<double>")
+    exact = {(r.src, r.dst) for r in linking.link_dtw(s).collect()}
+    banded = {(r.src, r.dst) for r in linking.link_dtw(s, band=4).collect()}
+    assert exact == banded and exact

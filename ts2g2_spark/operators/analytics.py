@@ -36,16 +36,41 @@ def eigenvector_centrality_kernel(
     return v / nrm if nrm else v
 
 
-def eigenvector_centrality(edges: DataFrame) -> DataFrame:
+def eigenvector_centrality(
+    edges: DataFrame, node_counts: DataFrame | None = None
+) -> DataFrame:
     """Per-series eigenvector-centrality embedding from an edge frame
     (series_key, src, dst).  Per-series graphs are segment-sized, so one
     groupBy packs the adjacency and a map-only Arrow kernel solves each —
-    no iterative join-agg rounds on the cluster (SURVEY §2.6 E1)."""
+    no iterative join-agg rounds on the cluster (SURVEY §2.6 E1).
+
+    Node-count semantics: without `node_counts`, n is inferred as
+    max(src, dst)+1 from the edges — TRAILING isolated nodes are excluded
+    from the embedding and series with zero edges produce no output row
+    (fine for visibility graphs, whose consecutive-point edges touch every
+    node).  For general graphs pass `node_counts` (series_key, n): the
+    embedding is then sized to n (isolated nodes get their true zero-ish
+    centrality) and edgeless series emit an all-equal embedding (the
+    eigh of the zero matrix is a unit basis vector — degenerate but
+    defined; callers should treat edgeless graphs upstream)."""
     packed = edges.groupBy("series_key").agg(
         F.collect_list("src").alias("srcs"),
         F.collect_list("dst").alias("dsts"),
         (F.greatest(F.max("src"), F.max("dst")) + 1).alias("n"),
     )
+    if node_counts is not None:
+        packed = (
+            node_counts.select("series_key", F.col("n").alias("n_true"))
+            .join(packed.drop("n"), "series_key", "left")
+            .select(
+                "series_key",
+                F.coalesce("srcs", F.array().cast("array<long>"))
+                .alias("srcs"),
+                F.coalesce("dsts", F.array().cast("array<long>"))
+                .alias("dsts"),
+                F.col("n_true").alias("n"),
+            )
+        )
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,7 +107,12 @@ def embedding_ranking(
     norm_v = F.sqrt(F.aggregate(
         vector_col, F.lit(0.0), lambda a, x: a + x * x))
     norm_b = F.sqrt(d.cast("double")) * F.lit(base_value)
-    dist = F.lit(1.0) - (F.lit(base_value) * sum_v) / (norm_b * norm_v)
+    # zero-norm guard: cosine of a degenerate vector is undefined — emit
+    # NULL and sort it LAST (the reference's numpy cosine yields NaN; a
+    # bare division would produce a null that Spark sorts FIRST, silently
+    # handing rank 1 to the degenerate vector)
+    dist = F.when(norm_v == 0, F.lit(None).cast("double")).otherwise(
+        F.lit(1.0) - (F.lit(base_value) * sum_v) / (norm_b * norm_v))
     ranked = embeddings.select(
         F.col(method_col).alias("method"),
         F.col(id_col).alias("id"),
@@ -90,7 +120,8 @@ def embedding_ranking(
     ).withColumn(
         "rank",
         F.row_number().over(
-            Window.partitionBy("method").orderBy("distance", "id")),
+            Window.partitionBy("method").orderBy(
+                F.col("distance").asc_nulls_last(), "id")),
     )
     return ranked
 

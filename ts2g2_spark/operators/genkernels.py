@@ -177,7 +177,16 @@ def _append_value(
         seq.append(float(rng.np.uniform(b[node], b[node + 1])))
     elif strategy == "quantile":
         # ref :190-202: random.choice from the recorded raw values of the bin
-        seq.append(rng.py.choice(g.q_values[node]))
+        vals = g.q_values[node]
+        if vals:
+            seq.append(rng.py.choice(vals))
+        else:
+            # a bin can be EMPTY under duplicate-heavy data with the
+            # epsilon-adjusted edges (the reference would IndexError here);
+            # fall back to a uniform draw within the bin's edges so the
+            # whole Arrow stage doesn't fail on one degenerate series
+            b = g.q_bins
+            seq.append(float(rng.np.uniform(b[node], b[node + 1])))
     else:
         raise ValueError(f"unknown value strategy: {strategy}")
 
@@ -227,23 +236,13 @@ def walk_sliding(
 ) -> list[list[float]]:
     """ToSequenceVisitorSlidingWindow (core/model.py:535-573): a step
     appends one value per node OF THE CURRENT WINDOW-GRAPH (so the sequence
-    can overshoot ts_length, as upstream)."""
-    k = len(graphs)
-    seqs: list[list[float]] = [[] for _ in range(k)]
-    current = [0] * k
-    counters: dict = {}
-    state: dict = {}
-    step = 0
-    while len(seqs[0]) < ts_length:
-        for j in range(k):
-            _append_value(value_strategy, rng, graphs[j], counters, j,
-                          current[j], seqs[j])
-        for _ in range(skip + 1):
-            for kk in range(k):
-                current[kk] = _next_node(node_strategy, rng, graphs, state,
-                                         step, kk, current, switch)
-        step += 1
-    return seqs
+    can overshoot ts_length, as upstream).
+
+    The walk loop is IDENTICAL to walk_plain — the sliding behavior lives
+    entirely in the *_sliding value strategies (_append_value), so this
+    delegates rather than duplicating the loop."""
+    return walk_plain(graphs, ts_length, value_strategy, node_strategy,
+                      rng, skip=skip, switch=switch)
 
 
 def _op_append_start(

@@ -213,19 +213,36 @@ def link_sliding_window_chain(segment_graphs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------- L8
-def dtw_path(s1: np.ndarray, s2: np.ndarray) -> list[tuple[int, int]]:
+def dtw_path(
+    s1: np.ndarray, s2: np.ndarray, band: int | None = None
+) -> list[tuple[int, int]]:
     """DTW optimal warping path (ref strategy_linking_multi_graphs.py:
     310-316 via dtaidistance.dtw).  dtaidistance is absent upstream and
     here, so the engine pins the contract to the published DTW recurrence:
     D[i,j] = (s1[i]-s2[j])^2 + min(D[i-1,j-1], D[i-1,j], D[i,j-1]),
     backtrack preferring the diagonal on ties (first-minimum order
-    diag/up/left).  O(n*m) DP, vectorized per row."""
+    diag/up/left).  O(n*m) DP, vectorized per row.
+
+    band: Sakoe-Chiba radius — cells with |i*m/n - j| > band are pruned,
+    bounding the DP at O(n*band) for long series (the remaining quadratic
+    in the linking family).  band=None (default) is the exact full DP;
+    a band >= max(n, m) is equivalent to exact (pinned by test).  The band
+    is measured around the diagonal of the RESCALED grid so unequal
+    lengths stay reachable."""
     s1 = np.asarray(s1, np.float64)
     s2 = np.asarray(s2, np.float64)
     n, m = len(s1), len(s2)
     D = np.full((n + 1, m + 1), np.inf)
     D[0, 0] = 0.0
     for i in range(1, n + 1):
+        if band is None:
+            jlo, jhi = 1, m
+        else:
+            center = i * m / n
+            jlo = max(1, int(np.ceil(center - band)))
+            jhi = min(m, int(np.floor(center + band)))
+            if jlo > jhi:
+                continue
         c = (s1[i - 1] - s2) ** 2
         # vectorized row update: D[i,j] needs D[i,j-1] (left), so scan the
         # row with a running min — still O(m) per row, no inner Python loop
@@ -233,9 +250,8 @@ def dtw_path(s1: np.ndarray, s2: np.ndarray) -> list[tuple[int, int]]:
         diag = D[i - 1, :-1]
         up = D[i - 1, 1:]
         best = np.minimum(diag, up)
-        row = np.empty(m + 1)
-        row[0] = np.inf
-        for j in range(1, m + 1):
+        row = np.full(m + 1, np.inf)
+        for j in range(jlo, jhi + 1):
             row[j] = c[j - 1] + min(best[j - 1], row[j - 1])
         D[i] = row
     # backtrack (diag, up, left) first-minimum, mirroring the conftest stub
@@ -251,7 +267,7 @@ def dtw_path(s1: np.ndarray, s2: np.ndarray) -> list[tuple[int, int]]:
     return path
 
 
-def link_dtw(series: DataFrame) -> DataFrame:
+def link_dtw(series: DataFrame, band: int | None = None) -> DataFrame:
     """DTW linking (ref strategy_linking_multi_graphs.py:288-333): for each
     series pair (i < j), compute the DTW best path over the RAW series and
     link the nodes at each aligned (a, b) position.  Input = series frame
@@ -259,7 +275,9 @@ def link_dtw(series: DataFrame) -> DataFrame:
     back to real node labels if needed.
 
     Physical plan: self-join on key order (variable-count scale -> Spark
-    broadcasts), DTW DP inside an Arrow kernel per pair."""
+    broadcasts), DTW DP inside an Arrow kernel per pair.  Pass band= (a
+    Sakoe-Chiba radius) to bound the per-pair DP at O(n*band) when series
+    are long; default None = the exact reference-parity full DP."""
     n = series.select("series_key", "values")
     pairs = (
         n.alias("a").join(n.alias("b"),
@@ -277,7 +295,8 @@ def link_dtw(series: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 for a, b in dtw_path(np.asarray(r.values_a, np.float64),
-                                     np.asarray(r.values_b, np.float64)):
+                                     np.asarray(r.values_b, np.float64),
+                                     band=band):
                     rows.append({
                         "src": f"{r.key_a}:{a}", "dst": f"{r.key_b}:{b}",
                         "weight": None,
