@@ -748,31 +748,144 @@ where i / (sa.n + sb.n - i) >= 0.5
 
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash(64) + LSH(8 bands) candidate pairs, verified by exact
-    Jaccard >= 0.5 on candidates only (no SQL oracle: minhash permutations
-    are engine-side; verified in tests against a Python oracle and here
-    against the exact-jaccard query by containment)."""
+    Jaccard >= 0.5 on candidates only.  Uses the PORTABLE word hash (h64 =
+    md5-derived int64) so the XOR-mask minhash permutations, band md5s and
+    candidate set are bit-reproducible in the DuckDB oracle — the full
+    pipeline (shingle -> signature -> band -> bucket join -> verify) is
+    hash-checked, not rows-only."""
     from ts2g2_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
     # ONE cached shingle frame feeds both the signature aggregate and the
     # exact-Jaccard verification — a single materialization instead of two
     # full shingle builds (the dominant cost at scale)
-    sh = dedup.shingles_hashed(docs, n_words=3).cache()
+    sh = dedup.shingles_hashed(docs, n_words=3, word_hash="md5").cache()
     sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64,
                                     shingle_frame=sh)
-    cands = dedup.lsh_candidate_pairs(sigs, bands=8)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8, n_hashes=64)
     return dedup.ngram_jaccard_pairs(
         docs, n_words=3, threshold=0.5, candidates=cands, shingle_frame=sh
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_sql(n_hashes: int = 64, bands: int = 8, n_words: int = 3,
+                 threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_lsh_candidates: identical word hash (first
+    15 md5 hex chars as int64), identical shifted-xor gram combiner,
+    identical XOR-mask minhash family and band md5s."""
+    from ts2g2_spark.functions.hashing import h64_py
+
+    masks = [h64_py(f"minhash_mask_{i}") for i in range(n_hashes)]
+    mins = ",\n         ".join(
+        f"min(xor(sh, {m})) as m{i}" for i, m in enumerate(masks))
+    combiner = f"wh[i + {n_words - 1}]"
+    for k in range(n_words - 2, -1, -1):
+        combiner = f"xor(wh[i + {k}] << {n_words - 1 - k}, {combiner})"
+    rows = n_hashes // bands
+    band_selects = "\n  union all ".join(
+        "select doc_id, {b} as band_id, md5(concat_ws(',', {cols})) "
+        "as band_hash from sigs".format(
+            b=b,
+            cols=", ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows)))
+        for b in range(bands))
+    return rf"""
+with w as (
+  select doc_id,
+         list_filter(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g')), ' '), x -> x != '') as ws
+  from documents
+),
+whv as (
+  select doc_id,
+         list_transform(ws,
+           x -> cast(concat('0x', substr(md5(x), 1, 15)) as bigint)) as wh
+  from w where len(ws) >= {n_words}
+),
+sh0 as (
+  select doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(wh) - {n_words - 1}),
+           i -> {combiner}))) as sh
+  from whv
+),
+sigs as (select doc_id, {mins} from sh0 group by doc_id),
+banded as ({band_selects}),
+cands as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from banded a join banded b
+    on a.band_id = b.band_id and a.band_hash = b.band_hash
+   and a.doc_id < b.doc_id
+),
+sz as (select doc_id, count(*) as n from sh0 group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
+  from sh0 a join sh0 b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select c.doc_a, c.doc_b,
+       round(t.i / (sa.n + sb.n - t.i), 6) as jaccard
+from cands c
+join inter t on c.doc_a = t.doc_a and c.doc_b = t.doc_b
+join sz sa on c.doc_a = sa.doc_id
+join sz sb on c.doc_b = sb.doc_id
+where t.i / (sa.n + sb.n - t.i) >= {threshold}
+"""
+
+
 def q_simhash_near(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3). No SQL oracle (md5-per-word
-    fingerprint is engine-side); pinned by unit tests."""
+    """SimHash near-dup pairs (hamming <= 3).  The fingerprint (ASCII-regex
+    tokenization + md5-derived word hash + tf-weighted bit sums) is
+    bit-reproducible in SQL, so this is hash-checked against DuckDB."""
     from ts2g2_spark.operators import dedup
 
     fps = dedup.simhash_fingerprints(_docs(spark, sf_dir))
     return dedup.simhash_near_pairs(fps, max_hamming=3)
+
+
+SIMHASH_SQL = r"""
+with words as (
+  select doc_id, w, count(*) as cnt
+  from (
+    select doc_id,
+           unnest(list_filter(string_split(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+               x -> x != '')) as w
+    from documents) t
+  group by 1, 2
+),
+wh as (
+  select doc_id,
+         cast(concat('0x', substr(md5(w), 1, 15)) as bigint) as h, cnt
+  from words
+),
+bits as (
+  select doc_id, bb.b as b,
+         sum(case when ((h >> bb.b) & 1) = 1 then cnt else -cnt end) as s
+  from wh cross join (select unnest(generate_series(0, 63)) as b) bb
+  group by 1, 2
+),
+fp0 as (
+  select doc_id,
+         cast(sum(case when s > 0 then (1::BIGINT << b)
+                       else 0::BIGINT end) as bigint) as simhash
+  from bits group by 1
+),
+fp as (
+  select d.doc_id, coalesce(fp0.simhash, 0) as simhash
+  from documents d left join fp0 on d.doc_id = fp0.doc_id
+),
+banded as (
+  select doc_id, simhash, bb.band_id,
+         (simhash >> (bb.band_id * 16)) & 65535 as band_val
+  from fp cross join (select unnest(generate_series(0, 3)) as band_id) bb
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+from banded a join banded b
+  on a.band_id = b.band_id and a.band_val = b.band_val
+ and a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # ------------------------------------------------------------ embeddings
@@ -1337,6 +1450,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": QUALITY_SQL,
         "lang_id": _lang_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "minhash_lsh_candidates": _minhash_sql(),
+        "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
         "link_value_range": LINK_VALUE_RANGE_SQL,
         "link_cooccurrence": LINK_COOCCURRENCE_SQL,
@@ -1351,7 +1466,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top5": ANN_SQL,
         "embedding_norms": NORM_SQL,
         "centroid_by_label": CENTROID_SQL,
-        # minhash_lsh_candidates / simhash_near / ann_lsh_top5 / ann_ivf_top5:
-        # intentionally no oracle (engine-side hashing / approximate by
-        # design) -> driver records rows-only checks.
+        # ann_lsh_top5 / ann_ivf_top5: intentionally no oracle (approximate
+        # by design; recall bounded in tests) -> driver records rows-only.
     }

@@ -97,3 +97,48 @@ def test_shingles_hashed_counts(docs):
     # 60 words -> 58 trigram positions (distinct-deduped <= 58)
     assert 1 <= got[0] <= 58
     assert got[0] == got[1]
+
+
+# ------------------------------------------------------- hot-shingle cap
+def test_cap_shingles_kills_boilerplate_fanout(spark):
+    """1000 docs sharing one boilerplate shingle: uncapped, the self-join
+    fans out to ~500k pairs; capped, only genuinely-similar pairs join."""
+    from pyspark.sql import functions as F
+
+    boiler = "all rights reserved contact us"
+    rows = [(i, f"{boiler} unique content piece number {i} "
+                f"with extra words {i * 7} and {i * 13}")
+            for i in range(1000)]
+    # two true near-dups sharing rare shingles
+    rows.append((2000, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((2001, "the quick brown fox jumps over the lazy dog now"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup.shingles_hashed(docs, n_words=3).cache()
+    capped = dedup.cap_shingles(sh, max_doc_freq=10).cache()
+
+    def n_join_pairs(frame):
+        a, b = frame.alias("a"), frame.alias("b")
+        return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .count())
+
+    assert n_join_pairs(sh) > 400_000  # quadratic boilerplate fan-out
+    assert n_join_pairs(capped) < 5_000  # fan-out gone
+
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(
+        docs, n_words=3, threshold=0.4, shingle_frame=capped).collect()}
+    assert (2000, 2001) in pairs  # real near-dup survives the cap
+
+
+def test_cap_shingles_noop_below_cap(spark):
+    """With a cap above every observed DF, capped output == exact."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    exact = {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in
+             dedup.ngram_jaccard_pairs(docs, n_words=3,
+                                       threshold=0.5).collect()}
+    capped = {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in
+              dedup.ngram_jaccard_pairs(docs, n_words=3, threshold=0.5,
+                                        max_doc_freq=10**9).collect()}
+    assert exact == capped

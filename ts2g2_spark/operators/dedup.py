@@ -55,12 +55,18 @@ def shingles(docs: DataFrame, text_col: str = "text",
 
 
 def shingles_hashed(docs: DataFrame, text_col: str = "text",
-                    n_words: int = 5) -> DataFrame:
+                    n_words: int = 5,
+                    word_hash: str = "xxhash64") -> DataFrame:
     """(doc_id, n_sh, sh:long) — hashed word n-gram shingles with the
     per-doc distinct-shingle count carried from the pre-explode array
     (zero extra shuffles).  THE shared input frame for minhash signatures
     and exact-Jaccard verification: pass the SAME DataFrame object to
-    both (+ .cache()) so Catalyst reuses one materialization."""
+    both (+ .cache()) so Catalyst reuses one materialization.
+
+    word_hash: "xxhash64" (default — JVM intrinsic, the hot path) or
+    "md5" (h64: first 15 md5 hex chars as int64 — bit-reproducible in any
+    ANSI-ish oracle engine, used by the driver-contract minhash query so
+    DuckDB can replay the exact signatures)."""
     # Numeric gram hashing: hash each WORD once, then combine n
     # consecutive word-hashes with position-shifted XOR — no per-gram
     # string concat (the string build dominated the stage ~3x).  The
@@ -70,7 +76,12 @@ def shingles_hashed(docs: DataFrame, text_col: str = "text",
     # (~1e-13 at 1e7 shingles).
     words = F.filter(F.split(normalize_text(text_col), " "),
                      lambda w: w != F.lit(""))
-    wh = F.transform(words, lambda w: F.xxhash64(w))
+    if word_hash == "xxhash64":
+        wh = F.transform(words, lambda w: F.xxhash64(w))
+    elif word_hash == "md5":
+        wh = F.transform(words, h64)
+    else:
+        raise ValueError(word_hash)
     shift = " ^ ".join(
         f"shiftleft(element_at(wh, i + {k}), {n_words - 1 - k})"
         for k in range(n_words))
@@ -90,6 +101,32 @@ def shingles_hashed(docs: DataFrame, text_col: str = "text",
         .select("doc_id", grams.alias("g"), F.rand(0).alias("_b2"))
         .select("doc_id", F.size("g").alias("n_sh"),
                 F.explode("g").alias("sh"))
+    )
+
+
+def cap_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles appearing in more than max_doc_freq documents and
+    recount n_sh over the surviving set.
+
+    THE 100 TB guard for the Jaccard self-join: one boilerplate shingle
+    shared by D documents fans the join out to D^2/2 rows (a web corpus
+    has such shingles at D ~ 1e8).  The DF aggregate is partial-agg'd (one
+    row per distinct shingle in the exchange); the hot set is tiny by
+    construction, so it broadcasts into a left-anti join.  Semantics of
+    the downstream jaccard become "Jaccard over shingles with DF <=
+    max_doc_freq" — a documented, monotone restriction (boilerplate
+    carries no near-dup signal), NOT an approximation of exact Jaccard."""
+    hot = (
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("sh")
+    )
+    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        kept.drop("n_sh")
+        .join(sizes, "doc_id")
+        .select("doc_id", F.col("_n").alias("n_sh"), "sh")
     )
 
 
@@ -169,12 +206,18 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     shingle_frame: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs >= threshold.
 
     Without candidates: pairs sharing >=1 shingle (inner join on shingle,
     group to intersection counts).  With candidates (e.g. LSH output): only
-    verifies those pairs.  Output (doc_a, doc_b, jaccard)."""
+    verifies those pairs.  Output (doc_a, doc_b, jaccard).
+
+    max_doc_freq: when set, shingles appearing in more than that many docs
+    are dropped BEFORE the self-join (see cap_shingles) — the web-corpus
+    boilerplate guard; jaccard is then over the capped shingle universe.
+    Default None = exact jaccard (the oracle-checked path)."""
     # join on xxhash64 of the shingle, not the string: the self-join
     # shuffle carries 8-byte keys instead of ~30-byte strings.  A 64-bit
     # collision would need two distinct shingles in the SAME doc pair to
@@ -183,6 +226,8 @@ def ngram_jaccard_pairs(
     # the size-ratio prune costs zero extra shuffles.
     sh = (shingle_frame if shingle_frame is not None
           else shingles_hashed(docs, text_col, n_words).cache())
+    if max_doc_freq is not None:
+        sh = cap_shingles(sh, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -231,16 +276,20 @@ def simhash_fingerprints(
     word-hash bits weighted by term frequency.
 
     Arrow-batched kernel; per batch, only UNIQUE words are md5-hashed
-    (vocabulary dedup), then the bit-sum is a vectorized scatter-add."""
+    (vocabulary dedup), then the bit-sum is a vectorized scatter-add.
+    Tokenization is the ASCII regex [^a-z0-9]+ -> space over lowered text
+    — deliberately expressible in any regex-capable oracle engine, so the
+    fingerprints are bit-reproducible in the DuckDB contract oracle."""
+    import re
+
+    nonword = re.compile(r"[^a-z0-9]+")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for r in pdf.itertuples(index=False):
                 text = (r.text or "").lower()
-                words = [w for w in "".join(
-                    ch if ch.isalnum() or ch.isspace() else " "
-                    for ch in text).split() if w]
+                words = [w for w in nonword.sub(" ", text).split() if w]
                 if not words:
                     ids.append(r.doc_id)
                     hashes.append(0)
