@@ -1275,6 +1275,647 @@ def q_proximity_knn(spark, sf_dir):
              F.round("weight", 6).alias("weight"))
 
 
+# ------------------------------------- visibility variants (G3/G4) + P5
+def q_nvg_angle(spark, sf_dir):
+    """G3 angle-constrained NVG (ref to_graph/strategies.py:739-748,
+    pinned upstream by tests/test_angle_visibility_strategy.py): a scan
+    edge survives iff abs(atan(slope)) >= angle; path edges always
+    remain."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    return graphs.visibility_edges(s, kind="natural", angle=0.6).select(
+        F.col("series_key").cast("long").alias("user_id"), "src", "dst")
+
+
+NVG_ANGLE_SQL = f"""
+with {_PTS_CTE},
+vis as (
+  select a.user_id, a.pos as src, b.pos as dst,
+         abs(atan((b.v - a.v) / (b.pos - a.pos))) as ang
+  from pts a join pts b
+    on a.user_id = b.user_id and b.pos > a.pos
+  where not exists (
+    select 1 from pts m
+    where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+      and m.v > ((b.v - a.v) / (b.pos - a.pos)) * m.pos
+                + (b.v - ((b.v - a.v) / (b.pos - a.pos)) * b.pos)
+  )
+),
+mx as (select user_id, max(pos) as mp from pts group by 1)
+select user_id, src, dst from vis where ang >= 0.6
+union
+select p.user_id, p.pos as src, p.pos + 1 as dst
+from pts p join mx on p.user_id = mx.user_id
+where p.pos < mx.mp
+"""
+
+
+def q_nvg_weighted(spark, sf_dir):
+    """G4 angle-weighted NVG (ref to_graph/strategies.py:24-29): every
+    edge carries weight abs(atan(slope)); with no angle constraint the
+    path edges are all scan-visible, so no unweighted rows exist."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    return graphs.visibility_edges(s, kind="natural", weighted=True).select(
+        F.col("series_key").cast("long").alias("user_id"), "src", "dst",
+        F.round("weight", 9).alias("weight"))
+
+
+NVG_WEIGHTED_SQL = f"""
+with {_PTS_CTE}
+select a.user_id, a.pos as src, b.pos as dst,
+       round(abs(atan((b.v - a.v) / (b.pos - a.pos))), 9) as weight
+from pts a join pts b
+  on a.user_id = b.user_id and b.pos > a.pos
+where not exists (
+  select 1 from pts m
+  where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+    and m.v > ((b.v - a.v) / (b.pos - a.pos)) * m.pos
+              + (b.v - ((b.v - a.v) / (b.pos - a.pos)) * b.pos)
+)
+"""
+
+
+def q_histogram_10(spark, sf_dir):
+    """P5 per-series histogram (ref core/model.py:225-233, np.histogram
+    exact), flattened to one row per bin.  Bin edges are the np.linspace
+    arithmetic (i*step + min; last edge = max exactly), reproduced
+    literally in the oracle so boundary assignment matches bit-for-bit."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    h = graphs.histogram(s, 10)
+    return h.select(
+        F.col("series_key").cast("long").alias("user_id"),
+        F.posexplode("freqs").alias("bin", "freq"),
+        F.col("bin_edges"),
+    ).select(
+        "user_id", F.col("bin").cast("long").alias("bin"),
+        F.round(F.element_at("bin_edges", F.col("bin") + 1), 9).alias("lo"),
+        F.round(F.element_at("bin_edges", F.col("bin") + 2), 9).alias("hi"),
+        "freq",
+    )
+
+
+HISTOGRAM_SQL = f"""
+with {_PTS_CTE},
+stats as (select user_id, min(v) as mn, max(v) as mx from pts group by 1),
+bins as (
+  select user_id, unnest(generate_series(0, 9)) as bin, mn, mx
+  from stats
+),
+assigned as (
+  select p.user_id,
+         cast(len(list_filter(
+             list_transform(generate_series(1, 9),
+                            i -> i * ((s.mx - s.mn) / 10) + s.mn),
+             e -> e <= p.v)) as bigint) as bin
+  from pts p join stats s on p.user_id = s.user_id
+),
+freqs as (select user_id, bin, count(*) as f from assigned group by 1, 2)
+select b.user_id, b.bin::BIGINT as bin,
+       round(b.bin * ((b.mx - b.mn) / 10) + b.mn, 9) as lo,
+       round(case when b.bin = 9 then b.mx
+                  else (b.bin + 1) * ((b.mx - b.mn) / 10) + b.mn end,
+             9) as hi,
+       coalesce(f.f, 0) as freq
+from bins b left join freqs f on b.user_id = f.user_id and b.bin = f.bin
+"""
+
+
+# --------------------------------- proximity cycle/adaptive (G11/G12/G15)
+def q_proximity_cycle(spark, sf_dir):
+    """G11/G12 cycle/correlation proximity network (ref
+    to_graph/strategies.py:257-309; the two strategies compute the same
+    thing): nodes = stride-1 length-10 segments of the first 100 points,
+    edge iff pearson corr STRICTLY > 0.5, weight = corr."""
+    from ts2g2_spark.operators import graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 100).alias("values"))
+    return graphs.proximity_edges(
+        series, method="cycle", segment_length=10, threshold=0.5,
+    ).select("series_key", "src", "dst",
+             F.round("weight", 6).alias("weight"))
+
+
+PROXIMITY_CYCLE_SQL = """
+with pts as (
+  select user_id,
+         row_number() over (partition by user_id
+                            order by ts, event_id) - 1 as pos,
+         value as v
+  from events where user_id < 10
+  qualify pos < 100
+),
+n as (select user_id, max(pos) + 1 as npts from pts group by 1),
+segm as (
+  select p.user_id, i.i as seg, p.pos - i.i as k, p.v
+  from pts p
+  join n on n.user_id = p.user_id,
+  lateral unnest(generate_series(greatest(p.pos - 9, 0),
+                                 least(p.pos, n.npts - 10))) as i(i)
+),
+pairs as (
+  select a.user_id, a.seg as src, b.seg as dst, corr(a.v, b.v) as c
+  from segm a join segm b
+    on a.user_id = b.user_id and a.k = b.k and a.seg < b.seg
+  group by 1, 2, 3
+)
+select user_id::VARCHAR as series_key, src, dst, round(c, 6) as weight
+from pairs where c > 0.5
+"""
+
+
+def q_proximity_annn(spark, sf_dir):
+    """G15 adaptive nearest-neighbor network (ref
+    to_graph/strategies.py:374-397): per node i, threshold = 1.2 * mean of
+    its k=5 smallest non-self distances; edge to every j with dist
+    STRICTLY below.  Membership is tie-independent (the threshold is a
+    mean over a value-multiset), so a SQL oracle exists — unlike k-NN,
+    whose argsort tie ORDER picks which neighbors survive."""
+    from ts2g2_spark.operators import graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 100).alias("values"))
+    return graphs.proximity_edges(
+        series, method="recurrence", recurrence_type="annn", k=5,
+    ).select("series_key", "src", "dst",
+             F.round("weight", 6).alias("weight"))
+
+
+PROXIMITY_ANNN_SQL = """
+with pts as (
+  select user_id,
+         row_number() over (partition by user_id
+                            order by ts, event_id) - 1 as pos,
+         value as v
+  from events where user_id < 10
+  qualify pos < 100
+),
+d as (
+  select a.user_id, a.pos as i, b.pos as j,
+         sqrt((a.v - b.v) * (a.v - b.v)) as dist
+  from pts a join pts b on a.user_id = b.user_id
+),
+ranked as (
+  select user_id, i, j, dist,
+         row_number() over (partition by user_id, i
+                            order by dist, j) as rn
+  from d
+),
+thr as (
+  select user_id, i, 1.2 * avg(dist) as thr
+  from ranked where rn between 2 and 6
+  group by 1, 2
+)
+select distinct d.user_id::VARCHAR as series_key,
+       least(d.i, d.j) as src, greatest(d.i, d.j) as dst,
+       round(d.dist, 6) as weight
+from d join thr on d.user_id = thr.user_id and d.i = thr.i
+where d.j != d.i and d.dist < thr.thr
+"""
+
+
+# ------------------------------------------------ multivariate OPG (G7)
+def q_opg_multivariate_w3(spark, sf_dir):
+    """G7 multivariate OPG w=3 tau=1 (ref to_graph/strategies.py:72-94,
+    107-126): per-variable up/down diff patterns concatenated
+    variable-major.  Second variable = fractional part of the value
+    (v - floor(v)) — exact in both engines, ordering-independent of v."""
+    from ts2g2_spark.operators import graphs
+
+    s = _event_series(spark, sf_dir)
+    mv = s.select(
+        "series_key",
+        F.array(
+            F.col("values"),
+            F.expr("transform(values, x -> x - floor(x))"),
+        ).alias("variables"),
+    )
+    return graphs.opg_edges_multivariate(mv, 3, 1).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "src_pattern", "dst_pattern",
+        F.round("weight", 9).alias("weight"))
+
+
+OPG_MV_SQL = f"""
+with {_PTS_CTE},
+pat as (
+  select a.user_id, a.pos,
+         cast(case when b.v > a.v then 1 else 0 end as varchar)
+         || ',' ||
+         cast(case when c.v > b.v then 1 else 0 end as varchar)
+         || ',' ||
+         cast(case when (b.v - floor(b.v)) > (a.v - floor(a.v))
+                   then 1 else 0 end as varchar)
+         || ',' ||
+         cast(case when (c.v - floor(c.v)) > (b.v - floor(b.v))
+                   then 1 else 0 end as varchar)
+           as pattern
+  from pts a
+  join pts b on b.user_id = a.user_id and b.pos = a.pos + 1
+  join pts c on c.user_id = a.user_id and c.pos = a.pos + 2
+),
+trans as (
+  select user_id, pattern as src_pattern,
+         lead(pattern) over (partition by user_id order by pos)
+           as dst_pattern
+  from pat
+),
+np as (select user_id, count(*) n from pat group by 1)
+select t.user_id, t.src_pattern, t.dst_pattern,
+       round(count(*) / any_value(np.n), 9) as weight
+from trans t join np on t.user_id = np.user_id
+where t.dst_pattern is not null
+group by t.user_id, t.src_pattern, t.dst_pattern
+"""
+
+
+# -------------------------------------- linking L3/L6/L7/L10/L11/L12
+def q_link_correlation(spark, sf_dir):
+    """L3 all-pairs Pearson correlation linking (ref
+    strategy_linking_multi_graphs.py:41-77): one node per user carrying
+    its daily-sum series; every pair weighted by corr over the common
+    prefix length, NaN -> 0."""
+    from ts2g2_spark.operators import linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("val"))
+    packed = F.array_sort(
+        F.collect_list(F.struct("day", F.col("val").alias("v"))))
+    nodes = daily.groupBy("user_id").agg(
+        F.transform(packed, lambda s: s["v"]).alias("values")
+    ).select(
+        F.lit("g").alias("graph_key"),
+        F.col("user_id").cast("string").alias("node_id"),
+        F.col("user_id").cast("long").alias("ord"),
+        F.lit(0.0).alias("value"),
+        "values",
+    )
+    return linking.link_correlation(nodes).select(
+        "src", "dst", F.round("weight", 6).alias("weight"))
+
+
+LINK_CORRELATION_SQL = """
+with daily as (
+  select user_id, date_trunc('day', ts) as day, round(sum(value), 6) as val
+  from events where user_id < 20 group by 1, 2
+),
+numbered as (
+  select user_id,
+         row_number() over (partition by user_id order by day) - 1 as rn,
+         val
+  from daily
+),
+pairs as (
+  select a.user_id as ua, b.user_id as ub, corr(a.val, b.val) as c
+  from numbered a join numbered b
+    on a.rn = b.rn and a.user_id::VARCHAR < b.user_id::VARCHAR
+  group by 1, 2
+)
+select ua::VARCHAR as src, ub::VARCHAR as dst,
+       round(coalesce(c, 0), 6) as weight
+from pairs
+"""
+
+
+def q_link_positional_correlation(spark, sf_dir):
+    """L6 positional correlation (ref
+    strategy_linking_multi_graphs.py:180-240): equal-insertion-order daily
+    nodes across users, weighted by Pearson of their hourly-sum series
+    (positionally aligned over the common length)."""
+    from pyspark.sql.window import Window
+
+    from ts2g2_spark.operators import linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 6)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.round(F.sum("value"), 6).alias("hv"))
+    packed = F.array_sort(
+        F.collect_list(F.struct("hour", F.col("hv").alias("v"))))
+    per_day = hourly.groupBy("user_id", "day").agg(
+        F.transform(packed, lambda s: s["v"]).alias("values"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    nodes = per_day.select(
+        F.col("user_id").cast("string").alias("graph_key"),
+        F.concat_ws(":", F.col("user_id"),
+                    F.date_format("day", "yyyy-MM-dd")).alias("node_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        F.lit(0.0).alias("value"),
+        "values",
+    )
+    return linking.link_positional_correlation(nodes).select(
+        "src", "dst", F.round("weight", 6).alias("weight"))
+
+
+LINK_POSCORR_SQL = """
+with hourly as (
+  select user_id, date_trunc('day', ts) as d, date_trunc('hour', ts) as h,
+         round(sum(value), 6) as hv
+  from events where user_id < 6 group by 1, 2, 3
+),
+nodes as (
+  select user_id, d,
+         user_id || ':' || strftime(d, '%Y-%m-%d') as node_id,
+         row_number() over (partition by user_id order by d) - 1 as ord
+  from (select distinct user_id, d from hourly)
+),
+hnum as (
+  select user_id, d,
+         row_number() over (partition by user_id, d order by h) - 1 as rn,
+         hv
+  from hourly
+),
+pairs as (
+  select na.node_id as sa, nb.node_id as sb, corr(ha.hv, hb.hv) as c
+  from nodes na join nodes nb
+    on na.ord = nb.ord and na.node_id < nb.node_id
+  join hnum ha on ha.user_id = na.user_id and ha.d = na.d
+  join hnum hb on hb.user_id = nb.user_id and hb.d = nb.d
+                  and hb.rn = ha.rn
+  group by 1, 2
+)
+select sa as src, sb as dst, round(coalesce(c, 0), 6) as weight from pairs
+"""
+
+
+def q_link_window_chain(spark, sf_dir):
+    """L7 sliding-window chain (ref
+    strategy_linking_multi_graphs.py:242-285): consecutive window-graph
+    supernodes linked per series; windows via the reference's off-by-one
+    slicing (the final len-win start is dropped)."""
+    from ts2g2_spark.operators import graphs, linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    sw = graphs.sliding_windows(series, 50, 25)
+    segs = sw.select(
+        "series_key",
+        F.col("start_idx").alias("seg_ord"),
+        F.concat_ws(":", "series_key", "start_idx").alias("graph_id"),
+    )
+    return linking.link_sliding_window_chain(segs).select("src", "dst")
+
+
+LINK_WINDOW_CHAIN_SQL = """
+with n as (
+  select user_id, count(*) as c from events where user_id < 50 group by 1
+),
+starts as (
+  select user_id, unnest(generate_series(0, c - 50 - 1, 25)) as s
+  from n where c > 50
+),
+ordered as (
+  select user_id, s,
+         lead(s) over (partition by user_id order by s) as nxt
+  from starts
+)
+select user_id || ':' || s as src, user_id || ':' || nxt as dst
+from ordered where nxt is not null
+"""
+
+
+def q_manual_edge(spark, sf_dir):
+    """L10 manual edge by composed-graph node position (ref
+    core/model.py:271-277: positions index insertion order =
+    (graph_key, ord))."""
+    from ts2g2_spark.operators import linking
+
+    nodes = _daily_nodes(spark, sf_dir, 5)
+    return linking.manual_edge(nodes, 3, 17, weight=2.5).select(
+        "src", "dst", "weight")
+
+
+MANUAL_EDGE_SQL = """
+with daily as (
+  select user_id, date_trunc('day', ts) as day
+  from events where user_id < 5 group by 1, 2
+),
+ordered as (
+  select user_id || ':' || strftime(day, '%Y-%m-%d') as node_id,
+         row_number() over (order by user_id::VARCHAR, day) - 1 as pos
+  from daily
+)
+select a.node_id as src, b.node_id as dst, 2.5 as weight
+from ordered a, ordered b
+where a.pos = 3 and b.pos = 17
+"""
+
+
+def q_combine_nodes(spark, sf_dir):
+    """L11 combine-identical-nodes (documented intent of
+    core/model.py:323-350 — the reference's own body is a pinned no-op):
+    daily nodes with floor(daily sum) as the merge value, seasonality-7
+    edges rewritten onto canonical nodes."""
+    from pyspark.sql.window import Window
+
+    from ts2g2_spark.operators import linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.floor(F.sum("value")).cast("double").alias("val"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    nodes = daily.select(
+        F.col("user_id").cast("string").alias("graph_key"),
+        F.concat_ws(":", F.col("user_id"),
+                    F.date_format("day", "yyyy-MM-dd")).alias("node_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        F.col("val").alias("value"),
+        F.array("val").alias("values"),
+    )
+    edges = linking.link_seasonality(nodes, 7)
+    _, e = linking.combine_identical_nodes(nodes, edges)
+    return e.select("src", "dst")
+
+
+COMBINE_NODES_SQL = """
+with daily as (
+  select user_id, date_trunc('day', ts) as day, floor(sum(value)) as val
+  from events where user_id < 10 group by 1, 2
+),
+nodes as (
+  select user_id::VARCHAR as gk,
+         user_id || ':' || strftime(day, '%Y-%m-%d') as node_id,
+         row_number() over (partition by user_id order by day) - 1 as ord,
+         val
+  from daily
+),
+canon as (
+  select node_id,
+         first_value(node_id) over (partition by val order by gk, ord)
+           as canon_id
+  from nodes
+),
+edges as (
+  select node_id as src,
+         lead(node_id, 7) over (partition by gk order by ord) as dst
+  from nodes qualify dst is not null
+),
+mapped as (
+  select ca.canon_id as s, cb.canon_id as d
+  from edges e
+  join canon ca on e.src = ca.node_id
+  join canon cb on e.dst = cb.node_id
+  where ca.canon_id != cb.canon_id
+)
+select distinct least(s, d) as src, greatest(s, d) as dst from mapped
+"""
+
+
+def q_combine_subgraphs(spark, sf_dir):
+    """L12 combine-identical-subgraphs (ref core/model.py:289-321:
+    set-equal window graphs merge): windows of 6 points fingerprinted by
+    their up/down pattern (5 bits -> frequent collisions), chain edges
+    rewritten onto the first window per fingerprint."""
+    from ts2g2_spark.operators import graphs, linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 120).alias("values"))
+    sw = graphs.sliding_windows(series, 6, 6)
+    segs = sw.select(
+        "series_key",
+        F.col("start_idx").alias("seg_ord"),
+        F.concat_ws(":", "series_key", "start_idx").alias("graph_id"),
+        F.expr(
+            "concat_ws(',', transform(sequence(1, 5), i -> "
+            "case when element_at(values, i + 1) > element_at(values, i) "
+            "then '1' else '0' end))"
+        ).alias("fingerprint"),
+    )
+    chain = linking.link_sliding_window_chain(
+        segs.select("series_key", "seg_ord", "graph_id"))
+    _, e = linking.combine_identical_subgraphs(segs, chain)
+    return e.select("src", "dst")
+
+
+COMBINE_SUBGRAPHS_SQL = """
+with pts as (
+  select user_id,
+         row_number() over (partition by user_id
+                            order by ts, event_id) - 1 as pos,
+         value as v
+  from events where user_id < 20
+  qualify pos < 120
+),
+nn as (select user_id, max(pos) + 1 as c from pts group by 1),
+starts as (
+  select user_id, unnest(generate_series(0, c - 6 - 1, 6)) as s
+  from nn where c > 6
+),
+fp as (
+  select st.user_id, st.s,
+         st.user_id || ':' || st.s as graph_id,
+         concat_ws(',',
+           case when p1.v > p0.v then '1' else '0' end,
+           case when p2.v > p1.v then '1' else '0' end,
+           case when p3.v > p2.v then '1' else '0' end,
+           case when p4.v > p3.v then '1' else '0' end,
+           case when p5.v > p4.v then '1' else '0' end) as fingerprint
+  from starts st
+  join pts p0 on p0.user_id = st.user_id and p0.pos = st.s
+  join pts p1 on p1.user_id = st.user_id and p1.pos = st.s + 1
+  join pts p2 on p2.user_id = st.user_id and p2.pos = st.s + 2
+  join pts p3 on p3.user_id = st.user_id and p3.pos = st.s + 3
+  join pts p4 on p4.user_id = st.user_id and p4.pos = st.s + 4
+  join pts p5 on p5.user_id = st.user_id and p5.pos = st.s + 5
+),
+canon as (
+  select graph_id,
+         first_value(graph_id) over (partition by user_id, fingerprint
+                                     order by s) as canon_id
+  from fp
+),
+chain as (
+  select graph_id as src,
+         lead(graph_id) over (partition by user_id order by s) as dst
+  from fp qualify dst is not null
+),
+mapped as (
+  select ca.canon_id as s, cb.canon_id as d
+  from chain e
+  join canon ca on e.src = ca.graph_id
+  join canon cb on e.dst = cb.graph_id
+  where ca.canon_id != cb.canon_id
+)
+select distinct least(s, d) as src, greatest(s, d) as dst from mapped
+"""
+
+
+# -------------------------------------------- generative R2/R3/R4 extras
+def q_generate_plain(spark, sf_dir):
+    """R2 plain visitor over per-user HVGs whose nodes carry their point
+    value (no SQL oracle: seeded stochastic walk; bit-parity with the
+    seeded reference pinned in tests/test_generate.py)."""
+    from ts2g2_spark.operators import generate, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 64).alias("values"))
+    nodes = series.select(
+        "series_key",
+        F.posexplode("values").alias("node_id", "v"),
+    ).select("series_key", F.col("node_id").cast("long").alias("node_id"),
+             F.array("v").alias("values"))
+    edges = graphs.visibility_edges(series, kind="horizontal").select(
+        "series_key", "src", "dst")
+    packed = generate.pack_graph_rows(nodes, edges)
+    out = generate.generate_sequences(
+        packed, ts_length=40, value_strategy="random",
+        node_strategy="randomly", run_seed=42)
+    return out.select("series_key", "py_seed",
+                      F.size("seq").alias("seq_len"))
+
+
+def q_generate_sliding(spark, sf_dir):
+    """R3 sliding-window visitor (no SQL oracle: seeded stochastic walk;
+    parity pinned in tests/test_generate.py)."""
+    from ts2g2_spark.operators import generate, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    out = generate.generate_sliding_sequences(
+        series, win_size=10, move_len=5, ts_length=40, run_seed=42)
+    return out.select("series_key", "py_seed",
+                      F.size("seq").alias("seq_len"))
+
+
+def q_generate_ordinal(spark, sf_dir):
+    """R4 ordinal-partition visitor (no SQL oracle: seeded stochastic
+    walk; parity pinned in tests/test_generate.py)."""
+    from ts2g2_spark.operators import generate, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 128).alias("values"))
+    out = generate.generate_ordinal_sequences(
+        series, w=3, tau=1, hist_bins=10, ts_length=50, run_seed=42)
+    return out.select("series_key", "py_seed",
+                      F.size("seq").alias("seq_len"))
+
+
 # ----------------------------------------------- multimodal (SURVEY §2.7)
 def _media_from_docs(spark, sf_dir):
     """Documents as opaque media rows: payload = utf8 bytes of the text
@@ -1418,6 +2059,21 @@ _RAW_QUERIES = {
         "media_features": q_media_features,
         "proximity_eps": q_proximity_eps,
         "proximity_knn": q_proximity_knn,
+        "nvg_angle": q_nvg_angle,
+        "nvg_weighted": q_nvg_weighted,
+        "histogram_10": q_histogram_10,
+        "proximity_cycle": q_proximity_cycle,
+        "proximity_annn": q_proximity_annn,
+        "opg_multivariate_w3": q_opg_multivariate_w3,
+        "link_correlation": q_link_correlation,
+        "link_positional_correlation": q_link_positional_correlation,
+        "link_window_chain": q_link_window_chain,
+        "manual_edge": q_manual_edge,
+        "combine_nodes": q_combine_nodes,
+        "combine_subgraphs": q_combine_subgraphs,
+        "generate_plain": q_generate_plain,
+        "generate_sliding": q_generate_sliding,
+        "generate_ordinal": q_generate_ordinal,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
@@ -1459,6 +2115,21 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau": KENDALL_TAU_SQL,
         "media_dedup": MEDIA_DEDUP_SQL,
         "proximity_eps": PROXIMITY_EPS_SQL,
+        "nvg_angle": NVG_ANGLE_SQL,
+        "nvg_weighted": NVG_WEIGHTED_SQL,
+        "histogram_10": HISTOGRAM_SQL,
+        "proximity_cycle": PROXIMITY_CYCLE_SQL,
+        "proximity_annn": PROXIMITY_ANNN_SQL,
+        "opg_multivariate_w3": OPG_MV_SQL,
+        "link_correlation": LINK_CORRELATION_SQL,
+        "link_positional_correlation": LINK_POSCORR_SQL,
+        "link_window_chain": LINK_WINDOW_CHAIN_SQL,
+        "manual_edge": MANUAL_EDGE_SQL,
+        "combine_nodes": COMBINE_NODES_SQL,
+        "combine_subgraphs": COMBINE_SUBGRAPHS_SQL,
+        # generate_plain / generate_sliding / generate_ordinal: no SQL
+        # oracle (seeded stochastic walks) -> rows-only checks; bit-parity
+        # vs the seeded reference pinned in tests/test_generate.py.
         # link_dtw / eigencentrality_hvg / generate_sequences /
         # media_features: no SQL oracle (DP / eigensolver / seeded RNG /
         # binary decode) -> rows-only checks; parity pinned by the

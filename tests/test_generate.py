@@ -379,3 +379,21 @@ def test_quantile_value_strategy_empty_bin_fallback():
     seq: list[float] = []
     gk._append_value("quantile", rng, g, {}, 0, 1, seq)  # empty bin 1
     assert len(seq) == 1 and 1.0 <= seq[0] <= 2.0
+
+
+def test_generate_sliding_spark(spark):
+    from ts2g2_spark.operators import generate
+
+    s = spark.createDataFrame(
+        [("a", [float(i % 7) for i in range(30)]),
+         ("short", [1.0, 2.0])],  # len <= win -> no windows -> no row
+        "series_key string, values array<double>")
+    out = generate.generate_sliding_sequences(
+        s, win_size=10, move_len=5, ts_length=20, run_seed=7).collect()
+    assert len(out) == 1 and out[0].series_key == "a"
+    # random_sliding appends one value per window node per step -> the
+    # sequence can overshoot ts_length (reference behavior)
+    assert len(out[0].seq) >= 20
+    out2 = generate.generate_sliding_sequences(
+        s, win_size=10, move_len=5, ts_length=20, run_seed=7).collect()
+    assert out[0].seq == out2[0].seq  # seeded determinism

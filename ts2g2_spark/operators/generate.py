@@ -107,6 +107,58 @@ def generate_sequences(
     return packed.mapInPandas(kern, schema=SEQ_SCHEMA)
 
 
+def generate_sliding_sequences(
+    series: DataFrame,
+    win_size: int,
+    move_len: int = 1,
+    ts_length: int = 30,
+    value_strategy: str = "random_sliding",
+    node_strategy: str = "randomly",
+    skip: int = 0,
+    switch: int = 1,
+    run_seed: int = 42,
+) -> DataFrame:
+    """R3 sliding-window inversion from the series frame: each window is a
+    supernode chained to its neighbors (ref core/model.py:504-573 walk over
+    the sliding-window composed graph), carrying its window's per-point
+    value lists for the *_sliding value strategies.  Preserves the
+    reference windowing off-by-one (core/model.py:81-82: the final window
+    starting at len-win is dropped; len <= win -> no windows -> the series
+    emits no row)."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                y = [float(v) for v in r.values]
+                n = len(y)
+                if n <= win_size:
+                    continue
+                starts = list(range(0, n - win_size, move_len))
+                win_values = [[[y[s + t]] for t in range(win_size)]
+                              for s in starts]
+                m = len(starts)
+                neighbors: list[list[int]] = [[] for _ in range(m)]
+                for i in range(m - 1):
+                    neighbors[i].append(i + 1)
+                    neighbors[i + 1].append(i)
+                g = gk.GraphData(values=[[] for _ in range(m)],
+                                 neighbors=neighbors,
+                                 win_values=win_values)
+                ps, ns = _seeds(run_seed, r.series_key)
+                rng = gk.Rng.seeded(ps, ns)
+                seq = gk.walk_sliding([g], ts_length, value_strategy,
+                                      node_strategy, rng, skip=skip,
+                                      switch=switch)[0]
+                rows.append({"series_key": r.series_key, "py_seed": ps,
+                             "np_seed": ns,
+                             "seq": np.asarray(seq, np.float64)})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return series.mapInPandas(kern, schema=SEQ_SCHEMA)
+
+
 def generate_quantile_sequences(
     series: DataFrame,
     Q: int,
