@@ -1916,6 +1916,28 @@ def q_generate_ordinal(spark, sf_dir):
                       F.size("seq").alias("seq_len"))
 
 
+def q_walk_corpus(spark, sf_dir):
+    """E2 random-walk corpus over per-user HVGs (ref
+    embeddings/ts2g2_embeddings.py:132-141; gensim model out of scope).
+    No SQL oracle: seeded stochastic walks; bit-parity with
+    nx.generate_random_paths pinned in tests/test_analytics.py."""
+    from ts2g2_spark.operators import analytics, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 64).alias("values"))
+    edges = graphs.visibility_edges(series, kind="horizontal").select(
+        "series_key", "src", "dst")
+    walks = analytics.random_walk_corpus(
+        edges, sample_size=15, path_length=45, run_seed=42)
+    return walks.select(
+        "series_key", "walk_id",
+        F.size("walk").alias("walk_len"),
+        F.element_at("walk", 1).alias("start_node"))
+
+
 # ----------------------------------------------- multimodal (SURVEY §2.7)
 def _media_from_docs(spark, sf_dir):
     """Documents as opaque media rows: payload = utf8 bytes of the text
@@ -2074,6 +2096,7 @@ _RAW_QUERIES = {
         "generate_plain": q_generate_plain,
         "generate_sliding": q_generate_sliding,
         "generate_ordinal": q_generate_ordinal,
+        "walk_corpus": q_walk_corpus,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,

@@ -118,3 +118,44 @@ def test_embedding_ranking_zero_norm_sorts_last(spark):
     assert rows[2].distance is None
     assert rows[2].rank == 3  # degenerate vector cannot claim the top rank
     assert {rows[1].rank, rows[3].rank} == {1, 2}
+
+
+# ------------------------------------------------------------------ E2
+def test_random_walk_kernel_matches_networkx():
+    """Bit-parity with nx.generate_random_paths (the reference's walk
+    generator, embeddings/ts2g2_embeddings.py:132-141) on the same node
+    order and RandomState."""
+    import networkx as nx
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    g = nx.Graph()
+    g.add_edges_from(edges)  # insertion order == edge-scan order
+    for seed in (7, 42, 1234):
+        ref = list(nx.generate_random_paths(
+            g, sample_size=5, path_length=9,
+            seed=np.random.RandomState(seed)))
+        got = analytics.random_walk_paths_kernel(
+            [e[0] for e in edges], [e[1] for e in edges],
+            sample_size=5, path_length=9,
+            rs=np.random.RandomState(seed))
+        assert got == [list(p) for p in ref]
+
+
+def test_random_walk_corpus_spark(spark):
+    edges = spark.createDataFrame(
+        [("s", 0, 1), ("s", 1, 2), ("s", 2, 0), ("t", 0, 1)],
+        "series_key string, src long, dst long")
+    out = analytics.random_walk_corpus(
+        edges, sample_size=3, path_length=5, run_seed=9).collect()
+    assert len(out) == 6  # 3 walks x 2 series
+    by_series = {}
+    for r in out:
+        by_series.setdefault(r.series_key, []).append(r)
+        assert len(r.walk) == 6  # start + path_length steps
+    # single-edge graph "t": walks alternate between its two nodes
+    for r in by_series["t"]:
+        assert set(r.walk) <= {"0", "1"}
+    # deterministic replay
+    out2 = analytics.random_walk_corpus(
+        edges, sample_size=3, path_length=5, run_seed=9).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

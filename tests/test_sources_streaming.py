@@ -69,3 +69,38 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert got2.count() == want1.count()
     assert got2.select(*cols).exceptAll(want1.select(*cols)).count() == 0
     assert want1.select(*cols).exceptAll(got2.select(*cols)).count() == 0
+
+
+# ------------------------------------------------------------- S2 .ts
+def test_read_ts_fixture(spark):
+    from ts2g2_spark.sources import io
+
+    df = io.read_ts(spark, "tests/fixtures/sample.ts")
+    rows = {(r.case_id, r.dim): r for r in df.collect()}
+    assert len(rows) == 6  # 3 cases x 2 dims
+    assert rows[(0, "dim_0")].values == [1.0, 2.0, 3.5, 2.5]
+    assert rows[(1, "dim_1")].values == [7.5, 6.5, 5.5, 4.5]
+    assert rows[(0, "dim_0")].label == "up"
+    assert rows[(1, "dim_0")].label == "down"
+
+
+def test_ts_first_series_matches_reference_surface(spark):
+    """Reference TsFile.from_ts returns X['dim_0'][0] (tsg_io/input.py:
+    47-49) — the first case's dim_0 series."""
+    from ts2g2_spark.sources import io
+
+    row = io.ts_first_series(spark, "tests/fixtures/sample.ts").collect()
+    assert len(row) == 1
+    assert row[0].values == [1.0, 2.0, 3.5, 2.5]
+
+
+def test_read_ts_no_label(spark, tmp_path):
+    from ts2g2_spark.sources import io
+
+    p = tmp_path / "nolabel.ts"
+    p.write_text("@problemName x\n@classLabel false\n@data\n"
+                 "1.0,2.0:3.0,4.0\n5.0,6.0:7.0,8.0\n")
+    rows = {(r.case_id, r.dim): r for r in
+            io.read_ts(spark, str(p)).collect()}
+    assert rows[(0, "dim_1")].values == [3.0, 4.0]
+    assert rows[(1, "dim_0")].label is None

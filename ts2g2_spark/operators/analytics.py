@@ -88,6 +88,96 @@ def eigenvector_centrality(
         kern, schema="series_key string, embedding array<double>")
 
 
+# ------------------------------------------------------------------ E2
+def random_walk_paths_kernel(
+    srcs, dsts, sample_size: int, path_length: int,
+    rs: np.random.RandomState,
+) -> list[list[int]]:
+    """The Spark-substantive half of E2 Doc2Vec (ref
+    embeddings/ts2g2_embeddings.py:132-141: nx.generate_random_paths with
+    sample_size=15, path_length=45; the gensim model itself is out of
+    scope — gensim absent).  Replicates networkx's exact algorithm and RNG
+    call sequence (randint start + per-step choice over the row of the
+    reciprocal-normalized adjacency), so a RandomState-seeded run is
+    bit-identical to nx.generate_random_paths on the same node order
+    (pinned in tests/test_analytics.py).
+
+    Node order = first appearance scanning edge rows (src then dst) — the
+    nx.from_pandas_edgelist insertion order for the same row order."""
+    order: dict[int, int] = {}
+    for s, d in zip(srcs, dsts):
+        if s not in order:
+            order[s] = len(order)
+        if d not in order:
+            order[d] = len(order)
+    n = len(order)
+    if n == 0:
+        return []
+    A = np.zeros((n, n))
+    for s, d in zip(srcs, dsts):
+        A[order[s], order[d]] = 1.0
+        A[order[d], order[s]] = 1.0
+    # nx uses adj * reciprocal(row_sums), not division — keep the literal
+    # expression so the probability vectors are bit-identical
+    P = A * np.reciprocal(A.sum(axis=1).reshape(-1, 1))
+    node_map = list(order)
+    paths = []
+    for _ in range(sample_size):
+        cur = int(rs.randint(n))
+        path = [node_map[cur]]
+        for _ in range(path_length):
+            cur = int(rs.choice(n, p=P[cur]))
+            path.append(node_map[cur])
+        paths.append(path)
+    return paths
+
+
+def random_walk_corpus(
+    edges: DataFrame,
+    sample_size: int = 15,
+    path_length: int = 45,
+    run_seed: int = 42,
+) -> DataFrame:
+    """Per-series random-walk corpus for graph embeddings (E2): walks as
+    string-token documents, one row per walk (series_key, walk_id,
+    walk array<string>) — the TaggedDocument input the reference feeds
+    gensim (ts2g2_embeddings.py:139-152).
+
+    Seeding: deterministic per-series RandomState derived from
+    (run_seed, series_key) via crc32 (the reference walks with the
+    UNSEEDED numpy global — replayability here is an engine guarantee,
+    SURVEY §4.3).  Edge rows are sorted (src, dst) before the kernel so
+    the node insertion order — and therefore the walks — are independent
+    of shuffle order."""
+    from ts2g2_spark.operators.generate import _seeds
+
+    packed = edges.groupBy("series_key").agg(
+        F.array_sort(
+            F.collect_list(F.struct("src", "dst"))).alias("e"))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                srcs = [int(x["src"]) for x in r.e]
+                dsts = [int(x["dst"]) for x in r.e]
+                _, np_seed = _seeds(run_seed, r.series_key)
+                rs = np.random.RandomState(np_seed)
+                walks = random_walk_paths_kernel(
+                    srcs, dsts, sample_size, path_length, rs)
+                for i, p in enumerate(walks):
+                    rows.append({
+                        "series_key": r.series_key, "walk_id": i,
+                        "walk": [str(x) for x in p],
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return packed.mapInPandas(
+        kern,
+        schema="series_key string, walk_id int, walk array<string>")
+
+
 # ------------------------------------------------------------------ E4
 def embedding_ranking(
     embeddings: DataFrame,

@@ -5,16 +5,23 @@ S1 CSV reader — reference `CsvFile(path, y_column).from_csv()`
 keep FILE order (the reference never sorts).  S4 array source — reference
 `TimeseriesArrayStream` (core/model.py:113-118).
 
-S2 (sktime .ts) and S3 (XML financial reports) are not ported: sktime is
-not installed (upstream hard dependency, tsg_io/input.py:3) and the XML
-reader is out of the north rule's scope (SURVEY §2.1); the synthetic
-generator (datagen.py) covers their fixture role.
+S2 sktime `.ts` reader — reference `TsFile(path).from_ts()`
+(tsg_io/input.py:42-49: load_from_tsfile_to_dataframe, take dim_0 of the
+FIRST case).  Re-implemented as a dependency-free parser: the @-header is
+O(1) and read driver-side; the data lines parse distributed through
+Catalyst split/transform expressions, so a many-case file scales with the
+cluster.
+
+S3 (XML financial reports) is not ported: out of the north rule's scope
+(SURVEY §2.1) and quantrocket-format-specific; the synthetic generator
+(datagen.py) covers its fixture role.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def read_csv_series(
@@ -40,6 +47,79 @@ def read_csv_series(
     key = series_key or f"{path}:{y_column}"
     return raw.select(
         F.lit(key).alias("series_key"), "idx", "ts", "value")
+
+
+def read_ts(spark: SparkSession, path: str) -> DataFrame:
+    """sktime-format `.ts` reader (S2) without the sktime dependency.
+
+    Output frame: (case_id long, dim string, label string|null,
+    values array<double>) — one row per (case, dimension), dimensions
+    named dim_0, dim_1, ... like load_from_tsfile_to_dataframe.
+
+    Supported format surface (the sktime default used by the reference):
+    `@`-prefixed header lines, `#` comments, `@data`, then one line per
+    case with ':'-separated dimensions of comma-separated values and, when
+    `@classLabel true ...`, the class label as the final ':'-field.
+    Timestamped tuple values are not supported (the reference never reads
+    them).
+
+    Scale shape: the header scan stops at `@data` (O(header) driver-side);
+    data lines parse via Catalyst split/transform (JVM, distributed).
+    case_id is the file-order line number (a window over
+    monotonically_increasing_id, which is ordered by file split for a
+    single-file read)."""
+    has_label = False
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            s = line.strip()
+            if not s or s.startswith("#"):
+                continue
+            if s.lower().startswith("@data"):
+                break
+            if s.lower().startswith("@classlabel"):
+                parts = s.split()
+                has_label = len(parts) > 1 and parts[1].lower() == "true"
+    data = (
+        spark.read.text(path)
+        .select(F.trim("value").alias("line"),
+                F.monotonically_increasing_id().alias("_mid"))
+        .where((F.length("line") > 0)
+               & ~F.col("line").startswith("@")
+               & ~F.col("line").startswith("#"))
+        .withColumn("case_id",
+                    F.row_number().over(Window.orderBy("_mid")) - 1)
+    )
+    parts = F.split("line", ":")
+    if has_label:
+        dims = F.expr("slice(split(line, ':'), 1, size(split(line, ':')) - 1)")
+        label = F.element_at(parts, -1)
+    else:
+        dims = parts
+        label = F.lit(None).cast("string")
+    return (
+        data.select(
+            F.col("case_id").cast("long").alias("case_id"),
+            label.alias("label"),
+            F.posexplode(dims).alias("dim_idx", "raw"),
+        )
+        .select(
+            "case_id",
+            F.concat(F.lit("dim_"), F.col("dim_idx")).alias("dim"),
+            "label",
+            F.expr("transform(split(raw, ','), x -> cast(trim(x) as double))"
+                   ).alias("values"),
+        )
+    )
+
+
+def ts_first_series(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-exact S2 surface (tsg_io/input.py:47-49): dim_0 of the
+    first case, as a series frame (series_key, values)."""
+    return (
+        read_ts(spark, path)
+        .where((F.col("case_id") == 0) & (F.col("dim") == "dim_0"))
+        .select(F.lit(f"{path}[0].dim_0").alias("series_key"), "values")
+    )
 
 
 def series_from_array(
