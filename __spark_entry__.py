@@ -951,6 +951,26 @@ def q_ann_ivf_top5(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=5, n_lists=8, nprobe=3)
 
 
+def q_emb_cosine_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.4), exact block-matmul
+    path — the fifth dedup family; the LSH-bucketed variant is the scale
+    path (recall bounded in tests/test_similarity.py)."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    return similarity.cosine_near_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+EMB_COSINE_DUP_SQL = """
+with e as (select vec_id, embedding::DOUBLE[] v from embeddings)
+select a.vec_id as id_a, b.vec_id as id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) as cosine
+from e a join e b on a.vec_id < b.vec_id
+where list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     sq = F.aggregate(
@@ -2097,6 +2117,7 @@ _RAW_QUERIES = {
         "generate_sliding": q_generate_sliding,
         "generate_ordinal": q_generate_ordinal,
         "walk_corpus": q_walk_corpus,
+        "emb_cosine_dup": q_emb_cosine_dup,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
@@ -2158,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         # binary decode) -> rows-only checks; parity pinned by the
         # reference-oracle pytest suites.
         "ann_cosine_top5": ANN_SQL,
+        "emb_cosine_dup": EMB_COSINE_DUP_SQL,
         "embedding_norms": NORM_SQL,
         "centroid_by_label": CENTROID_SQL,
         # ann_lsh_top5 / ann_ivf_top5: intentionally no oracle (approximate

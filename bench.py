@@ -22,41 +22,9 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BENCH_QUERIES = [
-    "rollup_1m",
-    "rollup_1h_tiered",
-    "rollup_1d_tiered",
-    "gapfill_1h",
-    "codec_roundtrip",
-    "hvg_edges",
-    "nvg_edges",
-    "opg_edges_w3",
-    "qg_edges_q4",
-    "sessionize_30m",
-    "daily_counts",
-    "tpch_q1",
-    "tpch_q3_top10",
-    "fingerprints",
-    "token_counts",
-    "quality_scores",
-    "lang_id",
-    "ngram_jaccard",
-    "minhash_lsh_candidates",
-    "simhash_near",
-    "ann_cosine_top5",
-    "ann_lsh_top5",
-    "embedding_norms",
-    "centroid_by_label",
-    "link_seasonality_7",
-    "link_value_range",
-    "link_cooccurrence",
-    "embedding_rank",
-    "kendall_tau",
-    "media_dedup",
-    "proximity_eps",
-    "eigencentrality_hvg",
-    "generate_sequences",
-]
+# every contract query is benched; the explicit sort keeps run order (and
+# therefore warm-cache effects) stable across rounds
+BENCH_QUERIES = None  # resolved to sorted(queries()) at runtime
 
 
 def _force(df) -> None:
@@ -79,7 +47,7 @@ def main() -> None:
     qs = entry_mod.queries()
     times: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in (BENCH_QUERIES or sorted(qs)):
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         dt = time.time() - t0

@@ -65,3 +65,30 @@ def test_lsh_deterministic(emb):
     b = sorted((r.query_id, r.neighbor_id, r.rank) for r in
                similarity.lsh_bucket_topk(emb, q, k=5).collect())
     assert a == b
+
+
+# ----------------------------------------------- embedding near-dup dedup
+def test_cosine_near_pairs_exact_vs_bruteforce(emb):
+    """Exact block-matmul path equals the definitional all-pairs filter."""
+    import numpy as np
+
+    rows = emb.where(F.col("vec_id") < 60).collect()
+    ids = [r.vec_id for r in rows]
+    M = np.stack([np.asarray(r.embedding) for r in rows])
+    n = M / np.sqrt((M * M).sum(1, keepdims=True))
+    C = n @ n.T
+    want = {(ids[i], ids[j]) for i in range(len(ids))
+            for j in range(len(ids)) if ids[i] < ids[j] and C[i, j] >= 0.3}
+    got = {(r.id_a, r.id_b) for r in similarity.cosine_near_pairs(
+        emb.where(F.col("vec_id") < 60), 0.3).collect()}
+    assert got == want and got  # nonempty at this threshold
+
+
+def test_cosine_near_pairs_lsh_recall(emb):
+    """LSH path: subset of exact with usable recall at default settings."""
+    exact_pairs = {(r.id_a, r.id_b) for r in similarity.cosine_near_pairs(
+        emb, 0.3).collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in similarity.cosine_near_pairs(
+        emb, 0.3, use_lsh=True).collect()}
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) / max(len(exact_pairs), 1) >= 0.3

@@ -196,6 +196,88 @@ def lsh_bucket_topk(
         F.col("rank") <= k)
 
 
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 6,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
+    threshold) — the fifth dedup family (exact/minhash/simhash/jaccard/
+    embedding).
+
+    Two physical paths:
+      * exact (default) — block matmul of each Arrow batch against the
+        normalized corpus matrix shipped as a broadcast variable.  This is
+        the ORACLE BASELINE: complete by construction, O(N^2/batch) work,
+        and it requires the (id, vector) matrix to fit in executor memory
+        (64-dim float64 = ~0.5 GB per 1e6 vectors).  The one driver
+        materialization is the broadcast build, declared here — not a
+        hidden mid-plan action.
+      * use_lsh=True — sign-LSH bucket candidates (see lsh_bucket_topk)
+        + exact rerank on candidates only: sub-quadratic and
+        memory-bounded, recall < 1 by design (bounded in tests); THE
+        100 TB path.
+    """
+    if use_lsh:
+        b = _lsh_bucketed(corpus, id_col, vec_col, n_planes, n_tables)
+        a = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                     F.col("_n").alias("na"), "bucket")
+        c = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                     F.col("_n").alias("nb"), "bucket")
+        cand = (
+            a.join(c, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.select(
+                "id_a", "id_b",
+                (_dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+
+    src = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    pdf = src.toPandas()
+    ids_all = pdf["_id"].to_numpy()
+    M = np.stack(pdf["_v"].to_numpy())
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = src.sparkSession.sparkContext.broadcast((ids_all, M, norms))
+    out_schema = StructType([
+        StructField("id_a", src.schema["_id"].dataType),
+        StructField("id_b", src.schema["_id"].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, Mc, nc = bc.value
+        for b_ in batches:
+            if not len(b_):
+                continue
+            Bm = np.stack(b_["_v"].to_numpy())
+            bn = np.sqrt((Bm * Bm).sum(axis=1))
+            bids = b_["_id"].to_numpy()
+            # cosine = dot / (|a||b|) — same association as the SQL oracle
+            C = (Bm @ Mc.T) / (bn[:, None] * nc[None, :])
+            keep = (C >= threshold) & (bids[:, None] < ids_c[None, :])
+            bi, cj = np.nonzero(keep)
+            if len(bi):
+                yield pd.DataFrame({
+                    "id_a": bids[bi], "id_b": ids_c[cj],
+                    "cosine": C[bi, cj],
+                })
+
+    return src.mapInPandas(kern, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
