@@ -104,3 +104,42 @@ def test_read_ts_no_label(spark, tmp_path):
             io.read_ts(spark, str(p)).collect()}
     assert rows[(0, "dim_1")].values == [3.0, 4.0]
     assert rows[(1, "dim_0")].label is None
+
+
+def test_streaming_stateful_rollup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState tier: finalized buckets (emitted on
+    event-time timeout) match the batch rollup INCLUDING first/last."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def mk_points(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+            F.lit("src_00").alias("source"),
+            F.timestamp_seconds(1704067200 + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 10).cast("double").alias("value"),
+        )
+
+    mk_points(0, 500).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_rollup_1m_stateful(
+            ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    # first drain: watermark has not passed any bucket end yet
+    assert spark.read.parquet(out_dir).count() == 0
+
+    # a much-later batch pushes the watermark past every batch-1 bucket:
+    # the timeout fires and emits each finalized bucket exactly once
+    mk_points(100000, 100200).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_rollup_1m_stateful(
+            ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    want = R.rollup_points(mk_points(0, 500), "1m")
+    cols = ["doc_id", "bucket_ts", "cnt", "sum", "min", "max",
+            "first", "last"]
+    assert got.count() == want.count()
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0

@@ -8,17 +8,25 @@ continuous-aggregate tables can be fed incrementally on a cluster (late
 data bounded by the watermark) while v1 production runs use the batch
 pipeline (plans/pipeline.py).
 
-first/last are omitted in the streaming tier: they need min_by/max_by over
-an event-order key, which Spark's streaming aggregation supports only via
-a stateful flatMapGroupsWithState — kept out of v1 (the batch path is the
-source of truth; the streaming tier carries cnt/sum/min/max, which are the
-inputs tier-ups need).
+Two streaming tiers:
+  * streaming_rollup_1m — built-in watermarked windowed aggregate
+    (cnt/sum/min/max; Spark's streaming agg cannot express min_by/max_by
+    over an event-order key).
+  * streaming_rollup_1m_stateful — applyInPandasWithState custom stateful
+    operator carrying first/last as well: per-(series, bucket) state holds
+    the running aggregates plus the order-extreme (ts, value) pairs, and
+    the finalized row emits on EVENT-TIME TIMEOUT once the watermark
+    passes the bucket end — full batch-tier fidelity from a stream.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 POINTS_SCHEMA = ("doc_id string, source string, ts timestamp, value double")
 
@@ -58,6 +66,90 @@ def streaming_rollup_1m(
             F.lit(False).alias("gapfilled"),
         )
     )
+
+
+_STATE_SCHEMA = (
+    "cnt long, sum double, min double, max double, "
+    "first_ts long, first double, last_ts long, last double"
+)
+_STATEFUL_OUT_SCHEMA = (
+    "doc_id string, source string, bucket_ts timestamp, cnt long, "
+    "sum double, min double, max double, first double, last double, "
+    "gapfilled boolean"
+)
+
+
+def streaming_rollup_1m_stateful(
+    points: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming 1m tier INCLUDING first/last: an applyInPandasWithState
+    custom stateful operator (the engine's SURVEY §2.7 streaming seam at
+    full batch fidelity).
+
+    Mechanics: keys = (doc_id, source, bucket_ts); the state row carries
+    cnt/sum/min/max plus (first_ts, first, last_ts, last) where the order
+    key is the event timestamp — exactly the batch tier's
+    min_by/max_by(value, ts) semantics (plans/rollup.py:230-240).  Each
+    update is vectorized over the Arrow batch (idxmin/idxmax, no per-row
+    Python).  The finalized row emits ONCE, on event-time timeout, when
+    the watermark passes the bucket end — so downstream tier-ups read
+    append-only finalized buckets, the same contract as the windowed
+    variant.  State size is O(live buckets), bounded by the watermark."""
+    bucketed = (
+        points.withWatermark("ts", watermark)
+        .withColumn("bucket_ts", F.date_trunc("minute", "ts"))
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            cnt, s, mn, mx, fts, fv, lts, lv = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "doc_id": key[0], "source": key[1], "bucket_ts": key[2],
+                "cnt": cnt, "sum": s, "min": mn, "max": mx,
+                "first": fv, "last": lv, "gapfilled": False,
+            }])
+            return
+        if state.exists:
+            cnt, s, mn, mx, fts, fv, lts, lv = state.get
+        else:
+            cnt, s, mn, mx = 0, 0.0, None, None
+            fts = fv = lts = lv = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_ns = pdf["ts"].astype("int64")
+            v = pdf["value"]
+            cnt += len(pdf)
+            s += float(v.sum())
+            bmin, bmax = float(v.min()), float(v.max())
+            mn = bmin if mn is None else min(mn, bmin)
+            mx = bmax if mx is None else max(mx, bmax)
+            i_f, i_l = int(ts_ns.idxmin()), int(ts_ns.idxmax())
+            if fts is None or int(ts_ns.loc[i_f]) < fts:
+                fts, fv = int(ts_ns.loc[i_f]), float(v.loc[i_f])
+            if lts is None or int(ts_ns.loc[i_l]) > lts:
+                lts, lv = int(ts_ns.loc[i_l]), float(v.loc[i_l])
+        state.update((cnt, s, mn, mx, fts, fv, lts, lv))
+        import datetime as dt
+
+        k = key[2]
+        if isinstance(k, dt.datetime) and k.tzinfo is None:
+            # session time is UTC; a naive datetime's .timestamp() would
+            # re-interpret it in the worker's local zone
+            k = k.replace(tzinfo=dt.timezone.utc)
+        bucket_end_ms = int(k.timestamp() * 1000) + 60_000
+        # the timeout must sit strictly beyond the current watermark
+        state.setTimeoutTimestamp(
+            max(bucket_end_ms, state.getCurrentWatermarkMs() + 1))
+        return
+        yield  # pragma: no cover — makes fn a generator on the emit path
+
+    return bucketed.groupBy("doc_id", "source", "bucket_ts") \
+        .applyInPandasWithState(
+            fn, _STATEFUL_OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
 
 
 def run_available_now(
