@@ -25,6 +25,11 @@ AUDIT = [
     "dedup_exact", "ngram_jaccard", "minhash_lsh_candidates",
     "ann_cosine_top5", "link_seasonality_7", "link_value_range",
     "embedding_rank", "media_dedup",
+    # round 2 additions
+    "ann_lsh_top5", "emb_cosine_dup", "simhash_near", "histogram_10",
+    "nvg_weighted", "proximity_cycle", "link_correlation",
+    "link_window_chain", "combine_nodes", "combine_subgraphs",
+    "walk_corpus",
 ]
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -346,30 +347,49 @@ def ivf_seed_plan(corpus: DataFrame, n_lists: int = 16,
     )
 
 
-def _dist2_to_centroid(vec_col: str, c: np.ndarray):
-    arr = F.array(*[F.lit(float(x)) for x in c])
-    d = F.zip_with(F.col(vec_col), arr, lambda x, y: x - y)
-    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+def _ivf_distances(df: DataFrame, cents: np.ndarray, id_col: str,
+                   vec_col: str, nprobe: int | None) -> DataFrame:
+    """Centroid assignment/probing as ONE numpy kernel per Arrow batch
+    (||b-c||^2 = |b|^2 - 2 b.c + |c|^2 via a single matmul) — the
+    interpreted per-centroid HOF expressions this replaces evaluated
+    n_lists x dim higher-order ops per row.  Tie behavior matches the
+    HOF version: argmin takes the first minimum; the probe argsort is
+    stable on (distance, index)."""
+    C = np.asarray(cents, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    extra = (StructField("list_id", IntegerType()) if nprobe is None
+             else StructField("probe_lists", ArrayType(IntegerType())))
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField(vec_col, ArrayType(DoubleType())),
+        extra,
+    ])
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf[vec_col].to_numpy())
+            d2 = (B * B).sum(axis=1)[:, None] - 2.0 * (B @ C.T) + c2[None, :]
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            if nprobe is None:
+                out["list_id"] = d2.argmin(axis=1).astype(np.int32)
+            else:
+                order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+                out["probe_lists"] = list(order.astype(np.int32))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).mapInPandas(kern, out_schema)
 
 
 def _assign_lists(df: DataFrame, cents: np.ndarray, id_col: str,
                   vec_col: str) -> DataFrame:
-    dists = F.array(*[_dist2_to_centroid(vec_col, c) for c in cents])
-    return df.withColumn("d_", dists).withColumn(
-        "list_id",
-        (F.array_position(F.col("d_"), F.array_min(F.col("d_"))) - 1
-         ).cast("int"),
-    ).drop("d_")
+    return _ivf_distances(df, cents, id_col, vec_col, nprobe=None)
 
 
 def _probe_lists(df: DataFrame, cents: np.ndarray, nprobe: int,
                  id_col: str, vec_col: str) -> DataFrame:
-    dists = F.array(*[_dist2_to_centroid(vec_col, c) for c in cents])
-    idx = F.transform(
-        F.slice(F.array_sort(
-            F.zip_with(dists, F.array(*[F.lit(i) for i in range(len(cents))]),
-                       lambda d, i: F.struct(d.alias("d"), i.alias("i")))),
-            1, nprobe),
-        lambda s: s["i"],
-    )
-    return df.withColumn("probe_lists", idx)
+    return _ivf_distances(df, cents, id_col, vec_col, nprobe=nprobe)
