@@ -1195,6 +1195,29 @@ from p
 """
 
 
+def q_kendall_tau_fast(spark, sf_dir):
+    """E4 Kendall tau via the O(n log n) inversion-count kernel — must
+    produce the IDENTICAL tau as the O(n^2) pair join (same integer
+    concordant-discordant difference), so it shares the pair-join
+    oracle."""
+    from pyspark.sql.window import Window
+
+    from ts2g2_spark.operators import analytics
+
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), F.lit("m").alias("method"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("vector"))
+    rank_a = analytics.embedding_ranking(emb)
+    norm = F.sqrt(F.aggregate("vector", F.lit(0.0),
+                              lambda a, x: a + x * x))
+    rank_b = emb.select(
+        "id", norm.alias("n")).withColumn(
+        "rank", F.row_number().over(Window.orderBy("n", "id")))
+    return analytics.kendall_tau_fast(rank_a, rank_b).select(
+        F.round("tau", 9).alias("tau"))
+
+
 def q_eigencentrality_hvg(spark, sf_dir):
     """E1: eigenvector-centrality embedding of per-user HVGs (no SQL
     oracle: dominant-eigenvector solve; rows-only check).  Parity with
@@ -2118,6 +2141,7 @@ _RAW_QUERIES = {
         "generate_ordinal": q_generate_ordinal,
         "walk_corpus": q_walk_corpus,
         "emb_cosine_dup": q_emb_cosine_dup,
+        "kendall_tau_fast": q_kendall_tau_fast,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
@@ -2157,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         "link_cooccurrence": LINK_COOCCURRENCE_SQL,
         "embedding_rank": EMBEDDING_RANK_SQL,
         "kendall_tau": KENDALL_TAU_SQL,
+        "kendall_tau_fast": KENDALL_TAU_SQL,
         "media_dedup": MEDIA_DEDUP_SQL,
         "proximity_eps": PROXIMITY_EPS_SQL,
         "nvg_angle": NVG_ANGLE_SQL,

@@ -159,3 +159,28 @@ def test_random_walk_corpus_spark(spark):
     out2 = analytics.random_walk_corpus(
         edges, sample_size=3, path_length=5, run_seed=9).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_kendall_tau_fast_equals_pairjoin(spark):
+    rng = np.random.default_rng(11)
+    for n in (2, 3, 50, 200):
+        ids = list(range(n))
+        pa = rng.permutation(n) + 1
+        pb = rng.permutation(n) + 1
+        a = spark.createDataFrame(
+            [(i, int(r)) for i, r in zip(ids, pa)], "id long, rank long")
+        b = spark.createDataFrame(
+            [(i, int(r)) for i, r in zip(ids, pb)], "id long, rank long")
+        slow = analytics.kendall_tau(a, b).collect()[0].tau
+        fast = analytics.kendall_tau_fast(a, b).collect()[0].tau
+        assert abs(slow - fast) < 1e-12, (n, slow, fast)
+
+
+def test_count_inversions():
+    assert analytics._count_inversions([1, 2, 3]) == 0
+    assert analytics._count_inversions([3, 2, 1]) == 3
+    rng = np.random.default_rng(3)
+    x = rng.permutation(500)
+    brute = sum(int(x[i] > x[j]) for i in range(len(x))
+                for j in range(i + 1, len(x)))
+    assert analytics._count_inversions(x) == brute
