@@ -758,8 +758,10 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # ONE cached shingle frame feeds both the signature aggregate and the
     # exact-Jaccard verification — a single materialization instead of two
-    # full shingle builds (the dominant cost at scale)
-    sh = dedup.shingles_hashed(docs, n_words=3, word_hash="md5").cache()
+    # full shingle builds (the dominant cost at scale).  The kernel twin
+    # hashes each distinct word once per batch (vocabulary cache) —
+    # row-identical to shingles_hashed(word_hash="md5"), pinned by test.
+    sh = dedup.shingles_hashed_md5_kernel(docs, n_words=3).cache()
     sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64,
                                     shingle_frame=sh)
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, n_hashes=64)

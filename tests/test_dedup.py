@@ -142,3 +142,12 @@ def test_cap_shingles_noop_below_cap(spark):
               dedup.ngram_jaccard_pairs(docs, n_words=3, threshold=0.5,
                                         max_doc_freq=10**9).collect()}
     assert exact == capped
+
+
+def test_md5_kernel_shingles_equal_catalyst(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cat = {(r.doc_id, r.n_sh, r.sh) for r in dedup.shingles_hashed(
+        docs, n_words=3, word_hash="md5").collect()}
+    ker = {(r.doc_id, r.n_sh, r.sh) for r in
+           dedup.shingles_hashed_md5_kernel(docs, n_words=3).collect()}
+    assert cat == ker and cat

@@ -104,6 +104,59 @@ def shingles_hashed(docs: DataFrame, text_col: str = "text",
     )
 
 
+def shingles_hashed_md5_kernel(docs: DataFrame, text_col: str = "text",
+                               n_words: int = 5) -> DataFrame:
+    """Row-identical twin of `shingles_hashed(word_hash="md5")` as ONE
+    Arrow kernel: per batch, each DISTINCT word is md5-hashed once (a
+    vocabulary cache — corpora repeat words heavily, the Catalyst path
+    hashes every occurrence), grams combine via the same vectorized
+    shifted-xor, distinct via np.unique.  Same (doc_id, n_sh, sh) rows
+    (set-equal; row order differs), so it feeds the same minhash/jaccard
+    aggregates and keeps the same DuckDB oracle.  Equality with the
+    Catalyst path is pinned in tests/test_dedup.py."""
+    import re
+
+    strip = re.compile(r"[^a-z0-9\s]")
+    ws = re.compile(r"\s+")
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab: dict[str, int] = {}
+
+        def h(w: str) -> int:
+            v = vocab.get(w)
+            if v is None:
+                v = h64_py(w)
+                vocab[w] = v
+            return v
+
+        for pdf in batches:
+            doc_ids, n_shs, shs = [], [], []
+            for r in pdf.itertuples(index=False):
+                t = ws.sub(" ", strip.sub("", (r.text or "").lower())).strip()
+                words = [w for w in t.split(" ") if w]
+                if len(words) < n_words:
+                    continue
+                wh = np.fromiter((h(w) for w in words), dtype=np.int64,
+                                 count=len(words))
+                m = len(wh) - n_words + 1
+                g = np.zeros(m, dtype=np.int64)
+                for k in range(n_words):
+                    g ^= wh[k: m + k] << np.int64(n_words - 1 - k)
+                uniq = np.unique(g)
+                doc_ids.append(np.full(len(uniq), r.doc_id, dtype=np.int64))
+                n_shs.append(np.full(len(uniq), len(uniq), dtype=np.int64))
+                shs.append(uniq)
+            if doc_ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(doc_ids),
+                    "n_sh": np.concatenate(n_shs),
+                    "sh": np.concatenate(shs),
+                })
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        kern, schema="doc_id long, n_sh long, sh long")
+
+
 def cap_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     """Drop shingles appearing in more than max_doc_freq documents and
     recount n_sh over the surviving set.
