@@ -204,31 +204,55 @@ where bucket_ts >= mx - interval '7 days'
 
 def q_codec_roundtrip(spark, sf_dir):
     """Delta-of-delta + Gorilla round-trip per user series; ok must be true
-    for every row (exactness invariant made a queryable fact)."""
+    for every row (exactness invariant made a queryable fact).
+
+    Point ordering happens JVM-side (array_sort over packed structs — the
+    per-group pandas sort it replaces was ~40% of the stage); the Arrow
+    kernel only runs the codecs.  Spark timestamps are µs precision, so
+    unix_micros*1000 equals pandas' datetime64[ns] int64 view."""
+    from collections.abc import Iterator
+
     import pandas as pd
 
     from ts2g2_spark.functions import codecs
 
-    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    ev = _events(spark, sf_dir)
+    packed = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))).alias("p")
+    ).select(
+        "user_id",
+        # events.ts is TIMESTAMP_NTZ; the session is pinned UTC, so the
+        # cast re-reads the wall time as the same instant (= pandas'
+        # datetime64[ns] int64 view of the NTZ value)
+        F.expr("transform(p, s -> unix_micros(cast(s.ts as timestamp))"
+               " * 1000)").alias("ts_ns"),
+        F.expr("transform(p, s -> s.value)").alias("vals"),
+    )
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("int64").to_numpy()  # ns
-        v = g["value"].to_numpy()
-        ok = bool(
-            np.array_equal(codecs.dod_decode(codecs.dod_encode(ts)), ts)
-            and np.array_equal(
-                codecs.gorilla_decode(codecs.gorilla_encode(v)).view("u8"),
-                v.view("u8"),
-            )
-        )
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_pts": [len(g)],
-             "roundtrip_ok": [ok]})
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ts = np.asarray(r.ts_ns, dtype=np.int64)
+                v = np.asarray(r.vals, dtype=np.float64)
+                ok = bool(
+                    np.array_equal(
+                        codecs.dod_decode(codecs.dod_encode(ts)), ts)
+                    and np.array_equal(
+                        codecs.gorilla_decode(
+                            codecs.gorilla_encode(v)).view("u8"),
+                        v.view("u8"),
+                    )
+                )
+                rows.append({"user_id": r.user_id, "n_pts": len(ts),
+                             "roundtrip_ok": ok})
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return ev.groupBy("user_id").applyInPandas(
+    return packed.mapInPandas(
         kern, schema="user_id long, n_pts long, roundtrip_ok boolean")
 
 
@@ -415,27 +439,34 @@ from cnts
 
 def q_qg_mean_jump(spark, sf_dir):
     """Mean jump length for phi in 1..2 (G9, strategies.py:415-425 —
-    reproduced; the reference's own method crashes upstream)."""
+    reproduced; the reference's own method crashes upstream).  Ordering
+    via the JVM series pack (series_from_points); the kernel is
+    map-only."""
+    from collections.abc import Iterator
+
     import pandas as pd
 
     from ts2g2_spark.operators import kernels
 
-    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    series = _event_series(spark, sf_dir)
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        g = g.sort_values(["ts", "event_id"])
-        y = g["value"].to_numpy()
-        out = []
-        for phi in (1, 2):
-            e, w = kernels.qg_edges(y, 4, phi)
-            jumps = np.abs(e[:, 0] - e[:, 1]) * w
-            out.append({"user_id": g["user_id"].iloc[0], "phi": phi,
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                y = np.asarray(r.values, dtype=np.float64)
+                for phi in (1, 2):
+                    e, w = kernels.qg_edges(y, 4, phi)
+                    jumps = np.abs(e[:, 0] - e[:, 1]) * w
+                    rows.append({
+                        "user_id": int(r.series_key), "phi": phi,
                         "mean_jump": round(float(np.mean(jumps)), 9)})
-        return pd.DataFrame(out)
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return ev.groupBy("user_id").applyInPandas(
+    return series.mapInPandas(
         kern, schema="user_id long, phi int, mean_jump double")
 
 
