@@ -143,3 +143,25 @@ def test_streaming_stateful_rollup_matches_batch(spark, tmp_path):
             "first", "last"]
     assert got.count() == want.count()
     assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+
+
+# ------------------------------------------------------------- S3 XML
+def test_read_financial_xml(spark):
+    """Reference FundamentalsReportFinancialStatements semantics
+    (tsg_io/input.py:61-100): lineItem[@coaCode=item] under the chosen
+    season's periods, document order, floats."""
+    from ts2g2_spark.sources import io
+
+    annual = io.read_financial_xml(
+        spark, "tests/fixtures/report.xml", "SREV", series_key="rev")
+    rows = annual.orderBy("idx").collect()
+    assert [r.value for r in rows] == [100.5, 120.25, 131.0]
+    assert rows[0].series_key == "rev"
+
+    interim = io.read_financial_xml(
+        spark, "tests/fixtures/report.xml", "SREV", season="Interim")
+    assert [r.value for r in interim.orderBy("idx").collect()] == [60.5]
+
+    other = io.read_financial_xml(
+        spark, "tests/fixtures/report.xml", "NINC")
+    assert [r.value for r in other.orderBy("idx").collect()] == [10.0, 12.5]

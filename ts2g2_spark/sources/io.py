@@ -12,9 +12,15 @@ O(1) and read driver-side; the data lines parse distributed through
 Catalyst split/transform expressions, so a many-case file scales with the
 cluster.
 
-S3 (XML financial reports) is not ported: out of the north rule's scope
-(SURVEY §2.1) and quantrocket-format-specific; the synthetic generator
-(datagen.py) covers its fixture role.
+S3 XML financial-report reader — reference
+`FundamentalsReportFinancialStatements(path, item, season).from_xml()`
+(tsg_io/input.py:61-100): finds `FinancialStatements/{Annual|Interim}
+Periods`, collects the text of every `lineItem[@coaCode=item]` in
+document order as floats.  One report file is KBs of XML — parsed
+driver-side with xml.etree (stdlib), emitted as a points frame; a
+directory of many reports would map this parser over paths with
+`spark.read.format("binaryFile")` + mapInPandas, but the reference
+surface is single-file.
 """
 
 from __future__ import annotations
@@ -47,6 +53,37 @@ def read_csv_series(
     key = series_key or f"{path}:{y_column}"
     return raw.select(
         F.lit(key).alias("series_key"), "idx", "ts", "value")
+
+
+def read_financial_xml(
+    spark: SparkSession,
+    path: str,
+    item: str,
+    season: str = "Annual",
+    series_key: str | None = None,
+) -> DataFrame:
+    """S3: Reuters fundamentals XML -> series rows (series_key, idx,
+    value), document order preserved (the reference returns a positional
+    pd.Series, tsg_io/input.py:85-100).
+
+    season: "Annual" -> AnnualPeriods, anything else -> InterimPeriods
+    (the reference's exact lower() comparison)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    statements = root.find("FinancialStatements")
+    if statements is None:
+        raise ValueError(f"{path}: no FinancialStatements element")
+    periods = statements.find(
+        "AnnualPeriods" if season.lower() == "annual" else "InterimPeriods")
+    if periods is None:
+        raise ValueError(f"{path}: no periods element for season={season}")
+    values = [float(el.text)
+              for el in periods.findall(f".//lineItem[@coaCode = '{item}']")]
+    key = series_key or f"{path}:{item}:{season}"
+    return spark.createDataFrame(
+        [(key, i, v) for i, v in enumerate(values)],
+        "series_key string, idx long, value double")
 
 
 def read_ts(spark: SparkSession, path: str) -> DataFrame:
