@@ -297,9 +297,15 @@ def ivf_topk(
     merge of n_partitions x n_lists rows, NOT a global sort/shuffle of the
     corpus (asserted in tests/test_similarity.py::test_ivf_seeding_plan).
     The only driver-side data are the n_lists seed vectors and the n_lists
-    Lloyd means — both O(n_lists x dim)."""
+    Lloyd means — both O(n_lists x dim).
+
+    The index build is three passes over the corpus (seed, Lloyd, final
+    assignment) — the (id, vector) projection is cached for their
+    duration so the upstream scan/transform runs once (the cache holds
+    only the two projected columns; evicted LRU afterwards)."""
+    corpus = corpus.select(id_col, vec_col).cache()
     seed_rows = (
-        corpus.select(id_col, vec_col)
+        corpus
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
         .limit(n_lists)
         .collect()
