@@ -777,6 +777,60 @@ where i / (sa.n + sb.n - i) >= 0.5
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs resolved into duplicate GROUPS (connected
+    components, component id = min doc) — the pair->group->survivor step
+    of a real dedup pipeline.  Pointer-jumping label propagation vs a
+    DuckDB recursive-CTE transitive closure."""
+    from ts2g2_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n_words=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(pairs)
+
+
+DEDUP_COMPONENTS_SQL = r"""
+with recursive w as (
+  select doc_id,
+         string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g')), ' ') ws
+  from documents
+),
+sh as (
+  select distinct doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] sh
+  from w, lateral unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+    as t(i)
+  where length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0
+),
+sz as (select doc_id, count(*) n from sh group by 1),
+inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) i
+  from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select doc_a, doc_b
+  from inter
+  join sz sa on doc_a = sa.doc_id
+  join sz sb on doc_b = sb.doc_id
+  where i / (sa.n + sb.n - i) >= 0.5
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union all
+  select doc_b as a, doc_a as b from pairs
+),
+reach(n, m) as (
+  select a, a from (select distinct a from edges) t(a)
+  union
+  select r.n, e.b from reach r join edges e on r.m = e.a
+)
+select n as doc_id, min(m) as component from reach group by n
+"""
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash(64) + LSH(8 bands) candidate pairs, verified by exact
     Jaccard >= 0.5 on candidates only.  Uses the PORTABLE word hash (h64 =
@@ -918,6 +972,63 @@ from banded a join banded b
   on a.band_id = b.band_id and a.band_val = b.band_val
  and a.doc_id < b.doc_id
 where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ------------------------------------------------ deterministic sampling
+_BUCKET_SQL = ("cast(concat('0x', substr(md5('{salt}:' || doc_id), 1, 15))"
+               " as bigint) % 1000000")
+
+
+def q_sample_10pct(spark, sf_dir):
+    """Deterministic 10% document sample (hash-bucket membership, no
+    RNG): stable across runs/retries/cluster sizes and replayable by the
+    oracle — the sampling a training pipeline actually uses."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.hash_sample(
+        _docs(spark, sf_dir), 0.1).select("doc_id", "lang", "source")
+
+
+SAMPLE_SQL = f"""
+select doc_id, lang, source from documents
+where {_BUCKET_SQL.format(salt='sample')} < 100000
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-source mixing weights (datamix proportioning): src0 kept at
+    50%, src1 at 20%, everything else dropped."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.stratified_hash_sample(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.2},
+        strata_col="source",
+    ).select("doc_id", "source")
+
+
+STRATIFIED_SQL = f"""
+select doc_id, source from documents
+where {_BUCKET_SQL.format(salt='sample')} <
+      case source when 'src0' then 500000
+                  when 'src1' then 200000 else 0 end
+"""
+
+
+def q_split_assignment(spark, sf_dir):
+    """Stable train/val assignment (15% val) as a pure function of the
+    doc key — survives re-runs and incremental ingestion."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.split_assignment(
+        _docs(spark, sf_dir), 0.15).select("doc_id", "split")
+
+
+SPLIT_SQL = f"""
+select doc_id,
+       case when {_BUCKET_SQL.format(salt='split')} < 150000
+            then 'val' else 'train' end as split
+from documents
 """
 
 
@@ -2143,6 +2254,10 @@ _RAW_QUERIES = {
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        "sample_10pct": q_sample_10pct,
+        "stratified_sample": q_stratified_sample,
+        "split_assignment": q_split_assignment,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_near": q_simhash_near,
         "link_seasonality_7": q_link_seasonality_7,
@@ -2207,6 +2322,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": QUALITY_SQL,
         "lang_id": _lang_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "dedup_components": DEDUP_COMPONENTS_SQL,
+        "sample_10pct": SAMPLE_SQL,
+        "stratified_sample": STRATIFIED_SQL,
+        "split_assignment": SPLIT_SQL,
         "minhash_lsh_candidates": _minhash_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

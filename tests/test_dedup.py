@@ -151,3 +151,31 @@ def test_md5_kernel_shingles_equal_catalyst(spark):
     ker = {(r.doc_id, r.n_sh, r.sh) for r in
            dedup.shingles_hashed_md5_kernel(docs, n_words=3).collect()}
     assert cat == ker and cat
+
+
+# ------------------------------------------------- connected components
+def test_connected_components_chain_and_clique(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> component 1
+         (10, 11), (10, 12), (11, 12),  # clique -> component 10
+         (20, 21)],                     # pair -> component 20
+        "doc_a long, doc_b long")
+    got = {(r.doc_id, r.component) for r in
+           dedup.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(pairs).collect() == []
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter 40 chain — exercises multi-round convergence."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
+    got = {(r.doc_id, r.component) for r in
+           dedup.connected_components(pairs, max_iter=12).collect()}
+    assert got == {(i, 0) for i in range(41)}
