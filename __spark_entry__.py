@@ -975,6 +975,104 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# ---------------------------------------------- composite corpus pipeline
+def _clean_docs(spark, sf_dir):
+    """The standard cleaning chain, composed from the primitive
+    operators: exact-dedup survivors -> length/quality gate -> lang
+    gate.  Everything stays one Catalyst plan (no materialization
+    between stages)."""
+    from ts2g2_spark.operators import dedup, text as text_ops
+
+    docs = _docs(spark, sf_dir)
+    dups = dedup.exact_duplicates(docs)
+    losers = (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(F.broadcast(dups), "content_hash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    q = text_ops.quality_scores(survivors).select(
+        "doc_id", "n_words", "mean_word_len")
+    lang = text_ops.lang_id(survivors).select("doc_id", "lang_pred")
+    return (
+        survivors.join(q, "doc_id").join(lang, "doc_id")
+        .where((F.col("n_words") >= 20)
+               & (F.col("mean_word_len") < 12)
+               & (F.col("lang_pred") == "en"))
+    )
+
+
+def q_corpus_clean(spark, sf_dir):
+    """The composite training-corpus cleaning pipeline as ONE query:
+    dedup survivors + quality gate + language gate."""
+    return _clean_docs(spark, sf_dir).select(
+        "doc_id", "source", "n_words")
+
+
+def _clean_sql(select: str) -> str:
+    from ts2g2_spark.operators.text import LANG_MARKERS
+
+    score = {
+        lang: (r"len(regexp_extract_all(lower(text), '\b("
+               + "|".join(ws) + r")\b', 1))")
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(score[lang] for lang in langs) + ")"
+    pick = "case " + " ".join(
+        f"when {score[lang]} = best and best > 0 then '{lang}'"
+        for lang in langs) + " else 'und' end"
+    return rf"""
+with dups as (
+  select md5(text) as content_hash, min(doc_id) as keep_id
+  from documents group by 1 having count(*) > 1
+),
+losers as (
+  select d.doc_id
+  from documents d join dups on md5(d.text) = dups.content_hash
+  where d.doc_id != dups.keep_id
+),
+survivors as (
+  select * from documents where doc_id not in (select doc_id from losers)
+),
+q as (
+  select doc_id,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT as n_words,
+         round(length(text) / greatest(
+           len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+           as mean_word_len
+  from survivors
+),
+scored as (select doc_id, text, {best} as best from survivors),
+lang as (select doc_id, {pick} as lang_pred from scored),
+clean as (
+  select s.doc_id, s.source, s.lang, q.n_words
+  from survivors s
+  join q on s.doc_id = q.doc_id
+  join lang on s.doc_id = lang.doc_id
+  where q.n_words >= 20 and q.mean_word_len < 12
+    and lang.lang_pred = 'en'
+)
+{select}
+"""
+
+
+def q_datamix_report(spark, sf_dir):
+    """Dataset-card aggregate over the cleaned corpus: docs and
+    whitespace tokens per (source, lang)."""
+    from ts2g2_spark.operators import text as text_ops
+
+    clean = _clean_docs(spark, sf_dir)
+    toks = text_ops.token_counts(clean).select("doc_id", "n_ws_tokens")
+    return (
+        clean.join(toks, "doc_id")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_ws_tokens").alias("total_tokens"))
+    )
+
+
 # ------------------------------------------------ deterministic sampling
 _BUCKET_SQL = ("cast(concat('0x', substr(md5('{salt}:' || doc_id), 1, 15))"
                " as bigint) % 1000000")
@@ -2255,6 +2353,8 @@ _RAW_QUERIES = {
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "corpus_clean": q_corpus_clean,
+        "datamix_report": q_datamix_report,
         "sample_10pct": q_sample_10pct,
         "stratified_sample": q_stratified_sample,
         "split_assignment": q_split_assignment,
@@ -2323,6 +2423,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "dedup_components": DEDUP_COMPONENTS_SQL,
+        "corpus_clean": _clean_sql(
+            "select doc_id, source, n_words from clean"),
+        "datamix_report": _clean_sql(
+            "select c.source, c.lang, count(*) as n_docs, "
+            "cast(sum(len(regexp_split_to_array(trim(d.text), '\\s+')))"
+            " as bigint) as total_tokens "
+            "from clean c join documents d on c.doc_id = d.doc_id "
+            "group by 1, 2"),
         "sample_10pct": SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SQL,
         "split_assignment": SPLIT_SQL,
