@@ -340,8 +340,12 @@ def connected_components(
     their own component).  Converges early when a round changes no
     label; raises if max_iter rounds do not converge."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # materialize the symmetric edge list ONCE: it is consumed every
+    # round (and twice via the union), so leaving it lazy would re-run
+    # the whole upstream pair pipeline per round
     sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
     lab = (
         sym.select(F.col("a").alias("n")).distinct()
         .select("n", F.col("n").alias("comp"))
