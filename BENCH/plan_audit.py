@@ -29,7 +29,8 @@ AUDIT = [
     "ann_lsh_top5", "emb_cosine_dup", "simhash_near", "histogram_10",
     "nvg_weighted", "proximity_cycle", "link_correlation",
     "link_window_chain", "combine_nodes", "combine_subgraphs",
-    "walk_corpus",
+    "walk_corpus", "dedup_components", "sample_10pct",
+    "stratified_sample", "corpus_clean", "datamix_report",
 ]
 
 

@@ -977,10 +977,12 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3
 
 # ---------------------------------------------- composite corpus pipeline
 def _clean_docs(spark, sf_dir):
-    """The standard cleaning chain, composed from the primitive
-    operators: exact-dedup survivors -> length/quality gate -> lang
-    gate.  Everything stays one Catalyst plan (no materialization
-    between stages)."""
+    """The standard cleaning chain composed SINGLE-PASS: the quality and
+    language gates are column builders (text.quality_columns /
+    lang_columns) projected in one select over the dedup survivors —
+    deriving them as separate frames and joining back re-expands the
+    scan subtree once per join (the audited anti-pattern: 25 exchanges
+    in the first cut of datamix_report, 3 here)."""
     from ts2g2_spark.operators import dedup, text as text_ops
 
     docs = _docs(spark, sf_dir)
@@ -992,11 +994,17 @@ def _clean_docs(spark, sf_dir):
         .select("doc_id")
     )
     survivors = docs.join(losers, "doc_id", "left_anti")
-    q = text_ops.quality_scores(survivors).select(
-        "doc_id", "n_words", "mean_word_len")
-    lang = text_ops.lang_id(survivors).select("doc_id", "lang_pred")
+    qc = text_ops.quality_columns("text")
+    lc = text_ops.lang_columns("text")
+    tc = text_ops.token_count_columns("text")
     return (
-        survivors.join(q, "doc_id").join(lang, "doc_id")
+        survivors.select(
+            "*",
+            qc["n_words"].alias("n_words"),
+            qc["mean_word_len"].alias("mean_word_len"),
+            lc["lang_pred"].alias("lang_pred"),
+            tc["n_ws_tokens"].alias("n_ws_tokens"),
+        )
         .where((F.col("n_words") >= 20)
                & (F.col("mean_word_len") < 12)
                & (F.col("lang_pred") == "en"))
@@ -1060,13 +1068,10 @@ clean as (
 
 def q_datamix_report(spark, sf_dir):
     """Dataset-card aggregate over the cleaned corpus: docs and
-    whitespace tokens per (source, lang)."""
-    from ts2g2_spark.operators import text as text_ops
-
-    clean = _clean_docs(spark, sf_dir)
-    toks = text_ops.token_counts(clean).select("doc_id", "n_ws_tokens")
+    whitespace tokens per (source, lang) — token counts ride the same
+    single-pass projection as the gates (no join-back)."""
     return (
-        clean.join(toks, "doc_id")
+        _clean_docs(spark, sf_dir)
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_ws_tokens").alias("total_tokens"))

@@ -179,3 +179,29 @@ def test_connected_components_long_chain(spark):
     got = {(r.doc_id, r.component) for r in
            dedup.connected_components(pairs, max_iter=12).collect()}
     assert got == {(i, 0) for i in range(41)}
+
+
+def test_connected_components_random_vs_networkx(spark):
+    """Property: component partitions match networkx on random graphs."""
+    import networkx as nx
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(10, 60))
+        m = int(rng.integers(5, 80))
+        edges = {(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2))
+                 if a != b}
+        g = nx.Graph()
+        g.add_edges_from(edges)
+        want = {}
+        for comp in nx.connected_components(g):
+            c = min(comp)
+            for node in comp:
+                want[node] = c
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "doc_a long, doc_b long")
+        got = {r.doc_id: r.component for r in
+               dedup.connected_components(pairs).collect()}
+        assert got == want, (trial, n, m)
