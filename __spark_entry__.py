@@ -132,6 +132,31 @@ def q_rollup_1d_tiered(spark, sf_dir):
     )
 
 
+def q_rollup_1m_quantiles(spark, sf_dir):
+    """1m tier with per-bucket p50/p95 (continuous-aggregate percentile
+    columns, the TimescaleDB-style tier extension).  Exact percentile()
+    here — linear interpolation, same estimator as the oracle's
+    quantile_cont; buckets are minutes so per-group state is small.  At
+    100 TB the tier would carry approx_percentile (mergeable GK sketch,
+    same plan shape) — exact is the oracle-checkable twin."""
+    ev = _events(spark, sf_dir)
+    bucket = F.date_trunc("minute", "ts").alias("bucket_ts")
+    return ev.groupBy("user_id", bucket).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+ROLLUP_QUANTILES_SQL = """
+select user_id, date_trunc('minute', ts) as bucket_ts,
+       count(*) as cnt,
+       round(quantile_cont(value, 0.5), 6) as p50,
+       round(quantile_cont(value, 0.95), 6) as p95
+from events group by 1, 2
+"""
+
+
 def q_gapfill_1h(spark, sf_dir):
     """Dense hourly spine per user between its first and last hour;
     gapfilled marks hours with no events (engine-native op, SURVEY §2.7)."""
@@ -2338,6 +2363,7 @@ _RAW_QUERIES = {
         "rollup_1m": q_rollup_1m,
         "rollup_1h_tiered": q_rollup_1h_tiered,
         "rollup_1d_tiered": q_rollup_1d_tiered,
+        "rollup_1m_quantiles": q_rollup_1m_quantiles,
         "gapfill_1h": q_gapfill_1h,
         "retention_1m_recent": q_retention_1m_recent,
         "codec_roundtrip": q_codec_roundtrip,
@@ -2408,6 +2434,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _rollup_sql(60),
         "rollup_1h_tiered": _rollup_sql(3600),
         "rollup_1d_tiered": _rollup_sql(86400),
+        "rollup_1m_quantiles": ROLLUP_QUANTILES_SQL,
         "gapfill_1h": GAPFILL_SQL,
         "retention_1m_recent": RETENTION_SQL,
         "codec_roundtrip": CODEC_SQL,

@@ -165,3 +165,35 @@ def test_read_financial_xml(spark):
     other = io.read_financial_xml(
         spark, "tests/fixtures/report.xml", "NINC")
     assert [r.value for r in other.orderBy("idx").collect()] == [10.0, 12.5]
+
+
+def test_stream_dedup(spark, tmp_path):
+    """Duplicates within a batch AND across batches (inside the
+    watermark) are dropped; output equals batch-distinct."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 50)).alias("doc_id"),
+            F.lit("s0").alias("source"),
+            F.timestamp_seconds(1704067200 + (F.col("id") % 50)).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+
+    # 200 rows -> 50 distinct (doc_id, ts) keys, duplicated 4x in-batch
+    mk(0, 200).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.stream_dedup(ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 50
+
+    # the same keys again in a second batch (same event times, within
+    # the watermark): all suppressed by carried state
+    mk(0, 100).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.stream_dedup(ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 50

@@ -152,6 +152,23 @@ def streaming_rollup_1m_stateful(
             GroupStateTimeout.EventTimeTimeout)
 
 
+def stream_dedup(
+    points: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id", "ts"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup (ingestion-side duplicate drop):
+    dropDuplicatesWithinWatermark keeps state only for keys younger than
+    the watermark, so state is bounded by (arrival rate x watermark) —
+    a plain streaming dropDuplicates would grow key state forever.
+    The documented trade: a duplicate arriving LATER than the watermark
+    delay is emitted again (the batch dedup pass downstream remains the
+    source of truth; this bounds duplicate amplification in the hot
+    ingest path)."""
+    return points.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def run_available_now(
     tier: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
