@@ -312,16 +312,20 @@ def ivf_topk(
     )
     cents = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
 
-    # one Lloyd pass, computed distributed: assign + mean per list
-    assigned = _assign_lists(corpus, cents, id_col, vec_col)
-    means = (
-        assigned.groupBy("list_id")
-        .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
-               for i in range(cents.shape[1])])
-        .collect()
-    )
-    for r in means:
-        cents[r["list_id"]] = [r[f"c{i}"] for i in range(cents.shape[1])]
+    # one Lloyd pass: the SAME kernel that assigns lists also emits
+    # per-(batch, list) partial (count, sum-vector) rows — one row per
+    # list per Arrow batch crosses back, combined in numpy here.  (The
+    # previous shape — assignment kernel + 64 avg(element_at) JVM
+    # aggregates — paid a second full pass over the assignment output.)
+    partials = _ivf_lloyd_partials(
+        corpus, cents, vec_col).collect()
+    n_acc = np.zeros(len(cents))
+    s_acc = np.zeros_like(cents)
+    for r in partials:
+        n_acc[r["list_id"]] += r["n"]
+        s_acc[r["list_id"]] += np.asarray(r["s"])
+    nz = n_acc > 0
+    cents[nz] = s_acc[nz] / n_acc[nz, None]
 
     corpus_l = _assign_lists(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -394,6 +398,32 @@ def _ivf_distances(df: DataFrame, cents: np.ndarray, id_col: str,
 def _assign_lists(df: DataFrame, cents: np.ndarray, id_col: str,
                   vec_col: str) -> DataFrame:
     return _ivf_distances(df, cents, id_col, vec_col, nprobe=None)
+
+
+def _ivf_lloyd_partials(df: DataFrame, cents: np.ndarray,
+                        vec_col: str) -> DataFrame:
+    """Per-(Arrow batch, list) partial sums for the Lloyd refinement:
+    (list_id, n, s[dim]).  Rows crossing back = n_lists x n_batches."""
+    C = np.asarray(cents, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf[vec_col].to_numpy())
+            d2 = (B * B).sum(axis=1)[:, None] - 2.0 * (B @ C.T) + c2[None, :]
+            lid = d2.argmin(axis=1)
+            rows = []
+            for li in np.unique(lid):
+                m = B[lid == li]
+                rows.append({"list_id": int(li), "n": len(m),
+                             "s": m.sum(axis=0)})
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(kern, "list_id int, n long, s array<double>")
 
 
 def _probe_lists(df: DataFrame, cents: np.ndarray, nprobe: int,
