@@ -2253,6 +2253,32 @@ def q_walk_corpus(spark, sf_dir):
         F.element_at("walk", 1).alias("start_node"))
 
 
+def q_walk_embedding_rank(spark, sf_dir):
+    """The full E2 pipeline end-to-end without gensim: per-user HVG ->
+    seeded random-walk corpus -> feature-hashed embedding ->
+    cosine-to-base ranking (E4).  No SQL oracle (the walks are seeded
+    RNG); embedding determinism and ranking semantics are pinned in
+    tests."""
+    from ts2g2_spark.operators import analytics, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 64).alias("values"))
+    edges = graphs.visibility_edges(series, kind="horizontal").select(
+        "series_key", "src", "dst")
+    walks = analytics.random_walk_corpus(
+        edges, sample_size=15, path_length=45, run_seed=42)
+    emb = analytics.walk_hash_embedding(walks, dim=32)
+    ranked = analytics.embedding_ranking(
+        emb.select(F.col("series_key").alias("id"),
+                   F.lit("walks").alias("method"),
+                   F.col("embedding").alias("vector")))
+    return ranked.select("id", F.round("distance", 9).alias("distance"),
+                         "rank")
+
+
 # ----------------------------------------------- multimodal (SURVEY §2.7)
 def _media_from_docs(spark, sf_dir):
     """Documents as opaque media rows: payload = utf8 bytes of the text
@@ -2419,6 +2445,7 @@ _RAW_QUERIES = {
         "generate_sliding": q_generate_sliding,
         "generate_ordinal": q_generate_ordinal,
         "walk_corpus": q_walk_corpus,
+        "walk_embedding_rank": q_walk_embedding_rank,
         "emb_cosine_dup": q_emb_cosine_dup,
         "kendall_tau_fast": q_kendall_tau_fast,
         "ann_cosine_top5": q_ann_cosine_top5,

@@ -184,3 +184,25 @@ def test_count_inversions():
     brute = sum(int(x[i] > x[j]) for i in range(len(x))
                 for j in range(i + 1, len(x)))
     assert analytics._count_inversions(x) == brute
+
+
+def test_walk_hash_embedding(spark):
+    from ts2g2_spark.functions.hashing import h64_py
+
+    walks = spark.createDataFrame(
+        [("s", 0, ["0", "1", "0"]), ("s", 1, ["2", "0"]),
+         ("t", 0, ["5"])],
+        "series_key string, walk_id int, walk array<string>")
+    out = {r.series_key: np.asarray(r.embedding) for r in
+           analytics.walk_hash_embedding(walks, dim=8).collect()}
+    # hand-compute series "s": tokens 0,1,0,2,0
+    want = np.zeros(8)
+    for tok in ["0", "1", "0", "2", "0"]:
+        want[h64_py(tok) % 8] += 1
+    want = want / np.linalg.norm(want)
+    assert np.allclose(out["s"], want)
+    assert np.isclose(np.linalg.norm(out["t"]), 1.0)
+    # deterministic re-run
+    out2 = {r.series_key: np.asarray(r.embedding) for r in
+            analytics.walk_hash_embedding(walks, dim=8).collect()}
+    assert np.allclose(out["s"], out2["s"])

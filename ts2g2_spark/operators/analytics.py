@@ -178,6 +178,44 @@ def random_walk_corpus(
         schema="series_key string, walk_id int, walk array<string>")
 
 
+def walk_hash_embedding(
+    walks: DataFrame, dim: int = 32
+) -> DataFrame:
+    """Graph embedding from the walk corpus WITHOUT gensim: feature-hashed
+    bag-of-nodes — embedding[j] = L2-normalized count of walk tokens
+    hashing (h64 mod dim) into bucket j.  The deterministic stand-in for
+    the reference's Doc2Vec model (out of scope, gensim absent): same
+    input corpus (random_walk_corpus), same downstream consumers
+    (embedding_ranking / kendall_tau compose on top).
+
+    Pure Catalyst after the walks: explode -> hash -> count per (series,
+    bucket) -> dense vector via a map lookup — partial-agg'd, the
+    exchange carries at most `dim` rows per series."""
+    from ts2g2_spark.functions.hashing import h64
+
+    counts = (
+        walks.select("series_key", F.explode("walk").alias("tok"))
+        .select("series_key",
+                F.pmod(h64(F.col("tok")), F.lit(dim)).alias("bucket"))
+        .groupBy("series_key", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    packed = counts.groupBy("series_key").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "c"))).alias("m"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at("m", i.cast("long")), F.lit(0)).cast("double"),
+    )
+    norm = F.sqrt(F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    return packed.select(
+        "series_key",
+        F.transform(vec, lambda x: x / norm).alias("embedding"),
+    )
+
+
 # ------------------------------------------------------------------ E4
 def embedding_ranking(
     embeddings: DataFrame,
