@@ -1967,6 +1967,68 @@ select sa as src, sb as dst, round(coalesce(c, 0), 6) as weight from pairs
 """
 
 
+def q_link_correlation_grouped(spark, sf_dir):
+    """L4 correlation linking per window group (ref
+    strategy_linking_multi_graphs.py:80-118): daily nodes pair only
+    WITHIN the same calendar day (the group), weighted by Pearson of
+    their hourly series."""
+    from pyspark.sql.window import Window
+
+    from ts2g2_spark.operators import linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 6)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.round(F.sum("value"), 6).alias("hv"))
+    packed = F.array_sort(
+        F.collect_list(F.struct("hour", F.col("hv").alias("v"))))
+    per_day = hourly.groupBy("user_id", "day").agg(
+        F.transform(packed, lambda s: s["v"]).alias("values"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    nodes = per_day.select(
+        F.col("user_id").cast("string").alias("graph_key"),
+        F.concat_ws(":", F.col("user_id"),
+                    F.date_format("day", "yyyy-MM-dd")).alias("node_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        F.lit(0.0).alias("value"),
+        "values",
+        F.date_format("day", "yyyy-MM-dd").alias("grp"),
+    )
+    return linking.link_correlation(nodes, group_col="grp").select(
+        "src", "dst", F.round("weight", 6).alias("weight"))
+
+
+LINK_CORR_GROUPED_SQL = """
+with hourly as (
+  select user_id, date_trunc('day', ts) as d, date_trunc('hour', ts) as h,
+         round(sum(value), 6) as hv
+  from events where user_id < 6 group by 1, 2, 3
+),
+nodes as (
+  select user_id, d,
+         user_id || ':' || strftime(d, '%Y-%m-%d') as node_id
+  from (select distinct user_id, d from hourly)
+),
+hnum as (
+  select user_id, d,
+         row_number() over (partition by user_id, d order by h) - 1 as rn,
+         hv
+  from hourly
+),
+pairs as (
+  select na.node_id as sa, nb.node_id as sb, corr(ha.hv, hb.hv) as c
+  from nodes na join nodes nb
+    on na.d = nb.d and na.node_id < nb.node_id
+  join hnum ha on ha.user_id = na.user_id and ha.d = na.d
+  join hnum hb on hb.user_id = nb.user_id and hb.d = nb.d
+                  and hb.rn = ha.rn
+  group by 1, 2
+)
+select sa as src, sb as dst, round(coalesce(c, 0), 6) as weight from pairs
+"""
+
+
 def q_link_window_chain(spark, sf_dir):
     """L7 sliding-window chain (ref
     strategy_linking_multi_graphs.py:242-285): consecutive window-graph
@@ -2437,6 +2499,7 @@ _RAW_QUERIES = {
         "opg_multivariate_w3": q_opg_multivariate_w3,
         "link_correlation": q_link_correlation,
         "link_positional_correlation": q_link_positional_correlation,
+        "link_correlation_grouped": q_link_correlation_grouped,
         "link_window_chain": q_link_window_chain,
         "manual_edge": q_manual_edge,
         "combine_nodes": q_combine_nodes,
@@ -2511,6 +2574,7 @@ def oracle_sql() -> dict[str, str]:
         "opg_multivariate_w3": OPG_MV_SQL,
         "link_correlation": LINK_CORRELATION_SQL,
         "link_positional_correlation": LINK_POSCORR_SQL,
+        "link_correlation_grouped": LINK_CORR_GROUPED_SQL,
         "link_window_chain": LINK_WINDOW_CHAIN_SQL,
         "manual_edge": MANUAL_EDGE_SQL,
         "combine_nodes": COMBINE_NODES_SQL,
