@@ -1676,7 +1676,14 @@ def q_histogram_10(spark, sf_dir):
 
 HISTOGRAM_SQL = f"""
 with {_PTS_CTE},
-stats as (select user_id, min(v) as mn, max(v) as mx from pts group by 1),
+stats0 as (select user_id, min(v) as mn, max(v) as mx from pts group by 1),
+-- np.histogram degenerate-range rule: min == max expands to (v-.5, v+.5)
+stats as (
+  select user_id,
+         case when mn = mx then mn - 0.5 else mn end as mn,
+         case when mn = mx then mx + 0.5 else mx end as mx
+  from stats0
+),
 bins as (
   select user_id, unnest(generate_series(0, 9)) as bin, mn, mx
   from stats

@@ -206,3 +206,25 @@ def test_walk_hash_embedding(spark):
     out2 = {r.series_key: np.asarray(r.embedding) for r in
             analytics.walk_hash_embedding(walks, dim=8).collect()}
     assert np.allclose(out["s"], out2["s"])
+
+
+def test_eigenvector_centrality_undersized_n_raises(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [("s", 0, 5)], "series_key string, src long, dst long")
+    counts = spark.createDataFrame([("s", 3)], "series_key string, n long")
+    with _pytest.raises(Exception, match="node_counts smaller"):
+        analytics.eigenvector_centrality(edges, node_counts=counts).collect()
+
+
+def test_histogram_constant_series(spark):
+    """np.histogram degenerate range: constant series expands to v±0.5
+    with all mass in bin 5 (the oracle replicates this rule)."""
+    from ts2g2_spark.operators import graphs
+
+    s = spark.createDataFrame([("c", [2.0] * 7)],
+                              "series_key string, values array<double>")
+    r = graphs.histogram(s, 10).collect()[0]
+    assert r.freqs[5] == 7 and sum(r.freqs) == 7
+    assert r.bin_edges[0] == 1.5 and r.bin_edges[-1] == 2.5

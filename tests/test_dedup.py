@@ -205,3 +205,31 @@ def test_connected_components_random_vs_networkx(spark):
         got = {r.doc_id: r.component for r in
                dedup.connected_components(pairs).collect()}
         assert got == want, (trial, n, m)
+
+
+def test_md5_kernel_nbsp_parity(spark):
+    """Non-ASCII whitespace (NBSP): the Python kernel must tokenize like
+    the ASCII-\\s Catalyst/oracle twins (which DELETE the NBSP, fusing
+    the words), not like Unicode-\\s Python (which would split them)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    cat = {(r.doc_id, r.n_sh, r.sh) for r in dedup.shingles_hashed(
+        docs, n_words=3, word_hash="md5").collect()}
+    ker = {(r.doc_id, r.n_sh, r.sh) for r in
+           dedup.shingles_hashed_md5_kernel(docs, n_words=3).collect()}
+    assert cat == ker and cat
+
+
+def test_lsh_candidate_pairs_width_mismatch_raises(spark):
+    import pytest as _pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.minhash_signatures(docs.limit(20), n_words=3, n_hashes=32)
+    # ANSI sessions raise INVALID_ARRAY_INDEX from element_at
+    # before the assert_true; non-ANSI sessions hit the
+    # assert_true message — both fail loudly
+    with _pytest.raises(
+            Exception,
+            match="n_hashes|ARRAY_INDEX|ArrayIndex"):
+        dedup.lsh_candidate_pairs(sigs, bands=8, n_hashes=64).collect()

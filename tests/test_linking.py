@@ -361,3 +361,14 @@ def test_link_dtw_band_param(spark):
     exact = {(r.src, r.dst) for r in linking.link_dtw(s).collect()}
     banded = {(r.src, r.dst) for r in linking.link_dtw(s, band=4).collect()}
     assert exact == banded and exact
+
+
+def test_dtw_band_too_narrow_raises():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=10)
+    b = rng.normal(size=100)
+    with pytest.raises(ValueError, match="too narrow"):
+        linking.dtw_path(a, b, band=2)
+    # a sufficient band still works on the same unequal lengths
+    p = linking.dtw_path(a, b, band=15)
+    assert p[0] == (0, 0) and p[-1] == (9, 99)

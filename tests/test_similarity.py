@@ -92,3 +92,8 @@ def test_cosine_near_pairs_lsh_recall(emb):
         emb, 0.3, use_lsh=True).collect()}
     assert lsh_pairs <= exact_pairs
     assert len(lsh_pairs) / max(len(exact_pairs), 1) >= 0.3
+
+
+def test_cosine_near_pairs_empty_corpus(emb):
+    out = similarity.cosine_near_pairs(emb.where(F.col("vec_id") < 0), 0.5)
+    assert out.collect() == []

@@ -27,6 +27,11 @@ def eigenvector_centrality_kernel(
     dominant eigenvector of the adjacency matrix, L2-normalized, sign
     chosen so the sum is positive."""
     A = np.zeros((n, n))
+    if len(src) and (src.max() >= n or dst.max() >= n):
+        raise ValueError(
+            f"eigenvector_centrality: edge references node "
+            f"{int(max(src.max(), dst.max()))} but n={n} — node_counts "
+            f"smaller than the edge universe")
     A[src, dst] = 1.0
     A[dst, src] = 1.0
     vals, vecs = np.linalg.eigh(A)
@@ -52,7 +57,11 @@ def eigenvector_centrality(
     embedding is then sized to n (isolated nodes get their true zero-ish
     centrality) and edgeless series emit an all-equal embedding (the
     eigh of the zero matrix is a unit basis vector — degenerate but
-    defined; callers should treat edgeless graphs upstream)."""
+    defined; callers should treat edgeless graphs upstream).
+    node_counts also DEFINES the output universe: series present in
+    edges but absent from node_counts are excluded; a series whose
+    edges reference nodes >= its declared n raises a ValueError naming
+    the violation (not an opaque IndexError)."""
     packed = edges.groupBy("series_key").agg(
         F.collect_list("src").alias("srcs"),
         F.collect_list("dst").alias("dsts"),

@@ -116,8 +116,11 @@ def shingles_hashed_md5_kernel(docs: DataFrame, text_col: str = "text",
     Catalyst path is pinned in tests/test_dedup.py."""
     import re
 
-    strip = re.compile(r"[^a-z0-9\s]")
-    ws = re.compile(r"\s+")
+    # re.ASCII: Catalyst's Java regex and DuckDB's RE2 treat \s as ASCII
+    # whitespace; Python's default Unicode \s would also swallow NBSP
+    # etc. and silently diverge from the twins on non-ASCII text
+    strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab: dict[str, int] = {}
@@ -174,7 +177,10 @@ def cap_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
         .where(F.col("_df") > max_doc_freq)
         .select("sh")
     )
-    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # no broadcast hint: with a generous cap the hot set is tiny and AQE
+    # broadcasts it anyway; with an aggressive cap it can approach the
+    # vocabulary size, where a forced broadcast would OOM the driver
+    kept = sh.join(hot, "sh", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     return (
         kept.drop("n_sh")
@@ -226,6 +232,13 @@ def lsh_candidate_pairs(
     rows = n // bands
     banded = sigs.select(
         "doc_id",
+        # executor-side guard: a caller-supplied n_hashes wider than the
+        # real signature would silently hash NULL-truncated bands (every
+        # doc collides); fail loudly instead
+        F.assert_true(
+            F.size("sig") == n,
+            F.lit(f"lsh_candidate_pairs: size(sig) != n_hashes={n}"),
+        ).alias("_chk"),
         F.posexplode(
             F.array(*[
                 F.md5(F.concat_ws(",", *[

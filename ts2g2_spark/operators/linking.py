@@ -254,6 +254,14 @@ def dtw_path(
         for j in range(jlo, jhi + 1):
             row[j] = c[j - 1] + min(best[j - 1], row[j - 1])
         D[i] = row
+    if not np.isfinite(D[n, m]):
+        # a band narrower than the per-row center shift (roughly
+        # band < (m/n - 1)/2) leaves consecutive row windows
+        # non-overlapping — no valid warping path exists; fail loudly
+        # instead of backtracking through inf into a fabricated path
+        raise ValueError(
+            f"dtw_path: band={band} too narrow for lengths ({n}, {m}) — "
+            f"no reachable path; use band >= ~{max(1, (m + n - 1) // n)}")
     # backtrack (diag, up, left) first-minimum, mirroring the conftest stub
     # and dtaidistance.dtw.best_path tie behavior
     i, j = n, m

@@ -248,15 +248,18 @@ def cosine_near_pairs(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     pdf = src.toPandas()
-    ids_all = pdf["_id"].to_numpy()
-    M = np.stack(pdf["_v"].to_numpy())
-    norms = np.sqrt((M * M).sum(axis=1))
-    bc = src.sparkSession.sparkContext.broadcast((ids_all, M, norms))
-    out_schema = StructType([
+    out_schema_empty = StructType([
         StructField("id_a", src.schema["_id"].dataType),
         StructField("id_b", src.schema["_id"].dataType),
         StructField("cosine", DoubleType()),
     ])
+    if not len(pdf):
+        return src.sparkSession.createDataFrame([], out_schema_empty)
+    ids_all = pdf["_id"].to_numpy()
+    M = np.stack(pdf["_v"].to_numpy())
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = src.sparkSession.sparkContext.broadcast((ids_all, M, norms))
+    out_schema = out_schema_empty
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_c, Mc, nc = bc.value
@@ -300,9 +303,10 @@ def ivf_topk(
     Lloyd means — both O(n_lists x dim).
 
     The index build is three passes over the corpus (seed, Lloyd, final
-    assignment) — the (id, vector) projection is cached for their
-    duration so the upstream scan/transform runs once (the cache holds
-    only the two projected columns; evicted LRU afterwards)."""
+    assignment) — the (id, vector) projection is cached for the first
+    two and explicitly unpersisted after the Lloyd collect (no pinned
+    storage leaks across calls); the final assignment re-reads the
+    source once."""
     corpus = corpus.select(id_col, vec_col).cache()
     seed_rows = (
         corpus
@@ -326,6 +330,10 @@ def ivf_topk(
         s_acc[r["list_id"]] += np.asarray(r["s"])
     nz = n_acc > 0
     cents[nz] = s_acc[nz] / n_acc[nz, None]
+    # the seed + Lloyd passes consumed the cache; release it here rather
+    # than leaking a pinned projection per ivf_topk call — the one final
+    # assignment pass below re-reads the source
+    corpus.unpersist()
 
     corpus_l = _assign_lists(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
