@@ -214,7 +214,7 @@ def test_eigenvector_centrality_undersized_n_raises(spark):
     edges = spark.createDataFrame(
         [("s", 0, 5)], "series_key string, src long, dst long")
     counts = spark.createDataFrame([("s", 3)], "series_key string, n long")
-    with _pytest.raises(Exception, match="node_counts smaller"):
+    with _pytest.raises(Exception, match="outside"):
         analytics.eigenvector_centrality(edges, node_counts=counts).collect()
 
 
@@ -228,3 +228,16 @@ def test_histogram_constant_series(spark):
     r = graphs.histogram(s, 10).collect()[0]
     assert r.freqs[5] == 7 and sum(r.freqs) == 7
     assert r.bin_edges[0] == 1.5 and r.bin_edges[-1] == 2.5
+
+
+def test_eigenvector_centrality_negative_id_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside"):
+        analytics.eigenvector_centrality_kernel(
+            3, np.array([-1]), np.array([0]))
+
+
+def test_eigenvector_centrality_n_zero():
+    assert len(analytics.eigenvector_centrality_kernel(
+        0, np.array([], dtype=np.int64), np.array([], dtype=np.int64))) == 0

@@ -372,3 +372,8 @@ def test_dtw_band_too_narrow_raises():
     # a sufficient band still works on the same unequal lengths
     p = linking.dtw_path(a, b, band=15)
     assert p[0] == (0, 0) and p[-1] == (9, 99)
+
+
+def test_dtw_empty_series_raises():
+    with pytest.raises(ValueError, match="empty series"):
+        linking.dtw_path(np.array([]), np.array([1.0, 2.0]))

@@ -97,3 +97,16 @@ def test_cosine_near_pairs_lsh_recall(emb):
 def test_cosine_near_pairs_empty_corpus(emb):
     out = similarity.cosine_near_pairs(emb.where(F.col("vec_id") < 0), 0.5)
     assert out.collect() == []
+
+
+def test_ivf_empty_corpus(emb):
+    out = similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 0), emb.limit(2), k=3, n_lists=4)
+    assert out.collect() == []
+
+
+def test_lsh_candidate_pairs_empty_sigs(spark):
+    from ts2g2_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, sig array<long>")
+    assert dedup.lsh_candidate_pairs(empty, bands=8).collect() == []

@@ -26,12 +26,16 @@ def eigenvector_centrality_kernel(
     engine implements the documented intent, the centrality VECTOR):
     dominant eigenvector of the adjacency matrix, L2-normalized, sign
     chosen so the sum is positive."""
+    if n == 0:
+        return np.empty(0)
     A = np.zeros((n, n))
-    if len(src) and (src.max() >= n or dst.max() >= n):
+    if len(src) and (src.max() >= n or dst.max() >= n
+                     or src.min() < 0 or dst.min() < 0):
         raise ValueError(
-            f"eigenvector_centrality: edge references node "
-            f"{int(max(src.max(), dst.max()))} but n={n} — node_counts "
-            f"smaller than the edge universe")
+            f"eigenvector_centrality: edge node ids outside [0, {n}) "
+            f"(min {int(min(src.min(), dst.min()))}, "
+            f"max {int(max(src.max(), dst.max()))}) — node ids must be "
+            f"the 0-based insertion positions")
     A[src, dst] = 1.0
     A[dst, src] = 1.0
     vals, vecs = np.linalg.eigh(A)

@@ -227,27 +227,33 @@ def lsh_candidate_pairs(
     Pass n_hashes (the signature width) to keep plan construction
     action-free; when omitted, a one-row fallback job reads it from the
     frame."""
-    n = (n_hashes if n_hashes is not None
-         else sigs.select(F.size("sig")).first()[0])
+    if n_hashes is not None:
+        n = n_hashes
+    else:
+        row = sigs.select(F.size("sig")).first()
+        if row is None:  # empty frame: no pairs, and no width to infer
+            return sigs.sparkSession.createDataFrame(
+                [], f"doc_a {sigs.schema['doc_id'].dataType.simpleString()},"
+                    f" doc_b {sigs.schema['doc_id'].dataType.simpleString()}")
+        n = row[0]
     rows = n // bands
+    bands_arr = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.element_at("sig", b * rows + r + 1).cast("string")
+            for r in range(rows)
+        ]))
+        for b in range(bands)
+    ])
+    # width guard the optimizer cannot prune: the band array itself is
+    # conditional on the check, so a caller-supplied n_hashes wider than
+    # the real signature raises instead of silently hashing
+    # NULL-truncated bands (which would make every doc collide)
+    guarded = F.when(F.size("sig") == n, bands_arr).otherwise(
+        F.raise_error(F.lit(
+            f"lsh_candidate_pairs: size(sig) != n_hashes={n}")))
     banded = sigs.select(
         "doc_id",
-        # executor-side guard: a caller-supplied n_hashes wider than the
-        # real signature would silently hash NULL-truncated bands (every
-        # doc collides); fail loudly instead
-        F.assert_true(
-            F.size("sig") == n,
-            F.lit(f"lsh_candidate_pairs: size(sig) != n_hashes={n}"),
-        ).alias("_chk"),
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws(",", *[
-                    F.element_at("sig", b * rows + r + 1).cast("string")
-                    for r in range(rows)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band_id", "band_hash"),
+        F.posexplode(guarded).alias("band_id", "band_hash"),
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -232,6 +232,9 @@ def dtw_path(
     s1 = np.asarray(s1, np.float64)
     s2 = np.asarray(s2, np.float64)
     n, m = len(s1), len(s2)
+    if n == 0 or m == 0:
+        raise ValueError(
+            f"dtw_path: empty series (lengths {n}, {m}) — no alignment")
     D = np.full((n + 1, m + 1), np.inf)
     D[0, 0] = 0.0
     for i in range(1, n + 1):

@@ -248,18 +248,17 @@ def cosine_near_pairs(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     pdf = src.toPandas()
-    out_schema_empty = StructType([
+    out_schema = StructType([
         StructField("id_a", src.schema["_id"].dataType),
         StructField("id_b", src.schema["_id"].dataType),
         StructField("cosine", DoubleType()),
     ])
     if not len(pdf):
-        return src.sparkSession.createDataFrame([], out_schema_empty)
+        return src.sparkSession.createDataFrame([], out_schema)
     ids_all = pdf["_id"].to_numpy()
     M = np.stack(pdf["_v"].to_numpy())
     norms = np.sqrt((M * M).sum(axis=1))
     bc = src.sparkSession.sparkContext.broadcast((ids_all, M, norms))
-    out_schema = out_schema_empty
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_c, Mc, nc = bc.value
@@ -314,6 +313,14 @@ def ivf_topk(
         .limit(n_lists)
         .collect()
     )
+    if not seed_rows:  # empty corpus: no lists to build, no neighbors
+        corpus.unpersist()
+        return corpus.sparkSession.createDataFrame([], StructType([
+            StructField("query_id", corpus.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]))
     cents = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
 
     # one Lloyd pass: the SAME kernel that assigns lists also emits
