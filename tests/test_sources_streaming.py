@@ -197,3 +197,43 @@ def test_stream_dedup(spark, tmp_path):
         ingest.stream_dedup(ingest.stream_points(spark, in_dir)),
         out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == 50
+
+
+def test_streaming_tier_composes_with_tier_up(spark, tmp_path):
+    """The docstring claim 'rollup_tier_up composes on top' made
+    evidence: 1h tier derived from the STREAMED stateful 1m tier equals
+    the 1h tier computed from raw in batch (including first/last)."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def mk_points(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+            F.lit("src_00").alias("source"),
+            F.timestamp_seconds(1704067200 + F.col("id") * 11).alias("ts"),
+            (F.col("id") % 9).cast("double").alias("value"),
+        )
+
+    mk_points(0, 400).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_rollup_1m_stateful(
+            ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    # push the watermark far past batch 1 so its buckets finalize
+    mk_points(100000, 100100).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_rollup_1m_stateful(
+            ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+
+    streamed_1m = spark.read.parquet(out_dir)
+    got_1h = R.rollup_tier_up(streamed_1m, "1h")
+    want_1h = R.rollup_tier_up(
+        R.rollup_points(mk_points(0, 400), "1m"), "1h")
+    cols = ["doc_id", "bucket_ts", "cnt", "sum", "min", "max",
+            "first", "last"]
+    assert got_1h.count() == want_1h.count()
+    assert got_1h.select(*cols).exceptAll(
+        want_1h.select(*cols)).count() == 0
