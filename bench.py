@@ -83,6 +83,16 @@ def main() -> None:
         "rollup_points_per_sec": int(pps),
         "rollup_points": int(n_points),
         "cpus": cpus,
+        # timing mode, so cross-round comparisons don't misread warm-up
+        # ordering changes as plan wins (round-2 change a11ce89: one
+        # untimed warm-up run now absorbs session startup; before it, the
+        # first-run query's time included ~5-6 s of JVM/daemon/footer
+        # warm-up — e.g. rollup_1m r1 6.99s vs r2 0.43s is mostly that)
+        "warmup_query": names[0],
+        "timing_mode": ("each timed query is its plan's FIRST execution "
+                        "on a session pre-warmed by one untimed run of "
+                        "warmup_query (plan-cold, session-warm); "
+                        "warmup_query itself is timed fully warm"),
     }
     print(json.dumps(out))
 

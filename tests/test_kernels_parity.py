@@ -251,3 +251,38 @@ def test_proximity_knn_annn(reference, name, k):
         assert set(got) == set(ref_edges), (name, rec, k)
         for kk in ref_edges:
             assert got[kk] == ref_edges[kk]
+
+
+@pytest.mark.parametrize("name,k", [
+    ("annn_density", 3), ("annn_density", 5),
+    ("randint_50", 5), ("rand_50", 5), ("qg_canon", 3),
+])
+def test_proximity_knn_stable_tie_order(name, k):
+    """tie_order="stable" pins edge membership to the (distance, neighbor
+    index) total order — the SQL-oracle contract: each node's neighbors
+    are exactly the k-1 smallest non-self rows ranked by (dist, j).
+    Verified against an independent brute-force (sorted(), not argsort)."""
+    SERIES.setdefault(
+        "annn_density", [1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 3.0, 3.0])
+    y = np.array(SERIES[name])
+    n = len(y)
+    D = np.sqrt((y[:, None] - y[None, :]) ** 2)
+    want = {}
+    for i in range(n):
+        ranked = sorted((float(D[i, j]), j) for j in range(n) if j != i)
+        for _, j in ranked[: k - 1]:
+            a, b = min(i, j), max(i, j)
+            want[(a, b)] = float(D[i, j])
+    e, w = kernels.proximity_knn_edges(y, k, tie_order="stable")
+    got = {tuple(t): x for t, x in zip(e.tolist(), w.tolist())}
+    assert got == want, (name, k)
+
+
+def test_proximity_knn_stable_matches_reference_when_untied():
+    """On a series with all-distinct pairwise distances the two tie
+    orders agree — "stable" only diverges on exact float64 ties."""
+    y = np.array(SERIES["rand_50"])
+    e_ref, w_ref = kernels.proximity_knn_edges(y, 5, tie_order="reference")
+    e_st, w_st = kernels.proximity_knn_edges(y, 5, tie_order="stable")
+    assert {tuple(t) for t in e_ref.tolist()} == \
+        {tuple(t) for t in e_st.tolist()}

@@ -59,9 +59,11 @@ def eigenvector_centrality(
     (fine for visibility graphs, whose consecutive-point edges touch every
     node).  For general graphs pass `node_counts` (series_key, n): the
     embedding is then sized to n (isolated nodes get their true zero-ish
-    centrality) and edgeless series emit an all-equal embedding (the
-    eigh of the zero matrix is a unit basis vector — degenerate but
-    defined; callers should treat edgeless graphs upstream).
+    centrality) and edgeless series emit a DEGENERATE unit basis vector
+    [0, ..., 0, 1] — eigh of the zero matrix returns the identity and
+    the kernel takes its last column, NOT an all-equal vector;
+    centrality is meaningless on an edgeless graph, so callers should
+    filter edgeless series upstream rather than interpret that row.
     node_counts also DEFINES the output universe: series present in
     edges but absent from node_counts are excluded; a series whose
     edges reference nodes >= its declared n raises a ValueError naming

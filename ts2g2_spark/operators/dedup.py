@@ -107,20 +107,25 @@ def shingles_hashed(docs: DataFrame, text_col: str = "text",
 def shingles_hashed_md5_kernel(docs: DataFrame, text_col: str = "text",
                                n_words: int = 5) -> DataFrame:
     """Row-identical twin of `shingles_hashed(word_hash="md5")` as ONE
-    Arrow kernel: per batch, each DISTINCT word is md5-hashed once (a
-    vocabulary cache — corpora repeat words heavily, the Catalyst path
-    hashes every occurrence), grams combine via the same vectorized
-    shifted-xor, distinct via np.unique.  Same (doc_id, n_sh, sh) rows
+    Arrow kernel.  Same (doc_id, n_sh, sh) rows as the Catalyst path
     (set-equal; row order differs), so it feeds the same minhash/jaccard
     aggregates and keeps the same DuckDB oracle.  Equality with the
-    Catalyst path is pinned in tests/test_dedup.py."""
+    Catalyst path is pinned in tests/test_dedup.py.
+
+    Vectorized across the batch (round 3 — previously a per-doc Python
+    loop): all docs' words flatten into one array with a doc index, the
+    batch vocabulary is ONE np.unique (each distinct word md5-hashed
+    once, cached across batches), the shifted-xor gram combine runs over
+    the FLAT hash stream (windows straddling a doc boundary are masked
+    out), and per-doc distinct is a lexsort + first-occurrence mask."""
     import re
 
     # re.ASCII: Catalyst's Java regex and DuckDB's RE2 treat \s as ASCII
     # whitespace; Python's default Unicode \s would also swallow NBSP
-    # etc. and silently diverge from the twins on non-ASCII text
+    # etc. and silently diverge from the twins on non-ASCII text.  After
+    # the strip only [a-z0-9] + ASCII whitespace remain, so pandas'
+    # no-arg str.split() (Unicode ws) is exactly the ASCII split here.
     strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
-    ws = re.compile(r"\s+", re.ASCII)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab: dict[str, int] = {}
@@ -133,28 +138,42 @@ def shingles_hashed_md5_kernel(docs: DataFrame, text_col: str = "text",
             return v
 
         for pdf in batches:
-            doc_ids, n_shs, shs = [], [], []
-            for r in pdf.itertuples(index=False):
-                t = ws.sub(" ", strip.sub("", (r.text or "").lower())).strip()
-                words = [w for w in t.split(" ") if w]
-                if len(words) < n_words:
-                    continue
-                wh = np.fromiter((h(w) for w in words), dtype=np.int64,
-                                 count=len(words))
-                m = len(wh) - n_words + 1
-                g = np.zeros(m, dtype=np.int64)
-                for k in range(n_words):
-                    g ^= wh[k: m + k] << np.int64(n_words - 1 - k)
-                uniq = np.unique(g)
-                doc_ids.append(np.full(len(uniq), r.doc_id, dtype=np.int64))
-                n_shs.append(np.full(len(uniq), len(uniq), dtype=np.int64))
-                shs.append(uniq)
-            if doc_ids:
-                yield pd.DataFrame({
-                    "doc_id": np.concatenate(doc_ids),
-                    "n_sh": np.concatenate(n_shs),
-                    "sh": np.concatenate(shs),
-                })
+            if not len(pdf):
+                continue
+            toks = (
+                pdf["text"].fillna("").str.lower()
+                .str.replace(strip, "", regex=True).str.split()
+            )
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            keep = np.flatnonzero(lens >= n_words)
+            if not len(keep):
+                continue
+            flat = np.concatenate([toks.iat[i] for i in keep])
+            uw, inv = np.unique(flat, return_inverse=True)
+            hvoc = np.fromiter((h(w) for w in uw.tolist()),
+                               dtype=np.int64, count=len(uw))
+            whf = hvoc[inv]  # flat word-hash stream, doc-major
+            klens = lens[keep]
+            m = len(whf) - n_words + 1
+            g = np.zeros(m, dtype=np.int64)
+            for k in range(n_words):
+                g ^= whf[k: m + k] << np.int64(n_words - 1 - k)
+            # a window starting at p is valid iff it ends inside the
+            # same doc: doc_of[p] == doc_of[p + n_words - 1]
+            doc_of = np.repeat(np.arange(len(keep)), klens)
+            pos = np.flatnonzero(doc_of[:m] == doc_of[n_words - 1:])
+            gv, dv = g[pos], doc_of[pos]
+            order = np.lexsort((gv, dv))
+            gs, ds = gv[order], dv[order]
+            first = np.ones(len(gs), dtype=bool)
+            first[1:] = (ds[1:] != ds[:-1]) | (gs[1:] != gs[:-1])
+            gk, dk = gs[first], ds[first]
+            n_sh = np.bincount(dk, minlength=len(keep))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[keep][dk],
+                "n_sh": n_sh[dk],
+                "sh": gk,
+            })
 
     return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         kern, schema="doc_id long, n_sh long, sh long")
@@ -357,7 +376,16 @@ def connected_components(
 
     Only docs appearing in a pair are returned (singletons are trivially
     their own component).  Converges early when a round changes no
-    label; raises if max_iter rounds do not converge."""
+    label; raises if max_iter rounds do not converge.
+
+    EAGER: this function runs the iterative jobs at CALL time — the
+    symmetric edge list is localCheckpoint'ed (materializing the whole
+    upstream pair pipeline) and each round executes one job to refresh +
+    convergence-check the label table.  Deliberate: the converged labels
+    are a materialized artifact reused by every downstream consumer, and
+    convergence detection is inherently an action.  Callers composing
+    lazy pipelines should invoke this last (building the frame triggers
+    the full jaccard/LSH upstream)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # materialize the symmetric edge list ONCE: it is consumed every
     # round (and twice via the union), so leaving it lazy would re-run
@@ -373,11 +401,18 @@ def connected_components(
     for _ in range(max_iter):
         nb = (
             sym.join(lab, sym["b"] == lab["n"])
-            .select(F.col("a").alias("n"), F.col("comp"))
+            .select(F.col("a").alias("n"), F.col("comp"),
+                    F.lit(None).cast(lab.schema["comp"].dataType)
+                    .alias("own"))
         )
+        # each node contributes its OWN label tagged in `own`; min(own)
+        # recovers the previous label in the SAME aggregate, so the
+        # convergence check below is a scan of the checkpointed round
+        # output — not an extra join against the previous label table
         merged = (
-            lab.select("n", "comp").union(nb)
-            .groupBy("n").agg(F.min("comp").alias("comp"))
+            lab.select("n", "comp", F.col("comp").alias("own")).union(nb)
+            .groupBy("n").agg(F.min("comp").alias("comp"),
+                              F.min("own").alias("prev"))
         )
         # pointer jumping: comp values are themselves node ids, so one
         # self-join replaces comp with ITS current label — path halving.
@@ -390,16 +425,12 @@ def connected_components(
             .select(
                 "n",
                 F.coalesce("_rcomp", "comp").alias("comp"),
+                "prev",
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("x")
-            .join(lab.alias("y"), F.col("x.n") == F.col("y.n"))
-            .where(F.col("x.comp") != F.col("y.comp"))
-            .count()
-        )
-        lab = new
+        changed = new.where(F.col("comp") != F.col("prev")).count()
+        lab = new.select("n", "comp")
         if changed == 0:
             return lab.select(F.col("n").alias("doc_id"),
                               F.col("comp").alias("component"))
@@ -416,8 +447,14 @@ def simhash_fingerprints(
     """64-bit SimHash per doc (Charikar 2002): sign of the per-bit sum of
     word-hash bits weighted by term frequency.
 
-    Arrow-batched kernel; per batch, only UNIQUE words are md5-hashed
-    (vocabulary dedup), then the bit-sum is a vectorized scatter-add.
+    Arrow-batched kernel, vectorized ACROSS the batch (round 3 — the
+    per-doc Python loop was the slowest text kernel): tokenize with
+    pandas str ops, flatten all docs' words with a doc index, ONE
+    np.unique for the batch vocabulary (each distinct word md5-hashed
+    once, cached across batches), ONE np.unique over packed
+    (doc, word) keys for term frequencies, then per bit the signed sum
+    is `2*bincount(doc, tf*bit) - bincount(doc, tf)` — no per-doc loop,
+    no (pairs x bits) intermediate matrix.
     Tokenization is the ASCII regex [^a-z0-9]+ -> space over lowered text
     — deliberately expressible in any regex-capable oracle engine, so the
     fingerprints are bit-reproducible in the DuckDB contract oracle."""
@@ -426,28 +463,54 @@ def simhash_fingerprints(
     nonword = re.compile(r"[^a-z0-9]+")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab: dict[str, int] = {}
+
+        def h(w: str) -> int:
+            v = vocab.get(w)
+            if v is None:
+                v = h64_py(w)
+                vocab[w] = v
+            return v
+
         for pdf in batches:
-            ids, hashes = [], []
-            for r in pdf.itertuples(index=False):
-                text = (r.text or "").lower()
-                words = [w for w in nonword.sub(" ", text).split() if w]
-                if not words:
-                    ids.append(r.doc_id)
-                    hashes.append(0)
-                    continue
-                uniq, counts = np.unique(np.array(words), return_counts=True)
-                hv = np.array([h64_py(w) for w in uniq.tolist()],
-                              dtype=np.uint64)
-                bitmat = (hv[:, None] >> np.arange(bits, dtype=np.uint64)
-                          [None, :]) & np.uint64(1)
-                signed = np.where(bitmat == 1, 1, -1) * counts[:, None]
-                sums = signed.sum(axis=0)
-                fp = np.uint64(0)
-                for bpos in np.nonzero(sums > 0)[0]:
-                    fp |= np.uint64(1) << np.uint64(bpos)
-                ids.append(r.doc_id)
-                hashes.append(np.int64(fp.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            toks = (
+                pdf["text"].fillna("").str.lower()
+                .str.replace(nonword, " ", regex=True).str.split()
+            )
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            fp = np.zeros(n_docs, dtype=np.uint64)
+            nz = np.flatnonzero(lens > 0)
+            if len(nz):
+                flat = np.concatenate(
+                    [toks.iat[i] for i in nz])  # '<U*' word array
+                doc_idx = np.repeat(nz, lens[nz])
+                uniq_words, inv = np.unique(flat, return_inverse=True)
+                hv = np.fromiter(
+                    (np.uint64(h(w)) for w in uniq_words.tolist()),
+                    dtype=np.uint64, count=len(uniq_words))
+                nv = np.int64(len(uniq_words))
+                key = doc_idx * nv + inv  # doc-major packed (doc, word)
+                pk, tf = np.unique(key, return_counts=True)
+                dw_doc = pk // nv
+                dw_tf = tf.astype(np.float64)
+                wh = hv[pk % nv]
+                # per doc: sum over words of tf * (+1 if bit else -1)
+                #        = 2 * sum(tf where bit) - sum(tf)
+                tot = np.bincount(dw_doc, weights=dw_tf, minlength=n_docs)
+                for bpos in range(bits):
+                    bit = ((wh >> np.uint64(bpos)) & np.uint64(1)
+                           ).astype(np.float64)
+                    pos = np.bincount(dw_doc, weights=dw_tf * bit,
+                                      minlength=n_docs)
+                    fp |= ((2.0 * pos - tot) > 0).astype(np.uint64) \
+                        << np.uint64(bpos)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "simhash": fp.astype(np.int64),
+            })
 
     return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         kern, schema=SIMHASH_SCHEMA)

@@ -343,8 +343,14 @@ def proximity_edges(
     k: int = 5,
     epsilon: float = 0.5,
     recurrence_type: str = "epsilon",
+    tie_order: str = "reference",
 ) -> DataFrame:
-    """Proximity networks (ref to_graph/strategies.py:175-397), map-only."""
+    """Proximity networks (ref to_graph/strategies.py:175-397), map-only.
+
+    tie_order applies to recurrence_type="k-nnn" only (see
+    kernels.proximity_knn_edges): "reference" = argsort bit-parity,
+    "stable" = deterministic (dist, index) ties, SQL-oracle-expressible.
+    """
     if method in ("cycle", "correlation"):
         fn = lambda y: kernels.proximity_cycle_edges(  # noqa: E731
             y, segment_length, threshold)
@@ -352,7 +358,8 @@ def proximity_edges(
         if recurrence_type == "epsilon":
             fn = lambda y: kernels.proximity_epsilon_edges(y, epsilon)  # noqa
         elif recurrence_type == "k-nnn":
-            fn = lambda y: kernels.proximity_knn_edges(y, k)  # noqa: E731
+            fn = lambda y: kernels.proximity_knn_edges(  # noqa: E731
+                y, k, tie_order=tie_order)
         elif recurrence_type == "annn":
             fn = lambda y: kernels.proximity_annn_edges(y, k)  # noqa: E731
         else:

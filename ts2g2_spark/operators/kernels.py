@@ -416,19 +416,36 @@ def _pdist_matrix(y: np.ndarray) -> np.ndarray:
 
 
 def proximity_knn_edges(
-    y: np.ndarray, k: int
+    y: np.ndarray, k: int, tie_order: str = "reference"
 ) -> tuple[np.ndarray, np.ndarray]:
     """k-NN network (strategies.py:353-372): each node connects to
     argsort(dist_row)[1:k] — i.e. k-1 neighbors (reference off-by-one
-    preserved), ties broken by np.argsort's default (quicksort) order,
-    reproduced by calling the same argsort.  Undirected dedup like nx.
-    Weight = distance (last writer wins in nx; distances are symmetric so
-    equal either way)."""
+    preserved).  Undirected dedup like nx.  Weight = distance (last
+    writer wins in nx; distances are symmetric so equal either way).
+
+    tie_order:
+      * "reference" (default) — ties broken by np.argsort's default
+        (introsort) order, reproduced by calling the same argsort:
+        bit-parity with the reference even on tied inputs
+        (tests/test_kernels_parity.py).
+      * "stable" — self excluded explicitly, then the k-1 smallest by
+        (distance, neighbor index): a DETERMINISTIC total order whose
+        edge membership a SQL oracle can express as a windowed
+        row_number() over (dist, j) — the driver-contract variant.
+        Differs from "reference" only when two distances tie exactly
+        in float64."""
     D = _pdist_matrix(y)
     n = len(D)
     seen: dict[tuple[int, int], float] = {}
     for i in range(n):
-        nn = np.argsort(D[i])[1:k]
+        if tie_order == "reference":
+            nn = np.argsort(D[i])[1:k]
+        else:
+            # stable mergesort on dist breaks ties by index; drop self
+            # (dist 0, index order puts any tied-zero j<i first, so self
+            # must be removed by identity, not by position)
+            order = np.argsort(D[i], kind="stable")
+            nn = order[order != i][: k - 1]
         for j in nn:
             a, b = (i, int(j)) if i < j else (int(j), i)
             seen[(a, b)] = float(D[i, j])

@@ -325,7 +325,14 @@ def manual_edge(
 ) -> DataFrame:
     """add_edge by node position (ref core/model.py:271-277: positions
     index the node list in insertion order).  Composed-graph order =
-    (graph_key, ord)."""
+    (graph_key, ord).
+
+    SCALE NOTE: the unpartitioned Window.orderBy below is a
+    single-partition global sort — correct here ONLY because the input
+    is a composed multi-graph node list (tens to thousands of rows by
+    contract; positional indexing is inherently a total order).  Do not
+    feed this a billion-row frame; for bulk edge addition join on a
+    precomputed per-graph position instead."""
     w = Window.orderBy("graph_key", "ord")
     pos = nodes.select(
         "node_id", (F.row_number().over(w) - 1).alias("pos"))

@@ -29,6 +29,16 @@ from ts2g2_spark.functions.hashing import h64
 _M = 1_000_000
 
 
+def _thr(fraction: float) -> int:
+    """fraction -> bucket threshold.  round(), not int(): truncation
+    makes fractions whose float product lands just below an integer
+    (0.29 * 1e6 = 289999.99999999994) one bucket stingier than the
+    literal `fraction * 1e6` constant a hand-written SQL oracle uses —
+    the engine and any literal-constant oracle must agree for ALL
+    fractions, not just ones that multiply exactly."""
+    return int(round(fraction * _M))
+
+
 def _bucket(key_col: str, salt: str) -> F.Column:
     return F.pmod(
         h64(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
@@ -41,7 +51,7 @@ def hash_sample(
     salt: str = "sample",
 ) -> DataFrame:
     """Deterministic `fraction` sample keyed on key_col."""
-    return df.where(_bucket(key_col, salt) < int(fraction * _M))
+    return df.where(_bucket(key_col, salt) < _thr(fraction))
 
 
 def stratified_hash_sample(
@@ -55,10 +65,10 @@ def stratified_hash_sample(
     """Per-stratum deterministic sampling (e.g. per-language or
     per-source mixing weights for a training datamix).  Strata absent
     from `fractions` get default_fraction."""
-    thr = F.lit(int(default_fraction * _M))
+    thr = F.lit(_thr(default_fraction))
     for stratum, frac in sorted(fractions.items()):
         thr = F.when(
-            F.col(strata_col) == stratum, F.lit(int(frac * _M))
+            F.col(strata_col) == stratum, F.lit(_thr(frac))
         ).otherwise(thr)
     return df.where(_bucket(key_col, salt) < thr)
 
@@ -74,7 +84,7 @@ def split_assignment(
     (salt, key), so it is stable across runs and incremental loads."""
     return df.withColumn(
         "split",
-        F.when(_bucket(key_col, salt) < int(val_fraction * _M),
+        F.when(_bucket(key_col, salt) < _thr(val_fraction),
                F.lit("val")).otherwise(F.lit("train")),
     )
 

@@ -104,7 +104,12 @@ def read_ts(spark: SparkSession, path: str) -> DataFrame:
     data lines parse via Catalyst split/transform (JVM, distributed).
     case_id is the file-order line number (a window over
     monotonically_increasing_id, which is ordered by file split for a
-    single-file read)."""
+    single-file read).  SCALE NOTE: that window is an UNPARTITIONED
+    Window.orderBy — a single-partition sort, acceptable only because a
+    `.ts` benchmark file is one small text file by contract; a
+    multi-gigabyte input would serialize through one task.  For bulk
+    line-numbered ingestion use zipWithIndex-style per-split offsets
+    instead."""
     has_label = False
     with open(path, encoding="utf-8") as fh:
         for line in fh:
