@@ -800,8 +800,14 @@ where i / (sa.n + sb.n - i) >= 0.5
 def q_dedup_components(spark, sf_dir):
     """Near-dup pairs resolved into duplicate GROUPS (connected
     components, component id = min doc) — the pair->group->survivor step
-    of a real dedup pipeline.  Pointer-jumping label propagation vs a
-    DuckDB recursive-CTE transitive closure."""
+    of a real dedup pipeline, vs a DuckDB recursive-CTE transitive
+    closure.  Auto-selects the physical path on the materialized pair
+    count (round 3): driver union-find when the pair list is small (the
+    realistic case — near-dup pairs are a vanishing fraction of the
+    corpus; here a few dozen rows after a full jaccard verify), the
+    pointer-jumping distributed loop above the threshold.  Both paths
+    produce identical labels; the distributed loop stays pinned by the
+    local_threshold=0 tests in tests/test_dedup.py."""
     from ts2g2_spark.operators import dedup
 
     pairs = dedup.ngram_jaccard_pairs(

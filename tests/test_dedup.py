@@ -154,14 +154,17 @@ def test_md5_kernel_shingles_equal_catalyst(spark):
 
 
 # ------------------------------------------------- connected components
-def test_connected_components_chain_and_clique(spark):
+# local_threshold=0 forces the distributed pointer-jumping path; the
+# default exercises the driver union-find fast path — both must agree.
+@pytest.mark.parametrize("thr", [1_000_000, 0])
+def test_connected_components_chain_and_clique(spark, thr):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4),        # chain -> component 1
          (10, 11), (10, 12), (11, 12),  # clique -> component 10
          (20, 21)],                     # pair -> component 20
         "doc_a long, doc_b long")
     got = {(r.doc_id, r.component) for r in
-           dedup.connected_components(pairs).collect()}
+           dedup.connected_components(pairs, local_threshold=thr).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10), (12, 10),
                    (20, 20), (21, 20)}
@@ -173,11 +176,13 @@ def test_connected_components_empty(spark):
 
 
 def test_connected_components_long_chain(spark):
-    """Diameter 40 chain — exercises multi-round convergence."""
+    """Diameter 40 chain — exercises multi-round convergence of the
+    DISTRIBUTED path (local_threshold=0)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
     got = {(r.doc_id, r.component) for r in
-           dedup.connected_components(pairs, max_iter=12).collect()}
+           dedup.connected_components(
+               pairs, max_iter=12, local_threshold=0).collect()}
     assert got == {(i, 0) for i in range(41)}
 
 
@@ -205,6 +210,10 @@ def test_connected_components_random_vs_networkx(spark):
         got = {r.doc_id: r.component for r in
                dedup.connected_components(pairs).collect()}
         assert got == want, (trial, n, m)
+        got_dist = {r.doc_id: r.component for r in
+                    dedup.connected_components(
+                        pairs, local_threshold=0).collect()}
+        assert got_dist == want, ("distributed", trial, n, m)
 
 
 def test_md5_kernel_nbsp_parity(spark):

@@ -358,21 +358,37 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-dup pairs into duplicate GROUPS: (doc_id, component)
     where component = min doc_id of the connected component — the step
     between pair detection and survivor selection (keep component, drop
     the rest) that every dedup pipeline needs.
 
-    Algorithm: iterative min-label propagation with POINTER JUMPING —
-    each round every node takes min(own label, neighbors' labels), then
-    labels chase one hop through the label table (comp <- label(comp)),
-    which doubles propagation distance per round: O(log diameter) rounds
-    even on adversarial chains (pinned by the 40-chain test).  Per round:
-    two equi-joins + one partial-agg'd groupBy, labels
-    localCheckpoint'ed so lineage stays O(1); the shuffle carries one
-    row per (node, candidate label) — scale-safe.
+    TWO physical paths, auto-selected on the materialized edge count:
+
+    * edge list <= local_threshold (the COMMON case — near-dup pairs are
+      a vanishing fraction of a deduplicated corpus, so even a 100 TB
+      run usually produces a pair list that fits in driver memory):
+      single-pass union-find on the driver.  Each distributed round of
+      the iterative algorithm costs a full job (join + shuffle +
+      checkpoint barrier + convergence action); when the edges fit in
+      one process, O(E α(E)) union-find beats O(log diameter) cluster
+      barriers by orders of magnitude.  The threshold bounds driver
+      memory explicitly (~16 bytes/edge + dict overhead).
+    * larger: iterative min-label propagation with POINTER JUMPING —
+      each round every node takes min(own label, neighbors' labels),
+      then labels chase one hop through the label table
+      (comp <- label(comp)), which doubles propagation distance per
+      round: O(log diameter) rounds even on adversarial chains (pinned
+      by the 40-chain test, which forces this path with
+      local_threshold=0).  Per round: two equi-joins + one partial-agg'd
+      groupBy, labels localCheckpoint'ed so lineage stays O(1); the
+      shuffle carries one row per (node, candidate label) — scale-safe.
+
+    Both paths produce identical output (component = min doc_id) and are
+    pinned against each other in tests/test_dedup.py.
 
     Only docs appearing in a pair are returned (singletons are trivially
     their own component).  Converges early when a round changes no
@@ -387,9 +403,45 @@ def connected_components(
     lazy pipelines should invoke this last (building the frame triggers
     the full jaccard/LSH upstream)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # materialize the symmetric edge list ONCE: it is consumed every
-    # round (and twice via the union), so leaving it lazy would re-run
-    # the whole upstream pair pipeline per round
+    # materialize the edge list ONCE: the path probe needs its count, and
+    # both paths then consume the checkpointed rows — the upstream pair
+    # pipeline (jaccard/LSH joins) runs exactly once either way
+    edges = edges.localCheckpoint()
+    n_edges = edges.count()
+
+    if n_edges <= local_threshold:
+        from pyspark.sql.types import StructField, StructType
+
+        dt = pairs.schema["doc_a"].dataType
+        schema = StructType([StructField("doc_id", dt),
+                             StructField("component", dt)])
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root: the surviving root is the smaller
+                # label, so the final root of every node IS the min of
+                # its component — same output as the distributed path
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(out, schema)
+
+    # distributed path: symmetric edge list built from the checkpointed
+    # edges and materialized once more (it is consumed every round)
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
