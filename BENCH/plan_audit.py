@@ -31,6 +31,8 @@ AUDIT = [
     "link_window_chain", "combine_nodes", "combine_subgraphs",
     "walk_corpus", "dedup_components", "sample_10pct",
     "stratified_sample", "corpus_clean", "datamix_report",
+    # round 3 additions
+    "proximity_knn", "ann_ivf_top5", "generate_walks",
 ]
 
 
