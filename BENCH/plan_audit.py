@@ -105,6 +105,14 @@ def main() -> None:
         "* parquet scans show ReadSchema limited to referenced columns "
         "(binary payloads pruned out of shuffles, see "
         "tests/test_multimodal.py).",
+        "",
+        "Reading note: `dedup_components` and `ann_ivf_top5` are "
+        "documented EAGER APIs (their iterative/multi-action jobs run at "
+        "frame-construction time), so their rows above show the plan of "
+        "the already-materialized result (a checkpoint scan, 0-1 "
+        "exchanges) — the distributed work they did is audited in their "
+        "operator docstrings and pinned by tests, not visible in this "
+        "lazy-plan dump.",
     ]
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("\n".join(md) + "\n")
