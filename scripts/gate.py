@@ -34,19 +34,37 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _fmt(v) -> str:
+    """Scalar -> canonical string: floats to 12 significant digits (so
+    last-ulp engine differences don't flip the hash), None and NaN both
+    to '' (Spark toPandas yields None where duckdb .df() yields NaN)."""
+    if v is None:
+        return ""
+    if isinstance(v, (float, np.floating)):
+        return "" if np.isnan(v) else f"{float(v):.12g}"
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
     for c in df.columns:
-        if df[c].dtype == object:
-            # arrays / lists -> stable string form
-            df[c] = df[c].map(
-                lambda v: json.dumps(list(v), default=float)
-                if isinstance(v, (list, tuple, np.ndarray)) else v)
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].map(lambda v: f"{v:.12g}" if pd.notna(v) else "")
-    df = df.astype(str).sort_values(list(df.columns), kind="mergesort")
+        col = df[c]
+        if col.dtype == object:
+            # arrays/lists canonicalize ELEMENT-WISE through _fmt so
+            # float arrays get the same 12-digit treatment as scalars
+            out[c] = col.map(
+                lambda v: json.dumps([_fmt(x) for x in v])
+                if isinstance(v, (list, tuple, np.ndarray)) else _fmt(v))
+        elif pd.api.types.is_float_dtype(col):
+            out[c] = col.map(_fmt)
+        else:
+            out[c] = col.astype(str)
+    cdf = pd.DataFrame(out)
+    if out:
+        cdf = cdf.sort_values(list(out), kind="mergesort")
     return hashlib.md5(
-        df.to_csv(index=False).encode("utf-8")).hexdigest()
+        cdf.to_csv(index=False).encode("utf-8")).hexdigest()
 
 
 def main() -> int:

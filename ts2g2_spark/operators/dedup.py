@@ -376,7 +376,11 @@ def connected_components(
       checkpoint barrier + convergence action); when the edges fit in
       one process, O(E α(E)) union-find beats O(log diameter) cluster
       barriers by orders of magnitude.  The threshold bounds driver
-      memory explicitly (~16 bytes/edge + dict overhead).
+      memory explicitly: the edge transfer is columnar Arrow (~16
+      bytes/edge for int64 ids) and the union-find dict holds one boxed
+      Python entry per NODE (~100 bytes) — size the threshold for the
+      node count too, not just edges (1M edges ≲ 2M nodes ≈ 200 MB
+      worst case).
     * larger: iterative min-label propagation with POINTER JUMPING —
       each round every node takes min(own label, neighbors' labels),
       then labels chase one hop through the label table
@@ -425,8 +429,10 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
-            a, b = row["a"], row["b"]
+        # toPandas = columnar Arrow transfer; a row-pickled collect()
+        # would box every edge into a ~100-byte Row object
+        epdf = edges.toPandas()
+        for a, b in zip(epdf["a"].tolist(), epdf["b"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

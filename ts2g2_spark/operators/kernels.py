@@ -437,6 +437,9 @@ def proximity_knn_edges(
     D = _pdist_matrix(y)
     n = len(D)
     seen: dict[tuple[int, int], float] = {}
+    if tie_order not in ("reference", "stable"):
+        raise ValueError(f"tie_order must be 'reference' or 'stable', "
+                         f"got {tie_order!r}")
     for i in range(n):
         if tie_order == "reference":
             nn = np.argsort(D[i])[1:k]

@@ -250,13 +250,15 @@ def cosine_near_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    # size-guarded collect: limit(cap + 1) bounds what ever reaches the
-    # driver; seeing cap + 1 rows proves the corpus is over the cap and
-    # the exact path refuses to run rather than building an unbounded
+    # size-guarded Arrow collect: limit(cap + 1) bounds what ever reaches
+    # the driver; seeing cap + 1 rows proves the corpus is over the cap
+    # and the exact path refuses to run rather than building an unbounded
     # broadcast (VERDICT r2: the previous unguarded toPandas() was the
-    # one scale-killer reachable from a contract query)
-    rows = src.limit(max_exact_rows + 1).collect()
-    if len(rows) > max_exact_rows:
+    # one scale-killer reachable from a contract query).  toPandas keeps
+    # the columnar Arrow transfer — a row-pickled collect() would cost
+    # ~10-30x the memory in boxed Row objects below the cap.
+    pdf = src.limit(max_exact_rows + 1).toPandas()
+    if len(pdf) > max_exact_rows:
         raise ValueError(
             f"cosine_near_pairs(exact): corpus exceeds max_exact_rows="
             f"{max_exact_rows}; the exact all-pairs baseline is "
@@ -267,10 +269,10 @@ def cosine_near_pairs(
         StructField("id_b", src.schema["_id"].dataType),
         StructField("cosine", DoubleType()),
     ])
-    if not rows:
+    if not len(pdf):
         return src.sparkSession.createDataFrame([], out_schema)
-    ids_all = np.array([r["_id"] for r in rows])
-    M = np.array([r["_v"] for r in rows], dtype=np.float64)
+    ids_all = pdf["_id"].to_numpy()
+    M = np.stack(pdf["_v"].to_numpy())
     norms = np.sqrt((M * M).sum(axis=1))
     bc = src.sparkSession.sparkContext.broadcast((ids_all, M, norms))
 
@@ -324,61 +326,66 @@ def ivf_topk(
     building this frame runs the jobs at call time (like
     connected_components; documented eager API)."""
     corpus = corpus.select(id_col, vec_col).cache()
-    seed_rows = (
-        corpus
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-        .limit(n_lists)
-        .collect()
-    )
-    if not seed_rows:  # empty corpus: no lists to build, no neighbors
+    # try/finally: the cache spans every action below (seed, Lloyd,
+    # final assignment, eager checkpoint); a failure anywhere must not
+    # leak the pinned projection for the rest of the session
+    try:
+        seed_rows = (
+            corpus
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(n_lists)
+            .collect()
+        )
+        if not seed_rows:  # empty corpus: no lists to build, no neighbors
+            return corpus.sparkSession.createDataFrame([], StructType([
+                StructField("query_id", corpus.schema[id_col].dataType),
+                StructField("neighbor_id", corpus.schema[id_col].dataType),
+                StructField("cosine", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]))
+        cents = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+
+        # one Lloyd pass: the SAME kernel that assigns lists also emits
+        # per-(batch, list) partial (count, sum-vector) rows — one row per
+        # list per Arrow batch crosses back, combined in numpy here.  (The
+        # previous shape — assignment kernel + 64 avg(element_at) JVM
+        # aggregates — paid a second full pass over the assignment output.)
+        partials = _ivf_lloyd_partials(
+            corpus, cents, vec_col).collect()
+        n_acc = np.zeros(len(cents))
+        s_acc = np.zeros_like(cents)
+        for r in partials:
+            n_acc[r["list_id"]] += r["n"]
+            s_acc[r["list_id"]] += np.asarray(r["s"])
+        nz = n_acc > 0
+        cents[nz] = s_acc[nz] / n_acc[nz, None]
+
+        corpus_l = _assign_lists(corpus, cents, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            "list_id")
+        queries_l = _probe_lists(
+            queries, cents, nprobe, id_col, vec_col
+        ).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.explode("probe_lists").alias("list_id"))
+        joined = corpus_l.join(F.broadcast(queries_l), "list_id").where(
+            F.col("neighbor_id") != F.col("query_id"))
+        scored = joined.select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id"))
+        res = scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k)
+        # materialize the small result so the corpus cache can be released
+        # without forcing the final assignment to rescan the source: ONE
+        # source scan total (seed builds the cache; Lloyd + assignment +
+        # rerank read it)
+        return res.localCheckpoint(eager=True)
+    finally:
         corpus.unpersist()
-        return corpus.sparkSession.createDataFrame([], StructType([
-            StructField("query_id", corpus.schema[id_col].dataType),
-            StructField("neighbor_id", corpus.schema[id_col].dataType),
-            StructField("cosine", DoubleType()),
-            StructField("rank", IntegerType()),
-        ]))
-    cents = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
-
-    # one Lloyd pass: the SAME kernel that assigns lists also emits
-    # per-(batch, list) partial (count, sum-vector) rows — one row per
-    # list per Arrow batch crosses back, combined in numpy here.  (The
-    # previous shape — assignment kernel + 64 avg(element_at) JVM
-    # aggregates — paid a second full pass over the assignment output.)
-    partials = _ivf_lloyd_partials(
-        corpus, cents, vec_col).collect()
-    n_acc = np.zeros(len(cents))
-    s_acc = np.zeros_like(cents)
-    for r in partials:
-        n_acc[r["list_id"]] += r["n"]
-        s_acc[r["list_id"]] += np.asarray(r["s"])
-    nz = n_acc > 0
-    cents[nz] = s_acc[nz] / n_acc[nz, None]
-
-    corpus_l = _assign_lists(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        "list_id")
-    queries_l = _probe_lists(queries, cents, nprobe, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode("probe_lists").alias("list_id"))
-    joined = corpus_l.join(F.broadcast(queries_l), "list_id").where(
-        F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv"))
-         / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    res = scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k)
-    # materialize the small result so the corpus cache can be released
-    # without forcing the final assignment to rescan the source: ONE
-    # source scan total (seed builds the cache; Lloyd + assignment +
-    # rerank read it)
-    res = res.localCheckpoint(eager=True)
-    corpus.unpersist()
-    return res
 
 
 def ivf_seed_plan(corpus: DataFrame, n_lists: int = 16,
