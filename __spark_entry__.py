@@ -132,6 +132,102 @@ def q_rollup_1d_tiered(spark, sf_dir):
     )
 
 
+def q_rollup_tiers_up(spark, sf_dir):
+    """1h AND 1d continuous-aggregate tiers in one tagged union (round 3:
+    both parameterizations stay driver-hash-verified inside one contract
+    slot of the 50-query prefix).  Each tier is derived tier-from-tier
+    (1m->1h, 1h->1d); the oracle recomputes from raw — equality proves
+    tier-from-tier exactness."""
+    h = q_rollup_1h_tiered(spark, sf_dir).select(
+        F.lit("1h").alias("tier"), "*")
+    d = q_rollup_1d_tiered(spark, sf_dir).select(
+        F.lit("1d").alias("tier"), "*")
+    return h.unionByName(d)
+
+
+ROLLUP_TIERS_UP_SQL = f"""
+select '1h' as tier, user_id,
+       date_trunc('hour', ts) as bucket_ts,
+       count(*) as cnt,
+       round(sum(value), 6) as sum_val,
+       min(value) as min_val,
+       max(value) as max_val,
+       arg_min(value, {_OKEY_SQL}) as first_val,
+       arg_max(value, {_OKEY_SQL}) as last_val
+from events group by 2, 3
+union all
+select '1d' as tier, user_id,
+       date_trunc('day', ts) as bucket_ts,
+       count(*) as cnt,
+       round(sum(value), 6) as sum_val,
+       min(value) as min_val,
+       max(value) as max_val,
+       arg_min(value, {_OKEY_SQL}) as first_val,
+       arg_max(value, {_OKEY_SQL}) as last_val
+from events group by 2, 3
+"""
+
+
+def q_tokens_rollup_1m(spark, sf_dir):
+    """The NORTH-RULE core operator over the exact input_hint shape
+    (doc_id:string, tokens:array<int32>, n_tok:int32, source:string):
+    1m rollup of per-doc token streams via
+    plans/rollup.rollup_from_tokens_relational — posexplode inside the
+    task + map-side partial hash agg, the exchange carries one row per
+    (doc, minute-bucket), never one per token.  The token table is
+    derived DETERMINISTICALLY from the documents table (token i =
+    md5-h64(word_i) mod 32003, ts = BASE_EPOCH + position seconds) so
+    the DuckDB oracle replays the identical streams bit-for-bit — this
+    gives the rolled-up-points contract a driver value-hash check on the
+    true input shape, not just the events-table twin."""
+    from ts2g2_spark.functions.hashing import h64
+    from ts2g2_spark.plans import rollup as rollup_mod
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.trim("text"), r"\s+"),
+                     lambda w: w != F.lit(""))
+    toks = F.transform(words, lambda w: F.pmod(h64(w), F.lit(32003))
+                       .cast("int"))
+    tok_table = docs.select(
+        "doc_id", "source", toks.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    out = rollup_mod.rollup_from_tokens_relational(tok_table, tier="1m")
+    return out.select(
+        "doc_id", "source", "bucket_ts",
+        "cnt", F.col("sum").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+        F.col("first").alias("first_val"), F.col("last").alias("last_val"),
+    )
+
+
+TOKENS_ROLLUP_SQL = """
+with w as (
+  select doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') as words
+  from documents
+),
+pts as (
+  select doc_id, source,
+         generate_subscripts(words, 1) - 1 as pos,
+         cast(cast(concat('0x', substr(md5(unnest(words)), 1, 15))
+                   as bigint) % 32003 as double) as value
+  from w where len(words) > 0
+)
+select doc_id, source,
+       epoch_ms(cast((1704067200 + pos) // 60 * 60 as bigint) * 1000)
+         as bucket_ts,
+       count(*) as cnt,
+       sum(value) as sum_val,
+       min(value) as min_val,
+       max(value) as max_val,
+       arg_min(value, pos) as first_val,
+       arg_max(value, pos) as last_val
+from pts group by 1, 2, 3
+"""
+
+
 def q_rollup_1m_quantiles(spark, sf_dir):
     """1m tier with per-bucket p50/p95 (continuous-aggregate percentile
     columns, the TimescaleDB-style tier extension).  Exact percentile()
@@ -2531,10 +2627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # centroid_by_label) sit below the prefix, keeping their oracles for
 # pytest and any wider future sample.
 _RAW_QUERIES = {
-        # -- rollup / retention engine (§2.7) -------------------- 7
+        # -- rollup / retention engine (§2.7 + north rule) -------- 7
         "rollup_1m": q_rollup_1m,
-        "rollup_1h_tiered": q_rollup_1h_tiered,
-        "rollup_1d_tiered": q_rollup_1d_tiered,
+        "tokens_rollup_1m": q_tokens_rollup_1m,  # input_hint shape
+        "rollup_tiers_up": q_rollup_tiers_up,  # 1h + 1d tagged union
         "rollup_1m_quantiles": q_rollup_1m_quantiles,
         "gapfill_1h": q_gapfill_1h,
         "retention_1m_recent": q_retention_1m_recent,
@@ -2613,8 +2709,8 @@ _RAW_QUERIES = {
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1m": _rollup_sql(60),
-        "rollup_1h_tiered": _rollup_sql(3600),
-        "rollup_1d_tiered": _rollup_sql(86400),
+        "tokens_rollup_1m": TOKENS_ROLLUP_SQL,
+        "rollup_tiers_up": ROLLUP_TIERS_UP_SQL,
         "rollup_1m_quantiles": ROLLUP_QUANTILES_SQL,
         "gapfill_1h": GAPFILL_SQL,
         "retention_1m_recent": RETENTION_SQL,
