@@ -407,13 +407,17 @@ def connected_components(
     lazy pipelines should invoke this last (building the frame triggers
     the full jaccard/LSH upstream)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # materialize the edge list ONCE: the path probe needs its count, and
-    # both paths then consume the checkpointed rows — the upstream pair
-    # pipeline (jaccard/LSH joins) runs exactly once either way
+    # materialize the edge list ONCE: the path probe and both paths then
+    # consume the checkpointed rows — the upstream pair pipeline
+    # (jaccard/LSH joins) runs exactly once either way
     edges = edges.localCheckpoint()
-    n_edges = edges.count()
+    # path probe and local-path transfer fused into ONE guarded Arrow
+    # collect (limit(threshold+1).toPandas): seeing threshold+1 rows
+    # proves the edge list is over the cap WITHOUT an extra count job;
+    # under it, the frame already holds every edge
+    epdf = edges.limit(local_threshold + 1).toPandas()
 
-    if n_edges <= local_threshold:
+    if len(epdf) <= local_threshold:
         from pyspark.sql.types import StructField, StructType
 
         dt = pairs.schema["doc_a"].dataType
@@ -429,9 +433,6 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        # toPandas = columnar Arrow transfer; a row-pickled collect()
-        # would box every edge into a ~100-byte Row object
-        epdf = edges.toPandas()
         for a, b in zip(epdf["a"].tolist(), epdf["b"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
