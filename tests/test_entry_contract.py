@@ -83,3 +83,24 @@ def test_rows_only_queries_run(spark):
     for name in set(entry_mod.queries()) - set(entry_mod.oracle_sql()):
         df = entry_mod.queries()[name](spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_driver_prefix_ordering_contract():
+    """The driver's correctness harness samples a 50-query PREFIX of
+    queries() (CORRECTNESS_r02 checked exactly the first 50).  Pin the
+    ordering contract: every prefix entry is either SQL-oracled or one
+    of the three declared rows-only representatives, so a future
+    reorder/addition can't silently push an oracled family rep out of
+    the driver's sample."""
+    qs = list(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    prefix = qs[:50]
+    rows_only = [q for q in prefix if q not in oracles]
+    assert set(rows_only) == {"link_dtw", "eigencentrality_hvg",
+                              "generate_walks"}, rows_only
+    # every oracle key must correspond to a real query
+    assert oracles <= set(qs)
+    # the north-rule shape and the knn oracle stay inside the prefix
+    for must in ("tokens_rollup_1m", "proximity_knn", "emb_cosine_dup",
+                 "ann_cosine_top5", "dedup_components", "rollup_1m"):
+        assert must in prefix, must
