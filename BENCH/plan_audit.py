@@ -20,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 AUDIT = [
-    "rollup_1m", "rollup_1h_tiered", "gapfill_1h", "tpch_q1",
+    "rollup_1m", "rollup_tiers_up", "tokens_rollup_1m", "gapfill_1h", "tpch_q1",
     "tpch_q3_top10", "hvg_edges", "opg_edges_w3", "qg_edges_q4",
     "dedup_exact", "ngram_jaccard", "minhash_lsh_candidates",
     "ann_cosine_top5", "link_seasonality_7", "link_value_range",

@@ -34,14 +34,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+_NULL = "\x00NULL"  # sentinel distinct from any real value incl. ""
+
+
 def _fmt(v) -> str:
     """Scalar -> canonical string: floats to 12 significant digits (so
-    last-ulp engine differences don't flip the hash), None and NaN both
-    to '' (Spark toPandas yields None where duckdb .df() yields NaN)."""
+    last-ulp engine differences don't flip the hash); None and float NaN
+    both canonicalize to the same NULL sentinel (Spark toPandas yields
+    None where duckdb .df() yields NaN for SQL NULL) — but the sentinel
+    is NOT the empty string, so a real '' vs NULL divergence still
+    fails the hash."""
     if v is None:
-        return ""
+        return _NULL
     if isinstance(v, (float, np.floating)):
-        return "" if np.isnan(v) else f"{float(v):.12g}"
+        return _NULL if np.isnan(v) else f"{float(v):.12g}"
     return str(v)
 
 
