@@ -2560,6 +2560,179 @@ def q_media_features(spark, sf_dir):
         F.round(F.element_at("feature", 1), 3).alias("f0"))
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (word/2-gram/3-gram dup
+    fractions map-only; top-2-gram share via two-level partial agg)."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.repetition_signals(_docs(spark, sf_dir))
+
+
+# words/grams replicated from the engine's split(trim(text), '\s+') +
+# sliding concat; DuckDB `/` is float division like Spark's, so the
+# rounded fractions hash-match through the gate's 12-sig-digit canon.
+REPETITION_SQL = r"""
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') ws
+  from documents
+),
+g as (
+  select doc_id, ws,
+    case when len(ws) >= 2 then
+      [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]
+    else [] end g2,
+    case when len(ws) >= 3 then
+      [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       for i in generate_series(1, len(ws)-2)]
+    else [] end g3
+  from w
+),
+base as (
+  select doc_id,
+    len(ws)::BIGINT n_words,
+    case when len(ws) > 0
+      then round(1 - len(list_distinct(ws)) / len(ws), 6)
+      else 0.0 end dup_word_frac,
+    case when len(g2) > 0
+      then round(1 - len(list_distinct(g2)) / len(g2), 6)
+      else 0.0 end dup_2gram_frac,
+    case when len(g3) > 0
+      then round(1 - len(list_distinct(g3)) / len(g3), 6)
+      else 0.0 end dup_3gram_frac
+  from g
+),
+top as (
+  select doc_id, round(max(c) / sum(c), 6) top_2gram_frac
+  from (
+    select doc_id, g2i, count(*) c
+    from g, lateral unnest(g2) t(g2i)
+    group by 1, 2
+  ) group by 1
+)
+select base.*, coalesce(top_2gram_frac, 0.0) top_2gram_frac
+from base left join top using (doc_id)
+"""
+
+
+def q_pii_counts(spark, sf_dir):
+    """PII-shaped span census (emails/URLs/IPv4/phones/long digit runs).
+    All-zero on this synthetic corpus by construction — the oracle pins
+    engine/oracle regex agreement; behavior on real spans is pinned by
+    tests/test_text_quality.py fixtures."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.pii_counts(_docs(spark, sf_dir))
+
+
+def _pii_sql() -> str:
+    from ts2g2_spark.operators.text import PII_PATTERNS
+
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}', 1))::BIGINT as {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}', 1))"
+        for pat in PII_PATTERNS.values()
+    )
+    return (f"select doc_id,\n       {cols},\n"
+            f"       ({total})::BIGINT as pii_total\nfrom documents")
+
+
+def q_top_2grams(spark, sf_dir):
+    """Corpus-level top-20 word 2-grams (explode -> partial agg ->
+    TakeOrderedAndProject; ties broken by gram so the limit is stable)."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.top_ngrams(_docs(spark, sf_dir), n_words=2, k=20)
+
+
+TOP_2GRAMS_SQL = r"""
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') ws
+  from documents
+),
+g as (
+  select ws[i] || ' ' || ws[i+1] gram
+  from w, lateral unnest(generate_series(1, greatest(len(ws)-1, 0))) t(i)
+  where len(ws) >= 2
+)
+select gram, count(*)::BIGINT cnt from g
+group by 1 order by cnt desc, gram limit 20
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-decontamination census: per training doc, the fraction
+    of its distinct normalized word 3-grams found anywhere in the
+    deterministic 5% md5-bucket 'benchmark' split (broadcast bench-gram
+    join; train side never shuffles)."""
+    from ts2g2_spark.operators import dedup
+
+    return dedup.contamination_report(
+        _docs(spark, sf_dir), n_words=3, bench_fraction=0.05)
+
+
+CONTAMINATION_SQL = r"""
+with b as (
+  select doc_id,
+         cast(concat('0x', substr(md5('bench:' || doc_id), 1, 15))
+              as bigint) % 1000000 < 50000 as is_bench,
+         string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g')), ' ') ws
+  from documents
+),
+sh as (
+  select distinct doc_id, is_bench,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] sh
+  from b, lateral unnest(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+  where length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0
+),
+bench as (select distinct sh from sh where is_bench),
+tr as (
+  select doc_id, count(*) n_grams,
+         count(*) filter (sh in (select sh from bench)) hits
+  from sh where not is_bench group by 1
+)
+select doc_id, n_grams::BIGINT n_grams, hits::BIGINT n_contaminated,
+       round(hits / n_grams, 6) contamination
+from tr
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence-packing plan: docs hash-routed to 8 packing
+    lanes, packed in doc_id order by exclusive cumulative whitespace
+    tokens against a 512-token budget (doc belongs to the sequence
+    holding its first token)."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.pack_sequences(
+        _docs(spark, sf_dir), budget=512, n_buckets=8)
+
+
+PACK_SEQUENCES_SQL = r"""
+with t as (
+  select doc_id,
+    cast(concat('0x', substr(md5('pack:' || doc_id), 1, 15))
+         as bigint) % 8 bucket,
+    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT n_tokens
+  from documents
+),
+c as (
+  select doc_id, bucket, n_tokens,
+    coalesce(sum(n_tokens) over (
+      partition by bucket order by doc_id
+      rows between unbounded preceding and 1 preceding), 0) cum
+  from t
+)
+select doc_id, bucket::BIGINT bucket, n_tokens,
+       (cum // 512)::BIGINT seq_id, (cum % 512)::BIGINT seq_offset
+from c
+"""
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -2703,6 +2876,13 @@ _RAW_QUERIES = {
         "generate_sequences": q_generate_sequences,
         "ann_lsh_top5": q_ann_lsh_top5,
         "ann_ivf_top5": q_ann_ivf_top5,
+        # round-3 additions (oracled; below the prefix so the driver's
+        # 50-query sample window is byte-stable across rounds)
+        "repetition_signals": q_repetition_signals,
+        "pii_counts": q_pii_counts,
+        "top_2grams": q_top_2grams,
+        "contamination": q_contamination,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2779,4 +2959,9 @@ def oracle_sql() -> dict[str, str]:
         "centroid_by_label": CENTROID_SQL,
         # ann_lsh_top5 / ann_ivf_top5: intentionally no oracle (approximate
         # by design; recall bounded in tests) -> driver records rows-only.
+        "repetition_signals": REPETITION_SQL,
+        "pii_counts": _pii_sql(),
+        "top_2grams": TOP_2GRAMS_SQL,
+        "contamination": CONTAMINATION_SQL,
+        "pack_sequences": PACK_SEQUENCES_SQL,
     }

@@ -1,0 +1,207 @@
+"""Round-3 training-data quality family: repetition signals, PII census,
+corpus top-k n-grams, benchmark decontamination, sequence packing.
+
+Each op is checked against an independent per-doc Python model (sets /
+Counter / cumulative sums), not against its own SQL oracle — the gate
+covers engine-vs-DuckDB, these cover engine-vs-intent."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from ts2g2_spark.functions.hashing import h64_py
+from ts2g2_spark.operators import dedup, sampling
+from ts2g2_spark.operators import text as text_ops
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _grams(ws: list[str], n: int) -> list[str]:
+    return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_repetition_signals_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "solo"), (2, "x y x y x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in text_ops.repetition_signals(df).collect()}
+
+    # doc 0: words [a,a,a,b]; 2-grams [a a, a a, a b]; 3-grams distinct
+    assert out[0]["n_words"] == 4
+    assert out[0]["dup_word_frac"] == pytest.approx(0.5)
+    assert out[0]["dup_2gram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert out[0]["dup_3gram_frac"] == 0.0
+    assert out[0]["top_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+    # doc 1: single word -> no grams, all gram fracs 0 (not NaN/1)
+    assert out[1]["n_words"] == 1
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[1]["top_2gram_frac"] == 0.0
+
+    # doc 2: [x,y,x,y,x] -> 2-grams [x y, y x, x y, y x]
+    assert out[2]["dup_word_frac"] == pytest.approx(1 - 2 / 5, abs=1e-6)
+    assert out[2]["dup_2gram_frac"] == pytest.approx(0.5)
+    assert out[2]["top_2gram_frac"] == pytest.approx(0.5)
+
+
+def test_repetition_signals_match_python_model(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, " ".join(rng.choice(WORDS[:6], size=int(n))))
+            for i, n in enumerate(rng.integers(1, 40, size=50))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in text_ops.repetition_signals(df).collect()}
+    for doc_id, text in rows:
+        ws = text.split()
+        g2 = _grams(ws, 2)
+        exp_dup2 = (1 - len(set(g2)) / len(g2)) if g2 else 0.0
+        exp_top = (max(Counter(g2).values()) / len(g2)) if g2 else 0.0
+        r = got[doc_id]
+        assert r["n_words"] == len(ws)
+        assert r["dup_word_frac"] == pytest.approx(
+            1 - len(set(ws)) / len(ws), abs=1e-6)
+        assert r["dup_2gram_frac"] == pytest.approx(exp_dup2, abs=1e-6)
+        assert r["top_2gram_frac"] == pytest.approx(exp_top, abs=1e-6)
+
+
+# ----------------------------------------------------------------------- pii
+
+def test_pii_counts_on_planted_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at jane.doe+x@example.co.uk or "
+                "bob@site.org for info"),
+            (1, "see https://example.com/a?b=1 and http://x.io today"),
+            (2, "server 10.0.0.1 and 192.168.254.3 rebooted"),
+            (3, "call 555-123-4567 or 555.987.6543 now"),
+            (4, "order id 123456789012 shipped"),
+            (5, "plain text with no pii at all"),
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text_ops.pii_counts(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["pii_total"] == 2
+    assert out[1]["n_urls"] == 2
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["n_phones"] == 2
+    assert out[4]["n_long_digits"] == 1
+    assert out[5]["pii_total"] == 0
+
+
+# ---------------------------------------------------------------- top ngrams
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b z z"), (2, "c a b")],
+        "doc_id long, text string")
+    # 2-gram counts: "a b" x4, "b a" x1, "b c" x1, "b z" x1, "z z" x1,
+    # "c a" x1 -> ties at cnt=1 break alphabetically
+    rows = text_ops.top_ngrams(df, n_words=2, k=3).collect()
+    assert [(r["gram"], r["cnt"]) for r in rows] == [
+        ("a b", 4), ("b a", 1), ("b c", 1)]
+
+
+# ------------------------------------------------------------- contamination
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+
+
+def test_contamination_report_matches_set_model(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, " ".join(rng.choice(WORDS[:8], size=20)))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frac, salt, n = 0.2, "bench", 3
+
+    def is_bench(doc_id: int) -> bool:
+        return h64_py(f"{salt}:{doc_id}") % 1_000_000 < 200_000
+
+    # engine-shingle replica: i in 0..max(len-n, 0) (partial gram when
+    # the doc is shorter than n), distinct per doc, nonempty
+    def gram_set(text: str) -> set[str]:
+        ws = _norm(text).split(" ")
+        hi = max(len(ws) - n, 0)
+        return {" ".join(ws[i:i + n])
+                for i in range(hi + 1) if ws[i:i + n] != [""]}
+
+    bench_ids = [i for i, _ in rows if is_bench(i)]
+    assert bench_ids, "seed must place some docs in the bench split"
+    bench = set().union(*(gram_set(t) for i, t in rows if is_bench(i)))
+
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup.contamination_report(
+               df, n_words=n, bench_fraction=frac, salt=salt).collect()}
+    assert set(got) == {i for i, _ in rows if not is_bench(i)}
+    for doc_id, text in rows:
+        if is_bench(doc_id):
+            continue
+        gs = gram_set(text)
+        r = got[doc_id]
+        assert r["n_grams"] == len(gs)
+        assert r["n_contaminated"] == len(gs & bench)
+        assert r["contamination"] == pytest.approx(
+            len(gs & bench) / len(gs), abs=1e-6)
+
+
+def test_contamination_zero_without_overlap(spark):
+    # pick ids on both sides of the split, with disjoint vocabularies
+    train_id = next(i for i in range(100)
+                    if h64_py(f"bench:{i}") % 1_000_000 >= 50_000)
+    bench_id = next(i for i in range(100)
+                    if h64_py(f"bench:{i}") % 1_000_000 < 50_000)
+    df = spark.createDataFrame(
+        [(train_id, "p q r s t u v w"), (bench_id, "a b c d e f g h")],
+        "doc_id long, text string")
+    [r] = dedup.contamination_report(df, n_words=3,
+                                     bench_fraction=0.05).collect()
+    assert r["doc_id"] == train_id
+    assert r["n_contaminated"] == 0 and r["contamination"] == 0.0
+
+
+# ------------------------------------------------------------------- packing
+
+def test_pack_sequences_matches_greedy_model(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, " ".join(rng.choice(WORDS, size=int(k))))
+            for i, k in enumerate(rng.integers(5, 120, size=200))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget, n_buckets = 100, 4
+    got = {r["doc_id"]: r.asDict()
+           for r in sampling.pack_sequences(
+               df, budget=budget, n_buckets=n_buckets).collect()}
+
+    lanes: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in rows:
+        b = h64_py(f"pack:{doc_id}") % n_buckets
+        lanes.setdefault(b, []).append((doc_id, len(text.split())))
+    for b, docs in lanes.items():
+        cum = 0
+        for doc_id, ntok in sorted(docs):
+            r = got[doc_id]
+            assert (r["bucket"], r["n_tokens"]) == (b, ntok)
+            assert r["seq_id"] == cum // budget
+            assert r["seq_offset"] == cum % budget
+            cum += ntok
+
+    # packing is lossless (1 row per doc) and lane-local offsets never
+    # exceed the budget
+    assert len(got) == len(rows)
+    assert all(0 <= r["seq_offset"] < budget for r in got.values())
+
+
+def test_hash_partition_pred_disjoint_exhaustive(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long")
+    pred = sampling.hash_partition_pred("doc_id", 0.3, "bench")
+    a = df.where(pred).count()
+    b = df.where(~pred).count()
+    assert a + b == 500 and 0 < a < 500

@@ -54,6 +54,53 @@ def shingles(docs: DataFrame, text_col: str = "text",
     ).where(F.length("sh") > 0)
 
 
+def contamination_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_words: int = 3,
+    bench_fraction: float = 0.05,
+    salt: str = "bench",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination census: for every TRAINING doc, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    benchmark/eval split.  Output (doc_id, n_grams, n_contaminated,
+    contamination) — the filter/flag decision downstream is policy.
+
+    The benchmark split is the deterministic md5-bucket sample
+    (sampling.hash_partition_pred), so bench and train are provably
+    disjoint and any engine can replay the exact membership.  In a real
+    pipeline the bench side is a held-out eval suite — small by nature —
+    so its distinct-gram set is broadcast and the training corpus
+    streams past it map-side with zero shuffle of the big side
+    (`broadcast_bench=False` falls back to a gram-keyed shuffle join for
+    pathological benches).  Gram sets reuse `shingles` (normalized text,
+    per-doc distinct before explode)."""
+    from ts2g2_spark.operators.sampling import hash_partition_pred
+
+    is_bench = hash_partition_pred("doc_id", bench_fraction, salt)
+    sh = shingles(docs.where(~is_bench), text_col, n_words)
+    bench_grams = (
+        shingles(docs.where(is_bench), text_col, n_words)
+        .select("sh").distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        sh.join(bench_grams, "sh")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id", "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long")
+        .alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6
+        ).alias("contamination"),
+    )
+
+
 def shingles_hashed(docs: DataFrame, text_col: str = "text",
                     n_words: int = 5,
                     word_hash: str = "xxhash64") -> DataFrame:

@@ -102,3 +102,62 @@ def train_val_split(
         assigned.where(F.col("split") == "train").drop("split"),
         assigned.where(F.col("split") == "val").drop("split"),
     )
+
+
+def hash_partition_pred(key_col: str, fraction: float,
+                        salt: str) -> F.Column:
+    """The membership predicate itself (bucket < round(fraction*1e6)) —
+    exposed so two sides of a pipeline (e.g. benchmark vs train in a
+    decontamination pass) can split on the EXACT same deterministic
+    boundary and stay provably disjoint."""
+    return _bucket(key_col, salt) < F.lit(_thr(fraction))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_buckets: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Token-budget sequence-packing PLAN for training-data assembly:
+    assigns every doc a (bucket, seq_id, seq_offset) so a writer can
+    stream docs into fixed-`budget` training sequences without a global
+    sort.
+
+    Semantics (deterministic, engine-reproducible): docs are hash-routed
+    to `n_buckets` independent packing lanes (same md5 bucketing as the
+    samplers — stable under retries/resizes); within a lane docs pack in
+    `key_col` order by exclusive cumulative token count, and a doc
+    belongs to the sequence containing its FIRST token (long docs may
+    straddle a boundary — the writer splits, the plan stays 1 row/doc).
+
+    Scale: the only shuffle is the hash partition by `bucket`; each
+    lane's running sum is a window inside its own partition, so lanes
+    pack in parallel.  At 100 TB you raise n_buckets to ~cores so every
+    lane's cumsum stays a single-executor stream — packing is inherently
+    sequential per lane, and the lane count IS the parallelism knob.
+    """
+    from pyspark.sql import Window
+
+    from ts2g2_spark.operators.text import token_count_columns
+
+    n_tokens = token_count_columns(text_col)["n_ws_tokens"]
+    bucket = F.pmod(
+        h64(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
+        F.lit(n_buckets),
+    )
+    base = docs.select(
+        F.col(key_col), bucket.alias("bucket"),
+        n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("bucket").orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        key_col, "bucket", "n_tokens",
+        F.floor(cum / budget).cast("long").alias("seq_id"),
+        F.pmod(cum, F.lit(budget)).cast("long").alias("seq_offset"),
+    )

@@ -120,3 +120,131 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     survives whitespace/punctuation/case jitter."""
     return docs.select(
         "doc_id", F.md5(normalize_text(text_col)).alias("fingerprint"))
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _gram_array(words: Column, n: int) -> Column:
+    """ALL word n-grams in document order (occurrences, not distinct);
+    empty array when the doc has fewer than n words.  Pure Catalyst
+    (sequence + transform + slice) so it stays inside codegen."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_columns(text_col: str = "text") -> dict[str, Column]:
+    """Shuffle-free repetition-quality column builders (Gopher-style
+    filters adapted to single-line corpora: word- and n-gram-level, not
+    line-level).  array_distinct is hash-based and per-row, so every
+    fraction here is a pure projection — map-only at any scale."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    g2, g3 = _gram_array(words, 2), _gram_array(words, 3)
+
+    def dup_frac(arr: Column) -> Column:
+        return F.when(
+            F.size(arr) > 0,
+            F.round(1 - F.size(F.array_distinct(arr)) / F.size(arr), 6),
+        ).otherwise(F.lit(0.0))
+
+    return {
+        "n_words": n_words.cast("long"),
+        "dup_word_frac": dup_frac(words),
+        "dup_2gram_frac": dup_frac(g2),
+        "dup_3gram_frac": dup_frac(g3),
+    }
+
+
+def repetition_signals(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals: duplicate word/2-gram/3-gram fractions
+    (map-only projections) plus top_2gram_frac — the share of 2-gram
+    occurrences taken by the doc's most frequent 2-gram (the classic
+    "most common n-gram" boilerplate filter).
+
+    The top-gram share needs a per-(doc, gram) count, so it takes the
+    explode -> two-level partial aggregation path keyed on doc_id; the
+    final join back to the projection side is a doc_id equi-join — both
+    sides hash-partition on the same key, no replan needed at 100 TB.
+    """
+    rep = repetition_columns(text_col)
+    base = docs.select(
+        "doc_id", *[c.alias(name) for name, c in rep.items()])
+    grams = docs.select(
+        "doc_id",
+        F.explode(_gram_array(_words(text_col), 2)).alias("g"))
+    top = (
+        grams.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("_top"), F.sum("count").alias("_tot"))
+        .select(
+            "doc_id",
+            F.round(F.col("_top") / F.col("_tot"), 6)
+            .alias("top_2gram_frac"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        base["*"],
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+    )
+
+
+# PII-ish pattern census.  Patterns are deliberately RE2-compatible (no
+# lookaround / backrefs) so the exact same literals run in Spark's Java
+# regex and any RE2-based oracle engine; each is wrapped in one outer
+# group so count = len(regexp_extract_all(text, pat, 1)) on both sides.
+PII_PATTERNS = {
+    "n_emails": r"([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})",
+    "n_urls": r"(https?://[^\s]+)",
+    "n_ipv4": r"(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)",
+    "n_phones": r"(\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)",
+    "n_long_digits": r"(\b\d{9,}\b)",
+}
+
+
+def pii_columns(text_col: str = "text") -> dict[str, Column]:
+    """Per-pattern match-count builders + total (map-only)."""
+    t = F.col(text_col)
+    cols: dict[str, Column] = {
+        name: F.coalesce(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(1))),
+            F.lit(0),
+        ).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for c in cols.values():
+        total = c if total is None else total + c
+    cols["pii_total"] = total.cast("long")
+    return cols
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc counts of PII-shaped spans (emails, URLs, IPv4, phone
+    numbers, long digit runs) — the scrub/redact census step of a
+    training-data pipeline.  Counting, not redaction: the downstream
+    filter/redact decision stays policy, this op stays a projection."""
+    cols = pii_columns(text_col)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()])
+
+
+def top_ngrams(docs: DataFrame, n_words: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams: (gram, cnt), deterministic order
+    (cnt desc, gram asc).  explode -> partial-agg groupBy -> ordered
+    limit; Catalyst compiles the tail to TakeOrderedAndProject, so no
+    executor ever holds more than k rows post-aggregation and there is
+    no global sort — the canonical corpus-vocabulary census at scale."""
+    grams = docs.select(
+        F.explode(_gram_array(_words(text_col), n_words)).alias("gram"))
+    return (
+        grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
