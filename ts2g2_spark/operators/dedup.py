@@ -42,16 +42,23 @@ def shingles(docs: DataFrame, text_col: str = "text",
     """Distinct word n-gram shingles per doc: (doc_id, sh string).
     Pure Catalyst: split + sequence/transform + explode + distinct-per-doc
     via array_distinct before the explode (cheaper than global distinct)."""
-    words = F.split(normalize_text(text_col), " ")
+    words = F.col("_ws")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n_words, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n_words)),
         )
     )
-    return docs.select(
-        "doc_id", F.explode(grams).alias("sh")
-    ).where(F.length("sh") > 0)
+    # rand() = projection-collapse barrier (see shingles_hashed below):
+    # without it Catalyst inlines the normalize+split regex chain into
+    # every transform element — O(n_words) full-text regex passes per doc
+    return (
+        docs.select(
+            "doc_id", F.split(normalize_text(text_col), " ").alias("_ws"),
+            F.rand(0).alias("_b1"))
+        .select("doc_id", F.explode(grams).alias("sh"))
+        .where(F.length("sh") > 0)
+    )
 
 
 def contamination_report(

@@ -138,27 +138,39 @@ def _gram_array(words: Column, n: int) -> Column:
         F.array().cast("array<string>"))
 
 
-def repetition_columns(text_col: str = "text") -> dict[str, Column]:
+def repetition_columns(text_col: str = "text",
+                       pre_split: bool = False) -> dict[str, Column]:
     """Shuffle-free repetition-quality column builders (Gopher-style
     filters adapted to single-line corpora: word- and n-gram-level, not
     line-level).  array_distinct is hash-based and per-row, so every
-    fraction here is a pure projection — map-only at any scale."""
-    words = _words(text_col)
-    n_words = F.size(words)
+    fraction here is a pure projection — map-only at any scale.
+    pre_split=True: text_col already IS the word array (use with
+    _staged_words so the split regex runs once per doc, not per gram)."""
+    words = F.col(text_col) if pre_split else _words(text_col)
     g2, g3 = _gram_array(words, 2), _gram_array(words, 3)
-
-    def dup_frac(arr: Column) -> Column:
-        return F.when(
-            F.size(arr) > 0,
-            F.round(1 - F.size(F.array_distinct(arr)) / F.size(arr), 6),
-        ).otherwise(F.lit(0.0))
-
     return {
-        "n_words": n_words.cast("long"),
-        "dup_word_frac": dup_frac(words),
-        "dup_2gram_frac": dup_frac(g2),
-        "dup_3gram_frac": dup_frac(g3),
+        "n_words": F.size(words).cast("long"),
+        "dup_word_frac": _dup_frac(words),
+        "dup_2gram_frac": _dup_frac(g2),
+        "dup_3gram_frac": _dup_frac(g3),
     }
+
+
+def _dup_frac(arr: Column) -> Column:
+    return F.when(
+        F.size(arr) > 0,
+        F.round(1 - F.size(F.array_distinct(arr)) / F.size(arr), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def _staged_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """(original columns.., _ws array) with a rand() projection-collapse
+    barrier: without it Catalyst inlines the split regex into every
+    downstream gram element (O(n_words) full-text regex passes per doc —
+    same pitfall as dedup.shingles_hashed, measured ~20s vs ~1s on the
+    sf0.1 corpus)."""
+    return docs.select(
+        "*", _words(text_col).alias("_ws"), F.rand(0).alias("_bar"))
 
 
 def repetition_signals(docs: DataFrame,
@@ -173,12 +185,21 @@ def repetition_signals(docs: DataFrame,
     final join back to the projection side is a doc_id equi-join — both
     sides hash-partition on the same key, no replan needed at 100 TB.
     """
-    rep = repetition_columns(text_col)
-    base = docs.select(
-        "doc_id", *[c.alias(name) for name, c in rep.items()])
-    grams = docs.select(
+    staged = _staged_words(docs, text_col)
+    # second barrier: each gram array materializes once; the dup-frac
+    # projection then references attributes, not transform chains
+    arrays = staged.select(
+        "doc_id", F.col("_ws").alias("ws"),
+        _gram_array(F.col("_ws"), 2).alias("g2"),
+        _gram_array(F.col("_ws"), 3).alias("g3"),
+        F.rand(0).alias("_b2"))
+    base = arrays.select(
         "doc_id",
-        F.explode(_gram_array(_words(text_col), 2)).alias("g"))
+        F.size("ws").cast("long").alias("n_words"),
+        _dup_frac(F.col("ws")).alias("dup_word_frac"),
+        _dup_frac(F.col("g2")).alias("dup_2gram_frac"),
+        _dup_frac(F.col("g3")).alias("dup_3gram_frac"))
+    grams = arrays.select("doc_id", F.explode("g2").alias("g"))
     top = (
         grams.groupBy("doc_id", "g").count()
         .groupBy("doc_id")
@@ -241,8 +262,8 @@ def top_ngrams(docs: DataFrame, n_words: int = 2, k: int = 20,
     limit; Catalyst compiles the tail to TakeOrderedAndProject, so no
     executor ever holds more than k rows post-aggregation and there is
     no global sort — the canonical corpus-vocabulary census at scale."""
-    grams = docs.select(
-        F.explode(_gram_array(_words(text_col), n_words)).alias("gram"))
+    grams = _staged_words(docs, text_col).select(
+        F.explode(_gram_array(F.col("_ws"), n_words)).alias("gram"))
     return (
         grams.groupBy("gram").agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("gram"))
