@@ -38,18 +38,18 @@ def _fingerprint(desc: str) -> str:
     return hashlib.md5(desc.encode()).hexdigest()
 
 
-class RollupPipeline:
+class StagedPipeline:
+    """Checkpoint/resume + lineage base shared by the rollup and corpus
+    pipelines: each stage commits its output table and an atomic
+    manifest before the next stage runs; on re-submit, a stage whose
+    manifest matches the input fingerprint is read back instead of
+    recomputed (idempotent resume from the last committed stage)."""
+
     def __init__(self, spark: SparkSession, catalog_root: str,
-                 run_id: str | None = None, salt_buckets: int = 64,
-                 gapfill: bool = True, positions_col: str | None = None,
-                 step_seconds: int = 1):
+                 run_id: str | None = None):
         self.spark = spark
         self.cat = Catalog(catalog_root, spark)
         self.run_id = run_id or uuid.uuid4().hex[:12]
-        self.salt_buckets = salt_buckets
-        self.gapfill = gapfill
-        self.positions_col = positions_col
-        self.step_seconds = step_seconds
         self.stage_log: list[dict] = []
 
     def _run_stage(self, stage: str, fingerprint: str, build,
@@ -70,6 +70,18 @@ class RollupPipeline:
         self.stage_log.append(
             {"stage": stage, "skipped": False, "wall_ms": wall_ms})
         return out
+
+
+class RollupPipeline(StagedPipeline):
+    def __init__(self, spark: SparkSession, catalog_root: str,
+                 run_id: str | None = None, salt_buckets: int = 64,
+                 gapfill: bool = True, positions_col: str | None = None,
+                 step_seconds: int = 1):
+        super().__init__(spark, catalog_root, run_id)
+        self.salt_buckets = salt_buckets
+        self.gapfill = gapfill
+        self.positions_col = positions_col
+        self.step_seconds = step_seconds
 
     def run(self, input_df: DataFrame, input_desc: str,
             stop_after: str | None = None) -> dict[str, DataFrame]:
