@@ -33,6 +33,9 @@ AUDIT = [
     "stratified_sample", "corpus_clean", "datamix_report",
     # round 3 additions
     "proximity_knn", "ann_ivf_top5", "generate_walks",
+    # round 3 training-data additions
+    "repetition_signals", "pii_counts", "top_2grams", "contamination",
+    "pack_sequences",
 ]
 
 
