@@ -1099,38 +1099,15 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3
 
 # ---------------------------------------------- composite corpus pipeline
 def _clean_docs(spark, sf_dir):
-    """The standard cleaning chain composed SINGLE-PASS: the quality and
-    language gates are column builders (text.quality_columns /
-    lang_columns) projected in one select over the dedup survivors —
-    deriving them as separate frames and joining back re-expands the
-    scan subtree once per join (the audited anti-pattern: 25 exchanges
-    in the first cut of datamix_report, 3 here)."""
-    from ts2g2_spark.operators import dedup, text as text_ops
+    """The standard cleaning chain composed SINGLE-PASS — one shared
+    implementation (plans/corpus.clean_corpus) also drives the staged
+    CorpusPipeline's clean stage, so the oracled contract query and the
+    production pipeline can never drift."""
+    from ts2g2_spark.plans.corpus import clean_corpus
 
-    docs = _docs(spark, sf_dir)
-    dups = dedup.exact_duplicates(docs)
-    losers = (
-        docs.select("doc_id", F.md5("text").alias("content_hash"))
-        .join(F.broadcast(dups), "content_hash")
-        .where(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id")
-    )
-    survivors = docs.join(losers, "doc_id", "left_anti")
-    qc = text_ops.quality_columns("text")
-    lc = text_ops.lang_columns("text")
-    tc = text_ops.token_count_columns("text")
-    return (
-        survivors.select(
-            "*",
-            qc["n_words"].alias("n_words"),
-            qc["mean_word_len"].alias("mean_word_len"),
-            lc["lang_pred"].alias("lang_pred"),
-            tc["n_ws_tokens"].alias("n_ws_tokens"),
-        )
-        .where((F.col("n_words") >= 20)
-               & (F.col("mean_word_len") < 12)
-               & (F.col("lang_pred") == "en"))
-    )
+    return clean_corpus(
+        _docs(spark, sf_dir), min_words=20, max_mean_word_len=12.0,
+        lang="en")
 
 
 def q_corpus_clean(spark, sf_dir):
@@ -2627,12 +2604,16 @@ def q_pii_counts(spark, sf_dir):
 def _pii_sql() -> str:
     from ts2g2_spark.operators.text import PII_PATTERNS
 
+    # coalesce matches the engine's 0-for-NULL-text contract (DuckDB
+    # regexp_extract_all(NULL, ...) yields NULL, Spark's engine column
+    # coalesces to 0)
     cols = ",\n       ".join(
-        f"len(regexp_extract_all(text, '{pat}', 1))::BIGINT as {name}"
+        f"coalesce(len(regexp_extract_all(text, '{pat}', 1)), 0)::BIGINT"
+        f" as {name}"
         for name, pat in PII_PATTERNS.items()
     )
     total = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}', 1))"
+        f"coalesce(len(regexp_extract_all(text, '{pat}', 1)), 0)"
         for pat in PII_PATTERNS.values()
     )
     return (f"select doc_id,\n       {cols},\n"
@@ -2684,10 +2665,14 @@ with b as (
   from documents
 ),
 sh as (
+  -- concat_ws + range floor 1 replicate the engine's partial gram for
+  -- docs shorter than n words (shingles emits index 0 even then;
+  -- DuckDB concat_ws skips the NULL out-of-range elements exactly
+  -- like Spark concat_ws over a short slice)
   select distinct doc_id, is_bench,
-         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] sh
-  from b, lateral unnest(generate_series(1, greatest(len(ws)-2, 0))) t(i)
-  where length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0
+         concat_ws(' ', ws[i], ws[i+1], ws[i+2]) sh
+  from b, lateral unnest(generate_series(1, greatest(len(ws)-2, 1))) t(i)
+  where length(concat_ws(' ', ws[i], ws[i+1], ws[i+2])) > 0
 ),
 bench as (select distinct sh from sh where is_bench),
 tr as (

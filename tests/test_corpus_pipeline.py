@@ -129,6 +129,38 @@ def test_corpus_pipeline_resume(spark, corpus, tmp_path):
     assert not any(s.get("skipped") for s in p3.stage_log)
 
 
+def test_gated_bench_doc_still_poisons_bench_grams(spark, tmp_path):
+    """An eval doc the quality gates discard must STILL contribute its
+    grams to the bench set: a train doc copying it is an eval leak even
+    though the eval doc never reaches the cleaned corpus (the
+    contamination report runs over the raw input, not `clean`)."""
+    train = (i for i in range(2000) if _bucket(i) >= 50_000)
+    bench_id = next(i for i in range(2000) if _bucket(i) < 50_000)
+    # bench doc: fails the min_words gate (8 words < 20)
+    bench_text = "zeta eta theta iota kappa mu nu xi"
+    leak_id = next(train)
+    # train doc: passes every clean gate, embeds the bench doc verbatim
+    leak_text = f"{EN} {bench_text} " + " ".join(
+        f"q{j}" for j in range(14))
+    clean_id = next(train)
+    rows = [
+        (bench_id, bench_text, "s"),
+        (leak_id, leak_text, "s"),
+        (clean_id, _good_text(99), "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    pipe = CorpusPipeline(spark, str(tmp_path / "cat4"), run_id="g1",
+                          contamination_max=0.2)
+    out = pipe.run(df, "gated_bench", stop_after="decontaminated")
+    clean_ids = {r["doc_id"] for r in out["clean"].collect()}
+    assert bench_id not in clean_ids          # gated out of the corpus
+    assert leak_id in clean_ids               # passes quality gates
+    decon_ids = {r["doc_id"] for r in out["decontaminated"].collect()}
+    assert leak_id not in decon_ids           # ...but still a leak
+    assert clean_id in decon_ids
+
+
 def test_corpus_pipeline_no_near_dups_is_noop_stage(spark, tmp_path):
     rows = [(i, _good_text(i), "s") for i in range(40, 44)]
     df = spark.createDataFrame(

@@ -198,6 +198,65 @@ def test_pack_sequences_matches_greedy_model(spark):
     assert all(0 <= r["seq_offset"] < budget for r in got.values())
 
 
+def _run_oracle(sql: str, docs_pdf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    return con.sql(sql).df()
+
+
+def test_contamination_oracle_agrees_on_short_docs(spark):
+    """Docs shorter than the n-gram width take the engine's
+    partial-gram path (shingles emits index 0 even when len < n); the
+    oracle must replicate it instead of silently dropping those docs."""
+    import __spark_entry__ as e
+
+    rows = []
+    train = (i for i in range(500) if _bb(i) >= 50_000)
+    bench_id = next(i for i in range(500) if _bb(i) < 50_000)
+    rows.append((bench_id, "alpha beta gamma delta"))
+    rows.append((next(train), "solo"))                      # 1 word
+    rows.append((next(train), "alpha beta"))                # 2 words
+    rows.append((next(train), "alpha beta gamma epsilon"))  # overlaps
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_grams"], r["n_contaminated"],
+         round(r["contamination"], 6))
+        for r in dedup.contamination_report(
+            df, n_words=3, bench_fraction=0.05).collect())
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    want = sorted(
+        (int(r.doc_id), int(r.n_grams), int(r.n_contaminated),
+         round(float(r.contamination), 6))
+        for r in _run_oracle(e.CONTAMINATION_SQL, pdf).itertuples())
+    assert got == want
+    assert len(got) == 3  # every short train doc is present in BOTH
+
+
+def test_pii_oracle_agrees_on_null_text(spark):
+    """NULL text -> all-zero counts in BOTH engines (DuckDB
+    regexp_extract_all(NULL) is NULL; the oracle coalesces it)."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    rows = [(1, None), (2, "mail me at a@b.io")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in text_ops.pii_counts(df).collect())
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in _run_oracle(e._pii_sql(), pdf).itertuples(index=False))
+    assert got == want
+    assert got[0] == (1, 0, 0, 0, 0, 0, 0)
+
+
+def _bb(i: int) -> int:
+    return h64_py(f"bench:{i}") % 1_000_000
+
+
 def test_hash_partition_pred_disjoint_exhaustive(spark):
     df = spark.createDataFrame(
         [(i,) for i in range(500)], "doc_id long")

@@ -93,18 +93,20 @@ def contamination_report(
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
-    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        sh.join(bench_grams, "sh")
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return totals.join(hits, "doc_id", "left").select(
-        "doc_id", "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).cast("long")
-        .alias("n_contaminated"),
-        F.round(
-            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6
-        ).alias("contamination"),
+    # ONE pass over the training shingles: left-join the bench marker
+    # and count total + matched in the same aggregate (two separate
+    # totals/hits branches would re-execute the shingle projection —
+    # the dominant cost at scale — once per branch)
+    return (
+        sh.join(bench_grams.withColumn("_hit", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.count("_hit").alias("n_contaminated"))
+        .select(
+            "doc_id", "n_grams", "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6)
+            .alias("contamination"),
+        )
     )
 
 

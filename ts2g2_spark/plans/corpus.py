@@ -33,6 +33,63 @@ from ts2g2_spark.operators import text as text_ops
 from ts2g2_spark.plans.pipeline import StagedPipeline, _fingerprint
 
 
+def clean_corpus(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_mean_word_len: float = 12.0,
+    lang: str = "en",
+    max_dup_2gram_frac: float | None = None,
+) -> DataFrame:
+    """The standard cleaning composite SINGLE-PASS: exact-dedup
+    survivors + quality and language gates (+ the repetition gate when
+    max_dup_2gram_frac is set) projected in one select — deriving gates
+    as separate frames and joining back re-expands the scan subtree
+    once per join (the audited anti-pattern: 25 exchanges in the first
+    cut of datamix_report, 3 here).
+
+    ONE implementation shared by the oracled `corpus_clean` contract
+    query (max_dup_2gram_frac=None — its DuckDB oracle has no
+    repetition gate) and CorpusPipeline's clean stage, so the two can
+    never drift.  Join strategies are left to AQE: the dup-group and
+    loser sides are usually tiny but corpus-proportional in the worst
+    case, so no forced broadcast."""
+    dups = dedup.exact_duplicates(docs)
+    losers = (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(dups, "content_hash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    qc = text_ops.quality_columns("text")
+    lc = text_ops.lang_columns("text")
+    tc = text_ops.token_count_columns("text")
+    gate_cols = [
+        qc["n_words"].alias("n_words"),
+        qc["mean_word_len"].alias("mean_word_len"),
+        lc["lang_pred"].alias("lang_pred"),
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+    ]
+    base_gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("mean_word_len") < max_mean_word_len)
+        & (F.col("lang_pred") == lang)
+    )
+    if max_dup_2gram_frac is None:
+        return survivors.select("*", *gate_cols).where(base_gate)
+    staged = text_ops._staged_words(survivors, "text")
+    rep = text_ops.repetition_columns("_ws", pre_split=True)
+    return (
+        staged.select(
+            "*", *gate_cols,
+            rep["dup_2gram_frac"].alias("dup_2gram_frac"),
+            rep["dup_3gram_frac"].alias("dup_3gram_frac"))
+        .where(base_gate
+               & (F.col("dup_2gram_frac") <= max_dup_2gram_frac))
+        .drop("_ws", "_bar")
+    )
+
+
 class CorpusPipeline(StagedPipeline):
     def __init__(
         self,
@@ -80,69 +137,56 @@ class CorpusPipeline(StagedPipeline):
     # -- stage builders (lazy frames; _run_stage materializes) --------
 
     def _clean(self, docs: DataFrame) -> DataFrame:
-        """Exact-dedup survivors + quality/lang/repetition gates in one
-        projection pass over the staged word array (no join re-expansion
-        — the audited single-pass pattern from corpus_clean)."""
-        dups = dedup.exact_duplicates(docs)
-        losers = (
-            docs.select("doc_id", F.md5("text").alias("content_hash"))
-            .join(F.broadcast(dups), "content_hash")
-            .where(F.col("doc_id") != F.col("keep_id"))
-            .select("doc_id")
-        )
-        survivors = docs.join(losers, "doc_id", "left_anti")
-        qc = text_ops.quality_columns("text")
-        lc = text_ops.lang_columns("text")
-        tc = text_ops.token_count_columns("text")
-        staged = text_ops._staged_words(survivors, "text")
-        rep = text_ops.repetition_columns("_ws", pre_split=True)
-        return (
-            staged.select(
-                "*",
-                qc["n_words"].alias("n_words"),
-                qc["mean_word_len"].alias("mean_word_len"),
-                lc["lang_pred"].alias("lang_pred"),
-                tc["n_ws_tokens"].alias("n_ws_tokens"),
-                rep["dup_2gram_frac"].alias("dup_2gram_frac"),
-                rep["dup_3gram_frac"].alias("dup_3gram_frac"),
-            )
-            .where(
-                (F.col("n_words") >= self.min_words)
-                & (F.col("mean_word_len") < self.max_mean_word_len)
-                & (F.col("lang_pred") == self.lang)
-                & (F.col("dup_2gram_frac") <= self.max_dup_2gram_frac)
-            )
-            .drop("_ws", "_bar")
-        )
+        return clean_corpus(
+            docs, min_words=self.min_words,
+            max_mean_word_len=self.max_mean_word_len, lang=self.lang,
+            max_dup_2gram_frac=self.max_dup_2gram_frac)
 
-    def _decontaminate(self, clean: DataFrame) -> DataFrame:
+    def _decontaminate(self, docs: DataFrame,
+                       clean: DataFrame) -> DataFrame:
         """Drop the eval split itself AND training docs whose distinct
-        n-gram overlap with it exceeds contamination_max."""
+        n-gram overlap with it exceeds contamination_max.
+
+        The contamination report runs over the RAW corpus, not the
+        cleaned one: an eval doc the quality gates would discard still
+        poisons a training doc that copies it, so its grams must stay
+        in the bench set (bench-side gating would silently re-open the
+        exact leak this stage closes)."""
         report = dedup.contamination_report(
-            clean, n_words=self.contamination_ngram,
+            docs, n_words=self.contamination_ngram,
             bench_fraction=self.bench_fraction, salt=self.bench_salt)
         tainted = report.where(
             F.col("contamination") > self.contamination_max
         ).select("doc_id")
         is_bench = sampling.hash_partition_pred(
             "doc_id", self.bench_fraction, self.bench_salt)
-        return (
-            clean.where(~is_bench)
-            .join(F.broadcast(tainted), "doc_id", "left_anti")
-        )
+        # tainted is corpus-proportional in the worst case — no forced
+        # broadcast, AQE picks the strategy from its measured size
+        return clean.where(~is_bench).join(tainted, "doc_id", "left_anti")
 
     def _near_dedup(self, decon: DataFrame) -> DataFrame:
         """LSH candidates -> exact-Jaccard verify -> components ->
-        keep the min doc of each duplicate group."""
-        sigs = dedup.minhash_signatures(
-            decon, n_words=self.shingle_words, n_hashes=self.n_hashes)
-        cands = dedup.lsh_candidate_pairs(
-            sigs, bands=self.lsh_bands, n_hashes=self.n_hashes)
-        pairs = dedup.ngram_jaccard_pairs(
-            decon, n_words=self.shingle_words,
-            threshold=self.jaccard_threshold, candidates=cands)
-        comps = dedup.connected_components(
-            pairs.select("doc_a", "doc_b"))
+        keep the min doc of each duplicate group.  ONE cached shingle
+        frame feeds both the signature build and the Jaccard verify
+        (the shingle projection is the dominant cost at scale);
+        connected_components is eager, so the cache is released before
+        the stage output is written."""
+        sh = dedup.shingles_hashed(
+            decon, n_words=self.shingle_words).cache()
+        try:
+            sigs = dedup.minhash_signatures(
+                decon, n_words=self.shingle_words,
+                n_hashes=self.n_hashes, shingle_frame=sh)
+            cands = dedup.lsh_candidate_pairs(
+                sigs, bands=self.lsh_bands, n_hashes=self.n_hashes)
+            pairs = dedup.ngram_jaccard_pairs(
+                decon, n_words=self.shingle_words,
+                threshold=self.jaccard_threshold, candidates=cands,
+                shingle_frame=sh)
+            comps = dedup.connected_components(
+                pairs.select("doc_a", "doc_b"))
+        finally:
+            sh.unpersist()
         near_losers = comps.where(
             F.col("doc_id") != F.col("component")).select("doc_id")
         return decon.join(near_losers, "doc_id", "left_anti")
@@ -165,7 +209,7 @@ class CorpusPipeline(StagedPipeline):
             return out
         out["decontaminated"] = self._run_stage(
             "decontaminated", fp,
-            lambda: self._decontaminate(out["clean"]))
+            lambda: self._decontaminate(docs, out["clean"]))
         if stop_after == "decontaminated":
             return out
         out["near_dedup"] = self._run_stage(
