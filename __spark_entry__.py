@@ -2488,6 +2488,34 @@ def q_walk_embedding_rank(spark, sf_dir):
                          "rank")
 
 
+def q_walk_pmi_rank(spark, sf_dir):
+    """E2 COMPLETED dependency-free: per-user HVG -> seeded random-walk
+    corpus -> SGNS-equivalent SPPMI+SVD embedding (Levy-Goldberg
+    factorization standing in for gensim Doc2Vec, ref
+    embeddings/ts2g2_embeddings.py:142-152) -> cosine-to-base ranking
+    (E4).  No SQL oracle (seeded walks + eigensolver); the embedding is
+    pinned against an independent numpy model, partitioning-invariance,
+    and similarity-ordering tests in tests/test_analytics.py."""
+    from ts2g2_spark.operators import analytics, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    series = graphs.series_from_points(ev, "user_id",
+                                       order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 64).alias("values"))
+    edges = graphs.visibility_edges(series, kind="horizontal").select(
+        "series_key", "src", "dst")
+    walks = analytics.random_walk_corpus(
+        edges, sample_size=15, path_length=45, run_seed=42)
+    emb = analytics.walk_pmi_embedding(walks, dim=20)
+    ranked = analytics.embedding_ranking(
+        emb.select(F.col("series_key").alias("id"),
+                   F.lit("pmi_walks").alias("method"),
+                   F.col("embedding").alias("vector")))
+    return ranked.select("id", F.round("distance", 9).alias("distance"),
+                         "rank")
+
+
 # ----------------------------------------------- multimodal (SURVEY §2.7)
 def _media_from_docs(spark, sf_dir):
     """Documents as opaque media rows: payload = utf8 bytes of the text
@@ -2855,6 +2883,7 @@ _RAW_QUERIES = {
         "media_features": q_media_features,
         "walk_corpus": q_walk_corpus,
         "walk_embedding_rank": q_walk_embedding_rank,
+        "walk_pmi_rank": q_walk_pmi_rank,  # rows-only: seeded walks
         "generate_plain": q_generate_plain,
         "generate_sliding": q_generate_sliding,
         "generate_ordinal": q_generate_ordinal,

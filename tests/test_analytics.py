@@ -241,3 +241,101 @@ def test_eigenvector_centrality_negative_id_raises():
 def test_eigenvector_centrality_n_zero():
     assert len(analytics.eigenvector_centrality_kernel(
         0, np.array([], dtype=np.int64), np.array([], dtype=np.int64))) == 0
+
+
+def _pmi_model(rows, dim, shift=1.0):
+    """Independent SPPMI+SVD reference (Levy-Goldberg equivalence) built
+    from raw (series_key, walk) rows with plain dict counting."""
+    from collections import Counter
+
+    cnt = Counter()
+    for key, walk in rows:
+        for tok in walk:
+            cnt[(key, tok)] += 1
+    keys = sorted({k for k, _ in cnt})
+    toks = sorted({t for _, t in cnt})
+    M = np.zeros((len(keys), len(toks)))
+    for (k, t), c in cnt.items():
+        M[keys.index(k), toks.index(t)] = c
+    nd, nw, N = M.sum(1, keepdims=True), M.sum(0, keepdims=True), M.sum()
+    with np.errstate(divide="ignore"):
+        pmi = np.log(np.where(M > 0, M * N / (nd * nw), 1.0))
+    sppmi = np.maximum(pmi - np.log(shift), 0.0)
+    U, S, _ = np.linalg.svd(sppmi, full_matrices=False)
+    k = min(dim, len(S))
+    U, S = U[:, :k], S[:k]
+    flip = np.where(U[np.abs(U).argmax(axis=0), np.arange(k)] < 0, -1, 1.0)
+    emb = (U * flip) * np.sqrt(S)
+    n = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = np.where(n > 0, emb / np.where(n > 0, n, 1), 0.0)
+    if k < dim:
+        emb = np.hstack([emb, np.zeros((len(keys), dim - k))])
+    return dict(zip(keys, emb))
+
+
+def test_walk_pmi_embedding_matches_reference_model(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for key in ("a", "b", "c"):
+        for w in range(4):
+            rows.append((key, w, [str(int(x)) for x in
+                                  rng.integers(0, 12, size=20)]))
+    walks = spark.createDataFrame(
+        rows, "series_key string, walk_id int, walk array<string>")
+    got = {r["series_key"]: np.array(r["embedding"])
+           for r in analytics.walk_pmi_embedding(walks, dim=4).collect()}
+    want = _pmi_model([(k, w) for k, _, w in rows], dim=4)
+    assert set(got) == set(want)
+    for k in got:
+        assert np.allclose(got[k], want[k], atol=1e-9)
+    # L2-normalized rows (an all-zero SPPMI row stays zero by design)
+    for v in got.values():
+        assert abs(np.linalg.norm(v) - 1) < 1e-9 or np.linalg.norm(v) == 0
+    assert any(np.linalg.norm(v) > 0 for v in got.values())
+
+
+def test_walk_pmi_embedding_partitioning_invariant(spark):
+    rng = np.random.default_rng(9)
+    rows = [(f"s{i%5}", i, [str(int(x)) for x in
+                            rng.integers(0, 30, size=15)])
+            for i in range(40)]
+    walks = spark.createDataFrame(
+        rows, "series_key string, walk_id int, walk array<string>")
+    a = {r["series_key"]: r["embedding"] for r in
+         analytics.walk_pmi_embedding(walks.repartition(1), dim=6)
+         .collect()}
+    b = {r["series_key"]: r["embedding"] for r in
+         analytics.walk_pmi_embedding(walks.repartition(7), dim=6)
+         .collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert np.allclose(a[k], b[k], atol=1e-12)
+
+
+def test_walk_pmi_embedding_similarity_ordering(spark):
+    # two series sharing a token distribution vs one disjoint: the
+    # shared pair must be closer in cosine than either is to the outlier
+    shared = [str(x) for x in (1, 2, 3, 4, 5)] * 6
+    other = [str(x) for x in (90, 91, 92, 93)] * 8
+    rows = [("x", 0, shared), ("y", 0, shared[::-1]),
+            ("z", 0, other)]
+    walks = spark.createDataFrame(
+        rows, "series_key string, walk_id int, walk array<string>")
+    emb = {r["series_key"]: np.array(r["embedding"]) for r in
+           analytics.walk_pmi_embedding(walks, dim=3).collect()}
+    cos = lambda u, v: float(u @ v)  # rows are L2-normalized
+    assert cos(emb["x"], emb["y"]) > cos(emb["x"], emb["z"]) + 0.5
+    assert cos(emb["x"], emb["y"]) > 0.99
+
+
+def test_walk_pmi_embedding_guards_and_empty(spark):
+    empty = spark.createDataFrame(
+        [], "series_key string, walk_id int, walk array<string>")
+    assert analytics.walk_pmi_embedding(empty).count() == 0
+    walks = spark.createDataFrame(
+        [("a", 0, ["1", "2", "3"])],
+        "series_key string, walk_id int, walk array<string>")
+    with pytest.raises(ValueError, match="cells"):
+        analytics.walk_pmi_embedding(walks, max_cells=2)
+    with pytest.raises(ValueError, match="dense"):
+        analytics.walk_pmi_embedding(walks, max_dense=2)

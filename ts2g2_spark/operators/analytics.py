@@ -1,7 +1,11 @@
-"""Embedding / analytics operators (SURVEY §2.6, E1 + E4).
+"""Embedding / analytics operators (SURVEY §2.6, E1 + E2 + E4).
 
-E2 (Doc2Vec) and E3 (TS2Vec) are out of scope: gensim/torch are not
-installed and the reference's vendored ts2vec directory is empty upstream
+E2 is closed dependency-free: the walk corpus bit-matches networkx, and
+walk_pmi_embedding replaces the reference's gensim Doc2Vec with the
+SGNS-equivalent SPPMI factorization (Levy & Goldberg 2014) — a
+deterministic closed-form model over the same corpus; walk_hash_embedding
+remains as the cheap streaming-friendly variant.  E3 (TS2Vec) stays out:
+the reference's vendored ts2vec directory is empty upstream
 (embeddings/ts2g2_embeddings.py:122 import fails there too, SURVEY §2.6).
 """
 
@@ -229,6 +233,93 @@ def walk_hash_embedding(
         "series_key",
         F.transform(vec, lambda x: x / norm).alias("embedding"),
     )
+
+
+def walk_pmi_embedding(
+    walks: DataFrame,
+    dim: int = 20,
+    shift: float = 1.0,
+    max_cells: int = 5_000_000,
+    max_dense: int = 50_000_000,
+) -> DataFrame:
+    """SGNS-equivalent graph embedding from the walk corpus WITHOUT
+    gensim — the principled completion of E2 (reference
+    embeddings/ts2g2_embeddings.py:142-152 trains gensim
+    Doc2Vec(vector_size=20, min_count=1) over the tagged walks): skip-
+    gram with negative sampling implicitly factorizes the shifted PPMI
+    matrix shifted by log(k_neg) (Levy & Goldberg, NeurIPS 2014), so we
+    factorize the
+    (series x walk-token) SPPMI matrix with a deterministic SVD
+    (default shift=1 = plain PPMI = one negative sample, the right
+    regime for small graph-walk vocabularies; raise it for web-scale
+    corpora) —
+    same input corpus (random_walk_corpus), same downstream consumers
+    (embedding_ranking / kendall_tau), but a closed-form model with no
+    SGD, no seeds, no dependency.
+
+    Scale split: the corpus-proportional work — token co-occurrence
+    counting — is ONE partial-agg'd groupBy (the exchange carries one
+    row per distinct (series, token), not per token occurrence).  Only
+    the nonzero count cells cross to the driver, behind TWO explicit
+    guards (max_cells on the transfer, max_dense on the n_series x
+    vocab SVD matrix) that raise loudly instead of OOMing — the same
+    'vocab fits one machine' bound every word2vec trainer assumes.  At
+    larger scale the factorization step swaps for block power iteration
+    over the same cell frame; the counting stage is unchanged.
+
+    Determinism: counts are exact; rows/columns are sorted by key
+    before the matrix build (collection order independent); SVD signs
+    are canonicalized (largest-magnitude loading positive per
+    component).  embedding = L2-normalized U_k * sqrt(S_k), zero-padded
+    to `dim` when the matrix rank is smaller."""
+    spark = walks.sparkSession
+    cells_df = (
+        walks.select("series_key", F.explode("walk").alias("tok"))
+        .groupBy("series_key", "tok")
+        .agg(F.count(F.lit(1)).alias("n_dw"))
+    )
+    cells = cells_df.limit(max_cells + 1).toPandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"walk_pmi_embedding: >{max_cells} nonzero (series, token) "
+            "cells; raise max_cells or switch the factorization to the "
+            "distributed block path")
+    out_schema = "series_key string, embedding array<double>"
+    if cells.empty:
+        return spark.createDataFrame([], out_schema)
+
+    keys = np.sort(cells["series_key"].unique())
+    toks = np.sort(cells["tok"].unique())
+    if len(keys) * len(toks) > max_dense:
+        raise ValueError(
+            f"walk_pmi_embedding: dense SPPMI matrix "
+            f"{len(keys)}x{len(toks)} exceeds max_dense={max_dense}")
+    ki = {k: i for i, k in enumerate(keys)}
+    ti = {t: j for j, t in enumerate(toks)}
+    M = np.zeros((len(keys), len(toks)))
+    M[cells["series_key"].map(ki), cells["tok"].map(ti)] = (
+        cells["n_dw"].to_numpy(dtype=np.float64))
+    n_d = M.sum(axis=1, keepdims=True)
+    n_w = M.sum(axis=0, keepdims=True)
+    N = M.sum()
+    with np.errstate(divide="ignore"):
+        pmi = np.log(np.where(M > 0, M * N / (n_d * n_w), 1.0))
+    sppmi = np.maximum(pmi - np.log(shift), 0.0)
+
+    U, S, _ = np.linalg.svd(sppmi, full_matrices=False)
+    k = min(dim, len(S))
+    U, S = U[:, :k], S[:k]
+    flip = np.where(
+        U[np.abs(U).argmax(axis=0), np.arange(k)] < 0, -1.0, 1.0)
+    emb = (U * flip) * np.sqrt(S)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = np.where(norms > 0, emb / np.where(norms > 0, norms, 1.0), 0.0)
+    if k < dim:
+        emb = np.hstack([emb, np.zeros((len(keys), dim - k))])
+    return spark.createDataFrame(
+        [(str(key), [float(x) for x in emb[i]])
+         for i, key in enumerate(keys)],
+        out_schema)
 
 
 # ------------------------------------------------------------------ E4
