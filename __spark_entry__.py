@@ -2440,11 +2440,10 @@ def q_generate_walks(spark, sf_dir):
     return out
 
 
-def q_walk_corpus(spark, sf_dir):
-    """E2 random-walk corpus over per-user HVGs (ref
-    embeddings/ts2g2_embeddings.py:132-141; gensim model out of scope).
-    No SQL oracle: seeded stochastic walks; bit-parity with
-    nx.generate_random_paths pinned in tests/test_analytics.py."""
+def _hvg_walks(spark, sf_dir):
+    """Shared E2 front half: per-user HVG edges -> seeded random-walk
+    corpus (one definition so the three walk queries can never drift on
+    slice width / walk parameters / seed)."""
     from ts2g2_spark.operators import analytics, graphs
 
     ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
@@ -2454,8 +2453,16 @@ def q_walk_corpus(spark, sf_dir):
         "series_key", F.slice("values", 1, 64).alias("values"))
     edges = graphs.visibility_edges(series, kind="horizontal").select(
         "series_key", "src", "dst")
-    walks = analytics.random_walk_corpus(
+    return analytics.random_walk_corpus(
         edges, sample_size=15, path_length=45, run_seed=42)
+
+
+def q_walk_corpus(spark, sf_dir):
+    """E2 random-walk corpus over per-user HVGs (ref
+    embeddings/ts2g2_embeddings.py:132-141; gensim model out of scope).
+    No SQL oracle: seeded stochastic walks; bit-parity with
+    nx.generate_random_paths pinned in tests/test_analytics.py."""
+    walks = _hvg_walks(spark, sf_dir)
     return walks.select(
         "series_key", "walk_id",
         F.size("walk").alias("walk_len"),
@@ -2468,17 +2475,9 @@ def q_walk_embedding_rank(spark, sf_dir):
     cosine-to-base ranking (E4).  No SQL oracle (the walks are seeded
     RNG); embedding determinism and ranking semantics are pinned in
     tests."""
-    from ts2g2_spark.operators import analytics, graphs
+    from ts2g2_spark.operators import analytics
 
-    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
-    series = graphs.series_from_points(ev, "user_id",
-                                       order_col="event_id")
-    series = series.select(
-        "series_key", F.slice("values", 1, 64).alias("values"))
-    edges = graphs.visibility_edges(series, kind="horizontal").select(
-        "series_key", "src", "dst")
-    walks = analytics.random_walk_corpus(
-        edges, sample_size=15, path_length=45, run_seed=42)
+    walks = _hvg_walks(spark, sf_dir)
     emb = analytics.walk_hash_embedding(walks, dim=32)
     ranked = analytics.embedding_ranking(
         emb.select(F.col("series_key").alias("id"),
@@ -2496,17 +2495,9 @@ def q_walk_pmi_rank(spark, sf_dir):
     (E4).  No SQL oracle (seeded walks + eigensolver); the embedding is
     pinned against an independent numpy model, partitioning-invariance,
     and similarity-ordering tests in tests/test_analytics.py."""
-    from ts2g2_spark.operators import analytics, graphs
+    from ts2g2_spark.operators import analytics
 
-    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
-    series = graphs.series_from_points(ev, "user_id",
-                                       order_col="event_id")
-    series = series.select(
-        "series_key", F.slice("values", 1, 64).alias("values"))
-    edges = graphs.visibility_edges(series, kind="horizontal").select(
-        "series_key", "src", "dst")
-    walks = analytics.random_walk_corpus(
-        edges, sample_size=15, path_length=45, run_seed=42)
+    walks = _hvg_walks(spark, sf_dir)
     emb = analytics.walk_pmi_embedding(walks, dim=20)
     ranked = analytics.embedding_ranking(
         emb.select(F.col("series_key").alias("id"),

@@ -328,6 +328,21 @@ def test_walk_pmi_embedding_similarity_ordering(spark):
     assert cos(emb["x"], emb["y"]) > 0.99
 
 
+def test_walk_pmi_embedding_shift_below_one_keeps_zeros_zero(spark):
+    """shift < 1 must NOT hand zero-count cells a spurious positive
+    SPPMI weight (-log shift): series with disjoint token sets stay
+    orthogonal for any shift, and shift <= 0 raises."""
+    rows = [("a", 0, ["1", "2", "3"] * 5), ("b", 0, ["8", "9"] * 7)]
+    walks = spark.createDataFrame(
+        rows, "series_key string, walk_id int, walk array<string>")
+    emb = {r["series_key"]: np.array(r["embedding"]) for r in
+           analytics.walk_pmi_embedding(walks, dim=2, shift=0.5)
+           .collect()}
+    assert abs(float(emb["a"] @ emb["b"])) < 1e-9
+    with pytest.raises(ValueError, match="shift"):
+        analytics.walk_pmi_embedding(walks, shift=0.0)
+
+
 def test_walk_pmi_embedding_guards_and_empty(spark):
     empty = spark.createDataFrame(
         [], "series_key string, walk_id int, walk array<string>")

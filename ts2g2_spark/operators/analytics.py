@@ -304,7 +304,14 @@ def walk_pmi_embedding(
     N = M.sum()
     with np.errstate(divide="ignore"):
         pmi = np.log(np.where(M > 0, M * N / (n_d * n_w), 1.0))
-    sppmi = np.maximum(pmi - np.log(shift), 0.0)
+    # shift applies to OBSERVED cells only: a zero count has PMI -inf,
+    # so its SPPMI is 0 for ANY shift — the where() keeps that true for
+    # shift < 1 too (the placeholder 1.0 above would otherwise hand
+    # zero cells a spurious -log(shift) > 0 weight)
+    if shift <= 0:
+        raise ValueError(f"walk_pmi_embedding: shift must be > 0, "
+                         f"got {shift}")
+    sppmi = np.where(M > 0, np.maximum(pmi - np.log(shift), 0.0), 0.0)
 
     U, S, _ = np.linalg.svd(sppmi, full_matrices=False)
     k = min(dim, len(S))
@@ -316,9 +323,19 @@ def walk_pmi_embedding(
     emb = np.where(norms > 0, emb / np.where(norms > 0, norms, 1.0), 0.0)
     if k < dim:
         emb = np.hstack([emb, np.zeros((len(keys), dim - k))])
+    # Arrow-backed return (a real list<double> column built from the
+    # flat ndarray), not boxed row tuples: near the max_cells guard the
+    # row path would materialize millions of boxed floats on the driver
+    # that the compact input transfer just avoided
+    import pyarrow as pa
+
+    n, d = emb.shape
+    arr = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(emb.ravel()))
     return spark.createDataFrame(
-        [(str(key), [float(x) for x in emb[i]])
-         for i, key in enumerate(keys)],
+        pa.table({"series_key": pa.array([str(k) for k in keys]),
+                  "embedding": arr}),
         out_schema)
 
 

@@ -68,6 +68,7 @@ def contamination_report(
     bench_fraction: float = 0.05,
     salt: str = "bench",
     broadcast_bench: bool = True,
+    bench_source: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination census: for every TRAINING doc, the
     fraction of its distinct word n-grams that appear anywhere in the
@@ -86,9 +87,14 @@ def contamination_report(
     from ts2g2_spark.operators.sampling import hash_partition_pred
 
     is_bench = hash_partition_pred("doc_id", bench_fraction, salt)
+    # bench_source lets a pipeline score a FILTERED training frame
+    # against the UN-filtered eval split (grams of an eval doc the
+    # quality gates dropped must still count as contamination) without
+    # shingling the raw corpus on the big train side
     sh = shingles(docs.where(~is_bench), text_col, n_words)
     bench_grams = (
-        shingles(docs.where(is_bench), text_col, n_words)
+        shingles((bench_source if bench_source is not None else docs)
+                 .where(is_bench), text_col, n_words)
         .select("sh").distinct()
     )
     if broadcast_bench:

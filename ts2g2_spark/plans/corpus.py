@@ -147,14 +147,16 @@ class CorpusPipeline(StagedPipeline):
         """Drop the eval split itself AND training docs whose distinct
         n-gram overlap with it exceeds contamination_max.
 
-        The contamination report runs over the RAW corpus, not the
-        cleaned one: an eval doc the quality gates would discard still
-        poisons a training doc that copies it, so its grams must stay
-        in the bench set (bench-side gating would silently re-open the
-        exact leak this stage closes)."""
+        The BENCH gram set comes from the RAW corpus: an eval doc the
+        quality gates would discard still poisons a training doc that
+        copies it (bench-side gating would silently re-open the exact
+        leak this stage closes).  The TRAIN side is scored over `clean`
+        only — shingling raw docs the gates already dropped would be
+        pure waste at scale."""
         report = dedup.contamination_report(
-            docs, n_words=self.contamination_ngram,
-            bench_fraction=self.bench_fraction, salt=self.bench_salt)
+            clean, n_words=self.contamination_ngram,
+            bench_fraction=self.bench_fraction, salt=self.bench_salt,
+            bench_source=docs)
         tainted = report.where(
             F.col("contamination") > self.contamination_max
         ).select("doc_id")
