@@ -35,7 +35,7 @@ AUDIT = [
     "proximity_knn", "ann_ivf_top5", "generate_walks",
     # round 3 training-data additions
     "repetition_signals", "pii_counts", "top_2grams", "contamination",
-    "pack_sequences",
+    "pack_sequences", "datamix_apply",
 ]
 
 

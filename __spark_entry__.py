@@ -2737,6 +2737,64 @@ from c
 """
 
 
+_DATAMIX_TARGETS = {"src0": 3.0, "src1": 1.0, "src17": 2.0}
+
+
+def q_datamix_rebalance(spark, sf_dir):
+    """Datamix target-share solver: per-source sampling fractions that
+    realize a 3:1:2 token mix across three sources (others dropped) —
+    T = min_s tokens_s/share_s, fraction_s = T*share_s/tokens_s; the
+    binding source's fraction is exactly 1.0."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.datamix_rebalance(
+        _docs(spark, sf_dir), _DATAMIX_TARGETS)
+
+
+_DATAMIX_PER_SRC = r"""
+tgt(source, w) as (values ('src0', 3.0), ('src1', 1.0), ('src17', 2.0)),
+per as (
+  select d.source, count(*)::BIGINT n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT tokens,
+         coalesce(w / 6.0, 0.0) as share
+  from documents d left join tgt on d.source = tgt.source
+  group by d.source, w
+),
+b as (
+  select *, min(case when share > 0 then tokens / share end) over () budget
+  from per
+),
+plan as (
+  select source, n_docs, tokens, round(share, 9) as share,
+         case when share > 0
+           then round(budget * share / tokens, 9) else 0.0 end fraction
+  from b
+)
+"""
+
+DATAMIX_REBALANCE_SQL = (
+    "with " + _DATAMIX_PER_SRC
+    + "select source, n_docs, tokens, share, fraction from plan")
+
+
+def q_datamix_apply(spark, sf_dir):
+    """The rebalancing plan APPLIED: deterministic md5-bucket membership
+    per doc under its source's solved fraction (plan side broadcast)."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.datamix_apply(_docs(spark, sf_dir), _DATAMIX_TARGETS)
+
+
+DATAMIX_APPLY_SQL = (
+    "with " + _DATAMIX_PER_SRC + r"""
+select d.doc_id, d.source
+from documents d join plan using (source)
+where cast(concat('0x', substr(md5('datamix:' || doc_id), 1, 15))
+           as bigint) % 1000000
+      < cast(round(fraction * 1000000) as bigint)
+""")
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -2888,6 +2946,8 @@ _RAW_QUERIES = {
         "top_2grams": q_top_2grams,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
+        "datamix_rebalance": q_datamix_rebalance,
+        "datamix_apply": q_datamix_apply,
     }
 
 
@@ -2969,4 +3029,6 @@ def oracle_sql() -> dict[str, str]:
         "top_2grams": TOP_2GRAMS_SQL,
         "contamination": CONTAMINATION_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
+        "datamix_rebalance": DATAMIX_REBALANCE_SQL,
+        "datamix_apply": DATAMIX_APPLY_SQL,
     }

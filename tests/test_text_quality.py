@@ -264,3 +264,46 @@ def test_hash_partition_pred_disjoint_exhaustive(spark):
     a = df.where(pred).count()
     b = df.where(~pred).count()
     assert a + b == 500 and 0 < a < 500
+
+
+# ---------------------------------------------------------------- datamix
+
+def test_datamix_rebalance_solver_math(spark):
+    # srcA: 100 tokens, srcB: 300 tokens, srcC: 60 tokens (dropped)
+    rows = ([(i, " ".join(["w"] * 10), "srcA") for i in range(10)]
+            + [(100 + i, " ".join(["w"] * 30), "srcB") for i in range(10)]
+            + [(200 + i, " ".join(["w"] * 6), "srcC") for i in range(10)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    plan = {r["source"]: r.asDict()
+            for r in sampling.datamix_rebalance(
+                df, {"srcA": 1.0, "srcB": 1.0}).collect()}
+    # equal shares: T = min(100/0.5, 300/0.5) = 200; srcA binding at
+    # fraction 1.0, srcB samples 100/300
+    assert plan["srcA"]["fraction"] == pytest.approx(1.0)
+    assert plan["srcB"]["fraction"] == pytest.approx(1 / 3, abs=1e-9)
+    assert plan["srcC"]["fraction"] == 0.0 and plan["srcC"]["share"] == 0.0
+    assert plan["srcA"]["tokens"] == 100 and plan["srcB"]["tokens"] == 300
+    # realized EXPECTED tokens are proportional to the target shares
+    assert plan["srcA"]["fraction"] * 100 == pytest.approx(
+        plan["srcB"]["fraction"] * 300)
+
+
+def test_datamix_apply_membership_model(spark):
+    rows = ([(i, " ".join(["w"] * 10), "srcA") for i in range(20)]
+            + [(100 + i, " ".join(["w"] * 10), "srcB") for i in range(40)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    targets = {"srcA": 1.0, "srcB": 1.0}
+    got = {r["doc_id"] for r in
+           sampling.datamix_apply(df, targets).collect()}
+    plan = {r["source"]: r["fraction"]
+            for r in sampling.datamix_rebalance(df, targets).collect()}
+    want = set()
+    for doc_id, _, src in rows:
+        thr = int(round(plan[src] * 1_000_000))
+        if h64_py(f"datamix:{doc_id}") % 1_000_000 < thr:
+            want.add(doc_id)
+    assert got == want
+    # the binding source (srcA, fewer tokens) is taken whole
+    assert {i for i in range(20)} <= got

@@ -104,6 +104,79 @@ def train_val_split(
     )
 
 
+def datamix_rebalance(
+    docs: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Solve the per-source sampling fractions that realize a target
+    token mix: given target shares (source -> weight), the largest
+    total token budget T keeps every source within its supply
+    (T = min_s tokens_s / share_s, shares normalized), and
+    fraction_s = T * share_s / tokens_s.  Sources absent from
+    `targets` get share 0 (dropped).
+
+    Output (source, n_docs, tokens, share, fraction) — the mixing plan
+    a dataset card records.  The only wide op is the per-source
+    aggregate (partial-agg'd); the min-over-sources window runs on the
+    #sources-row result, single-partition BY CONTRACT (a corpus has
+    thousands of sources, not billions)."""
+    from pyspark.sql import Window
+
+    from ts2g2_spark.operators.text import token_count_columns
+
+    total = sum(targets.values())
+    share = F.lit(0.0)
+    for s, w in sorted(targets.items()):
+        share = F.when(F.col(strata_col) == s,
+                       F.lit(w / total)).otherwise(share)
+    toks = token_count_columns(text_col)["n_ws_tokens"]
+    per_src = (
+        docs.select(F.col(strata_col).alias("source"), toks.alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("tokens"))
+        .select("*", share.alias("share"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    budget = F.min(
+        F.when(F.col("share") > 0, F.col("tokens") / F.col("share"))
+    ).over(w_all)
+    return per_src.select(
+        "source", "n_docs", "tokens",
+        F.round("share", 9).alias("share"),
+        F.when(F.col("share") > 0,
+               F.round(budget * F.col("share") / F.col("tokens"), 9))
+        .otherwise(F.lit(0.0)).alias("fraction"),
+    )
+
+
+def datamix_apply(
+    docs: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "datamix",
+) -> DataFrame:
+    """Apply the rebalancing plan: deterministic hash-bucket membership
+    per doc under its source's solved fraction (same md5 bucketing as
+    every sampler here — stable under retries/resizes and replayable by
+    a SQL oracle).  The plan side is #sources rows — broadcast join
+    against the corpus."""
+    plan = datamix_rebalance(docs, targets, strata_col, text_col)
+    thr = F.round(F.col("fraction") * _M).cast("long")
+    return (
+        docs.join(
+            F.broadcast(plan.select(
+                F.col("source").alias(strata_col), thr.alias("_thr"))),
+            strata_col)
+        .where(_bucket(key_col, salt) < F.col("_thr"))
+        .select(key_col, strata_col)
+    )
+
+
 def hash_partition_pred(key_col: str, fraction: float,
                         salt: str) -> F.Column:
     """The membership predicate itself (bucket < round(fraction*1e6)) —
