@@ -237,3 +237,55 @@ def test_streaming_tier_composes_with_tier_up(spark, tmp_path):
     assert got_1h.count() == want_1h.count()
     assert got_1h.select(*cols).exceptAll(
         want_1h.select(*cols)).count() == 0
+
+
+# ------------------------------------------------- streaming corpus clean
+def test_streaming_clean_matches_batch_gates(spark, tmp_path):
+    """The gate projection on a stream selects exactly the docs the
+    batch quality_gate selects, and exact dups are suppressed within a
+    micro-batch and across micro-batches inside the watermark."""
+    from ts2g2_spark.plans.corpus import quality_gate
+    from ts2g2_spark.streaming import corpus as scorpus
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(in_dir)
+
+    en = "the cat and of to is that with"
+    good = [(i, f"{en} " + " ".join(f"w{i}x{j}" for j in range(22)), "s",)
+            for i in range(4)]
+    bad = [(10, "too short", "s"), (11, "the " * 40 + en, "s")]
+    dup = [(20, good[0][1], "s")]  # exact dup of doc 0
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).select("*", F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id")).alias("ingest_ts"))
+
+    mk(good + bad + dup).coalesce(1).write.mode("append").parquet(in_dir)
+    scorpus.run_available_now(
+        scorpus.streaming_clean(
+            scorpus.stream_docs(spark, in_dir), max_dup_2gram_frac=0.5),
+        out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    # one survivor per distinct content hash; gates match batch
+    want_gate = quality_gate(mk(good + bad), max_dup_2gram_frac=0.5)
+    assert (sorted(r["content_hash"] for r in
+                   got.select("content_hash").collect())
+            == sorted(r for (r,) in want_gate.select(F.md5("text"))
+                      .distinct().collect()))
+    assert got.count() == len(good)  # bad gated out, dup suppressed
+
+    # batch 2: re-send doc 0's text (same hash, inside the watermark)
+    # plus one genuinely new doc -> only the new doc appears
+    new = [(30, f"{en} " + " ".join(f"z{j}" for j in range(22)), "s")]
+    mk(dup + new).coalesce(1).write.mode("append").parquet(in_dir)
+    scorpus.run_available_now(
+        scorpus.streaming_clean(
+            scorpus.stream_docs(spark, in_dir), max_dup_2gram_frac=0.5),
+        out_dir, ckpt)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == len(good) + 1
+    assert {r["doc_id"] for r in got2.collect()} >= {30}

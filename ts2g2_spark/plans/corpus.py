@@ -33,34 +33,20 @@ from ts2g2_spark.operators import text as text_ops
 from ts2g2_spark.plans.pipeline import StagedPipeline, _fingerprint
 
 
-def clean_corpus(
+def quality_gate(
     docs: DataFrame,
     min_words: int = 20,
     max_mean_word_len: float = 12.0,
     lang: str = "en",
     max_dup_2gram_frac: float | None = None,
 ) -> DataFrame:
-    """The standard cleaning composite SINGLE-PASS: exact-dedup
-    survivors + quality and language gates (+ the repetition gate when
-    max_dup_2gram_frac is set) projected in one select — deriving gates
-    as separate frames and joining back re-expands the scan subtree
-    once per join (the audited anti-pattern: 25 exchanges in the first
-    cut of datamix_report, 3 here).
-
-    ONE implementation shared by the oracled `corpus_clean` contract
-    query (max_dup_2gram_frac=None — its DuckDB oracle has no
-    repetition gate) and CorpusPipeline's clean stage, so the two can
-    never drift.  Join strategies are left to AQE: the dup-group and
-    loser sides are usually tiny but corpus-proportional in the worst
-    case, so no forced broadcast."""
-    dups = dedup.exact_duplicates(docs)
-    losers = (
-        docs.select("doc_id", F.md5("text").alias("content_hash"))
-        .join(dups, "content_hash")
-        .where(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id")
-    )
-    survivors = docs.join(losers, "doc_id", "left_anti")
+    """The STATELESS half of corpus cleaning: quality + language (+
+    optional repetition) gates as ONE projection pass — no joins, no
+    state, so the identical expression tree runs on a batch frame or a
+    readStream (streaming/corpus.py).  Deriving gates as separate
+    frames and joining back re-expands the scan subtree once per join
+    (the audited anti-pattern: 25 exchanges in the first cut of
+    datamix_report)."""
     qc = text_ops.quality_columns("text")
     lc = text_ops.lang_columns("text")
     tc = text_ops.token_count_columns("text")
@@ -76,8 +62,8 @@ def clean_corpus(
         & (F.col("lang_pred") == lang)
     )
     if max_dup_2gram_frac is None:
-        return survivors.select("*", *gate_cols).where(base_gate)
-    staged = text_ops._staged_words(survivors, "text")
+        return docs.select("*", *gate_cols).where(base_gate)
+    staged = text_ops._staged_words(docs, "text")
     rep = text_ops.repetition_columns("_ws", pre_split=True)
     return (
         staged.select(
@@ -88,6 +74,34 @@ def clean_corpus(
                & (F.col("dup_2gram_frac") <= max_dup_2gram_frac))
         .drop("_ws", "_bar")
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_mean_word_len: float = 12.0,
+    lang: str = "en",
+    max_dup_2gram_frac: float | None = None,
+) -> DataFrame:
+    """The standard cleaning composite: exact-dedup survivors (keep min
+    doc_id) -> quality_gate, in one pass over the survivors.
+
+    ONE implementation shared by the oracled `corpus_clean` contract
+    query (max_dup_2gram_frac=None — its DuckDB oracle has no
+    repetition gate) and CorpusPipeline's clean stage, so the two can
+    never drift.  Join strategies are left to AQE: the dup-group and
+    loser sides are usually tiny but corpus-proportional in the worst
+    case, so no forced broadcast."""
+    dups = dedup.exact_duplicates(docs)
+    losers = (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(dups, "content_hash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    return quality_gate(survivors, min_words, max_mean_word_len, lang,
+                        max_dup_2gram_frac)
 
 
 class CorpusPipeline(StagedPipeline):
