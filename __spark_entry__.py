@@ -2751,15 +2751,21 @@ def q_datamix_rebalance(spark, sf_dir):
         _docs(spark, sf_dir), _DATAMIX_TARGETS)
 
 
+# VALUES list and normalizer are GENERATED from _DATAMIX_TARGETS so
+# editing the dict can never desync the oracle from the Spark side
 _DATAMIX_PER_SRC = r"""
-tgt(source, w) as (values ('src0', 3.0), ('src1', 1.0), ('src17', 2.0)),
+tgt(source, w) as (values {values}),
 per as (
   select d.source, count(*)::BIGINT n_docs,
          sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT tokens,
-         coalesce(w / 6.0, 0.0) as share
+         coalesce(w / {total}, 0.0) as share
   from documents d left join tgt on d.source = tgt.source
   group by d.source, w
-),
+),""".format(
+    values=", ".join(f"('{s}', {w!r})"
+                     for s, w in sorted(_DATAMIX_TARGETS.items())),
+    total=repr(sum(_DATAMIX_TARGETS.values())),
+) + r"""
 b as (
   select *, min(case when share > 0 then tokens / share end) over () budget
   from per

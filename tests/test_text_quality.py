@@ -307,3 +307,18 @@ def test_datamix_apply_membership_model(spark):
     assert got == want
     # the binding source (srcA, fewer tokens) is taken whole
     assert {i for i in range(20)} <= got
+
+
+def test_datamix_custom_strata_col(spark):
+    rows = [(1, "w " * 10, "en"), (2, "w " * 30, "de"), (3, "w " * 5, "fr")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    plan = {r["source"]: r["fraction"]
+            for r in sampling.datamix_rebalance(
+                df, {"en": 1.0, "de": 1.0}, strata_col="lang").collect()}
+    assert plan["en"] == pytest.approx(1.0)      # binding (10 tokens)
+    assert plan["de"] == pytest.approx(1 / 3, abs=1e-9)
+    assert plan["fr"] == 0.0
+    out = sampling.datamix_apply(
+        df, {"en": 1.0, "de": 1.0}, strata_col="lang")
+    assert set(out.columns) == {"doc_id", "lang"}

@@ -127,9 +127,11 @@ def datamix_rebalance(
     from ts2g2_spark.operators.text import token_count_columns
 
     total = sum(targets.values())
+    # share references the post-alias "source" column — the aggregate
+    # frame no longer carries strata_col under its original name
     share = F.lit(0.0)
     for s, w in sorted(targets.items()):
-        share = F.when(F.col(strata_col) == s,
+        share = F.when(F.col("source") == s,
                        F.lit(w / total)).otherwise(share)
     toks = token_count_columns(text_col)["n_ws_tokens"]
     per_src = (

@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ts2g2_spark.plans.corpus import quality_gate
+# re-exported: one drain helper (availableNow trigger, resume contract)
+# for the whole streaming package
+from ts2g2_spark.streaming.ingest import run_available_now  # noqa: F401
 
 DOC_SCHEMA = ("doc_id long, text string, source string, "
               "ingest_ts timestamp")
@@ -43,20 +46,15 @@ def streaming_clean(
     the watermark is evicted — bounded memory at any stream length."""
     gated = quality_gate(docs, min_words, max_mean_word_len, lang,
                          max_dup_2gram_frac)
+    # dropDuplicatesWithinWatermark, NOT plain dropDuplicates: only the
+    # WithinWatermark variant evicts state for fingerprints older than
+    # the horizon (a plain streaming dropDuplicates on a non-event-time
+    # key grows state forever — see ingest.stream_dedup).  The trade:
+    # a duplicate arriving later than the horizon is emitted again (the
+    # batch dedup downstream remains the source of truth), and a doc
+    # whose ingest_ts lags the watermark is dropped as late data.
     return (
         gated.select("*", F.md5("text").alias("content_hash"))
         .withWatermark(ts_col, dedup_horizon)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
-
-
-def run_available_now(df: DataFrame, out_dir: str, ckpt: str) -> None:
-    """Drain everything currently available and stop (incremental batch
-    trigger — the ingestion seam SURVEY §2.7 specifies)."""
-    (df.writeStream.format("parquet")
-     .option("path", out_dir)
-     .option("checkpointLocation", ckpt)
-     .outputMode("append")
-     .trigger(availableNow=True)
-     .start()
-     .awaitTermination())
