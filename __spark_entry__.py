@@ -2801,6 +2801,208 @@ where cast(concat('0x', substr(md5('datamix:' || doc_id), 1, 15))
 """)
 
 
+# ------------------------------------------------- temporal alignment
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (engine-native, SURVEY §2.7 family): enrich every event
+    with the latest CLOSED hourly rollup of its user — bucket stats become
+    available at bucket end (bucket_ts + 1h), the feature-availability
+    rule a leak-free training pipeline needs — within a 6h staleness
+    tolerance.  Union + ordered-window formulation: one shuffle on
+    user_id, no range-join candidate explosion (operators/temporal.py)."""
+    from ts2g2_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "user_id",
+            (F.date_trunc("hour", "ts")
+             + F.expr("interval 1 hour")).alias("avail_ts"))
+        .agg(F.count(F.lit(1)).alias("prev_h_cnt"),
+             F.round(F.sum("value"), 6).alias("prev_h_sum"))
+    )
+    return asof_join(
+        ev, hourly, ["user_id"], left_ts="ts", right_ts="avail_ts",
+        tolerance_s=6 * 3600)
+
+
+ASOF_ENRICH_SQL = """
+with h as (
+  select user_id,
+         date_trunc('hour', ts) + interval 1 hour as avail_ts,
+         count(*) as prev_h_cnt,
+         round(sum(value), 6) as prev_h_sum
+  from events group by 1, 2
+)
+select e.user_id, e.ts, e.event_id, e.value,
+       case when h.avail_ts >= e.ts - interval 6 hour
+            then h.prev_h_cnt end as prev_h_cnt,
+       case when h.avail_ts >= e.ts - interval 6 hour
+            then h.prev_h_sum end as prev_h_sum
+from events e asof left join h
+  on e.user_id = h.user_id and e.ts >= h.avail_ts
+"""
+
+
+def q_gapfill_1m_linear(spark, sf_dir):
+    """Linear-interpolation gap-fill of the per-user 1m tier via
+    plans.rollup.gapfill(fill='linear'): interior gaps get value columns
+    interpolated between the gap endpoints, cnt=0, gapfilled=true.  The
+    lead() of each endpoint rides the same single window shuffle as the
+    gap detection.  Endpoint sums are rounded to 6 decimals BEFORE
+    interpolation so both engines interpolate bit-identical doubles.
+    Scoped to users 0-2: the sf0.01 events table is ~67 events/user over
+    a month, so the full-population 1m spine is 6.3M nearly-all-gap rows
+    — noise for a correctness gate (the full run is exercised at bench
+    scale instead)."""
+    from ts2g2_spark.plans import rollup
+
+    tier = _rollup_events(spark, sf_dir, 60).where(
+        F.col("user_id") < 3
+    ).select(
+        "user_id", "bucket_ts",
+        F.col("cnt"), F.col("sum_val").alias("sum"),
+        F.col("min_val").alias("min"), F.col("max_val").alias("max"),
+        F.col("first_val").alias("first"), F.col("last_val").alias("last"),
+        F.lit(False).alias("gapfilled"),
+    )
+    out = rollup.gapfill(tier, "1m", series_cols=["user_id"],
+                         fill="linear")
+    return out.select(
+        "user_id", "bucket_ts", "cnt",
+        F.col("sum").alias("sum_val"), F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"), F.col("first").alias("first_val"),
+        F.col("last").alias("last_val"), "gapfilled",
+    )
+
+
+GAPFILL_LINEAR_SQL = f"""
+with m1 as (
+  select user_id,
+         date_trunc('minute', ts) as bucket_ts,
+         count(*) as cnt,
+         round(sum(value), 6) as sum_val,
+         min(value) as min_val,
+         max(value) as max_val,
+         arg_min(value, {_OKEY_SQL}) as first_val,
+         arg_max(value, {_OKEY_SQL}) as last_val
+  from events where user_id < 3 group by 1, 2
+), led as (
+  select *,
+         lead(bucket_ts) over w as nxt,
+         lead(sum_val) over w as n_sum,
+         lead(min_val) over w as n_min,
+         lead(max_val) over w as n_max,
+         lead(first_val) over w as n_first,
+         lead(last_val) over w as n_last
+  from m1
+  window w as (partition by user_id order by bucket_ts)
+), gaps as (
+  select user_id, bucket_ts as lo, nxt as hi,
+         sum_val, min_val, max_val, first_val, last_val,
+         n_sum, n_min, n_max, n_first, n_last,
+         unnest(generate_series(bucket_ts + interval 1 minute,
+                                nxt - interval 1 minute,
+                                interval 1 minute)) as gap_ts
+  from led where nxt > bucket_ts + interval 1 minute
+), interp as (
+  select user_id, gap_ts as bucket_ts, cast(0 as bigint) as cnt,
+         sum_val + (n_sum - sum_val) * frac as sum_val,
+         min_val + (n_min - min_val) * frac as min_val,
+         max_val + (n_max - max_val) * frac as max_val,
+         first_val + (n_first - first_val) * frac as first_val,
+         last_val + (n_last - last_val) * frac as last_val,
+         true as gapfilled
+  from (select *,
+               cast(epoch(gap_ts) - epoch(lo) as double)
+               / cast(epoch(hi) - epoch(lo) as double) as frac
+        from gaps)
+)
+select user_id, bucket_ts, cnt, sum_val, min_val, max_val,
+       first_val, last_val, false as gapfilled from m1
+union all
+select * from interp
+"""
+
+
+# ------------------------------------------------- corpus LM / tf-idf
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained add-1 bigram LM score per document (CCNet-style
+    quality signal, dependency-free) — operators/text.bigram_lm_scores."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+LM_PERPLEXITY_SQL = r"""
+with w as (
+  select doc_id,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x != '') as ws
+  from documents
+), bg0 as (
+  select doc_id, unnest(ws) as w1,
+         ws[generate_subscripts(ws, 1) + 1] as w2
+  from w where len(ws) >= 2
+), bg as (
+  select doc_id, w1, w2 from bg0 where w2 is not null
+), c2 as (
+  select w1, w2, count(*) as c_bg from bg group by 1, 2
+), c1 as (
+  select w1, sum(c_bg) as c_w1 from c2 group by 1
+), v as (
+  select count(distinct x) as v
+  from (select unnest(ws) as x from w)
+), probs as (
+  select c2.w1, c2.w2,
+         ln((c_bg + 1.0) / (c_w1 + 1.0 * v)) as logp
+  from c2 join c1 using (w1) cross join v
+)
+select doc_id, count(*) as n_bigrams, avg(logp) as avg_logp,
+       exp(-avg(logp)) as ppl
+from bg join probs using (w1, w2)
+group by doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-source top-5 normalized terms by tf-idf (keyword extraction /
+    dataset-card summarization) — operators/text.tfidf_top_terms."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+TFIDF_SQL = r"""
+with w as (
+  select doc_id, source,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x != '') as ws
+  from documents
+), stream as (
+  select doc_id, source, unnest(ws) as term from w
+), tf as (
+  select source, term, count(*) as tf from stream group by 1, 2
+), df as (
+  select term, count(*) as df
+  from (select distinct doc_id, term from stream) group by 1
+), n as (select count(*) as n_docs from documents)
+select source, term, tf, df, tfidf, rank
+from (
+  select tf.source, tf.term, tf.tf, df.df,
+         tf.tf * ln(cast(n_docs as double) / df.df) as tfidf,
+         row_number() over (partition by tf.source
+                            order by tf.tf * ln(cast(n_docs as double)
+                                                / df.df) desc,
+                                     tf.term asc) as rank
+  from tf join df using (term) cross join n
+)
+where rank <= 5
+"""
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -2954,6 +3156,11 @@ _RAW_QUERIES = {
         "pack_sequences": q_pack_sequences,
         "datamix_rebalance": q_datamix_rebalance,
         "datamix_apply": q_datamix_apply,
+        # round-3 session-3 additions (oracled; below the prefix)
+        "asof_enrich": q_asof_enrich,
+        "gapfill_1m_linear": q_gapfill_1m_linear,
+        "lm_perplexity": q_lm_perplexity,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -3037,4 +3244,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": PACK_SEQUENCES_SQL,
         "datamix_rebalance": DATAMIX_REBALANCE_SQL,
         "datamix_apply": DATAMIX_APPLY_SQL,
+        "asof_enrich": ASOF_ENRICH_SQL,
+        "gapfill_1m_linear": GAPFILL_LINEAR_SQL,
+        "lm_perplexity": LM_PERPLEXITY_SQL,
+        "tfidf_top_terms": TFIDF_SQL,
     }

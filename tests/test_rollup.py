@@ -194,3 +194,58 @@ def test_retention(spark, input_df, tmp_path):
     assert 0 < n_after < n_before
     mins = kept["rollup_1m"].agg({"bucket_ts": "min"}).collect()[0][0]
     assert mins.timestamp() >= now - 99_880
+
+
+def test_gapfill_linear_interpolates_endpoints(spark):
+    """fill='linear': interior buckets sit exactly on the line between
+    the gap's endpoints; non-gap rows pass through untouched."""
+    import datetime as dt
+    import pandas as pd
+
+    TS = dt.datetime
+    tier = spark.createDataFrame(
+        [("a", TS(2024, 1, 1, 0, 0), 2, 10.0, 1.0, 9.0, 1.0, 9.0, False),
+         ("a", TS(2024, 1, 1, 0, 4), 1, 50.0, 50.0, 50.0, 50.0, 50.0,
+          False),
+         ("a", TS(2024, 1, 1, 0, 5), 1, 60.0, 60.0, 60.0, 60.0, 60.0,
+          False),
+         ("b", TS(2024, 1, 1, 0, 0), 1, 1.0, 1.0, 1.0, 1.0, 1.0, False)],
+        "doc_id string, bucket_ts timestamp, cnt long, sum double, "
+        "min double, max double, first double, last double, "
+        "gapfilled boolean")
+    out = rollup_mod.gapfill(
+        tier, "1m", series_cols=["doc_id"], fill="linear"
+    ).toPandas().sort_values(["doc_id", "bucket_ts"], ignore_index=True)
+    a = out[out.doc_id == "a"].reset_index(drop=True)
+    assert list(a.gapfilled) == [False, True, True, True, False, False]
+    # sum: 10 -> 50 over 4 steps: 20, 30, 40 at minutes 1..3
+    assert list(a["sum"]) == [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    # min: 1 -> 50: 1 + 49*k/4
+    assert list(a["min"])[1:4] == pytest.approx([13.25, 25.5, 37.75])
+    assert (a.cnt == [2, 0, 0, 0, 1, 1]).all()
+    # series with no gaps untouched
+    assert len(out[out.doc_id == "b"]) == 1
+    assert not pd.isna(out[out.doc_id == "b"]["sum"]).any()
+
+
+def test_gapfill_linear_matches_locf_on_real_rows(spark, gappy_df):
+    """linear and locf agree on every NON-gap row and emit the same
+    bucket spine; only interpolated interior values differ."""
+    sparse = rollup_mod.rollup_from_tokens(
+        gappy_df, tier="1m", gapfill=False, positions_col="positions")
+    lin = rollup_mod.gapfill(sparse, "1m", fill="linear").toPandas()
+    loc = rollup_mod.gapfill(sparse, "1m", fill="locf").toPandas()
+    key = ["doc_id", "bucket_ts"]
+    lin = lin.sort_values(key, ignore_index=True)
+    loc = loc.sort_values(key, ignore_index=True)
+    assert lin[key + ["cnt", "gapfilled"]].equals(
+        loc[key + ["cnt", "gapfilled"]])
+    real = ~lin.gapfilled
+    assert real.any() and lin.gapfilled.any()
+    for c in ("sum", "min", "max", "first", "last"):
+        assert (lin.loc[real, c] == loc.loc[real, c]).all()
+    # interpolated values are bounded by their gap endpoints (monotone
+    # line between two reals) -> never outside the series' global range
+    g = lin.gapfilled
+    assert lin.loc[g, "sum"].between(
+        lin["sum"].min(), lin["sum"].max()).all()

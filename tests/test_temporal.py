@@ -1,0 +1,95 @@
+"""As-of join (operators/temporal.py) vs a brute-force pandas oracle,
+plus plan-shape assertions (single key-shuffle, no range join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ts2g2_spark.operators.temporal import asof_join
+
+TS = dt.datetime
+
+
+def _frames(spark, seed=7, n_left=400, n_right=150, n_keys=9):
+    rng = np.random.default_rng(seed)
+    base = TS(2024, 1, 1)
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": [base + dt.timedelta(seconds=int(s))
+               for s in rng.integers(0, 50_000, n_left)],
+        "lv": rng.normal(size=n_left).round(3),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right),
+        "rts": [base + dt.timedelta(seconds=int(s))
+                for s in rng.integers(0, 50_000, n_right)],
+        "rv": rng.normal(size=n_right).round(3),
+    })
+    # asof contract: right unique per (key, ts)
+    right = right.drop_duplicates(["k", "rts"]).reset_index(drop=True)
+    return left, right
+
+
+def _oracle(left, right, tolerance_s=None):
+    out = []
+    for row in left.itertuples(index=False):
+        cand = right[(right.k == row.k) & (right.rts <= row.ts)]
+        if tolerance_s is not None:
+            cand = cand[cand.rts >= row.ts - dt.timedelta(
+                seconds=tolerance_s)]
+        rv = None
+        if len(cand):
+            rv = float(cand.sort_values("rts").iloc[-1].rv)
+        out.append((int(row.k), row.ts, float(row.lv), rv))
+    return sorted(out, key=lambda t: (t[0], t[1], t[2]))
+
+
+@pytest.mark.parametrize("tolerance_s", [None, 3600])
+def test_asof_matches_bruteforce(spark, tolerance_s):
+    left, right = _frames(spark)
+    lsdf = spark.createDataFrame(left)
+    rsdf = spark.createDataFrame(right)
+    got = asof_join(lsdf, rsdf, ["k"], "ts", "rts",
+                    tolerance_s=tolerance_s)
+    rows = sorted(
+        ((r.k, r.ts, r.lv, r.rv) for r in got.collect()),
+        key=lambda t: (t[0], t[1], t[2]))
+    assert rows == _oracle(left, right, tolerance_s)
+
+
+def test_asof_inclusive_and_missing(spark):
+    lsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 5), 1.0), (2, TS(2024, 1, 1), 2.0)],
+        "k int, ts timestamp, lv double")
+    rsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 5), 9.0)],
+        "k int, rts timestamp, rv double")
+    got = {(r.k): r.rv for r in
+           asof_join(lsdf, rsdf, ["k"], "ts", "rts").collect()}
+    assert got[1] == 9.0  # right row at EQUAL ts matches (inclusive)
+    assert got[2] is None  # no match -> left row survives with null
+
+
+def test_asof_name_collision_suffix(spark):
+    lsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 5.0)], "k int, ts timestamp, v double")
+    rsdf = spark.createDataFrame(
+        [(1, TS(2023, 12, 31), 7.0)], "k int, rts timestamp, v double")
+    out = asof_join(lsdf, rsdf, ["k"], "ts", "rts")
+    assert set(out.columns) == {"k", "ts", "v", "v_r"}
+    row = out.collect()[0]
+    assert (row.v, row.v_r) == (5.0, 7.0)
+
+
+def test_asof_plan_single_shuffle_no_range_join(spark):
+    left, right = _frames(spark)
+    plan = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        ["k"], "ts", "rts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union+window, never a join operator
+    assert plan.count("Exchange hashpartitioning(k") <= 2  # one per side

@@ -322,3 +322,96 @@ def test_datamix_custom_strata_col(spark):
     out = sampling.datamix_apply(
         df, {"en": 1.0, "de": 1.0}, strata_col="lang")
     assert set(out.columns) == {"doc_id", "lang"}
+
+
+# ---------------------------------------------------------------- bigram LM
+
+def _norm_ws(text: str) -> list[str]:
+    t = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower()))
+    return [w for w in t.strip().split(" ") if w]
+
+
+def test_bigram_lm_matches_python_model(spark):
+    import math
+
+    rng = np.random.default_rng(3)
+    docs = [(i, " ".join(rng.choice(WORDS[:8], rng.integers(2, 30))))
+            for i in range(40)] + [(40, "one"), (41, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in text_ops.bigram_lm_scores(df).collect()}
+
+    # python model: same add-1 smoothed corpus bigram LM
+    word_lists = {i: _norm_ws(t) for i, t in docs}
+    c2: Counter = Counter()
+    vocab = set()
+    for ws in word_lists.values():
+        vocab.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    c1: Counter = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    V = len(vocab)
+    for i, ws in word_lists.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert i not in got  # <2 words -> no row
+            continue
+        avg = sum(math.log((c2[p] + 1.0) / (c1[p[0]] + V))
+                  for p in pairs) / len(pairs)
+        assert got[i]["n_bigrams"] == len(pairs)
+        assert got[i]["avg_logp"] == pytest.approx(avg, rel=1e-12)
+        assert got[i]["ppl"] == pytest.approx(math.exp(-avg), rel=1e-12)
+
+
+def test_bigram_lm_flags_gibberish(spark):
+    """A doc of corpus-typical bigrams scores higher (lower ppl) than a
+    doc of never-seen word orderings — the actual filter signal."""
+    normal = "the cat sat on the mat and the cat slept"
+    docs = [(i, normal) for i in range(20)]
+    docs.append((100, "mat the on slept and sat cat mat on and"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.ppl
+           for r in text_ops.bigram_lm_scores(df).collect()}
+    assert out[100] > out[0] * 2
+
+
+# ---------------------------------------------------------------- tf-idf
+
+def test_tfidf_top_terms_matches_python_model(spark):
+    import math
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(60):
+        src = f"s{i % 3}"
+        # each source gets a marker word so top terms differ per group
+        body = list(rng.choice(WORDS, 12)) + [f"marker{i % 3}"] * 3
+        docs.append((i, src, " ".join(body)))
+    df = spark.createDataFrame(docs, "doc_id long, source string, "
+                                     "text string")
+    got = text_ops.tfidf_top_terms(df, k=3).collect()
+    assert all(r["rank"] <= 3 for r in got)
+
+    tf: Counter = Counter()
+    dfreq: Counter = Counter()
+    for i, src, t in docs:
+        ws = _norm_ws(t)
+        tf.update((src, w) for w in ws)
+        dfreq.update(set(ws))
+    n_docs = len(docs)
+    by_src: dict[str, list] = {}
+    for (src, w), c in tf.items():
+        by_src.setdefault(src, []).append(
+            (-c * math.log(n_docs / dfreq[w]), w, c))
+    for src, rows in by_src.items():
+        rows.sort()
+        want = [(w, c) for _, w, c in rows[:3]]
+        have = sorted(((r["term"], r["tf"]) for r in got
+                       if r["source"] == src and r["rank"] <= 3),
+                      key=lambda x: want.index(x) if x in want else 99)
+        assert have == want, src
+    # the per-source marker dominates its group
+    for r in got:
+        if r["rank"] == 1:
+            assert r["term"].startswith("marker")

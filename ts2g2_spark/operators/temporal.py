@@ -1,0 +1,103 @@
+"""Temporal alignment operators (engine-native, SURVEY §2.7 family).
+
+The classic timeseries-store primitive the rollup/gap-fill tiers still
+lacked: the as-of join — align each left row with the latest right row at
+or before its timestamp, per key.  Spark has no built-in as-of join; the
+naive formulations are a range join (O(n·m) candidate explosion) or a
+per-key collect.  Here it is the union + ordered-window formulation:
+
+    union(left-tagged, right-tagged)
+      -> window partitionBy(key) orderBy(ts, side)
+      -> last(right payload, ignorenulls)
+      -> keep left rows
+
+One shuffle on the join key, no candidate pair blow-up, streaming-friendly
+ordering — the plan a 1000-executor cluster wants.  Right rows sort before
+left rows at equal timestamps, so the match is backward-INCLUSIVE
+(right.ts <= left.ts), matching DuckDB/pandas `merge_asof` semantics.
+
+`tolerance_s` bounds staleness: a match older than `left.ts - tolerance`
+is nulled out (the row survives, left-join style), so a dead sensor stops
+contributing features after the horizon instead of forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Returns every `left` row with the payload columns of the latest
+    `right` row having the same key and `right_ts <= left_ts` (within
+    `tolerance_s` seconds if given), or nulls when no such row exists.
+    Payload columns are right's non-key, non-ts columns; name collisions
+    with left columns are suffixed `_r`.
+
+    The right side must be unique per (key, right_ts) — rollup tiers are
+    (the bucket is the grain).  With duplicates the latest-in-window row
+    wins nondeterministically; callers needing determinism dedup first.
+    """
+    scols = list(key_cols)
+    payload = [c for c in right.columns if c not in scols and c != right_ts]
+    lcols = [c for c in left.columns if c not in scols and c != left_ts]
+
+    l_tag = left.select(
+        *scols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            "struct<_rts:timestamp," + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}"
+                for c in payload) + ">"
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        *scols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType.simpleString())
+        .alias("_l"),
+        F.struct(F.col(right_ts).alias("_rts"), *payload).alias("_r"),
+    )
+
+    w = (
+        Window.partitionBy(*scols)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ff = F.last("_r", ignorenulls=True).over(w)
+    matched = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_m", ff)
+        .where(F.col("_side") == 1)
+    )
+    if tolerance_s is not None:
+        matched = matched.withColumn(
+            "_m",
+            F.when(
+                F.col("_m._rts") >= F.col("_ts")
+                - F.expr(f"interval {int(tolerance_s)} second"),
+                F.col("_m"),
+            ),
+        )
+
+    out_l = [F.col(f"_l.{c}").alias(c) for c in lcols]
+    out_r = [
+        F.col(f"_m.{c}").alias(c if c not in left.columns else f"{c}_r")
+        for c in payload
+    ]
+    return matched.select(
+        *scols, F.col("_ts").alias(left_ts), *out_l, *out_r
+    )

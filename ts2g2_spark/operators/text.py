@@ -255,6 +255,128 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", *[c.alias(name) for name, c in cols.items()])
 
 
+def _norm_words(text_col: str) -> Column:
+    """Normalized word array (lowercase, punctuation stripped, no empty
+    tokens) — the token stream the corpus-statistics operators share."""
+    return F.filter(
+        F.split(normalize_text(text_col), " "), lambda w: w != F.lit(""))
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", add_k: float = 1.0
+) -> DataFrame:
+    """CCNet-style corpus-LM quality signal, dependency-free: train an
+    add-k-smoothed bigram language model on the corpus itself and score
+    every document by its average bigram log-likelihood.
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k * V)
+
+    Returns (doc_id, n_bigrams, avg_logp, ppl) for every doc with >= 2
+    normalized words; ppl = exp(-avg_logp).  Unusually low-likelihood
+    docs are gibberish/OCR noise, unusually high ones boilerplate — both
+    tails are the filter targets.
+
+    Scale shape: the bigram stream is tokens-sized but every aggregation
+    is partial (map-side combine) before its shuffle; c(w1) derives from
+    the (w1, w2) counts (no second pass over the stream), the vocabulary
+    size rides a 1-row broadcast cross join (action-free plan), and the
+    score join is a (w1, w2) equi-join between the stream and the
+    counts-sized model — no driver materialization anywhere.
+    """
+    staged = docs.select(
+        "doc_id", _norm_words(text_col).alias("_ws"),
+        F.rand(0).alias("_bar"))
+    ws = F.col("_ws")
+    pair_arr = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        staged.select("doc_id", pair_arr.alias("_pairs"),
+                      F.rand(0).alias("_b2"))
+        .select("doc_id", F.explode("_pairs").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    c1 = c2.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    vocab = (
+        staged.select(F.explode("_ws").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    probs = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log(
+                (F.col("c_bg") + F.lit(float(add_k)))
+                / (F.col("c_w1") + F.lit(float(add_k)) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        pairs.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("logp").alias("avg_logp"),
+        )
+        .select("doc_id", "n_bigrams", "avg_logp",
+                F.exp(-F.col("avg_logp")).alias("ppl"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, group_col: str = "source", k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group keyword extraction: top-k normalized words by tf-idf,
+    tf = occurrences within the group, idf = ln(N_docs / doc_freq).
+    Returns (group, term, tf, df, tfidf, rank); rank is deterministic
+    (tfidf desc, term asc).
+
+    Two partial-aggregated shuffles off one word stream (group-tf keyed
+    on (group, word); doc-df distinct-keyed on (doc, word) then word),
+    a word equi-join, and a per-group top-k window over the vocabulary-
+    sized frame — nothing downstream of the aggregations is corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    staged = docs.select(
+        F.col(group_col).alias("grp"), "doc_id",
+        _norm_words(text_col).alias("_ws"), F.rand(0).alias("_bar"))
+    stream = staged.select(
+        "grp", "doc_id", F.explode("_ws").alias("term"))
+    tf = stream.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        stream.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("grp").alias(group_col), "term", "tf", "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def top_ngrams(docs: DataFrame, n_words: int = 2, k: int = 20,
                text_col: str = "text") -> DataFrame:
     """Corpus-level top-k word n-grams: (gram, cnt), deterministic order

@@ -280,8 +280,11 @@ def gapfill(
     buckets, unioned with the original rows.  One window shuffle on the
     series key — no spine build, no second scan of the tier, no join (the
     spine-join formulation reads the tier twice and exchanges both sides;
-    this reads it once).  fill='null'|'zero'|'locf' (locf via
-    last(ignorenulls) window)."""
+    this reads it once).  fill='null'|'zero'|'locf'|'linear' (locf via
+    last(ignorenulls) window; linear interpolates each value column
+    between the gap's endpoints, with lead() riding the same window pass
+    as the gap detection — interior gaps only by construction, so both
+    endpoints always exist)."""
     from pyspark.sql.window import Window
 
     tier_s = TIER_SECONDS[tier]
@@ -289,21 +292,52 @@ def gapfill(
     w = Window.partitionBy(*scols).orderBy("bucket_ts")
     nxt = F.lead("bucket_ts").over(w)
     agg_cols = ["cnt", "sum", "min", "max", "first", "last"]
+    val_cols = agg_cols[1:]
+    pre = [nxt.alias("nxt")]
+    if fill == "linear":
+        # interpolation needs the gap's far endpoint: lead() each value
+        # column in the SAME window pass — still one shuffle, no second
+        # scan and no ignorenulls window over the unioned frame.
+        pre += [F.lead(c).over(w).alias(f"_n_{c}") for c in val_cols]
+        pre += [F.col(c).alias(f"_p_{c}") for c in val_cols]
     gaps = (
-        tier_df.select(*scols, "bucket_ts", nxt.alias("nxt"))
+        tier_df.select(*scols, "bucket_ts", *pre)
         .where(F.col("nxt") > F.col("bucket_ts")
                + F.expr(f"interval {tier_s} second"))
         .select(
             *scols,
+            F.col("bucket_ts").alias("_gap_lo"),
+            F.col("nxt").alias("_gap_hi"),
+            *[F.col(f"_p_{c}") for c in val_cols if fill == "linear"],
+            *[F.col(f"_n_{c}") for c in val_cols if fill == "linear"],
             F.explode(F.sequence(
                 F.col("bucket_ts") + F.expr(f"interval {tier_s} second"),
                 F.col("nxt") - F.expr(f"interval {tier_s} second"),
                 F.expr(f"interval {tier_s} second"),
             )).alias("bucket_ts"),
-            F.lit(0).cast("long").alias("cnt"),
-            *[F.lit(None).cast("double").alias(c) for c in agg_cols[1:]],
-            F.lit(True).alias("gapfilled"),
         )
+    )
+    if fill == "linear":
+        # value = prev + (next - prev) * (t - t_prev) / (t_next - t_prev);
+        # integer epoch arithmetic then one double division, so an ANSI-SQL
+        # oracle reproduces the float bit-for-bit at 12 significant digits.
+        frac = (
+            (F.unix_timestamp("bucket_ts")
+             - F.unix_timestamp("_gap_lo")).cast("double")
+            / (F.unix_timestamp("_gap_hi")
+               - F.unix_timestamp("_gap_lo")).cast("double")
+        )
+        fills = [
+            (F.col(f"_p_{c}")
+             + (F.col(f"_n_{c}") - F.col(f"_p_{c}")) * frac).alias(c)
+            for c in val_cols
+        ]
+    else:
+        fills = [F.lit(None).cast("double").alias(c) for c in val_cols]
+    gaps = gaps.select(
+        *scols, "bucket_ts",
+        F.lit(0).cast("long").alias("cnt"), *fills,
+        F.lit(True).alias("gapfilled"),
     )
     out = tier_df.select(*scols, "bucket_ts", *agg_cols, "gapfilled") \
         .unionAll(gaps)
