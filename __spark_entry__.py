@@ -2928,10 +2928,16 @@ select * from interp
 # ------------------------------------------------- corpus LM / tf-idf
 def q_lm_perplexity(spark, sf_dir):
     """Corpus-trained add-1 bigram LM score per document (CCNet-style
-    quality signal, dependency-free) — operators/text.bigram_lm_scores."""
+    quality signal, dependency-free) — operators/text.bigram_lm_scores.
+    Scores rounded to 6 decimals: avg() over doubles is summation-order
+    dependent, so raw last-ulp drift between engines (and across Spark
+    partitionings) is expected and not a semantic difference."""
     from ts2g2_spark.operators import text as text_ops
 
-    return text_ops.bigram_lm_scores(_docs(spark, sf_dir))
+    return text_ops.bigram_lm_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"))
 
 
 LM_PERPLEXITY_SQL = r"""
@@ -2959,8 +2965,8 @@ with w as (
          ln((c_bg + 1.0) / (c_w1 + 1.0 * v)) as logp
   from c2 join c1 using (w1) cross join v
 )
-select doc_id, count(*) as n_bigrams, avg(logp) as avg_logp,
-       exp(-avg(logp)) as ppl
+select doc_id, count(*) as n_bigrams, round(avg(logp), 6) as avg_logp,
+       round(exp(-avg(logp)), 6) as ppl
 from bg join probs using (w1, w2)
 group by doc_id
 """
@@ -2968,10 +2974,14 @@ group by doc_id
 
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-source top-5 normalized terms by tf-idf (keyword extraction /
-    dataset-card summarization) — operators/text.tfidf_top_terms."""
+    dataset-card summarization) — operators/text.tfidf_top_terms.
+    tfidf rounded to 6 decimals: tf * ln(N/df) carries last-ulp libm
+    differences between the JVM and DuckDB; ranking stays on the raw
+    value (consistent within each engine, exact ties broken by term)."""
     from ts2g2_spark.operators import text as text_ops
 
-    return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+    out = text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+    return out.withColumn("tfidf", F.round("tfidf", 6))
 
 
 TFIDF_SQL = r"""
@@ -2989,7 +2999,7 @@ with w as (
   select term, count(*) as df
   from (select distinct doc_id, term from stream) group by 1
 ), n as (select count(*) as n_docs from documents)
-select source, term, tf, df, tfidf, rank
+select source, term, tf, df, round(tfidf, 6) as tfidf, rank
 from (
   select tf.source, tf.term, tf.tf, df.df,
          tf.tf * ln(cast(n_docs as double) / df.df) as tfidf,
@@ -3000,6 +3010,77 @@ from (
   from tf join df using (term) cross join n
 )
 where rank <= 5
+"""
+
+
+def q_duplicated_spans(spark, sf_dir):
+    """Exact-substring-style duplicate span detection (the relational
+    form of suffix-array substring dedup): maximal word spans covered by
+    10-gram shingles occurring >= 2 times corpus-wide.  md5-derived word
+    hashes so DuckDB replays the occurrence counts bit-for-bit."""
+    from ts2g2_spark.operators import dedup
+
+    return dedup.duplicated_spans(
+        _docs(spark, sf_dir), n_words=10, min_count=2, word_hash="md5")
+
+
+def _duplicated_spans_sql(n_words: int = 10, min_count: int = 2) -> str:
+    # n_words=10 shifts a 60-bit h64 up to 9 bits: Spark's shiftleft wraps
+    # mod 2^64, DuckDB's BIGINT << raises on overflow.  The shingle hash
+    # never reaches the output (only gram EQUALITY matters), so the oracle
+    # combines in HUGEINT and masks to the low 64 bits — low-bits equality
+    # is exactly Spark's wrapped equality (truncation commutes with xor).
+    combiner = f"wh[i + {n_words - 1}]"
+    for k in range(n_words - 2, -1, -1):
+        combiner = f"xor(wh[i + {k}] << {n_words - 1 - k}, {combiner})"
+    combiner = f"({combiner}) & 18446744073709551615"
+    return rf"""
+with w as (
+  select doc_id,
+         list_filter(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g')), ' '), x -> x != '') as ws
+  from documents
+),
+whv as (
+  select doc_id,
+         list_transform(ws,
+           x -> cast(cast(concat('0x', substr(md5(x), 1, 15)) as bigint)
+                     as hugeint)) as wh
+  from w where len(ws) >= {n_words}
+),
+pos as (
+  select doc_id,
+         generate_subscripts(g, 1) - 1 as idx,
+         unnest(g) as sh
+  from (select doc_id,
+               list_transform(
+                 generate_series(1, len(wh) - {n_words - 1}),
+                 i -> {combiner}) as g
+        from whv)
+),
+dup as (select sh from pos group by sh having count(*) >= {min_count}),
+mk as (select p.doc_id, p.idx from pos p join dup using (sh)),
+fl as (
+  select doc_id, idx,
+         case when lag(idx) over w is null
+                or idx - lag(idx) over w > {n_words} then 1
+              else 0 end as nw
+  from mk window w as (partition by doc_id order by idx)
+),
+isl as (
+  select doc_id, idx,
+         sum(nw) over (partition by doc_id order by idx
+                       rows between unbounded preceding and current row)
+         as grp
+  from fl
+)
+select doc_id,
+       min(idx)::BIGINT as start_word,
+       (max(idx) + {n_words - 1})::BIGINT as end_word,
+       (max(idx) + {n_words} - min(idx))::BIGINT as span_words,
+       count(*)::BIGINT as n_dup_shingles
+from isl group by doc_id, grp
 """
 
 
@@ -3161,6 +3242,7 @@ _RAW_QUERIES = {
         "gapfill_1m_linear": q_gapfill_1m_linear,
         "lm_perplexity": q_lm_perplexity,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "duplicated_spans": q_duplicated_spans,
     }
 
 
@@ -3248,4 +3330,5 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_1m_linear": GAPFILL_LINEAR_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
+        "duplicated_spans": _duplicated_spans_sql(),
     }

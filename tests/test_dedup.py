@@ -242,3 +242,97 @@ def test_lsh_candidate_pairs_width_mismatch_raises(spark):
             Exception,
             match="n_hashes|ARRAY_INDEX|ArrayIndex"):
         dedup.lsh_candidate_pairs(sigs, bands=8, n_hashes=64).collect()
+
+
+# --------------------------------------------------------------- spans
+
+def _ref_spans(texts, n_words, min_count):
+    """Pure-Python reference for duplicated_spans: count every word
+    n-gram occurrence across the corpus, mark positions whose gram count
+    >= min_count, merge positions within n_words into maximal islands."""
+    import re
+
+    strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    toks = {d: strip.sub("", t.lower()).split() for d, t in texts}
+    from collections import Counter
+
+    cnt = Counter()
+    occ = {}
+    for d, ws in toks.items():
+        occ[d] = [tuple(ws[i: i + n_words])
+                  for i in range(len(ws) - n_words + 1)]
+        cnt.update(occ[d])
+    out = []
+    for d, grams in occ.items():
+        marked = [i for i, g in enumerate(grams) if cnt[g] >= min_count]
+        if not marked:
+            continue
+        start = prev = marked[0]
+        n_sh = 1
+        for i in marked[1:]:
+            if i - prev > n_words:
+                out.append((d, start, prev + n_words - 1,
+                            prev + n_words - start, n_sh))
+                start, n_sh = i, 0
+            prev = i
+            n_sh += 1
+        out.append((d, start, prev + n_words - 1,
+                    prev + n_words - start, n_sh))
+    return set(out)
+
+
+def test_duplicated_spans_within_doc(spark):
+    """A 12-word phrase repeated inside one doc -> two 12-word spans."""
+    rng = np.random.default_rng(7)
+    filler1 = _doc(rng, 30)
+    filler2 = _doc(rng, 25)
+    phrase = "omega" + " ".join(f" uniq{i}" for i in range(11))
+    text = f"{filler1} {phrase} {filler2} {phrase} endword"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {tuple(r) for r in dedup.duplicated_spans(
+        docs, n_words=10, min_count=2).collect()}
+    want = _ref_spans([(1, text)], 10, 2)
+    assert got == want
+    # the planted phrase itself must be covered by some span in each copy
+    starts = sorted(r[1] for r in got)
+    assert len(got) >= 2 and len(starts) == len(set(starts))
+
+
+def test_duplicated_spans_cross_doc_and_merge(spark):
+    rng = np.random.default_rng(11)
+    shared = " ".join(f"dup{i}" for i in range(15))
+    rows = [
+        (1, f"{_doc(rng, 20)} {shared} {_doc(rng, 20)}"),
+        (2, f"{shared} {_doc(rng, 18)}"),
+        (3, _doc(rng, 40)),  # WORDS-sampled: repeats shared w/ others
+    ]
+    n = 10
+    got = {tuple(r) for r in dedup.duplicated_spans(
+        docs=spark.createDataFrame(rows, "doc_id long, text string"),
+        n_words=n, min_count=2).collect()}
+    assert got == _ref_spans(rows, n, 2)
+    assert any(r[0] == 1 for r in got) and any(r[0] == 2 for r in got)
+    # doc 2's span starts at word 0 and covers the shared phrase
+    d2 = min(r for r in got if r[0] == 2)
+    assert d2[1] == 0 and d2[2] >= 14
+
+
+def test_duplicated_spans_no_dups(spark):
+    """All-distinct vocabulary -> no duplicated grams -> empty output."""
+    rows = [(1, " ".join(f"a{i}" for i in range(40))),
+            (2, " ".join(f"b{i}" for i in range(40)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.duplicated_spans(docs, n_words=10).count() == 0
+
+
+def test_duplicated_spans_md5_matches_xxhash(spark):
+    """Hash family must not change span structure (collision-free here)."""
+    rng = np.random.default_rng(13)
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [(1, f"{_doc(rng, 15)} {shared}"), (2, f"{shared} {_doc(rng, 15)}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in dedup.duplicated_spans(
+        docs, n_words=10, word_hash="xxhash64").collect()}
+    b = {tuple(r) for r in dedup.duplicated_spans(
+        docs, n_words=10, word_hash="md5").collect()}
+    assert a == b and a

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ts2g2_spark.functions.hashing import h64, h64_py, normalize_text
 
@@ -147,10 +148,14 @@ def shingles_hashed(docs: DataFrame, text_col: str = "text",
     shift = " ^ ".join(
         f"shiftleft(element_at(wh, i + {k}), {n_words - 1 - k})"
         for k in range(n_words))
+    # CASE WHEN = totality guard (see positioned_shingles): in an
+    # unpinned session InferFiltersFromGenerate can evaluate this below
+    # the size(wh) filter, where short docs hit out-of-range element_at
     grams = F.expr(
+        f"case when size(wh) >= {n_words} then "
         f"array_distinct(transform("
-        f"  sequence(1, greatest(size(wh) - {n_words - 1}, 1)),"
-        f"  i -> {shift}))")
+        f"  sequence(1, size(wh) - {n_words - 1}),"
+        f"  i -> {shift})) else array() end")
     # the rand() columns are PROJECTION-COLLAPSE BARRIERS: without them
     # Catalyst inlines `wh` into every element_at reference inside `grams`
     # and `g` into both size() and explode(), re-evaluating the word-hash
@@ -267,6 +272,103 @@ def cap_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
         kept.drop("n_sh")
         .join(sizes, "doc_id")
         .select("doc_id", F.col("_n").alias("n_sh"), "sh")
+    )
+
+
+def positioned_shingles(
+    docs: DataFrame, text_col: str = "text", n_words: int = 10,
+    word_hash: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, idx, sh): every word n-gram OCCURRENCE with its 0-based
+    word-start index — the positional twin of `shingles_hashed` (same
+    word-hash + shifted-xor combiner, same collapse barriers, but
+    posexplode and no per-doc distinct: span detection needs positions
+    and repeats).  Docs with < n_words words emit nothing."""
+    words = F.filter(F.split(normalize_text(text_col), " "),
+                     lambda w: w != F.lit(""))
+    if word_hash == "xxhash64":
+        wh = F.transform(words, lambda w: F.xxhash64(w))
+    elif word_hash == "md5":
+        wh = F.transform(words, h64)
+    else:
+        raise ValueError(word_hash)
+    shift = " ^ ".join(
+        f"shiftleft(element_at(wh, i + {k}), {n_words - 1 - k})"
+        for k in range(n_words))
+    # the CASE WHEN makes the expression TOTAL: without it, an unpinned
+    # session's InferFiltersFromGenerate inlines this transform into a
+    # predicate pushed below the size(wh) filter, where short docs make
+    # sequence(1, size-{n-1}) DESCEND into element_at(wh, <=0) — an ANSI
+    # crash.  CaseWhen branches evaluate lazily, so short docs never
+    # touch element_at (found by driving in a default ANSI session).
+    grams = F.expr(
+        f"case when size(wh) >= {n_words} then "
+        f"transform(sequence(1, size(wh) - {n_words - 1}), i -> {shift}) "
+        f"else array() end")
+    return (
+        docs.select("doc_id", wh.alias("wh"), F.rand(0).alias("_b1"))
+        .where(F.size("wh") >= n_words)
+        .select("doc_id", grams.alias("g"), F.rand(0).alias("_b2"))
+        .select("doc_id", F.posexplode("g").alias("idx", "sh"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame, text_col: str = "text", n_words: int = 10,
+    min_count: int = 2, word_hash: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring-style duplicate span detection at word
+    granularity: maximal spans of each document covered by word n-grams
+    that occur >= min_count times across the corpus (incl. within one
+    doc).  Output (doc_id, start_word, end_word, span_words,
+    n_dup_shingles) — one row per maximal span; the downstream
+    cut/filter decision stays policy.
+
+    This is the scalable relational form of suffix-array substring
+    dedup: fixed-width shingles instead of arbitrary-length suffixes
+    (spans shorter than n_words words are invisible — the documented
+    resolution limit), so the whole computation is three partial-agg'd /
+    equi-keyed exchanges and never builds a global ordered structure:
+
+      occurrence stream (tokens-sized, map-only)
+        -> groupBy(sh) count, filtered to duplicated shingles
+        -> inner equi-join back onto the stream (both sides keyed on sh)
+        -> per-doc window: positions within n_words of the previous one
+           merge (overlapping or touching coverage — classic
+           gaps-and-islands: flag + running sum), then one aggregate per
+           island.
+    """
+    pos = positioned_shingles(docs, text_col, n_words, word_hash)
+    dup = (
+        pos.groupBy("sh").agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+        .select("sh")
+    )
+    marked = pos.join(dup, "sh").select("doc_id", "idx")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    lag = F.lag("idx").over(w)
+    flagged = marked.select(
+        "doc_id", "idx",
+        F.when(lag.isNull() | (F.col("idx") - lag > n_words), 1)
+        .otherwise(0).alias("_new"),
+    )
+    islands = flagged.select(
+        "doc_id", "idx",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(F.min("idx").cast("long").alias("start_word"),
+             (F.max("idx") + F.lit(n_words - 1)).cast("long")
+             .alias("end_word"),
+             F.count(F.lit(1)).alias("n_dup_shingles"))
+        .select(
+            "doc_id", "start_word", "end_word",
+            (F.col("end_word") - F.col("start_word") + 1)
+            .alias("span_words"),
+            "n_dup_shingles",
+        )
     )
 
 
