@@ -3004,8 +3004,8 @@ from (
   select tf.source, tf.term, tf.tf, df.df,
          tf.tf * ln(cast(n_docs as double) / df.df) as tfidf,
          row_number() over (partition by tf.source
-                            order by tf.tf * ln(cast(n_docs as double)
-                                                / df.df) desc,
+                            order by round(tf.tf * ln(cast(n_docs as
+                                           double) / df.df), 6) desc,
                                      tf.term asc) as rank
   from tf join df using (term) cross join n
 )
@@ -3017,11 +3017,18 @@ def q_duplicated_spans(spark, sf_dir):
     """Exact-substring-style duplicate span detection (the relational
     form of suffix-array substring dedup): maximal word spans covered by
     10-gram shingles occurring >= 2 times corpus-wide.  md5-derived word
-    hashes so DuckDB replays the occurrence counts bit-for-bit."""
+    hashes so DuckDB replays the occurrence counts bit-for-bit.  The
+    positioned occurrence stream is cached and shared by both consumers
+    (count aggregate + join-back) — one tokenize+hash materialization,
+    same pattern as the minhash query's shingle frame."""
     from ts2g2_spark.operators import dedup
 
+    docs = _docs(spark, sf_dir)
+    pos = dedup.positioned_shingles(docs, n_words=10,
+                                    word_hash="md5").cache()
     return dedup.duplicated_spans(
-        _docs(spark, sf_dir), n_words=10, min_count=2, word_hash="md5")
+        docs, n_words=10, min_count=2, word_hash="md5",
+        positions_frame=pos)
 
 
 def _duplicated_spans_sql(n_words: int = 10, min_count: int = 2) -> str:

@@ -93,3 +93,54 @@ def test_asof_plan_single_shuffle_no_range_join(spark):
         ["k"], "ts", "rts")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # union+window, never a join operator
     assert plan.count("Exchange hashpartitioning(k") <= 2  # one per side
+
+
+def test_asof_empty_right_payload(spark):
+    """Right side with only key+ts (existence/alignment check) must not
+    crash on DDL construction and must return every left row."""
+    lsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 10), 1.0)], "k long, ts timestamp, lv double")
+    rsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 5))], "k long, rts timestamp")
+    out = asof_join(lsdf, rsdf, ["k"], "ts", "rts").collect()
+    assert len(out) == 1 and out[0].lv == 1.0
+    assert set(out[0].asDict()) == {"k", "ts", "lv"}
+
+
+def test_asof_odd_column_names(spark):
+    """Left/right payload names with spaces or dashes must be quoted in
+    the null-struct DDL and resolved via getField on output."""
+    lsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 10), 1.5)],
+        "k long, ts timestamp, `my val` double")
+    rsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 5), 2.5)],
+        "k long, rts timestamp, `r-v` double")
+    row = asof_join(lsdf, rsdf, ["k"], "ts", "rts").collect()[0]
+    d = row.asDict()
+    assert d["my val"] == 1.5 and d["r-v"] == 2.5
+
+
+def test_asof_suffix_collides_with_existing_left_column(spark):
+    """Left already owns v AND v_r: the right payload v must suffix past
+    both (v_r_r), never emitting duplicate output names."""
+    lsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 10), 1.0, 2.0)],
+        "k long, ts timestamp, v double, v_r double")
+    rsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 5), 9.0)],
+        "k long, rts timestamp, v double")
+    out = asof_join(lsdf, rsdf, ["k"], "ts", "rts")
+    assert len(out.columns) == len(set(out.columns))
+    row = out.collect()[0].asDict()
+    assert row["v"] == 1.0 and row["v_r"] == 2.0 and row["v_r_r"] == 9.0
+
+
+def test_asof_empty_left_payload(spark):
+    """Left with only key+ts still round-trips (empty _l struct)."""
+    lsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 10))], "k long, ts timestamp")
+    rsdf = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 5), 3.0)], "k long, rts timestamp, rv double")
+    row = asof_join(lsdf, rsdf, ["k"], "ts", "rts").collect()[0]
+    assert row.rv == 3.0

@@ -117,6 +117,43 @@ def contamination_report(
     )
 
 
+def _gram_exprs(text_col: str, n_words: int, word_hash: str,
+                distinct: bool):
+    """Shared gram-expression builder for `shingles_hashed` and
+    `positioned_shingles`: (word-hash array expr, gram array expr).
+
+    Numeric gram hashing: hash each WORD once, then combine n
+    consecutive word-hashes with position-shifted XOR — no per-gram
+    string concat (the string build dominated the stage ~3x).  The
+    shifted-xor combiner is order-sensitive and collision-equivalent to
+    a random 64-bit hash for non-adversarial text.
+
+    The CASE WHEN makes the gram expression TOTAL: without it, an
+    unpinned session's InferFiltersFromGenerate inlines the transform
+    into a predicate pushed below the caller's size(wh) filter, where
+    short docs make sequence(1, size-(n-1)) DESCEND into
+    element_at(wh, <=0) — an ANSI crash.  CaseWhen branches evaluate
+    lazily, so short docs never touch element_at."""
+    words = F.filter(F.split(normalize_text(text_col), " "),
+                     lambda w: w != F.lit(""))
+    if word_hash == "xxhash64":
+        wh = F.transform(words, lambda w: F.xxhash64(w))
+    elif word_hash == "md5":
+        wh = F.transform(words, h64)
+    else:
+        raise ValueError(word_hash)
+    shift = " ^ ".join(
+        f"shiftleft(element_at(wh, i + {k}), {n_words - 1 - k})"
+        for k in range(n_words))
+    body = (f"transform(sequence(1, size(wh) - {n_words - 1}), "
+            f"i -> {shift})")
+    if distinct:
+        body = f"array_distinct({body})"
+    grams = F.expr(
+        f"case when size(wh) >= {n_words} then {body} else array() end")
+    return wh, grams
+
+
 def shingles_hashed(docs: DataFrame, text_col: str = "text",
                     n_words: int = 5,
                     word_hash: str = "xxhash64") -> DataFrame:
@@ -129,33 +166,10 @@ def shingles_hashed(docs: DataFrame, text_col: str = "text",
     word_hash: "xxhash64" (default — JVM intrinsic, the hot path) or
     "md5" (h64: first 15 md5 hex chars as int64 — bit-reproducible in any
     ANSI-ish oracle engine, used by the driver-contract minhash query so
-    DuckDB can replay the exact signatures)."""
-    # Numeric gram hashing: hash each WORD once, then combine n
-    # consecutive word-hashes with position-shifted XOR — no per-gram
-    # string concat (the string build dominated the stage ~3x).  The
-    # shifted-xor combiner is order-sensitive and collision-equivalent to
-    # a random 64-bit hash for non-adversarial text; a collision only
-    # perturbs a Jaccard count if it happens INSIDE one doc pair
-    # (~1e-13 at 1e7 shingles).
-    words = F.filter(F.split(normalize_text(text_col), " "),
-                     lambda w: w != F.lit(""))
-    if word_hash == "xxhash64":
-        wh = F.transform(words, lambda w: F.xxhash64(w))
-    elif word_hash == "md5":
-        wh = F.transform(words, h64)
-    else:
-        raise ValueError(word_hash)
-    shift = " ^ ".join(
-        f"shiftleft(element_at(wh, i + {k}), {n_words - 1 - k})"
-        for k in range(n_words))
-    # CASE WHEN = totality guard (see positioned_shingles): in an
-    # unpinned session InferFiltersFromGenerate can evaluate this below
-    # the size(wh) filter, where short docs hit out-of-range element_at
-    grams = F.expr(
-        f"case when size(wh) >= {n_words} then "
-        f"array_distinct(transform("
-        f"  sequence(1, size(wh) - {n_words - 1}),"
-        f"  i -> {shift})) else array() end")
+    DuckDB can replay the exact signatures).  A gram-hash collision only
+    perturbs a Jaccard count if it happens INSIDE one doc pair
+    (~1e-13 at 1e7 shingles)."""
+    wh, grams = _gram_exprs(text_col, n_words, word_hash, distinct=True)
     # the rand() columns are PROJECTION-COLLAPSE BARRIERS: without them
     # Catalyst inlines `wh` into every element_at reference inside `grams`
     # and `g` into both size() and explode(), re-evaluating the word-hash
@@ -284,27 +298,7 @@ def positioned_shingles(
     word-hash + shifted-xor combiner, same collapse barriers, but
     posexplode and no per-doc distinct: span detection needs positions
     and repeats).  Docs with < n_words words emit nothing."""
-    words = F.filter(F.split(normalize_text(text_col), " "),
-                     lambda w: w != F.lit(""))
-    if word_hash == "xxhash64":
-        wh = F.transform(words, lambda w: F.xxhash64(w))
-    elif word_hash == "md5":
-        wh = F.transform(words, h64)
-    else:
-        raise ValueError(word_hash)
-    shift = " ^ ".join(
-        f"shiftleft(element_at(wh, i + {k}), {n_words - 1 - k})"
-        for k in range(n_words))
-    # the CASE WHEN makes the expression TOTAL: without it, an unpinned
-    # session's InferFiltersFromGenerate inlines this transform into a
-    # predicate pushed below the size(wh) filter, where short docs make
-    # sequence(1, size-{n-1}) DESCEND into element_at(wh, <=0) — an ANSI
-    # crash.  CaseWhen branches evaluate lazily, so short docs never
-    # touch element_at (found by driving in a default ANSI session).
-    grams = F.expr(
-        f"case when size(wh) >= {n_words} then "
-        f"transform(sequence(1, size(wh) - {n_words - 1}), i -> {shift}) "
-        f"else array() end")
+    wh, grams = _gram_exprs(text_col, n_words, word_hash, distinct=False)
     return (
         docs.select("doc_id", wh.alias("wh"), F.rand(0).alias("_b1"))
         .where(F.size("wh") >= n_words)
@@ -316,6 +310,7 @@ def positioned_shingles(
 def duplicated_spans(
     docs: DataFrame, text_col: str = "text", n_words: int = 10,
     min_count: int = 2, word_hash: str = "xxhash64",
+    positions_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring-style duplicate span detection at word
     granularity: maximal spans of each document covered by word n-grams
@@ -337,8 +332,16 @@ def duplicated_spans(
            merge (overlapping or touching coverage — classic
            gaps-and-islands: flag + running sum), then one aggregate per
            island.
+
+    The occurrence stream is consumed TWICE (the corpus count aggregate
+    and the join-back side), and the tokenize+hash projection is the
+    dominant stage cost — pass `positions_frame` (a cached/checkpointed
+    `positioned_shingles` result, same convention as `shingle_frame` in
+    minhash_signatures) to materialize it once instead of recomputing
+    per consumer.
     """
-    pos = positioned_shingles(docs, text_col, n_words, word_hash)
+    pos = (positions_frame if positions_frame is not None
+           else positioned_shingles(docs, text_col, n_words, word_hash))
     dup = (
         pos.groupBy("sh").agg(F.count(F.lit(1)).alias("_cnt"))
         .where(F.col("_cnt") >= min_count)

@@ -52,24 +52,34 @@ def asof_join(
     payload = [c for c in right.columns if c not in scols and c != right_ts]
     lcols = [c for c in left.columns if c not in scols and c != left_ts]
 
+    def struct_ddl(fields: list[tuple[str, str]]) -> str:
+        # backtick-quote EVERY field name (payload columns may carry
+        # spaces/dashes); the _rts field is always present, so an empty
+        # payload still yields a parseable one-field struct
+        return ("struct<"
+                + ",".join(f"`{n}`:{t}" for n, t in fields) + ">")
+
+    rts_t = right.schema[right_ts].dataType.simpleString()
+    r_ddl = struct_ddl(
+        [("_rts", rts_t)]
+        + [(c, right.schema[c].dataType.simpleString()) for c in payload])
+    l_ddl = struct_ddl(
+        [(c, left.schema[c].dataType.simpleString()) for c in lcols])
+
     l_tag = left.select(
         *scols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.struct(*lcols).alias("_l"),
-        F.lit(None).cast(
-            "struct<_rts:timestamp," + ",".join(
-                f"`{c}`:{right.schema[c].dataType.simpleString()}"
-                for c in payload) + ">"
-        ).alias("_r"),
+        F.struct(*[left[c] for c in lcols]).alias("_l"),
+        F.lit(None).cast(r_ddl).alias("_r"),
     )
     r_tag = right.select(
         *scols,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_l"].dataType.simpleString())
-        .alias("_l"),
-        F.struct(F.col(right_ts).alias("_rts"), *payload).alias("_r"),
+        F.lit(None).cast(l_ddl).alias("_l"),
+        F.struct(right[right_ts].alias("_rts"),
+                 *[right[c] for c in payload]).alias("_r"),
     )
 
     w = (
@@ -93,11 +103,18 @@ def asof_join(
             ),
         )
 
-    out_l = [F.col(f"_l.{c}").alias(c) for c in lcols]
-    out_r = [
-        F.col(f"_m.{c}").alias(c if c not in left.columns else f"{c}_r")
-        for c in payload
-    ]
+    # getField (not dotted strings) so odd payload names resolve; suffix
+    # _r repeatedly until the name is free of BOTH left columns and
+    # previously assigned output names (left may already own `<c>_r`)
+    out_l = [F.col("_l").getField(c).alias(c) for c in lcols]
+    used = set(scols) | {left_ts} | set(lcols)
+    out_r = []
+    for c in payload:
+        name = c
+        while name in used:
+            name += "_r"
+        used.add(name)
+        out_r.append(F.col("_m").getField(c).alias(name))
     return matched.select(
         *scols, F.col("_ts").alias(left_ts), *out_l, *out_r
     )

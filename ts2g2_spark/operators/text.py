@@ -339,7 +339,11 @@ def tfidf_top_terms(
     """Per-group keyword extraction: top-k normalized words by tf-idf,
     tf = occurrences within the group, idf = ln(N_docs / doc_freq).
     Returns (group, term, tf, df, tfidf, rank); rank is deterministic
-    (tfidf desc, term asc).
+    (round(tfidf, 6) desc, term asc).  Ranking on the ROUNDED score
+    makes the order reproducible across engines: distinct (tf, df)
+    pairs can be tf-idf-equal in the reals (2·ln2 vs ln4) while their
+    floating evaluations differ per-libm in the last ulp, which would
+    flip row_number between engines if ranked raw.
 
     Two partial-aggregated shuffles off one word stream (group-tf keyed
     on (group, word); doc-df distinct-keyed on (doc, word) then word),
@@ -370,7 +374,7 @@ def tfidf_top_terms(
         )
     )
     w = Window.partitionBy(group_col).orderBy(
-        F.desc("tfidf"), F.asc("term"))
+        F.desc(F.round("tfidf", 6)), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
