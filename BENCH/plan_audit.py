@@ -36,6 +36,9 @@ AUDIT = [
     # round 3 training-data additions
     "repetition_signals", "pii_counts", "top_2grams", "contamination",
     "pack_sequences", "datamix_apply",
+    # round 3 session-3 additions
+    "asof_enrich", "gapfill_1m_linear", "lm_perplexity",
+    "tfidf_top_terms", "duplicated_spans",
 ]
 
 
