@@ -3091,6 +3091,123 @@ from isl group by doc_id, grp
 """
 
 
+# --------------------------------------------- per-series summarization
+def q_m4_1h(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (user, hour) the first/last/min/max points with their timestamps —
+    one partial-agg'd hash aggregate, the pixel-perfect plot query.
+    Ties broken by (ts, event_id), matching the rollup first/last
+    convention."""
+    from ts2g2_spark.operators.summarize import m4_downsample
+
+    return m4_downsample(
+        _events(spark, sf_dir), tier_s=3600, series_cols=["user_id"],
+        order_col="event_id")
+
+
+M4_SQL = """
+with b as (
+  select user_id, date_trunc('hour', ts) as bucket_ts, ts, value, event_id
+  from events
+),
+r as (
+  select *,
+    row_number() over (partition by user_id, bucket_ts
+                       order by ts, event_id) rf,
+    row_number() over (partition by user_id, bucket_ts
+                       order by ts desc, event_id desc) rl,
+    row_number() over (partition by user_id, bucket_ts
+                       order by value, ts, event_id) rmn,
+    row_number() over (partition by user_id, bucket_ts
+                       order by value desc, ts, event_id) rmx,
+    count(*) over (partition by user_id, bucket_ts) n
+  from b
+)
+select user_id, bucket_ts, n,
+       max(case when rf = 1 then value end) as first_val,
+       max(case when rf = 1 then ts end) as first_ts,
+       max(case when rl = 1 then value end) as last_val,
+       max(case when rl = 1 then ts end) as last_ts,
+       max(case when rmn = 1 then value end) as min_val,
+       max(case when rmn = 1 then ts end) as min_ts,
+       max(case when rmx = 1 then value end) as max_val,
+       max(case when rmx = 1 then ts end) as max_ts
+from r group by user_id, bucket_ts, n
+"""
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags: each event scored against the mean
+    and sample stddev of its user's previous 20 events ((ts, event_id)
+    order); fewer than 10 predecessors or zero variance -> z NULL.
+    z rounded to 6 decimals (windowed moments are summation-order
+    sensitive across engines)."""
+    from ts2g2_spark.operators.summarize import rolling_zscore
+
+    return rolling_zscore(
+        _events(spark, sf_dir), series_cols=["user_id"],
+        order_col="event_id", window=20, min_points=10, threshold=2.5)
+
+
+ZSCORE_SQL = """
+with r as (
+  select user_id, ts, event_id, value,
+         count(value) over w as n_prior,
+         avg(value) over w as m,
+         stddev_samp(value) over w as sd
+  from events
+  window w as (partition by user_id order by ts, event_id
+               rows between 20 preceding and 1 preceding)
+),
+z as (
+  select user_id, ts, event_id, value, n_prior,
+         case when n_prior >= 10 and sd > 0
+              then round((value - m) / sd, 6) end as z
+  from r
+)
+select user_id, ts, event_id, value, n_prior, z,
+       coalesce(abs(z) > 2.5, false) as is_anomaly
+from z
+"""
+
+
+def q_sax_w8_a4(spark, sf_dir):
+    """PAA + SAX symbolization (Lin et al. 2003): per-user z-normalized
+    series averaged over 8-point frames, mapped to a 4-letter alphabet
+    by the N(0,1) breakpoints — the fixed-breakpoint cousin of the
+    reference's per-series quantile symbolization (quantile graph,
+    to_graph/strategies.py)."""
+    from ts2g2_spark.operators.summarize import sax_symbols
+
+    return sax_symbols(
+        _events(spark, sf_dir), series_cols=["user_id"],
+        order_col="event_id", seg_len=8, alphabet=4)
+
+
+SAX_SQL = """
+with o as (
+  select user_id, value,
+         row_number() over (partition by user_id
+                            order by ts, event_id) rn,
+         avg(value) over (partition by user_id) m,
+         stddev_samp(value) over (partition by user_id) sd
+  from events
+),
+z as (
+  select user_id, (rn - 1) // 8 as seg,
+         case when sd > 0 then (value - m) / sd else 0.0 end as z
+  from o
+)
+select user_id, seg, count(*)::BIGINT as n_pts,
+       round(avg(z), 6) as paa,
+       case when avg(z) < -0.6744897501960817 then 'a'
+            when avg(z) < 0.0 then 'b'
+            when avg(z) < 0.6744897501960817 then 'c'
+            else 'd' end as symbol
+from z group by user_id, seg
+"""
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -3250,6 +3367,9 @@ _RAW_QUERIES = {
         "lm_perplexity": q_lm_perplexity,
         "tfidf_top_terms": q_tfidf_top_terms,
         "duplicated_spans": q_duplicated_spans,
+        "m4_1h": q_m4_1h,
+        "rolling_zscore": q_rolling_zscore,
+        "sax_w8_a4": q_sax_w8_a4,
     }
 
 
@@ -3338,4 +3458,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),
+        "m4_1h": M4_SQL,
+        "rolling_zscore": ZSCORE_SQL,
+        "sax_w8_a4": SAX_SQL,
     }

@@ -1,0 +1,199 @@
+"""Per-series summarization / downsampling operators (engine-native,
+SURVEY §2.7 family): M4 visualization downsampling, rolling z-score
+anomaly flags, and PAA/SAX symbolization.
+
+All three are pure Catalyst (no Python crossings) and shuffle once on the
+series key (M4: one partial-agg'd hash aggregate; z-score/SAX: one
+ordered window; SAX adds a co-keyed segment aggregate) — the shapes a
+1000-executor cluster wants for 10^12-point inputs.
+
+SAX cites the reference's symbolization heritage: the quantile graph
+(to_graph/strategies.py quantile strategy) bins values into per-series
+quantiles; SAX is the classic fixed-breakpoint (N(0,1)) variant over
+PAA-compressed segments, the standard primitive for indexing/motif
+mining the reference stops short of.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# N(0,1) quantile breakpoints for alphabet sizes 3..6 (classic SAX,
+# Lin et al. 2003).  Literal doubles so SQL oracles can embed the same
+# constants digit-for-digit.
+SAX_BREAKPOINTS = {
+    3: (-0.4307272992954576, 0.4307272992954576),
+    4: (-0.6744897501960817, 0.0, 0.6744897501960817),
+    5: (-0.8416212335729142, -0.2533471031357997,
+        0.2533471031357997, 0.8416212335729142),
+    6: (-0.9674215661017014, -0.4307272992954576, 0.0,
+        0.4307272992954576, 0.9674215661017014),
+}
+
+
+def _okey(ts_col: str, order_col: str | None) -> Column:
+    """Deterministic per-point order key: (ts, order_col) struct when a
+    tiebreak column exists, else the raw timestamp (callers with exact
+    duplicate timestamps per series MUST pass order_col for reproducible
+    first/last/tie picks)."""
+    return (F.struct(F.col(ts_col), F.col(order_col)) if order_col
+            else F.col(ts_col))
+
+
+def m4_downsample(
+    points: DataFrame,
+    tier_s: int,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, bucket)
+    keep the four points a pixel-perfect line plot needs — first, last,
+    min, and max — as one row of (value, ts) pairs plus the point count.
+
+    Ties: min is the earliest point carrying the minimum value, max the
+    earliest carrying the maximum ("earliest" by the order key).
+
+    Scale shape: a single partial-aggregated hash aggregate — the
+    exchange carries one row per (series, bucket), never per point, and
+    min_by/max_by combine associatively map-side.  This is the
+    visualization-query twin of the rollup tiers (plans/rollup.py): same
+    grain, but preserving actual points instead of moments.
+    """
+    okey = _okey(ts_col, order_col)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / tier_s).cast("long") * tier_s
+    ).alias("bucket_ts")
+    val, ts = F.col(val_col), F.col(ts_col)
+    # composite min_by keys are slower than plain-column keys in codegen
+    # hash agg (measured ~4x on struct keys) but required here: the
+    # argmin must tie-break on the order key to stay deterministic.
+    # The max key negates the NUMERIC order components so max_by picks
+    # the maximum value breaking ties toward the EARLIEST point.
+    # cast through TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ (the
+    # parquet events schema); the session tz is pinned UTC so the cast
+    # is deterministic and lossless.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    neg_okey = (F.struct(-ts_us, -F.col(order_col)) if order_col
+                else -ts_us)
+    min_key = F.struct(val, okey)
+    max_key = F.struct(val, neg_okey)
+    return (
+        points.groupBy(*[F.col(c) for c in series_cols], bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by(val, okey).alias("first_val"),
+            F.min_by(ts, okey).alias("first_ts"),
+            F.max_by(val, okey).alias("last_val"),
+            F.max_by(ts, okey).alias("last_ts"),
+            F.min(val).alias("min_val"),
+            F.min_by(ts, min_key).alias("min_ts"),
+            F.max(val).alias("max_val"),
+            F.max_by(ts, max_key).alias("max_ts"),
+        )
+    )
+
+
+def rolling_zscore(
+    points: DataFrame,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    window: int = 20,
+    min_points: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: each point scored against the mean
+    and sample standard deviation of its own series' PREVIOUS `window`
+    points (never including itself — no self-masking).  Points with
+    fewer than `min_points` predecessors or zero variance get z = NULL
+    (is_anomaly = false), left-join style.
+
+    Output: series cols + ts [+ order_col] + value, n_prior, z (rounded
+    to 6 decimals — windowed moments are summation-order sensitive),
+    is_anomaly.
+
+    Scale shape: ONE exchange on the series key; the rolling frame is a
+    bounded running window (O(window) state per series in the sort-based
+    window operator), so memory per task is flat in series length.
+    """
+    scols = [F.col(c) for c in series_cols]
+    w = (
+        Window.partitionBy(*scols)
+        .orderBy(_okey(ts_col, order_col))
+        .rowsBetween(-window, -1)
+    )
+    mean = F.avg(val_col).over(w)
+    sd = F.stddev_samp(val_col).over(w)
+    n = F.count(val_col).over(w)
+    z = F.when(
+        (n >= min_points) & (sd > 0),
+        F.round((F.col(val_col) - mean) / sd, 6),
+    )
+    keep = [*series_cols, ts_col]
+    if order_col:
+        keep.append(order_col)
+    return points.select(
+        *keep, F.col(val_col),
+        n.alias("n_prior"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def sax_symbols(
+    points: DataFrame,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    seg_len: int = 8,
+    alphabet: int = 4,
+) -> DataFrame:
+    """PAA + SAX symbolization (Lin et al. 2003): z-normalize each
+    series against its own mean/stddev, average consecutive `seg_len`
+    points into PAA frames, and map each frame to a letter by the
+    N(0,1) breakpoints for `alphabet` symbols (a = lowest band).  The
+    trailing partial segment is kept with its own average.  Zero-variance
+    series map every frame to the middle symbol (z treated as 0).
+
+    Output: series cols + seg (0-based), n_pts, paa (rounded 6),
+    symbol.
+
+    Scale shape: the row_number and the per-series mean/std windows ride
+    ONE exchange on the series key (same partitioning, unordered frame
+    for the moments), then the PAA aggregate groups on (series, seg) —
+    a strict refinement of the same key, partial-agg'd.
+    """
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {set(SAX_BREAKPOINTS)}")
+    scols = [F.col(c) for c in series_cols]
+    wo = Window.partitionBy(*scols).orderBy(_okey(ts_col, order_col))
+    wa = Window.partitionBy(*scols)
+    rn = F.row_number().over(wo)
+    mean = F.avg(val_col).over(wa)
+    sd = F.stddev_samp(val_col).over(wa)
+    z = F.when(sd > 0, (F.col(val_col) - mean) / sd).otherwise(F.lit(0.0))
+    staged = points.select(
+        *scols,
+        ((rn - 1) / seg_len).cast("long").alias("seg"),
+        z.alias("_z"),
+    )
+    paa = staged.groupBy(*series_cols, "seg").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.avg("_z").alias("_paa"),
+    )
+    bps = SAX_BREAKPOINTS[alphabet]
+    sym = F.lit(chr(ord("a") + len(bps)))
+    for i in range(len(bps) - 1, -1, -1):
+        sym = F.when(F.col("_paa") < F.lit(bps[i]),
+                     F.lit(chr(ord("a") + i))).otherwise(sym)
+    return paa.select(
+        *series_cols, "seg", "n_pts",
+        F.round("_paa", 6).alias("paa"),
+        sym.alias("symbol"),
+    )
