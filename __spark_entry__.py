@@ -3208,6 +3208,167 @@ from z group by user_id, seg
 """
 
 
+# --------------------------------------------- per-series statistics
+def q_acf_4(spark, sf_dir):
+    """Sample autocorrelation per user at lags 1..4 ((ts, event_id)
+    order, full-series mean): the standard estimator, NULL for constant
+    or too-short series.  Wide per-lag sums aggregate first (one row per
+    user in the exchange), then explode to long form."""
+    from ts2g2_spark.operators.seriesstats import acf
+
+    return acf(_events(spark, sf_dir), max_lag=4, series_cols=["user_id"],
+               order_col="event_id")
+
+
+ACF_SQL = """
+with o as (
+  select user_id, value,
+         avg(value) over (partition by user_id) as m,
+         lag(value, 1) over w as l1, lag(value, 2) over w as l2,
+         lag(value, 3) over w as l3, lag(value, 4) over w as l4
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+g as (
+  select user_id, count(*)::BIGINT as n,
+         sum((value - m) * (value - m)) as den,
+         sum((value - m) * (l1 - m)) as n1,
+         sum((value - m) * (l2 - m)) as n2,
+         sum((value - m) * (l3 - m)) as n3,
+         sum((value - m) * (l4 - m)) as n4
+  from o group by user_id
+)
+select user_id, lag, greatest(n - lag, 0)::BIGINT as n_pairs,
+       case when den > 0 and n > lag then round(num / den, 6) end as acf
+from (
+  select user_id, n, den, 1 as lag, n1 as num from g
+  union all select user_id, n, den, 2, n2 from g
+  union all select user_id, n, den, 3, n3 from g
+  union all select user_id, n, den, 4, n4 from g
+)
+"""
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint scoring per user: max |running sum| of the
+    standardized series with its position (earliest on 6-decimal ties)
+    and the scale-free max|s|/sqrt(n) score."""
+    from ts2g2_spark.operators.seriesstats import cusum_changepoint
+
+    return cusum_changepoint(
+        _events(spark, sf_dir), series_cols=["user_id"],
+        order_col="event_id")
+
+
+CUSUM_SQL = """
+with o as (
+  select user_id, ts, value,
+         row_number() over w as rn,
+         avg(value) over (partition by user_id) as m,
+         stddev_samp(value) over (partition by user_id) as sd,
+         count(*) over (partition by user_id) as n
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+s as (
+  select user_id, ts, rn, n,
+         round(sum(case when sd > 0 then (value - m) / sd end)
+               over (partition by user_id order by rn), 6) as s6
+  from o
+),
+r as (
+  select *,
+         row_number() over (partition by user_id
+                            order by abs(s6) desc nulls last, rn) as rk,
+         max(abs(s6)) over (partition by user_id) as mx
+  from s
+)
+select user_id, n, mx as max_abs_cusum,
+       case when mx is not null then rn end as cp_rn,
+       case when mx is not null then ts end as cp_ts,
+       case when mx is not null then round(mx / sqrt(n), 6) end
+         as cusum_score
+from r where rk = 1
+"""
+
+
+def q_series_profile(spark, sf_dir):
+    """Per-user descriptive profile: moments, exact continuous
+    percentiles (percentile_cont semantics in both engines), and Tukey
+    IQR outlier counts via a broadcast fence join."""
+    from ts2g2_spark.operators.seriesstats import series_profile
+
+    return series_profile(_events(spark, sf_dir), series_cols=["user_id"])
+
+
+SERIES_PROFILE_SQL = """
+with p as (
+  select user_id, count(*)::BIGINT as n,
+         round(avg(value), 6) as mean,
+         round(stddev_samp(value), 6) as sd,
+         min(value) as min_val, max(value) as max_val,
+         round(quantile_cont(value, 0.25), 6) as p25,
+         round(quantile_cont(value, 0.50), 6) as p50,
+         round(quantile_cont(value, 0.75), 6) as p75,
+         round(quantile_cont(value, 0.90), 6) as p90
+  from events group by user_id
+)
+select p.user_id, p.n, p.mean, p.sd, p.min_val, p.max_val,
+       p.p25, p.p50, p.p75, p.p90,
+       sum(case when e.value < p.p25 - 1.5 * (p.p75 - p.p25)
+                  or e.value > p.p75 + 1.5 * (p.p75 - p.p25)
+                then 1 else 0 end)::BIGINT as n_outliers
+from p join events e using (user_id)
+group by p.user_id, p.n, p.mean, p.sd, p.min_val, p.max_val,
+         p.p25, p.p50, p.p75, p.p90
+"""
+
+
+def q_periodogram(spark, sf_dir):
+    """Index-based periodogram per user at candidate periods 12/24/96:
+    normalized spectral power of the z-scored series — seasonality-
+    strength scoring (the candidate-scan twin of link_seasonality)."""
+    from ts2g2_spark.operators.seriesstats import periodogram
+
+    return periodogram(
+        _events(spark, sf_dir), periods=[12, 24, 96],
+        series_cols=["user_id"], order_col="event_id")
+
+
+PERIODOGRAM_SQL = """
+with o as (
+  select user_id, value,
+         cast(row_number() over w - 1 as double) as t,
+         avg(value) over (partition by user_id) as m,
+         stddev_samp(value) over (partition by user_id) as sd
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+z as (
+  select user_id, t,
+         case when sd > 0 then (value - m) / sd else 0.0 end as z
+  from o
+),
+g as (
+  select user_id, count(*)::BIGINT as n,
+         sum(z * cos(2 * pi() * t / 12)) as c12,
+         sum(z * sin(2 * pi() * t / 12)) as s12,
+         sum(z * cos(2 * pi() * t / 24)) as c24,
+         sum(z * sin(2 * pi() * t / 24)) as s24,
+         sum(z * cos(2 * pi() * t / 96)) as c96,
+         sum(z * sin(2 * pi() * t / 96)) as s96
+  from z group by user_id
+)
+select user_id, period, n,
+       round((c * c + s * s) / (n * n), 6) as power
+from (
+  select user_id, n, 12 as period, c12 as c, s12 as s from g
+  union all select user_id, n, 24, c24, s24 from g
+  union all select user_id, n, 96, c96, s96 from g
+)
+"""
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -3370,6 +3531,10 @@ _RAW_QUERIES = {
         "m4_1h": q_m4_1h,
         "rolling_zscore": q_rolling_zscore,
         "sax_w8_a4": q_sax_w8_a4,
+        "acf_4": q_acf_4,
+        "cusum_changepoint": q_cusum_changepoint,
+        "series_profile": q_series_profile,
+        "periodogram": q_periodogram,
     }
 
 
@@ -3461,4 +3626,8 @@ def oracle_sql() -> dict[str, str]:
         "m4_1h": M4_SQL,
         "rolling_zscore": ZSCORE_SQL,
         "sax_w8_a4": SAX_SQL,
+        "acf_4": ACF_SQL,
+        "cusum_changepoint": CUSUM_SQL,
+        "series_profile": SERIES_PROFILE_SQL,
+        "periodogram": PERIODOGRAM_SQL,
     }

@@ -1,0 +1,166 @@
+"""Series-stats operators (ACF / CUSUM / profile / periodogram) vs
+brute-force pandas/numpy oracles, including constant and tiny series."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ts2g2_spark.operators.seriesstats import (
+    acf, cusum_changepoint, periodogram, series_profile,
+)
+
+TS = dt.datetime
+BASE = TS(2024, 1, 1)
+
+
+def _events(seed=21, n=500, n_keys=6):
+    rng = np.random.default_rng(seed)
+    secs = rng.integers(0, 40_000, n)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, n_keys, n),
+        "ts": [BASE + dt.timedelta(seconds=int(s)) for s in secs],
+        "value": rng.normal(size=n).round(2),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    # a constant series and a 1-point series exercise the NULL paths
+    extra = pd.DataFrame({
+        "user_id": [90] * 6 + [91],
+        "ts": [BASE + dt.timedelta(seconds=i) for i in range(6)] + [BASE],
+        "value": [7.0] * 6 + [3.0],
+        "event_id": np.arange(n, n + 7, dtype=np.int64),
+    })
+    return pd.concat([df, extra], ignore_index=True)
+
+
+def _sorted_series(pdf):
+    for u, g in pdf.groupby("user_id"):
+        yield u, g.sort_values(["ts", "event_id"])["value"].to_numpy()
+
+
+def test_acf_matches_bruteforce(spark):
+    pdf = _events()
+    got = {(r.user_id, r.lag): (r.n_pairs, r.acf)
+           for r in acf(spark.createDataFrame(pdf), max_lag=4,
+                        order_col="event_id").collect()}
+    want = {}
+    for u, x in _sorted_series(pdf):
+        d = x - x.mean()
+        den = float(d @ d)
+        for k in range(1, 5):
+            np_pairs = max(len(x) - k, 0)
+            a = (round(float(d[k:] @ d[:-k]) / den, 6)
+                 if den > 0 and np_pairs > 0 else None)
+            want[(u, k)] = (np_pairs, a)
+    assert set(got) == set(want)
+    for k, (wn, wa) in want.items():
+        gn, ga = got[k]
+        assert gn == wn, k
+        if wa is None:
+            assert ga is None, k
+        else:
+            assert ga == pytest.approx(wa, abs=2e-6), k
+
+
+def test_acf_bad_lag_raises(spark):
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(None, max_lag=0)
+
+
+def test_cusum_matches_bruteforce(spark):
+    pdf = _events(seed=3)
+    got = {r.user_id: r for r in cusum_changepoint(
+        spark.createDataFrame(pdf), order_col="event_id").collect()}
+    for u, x in _sorted_series(pdf):
+        r = got[u]
+        assert r.n == len(x)
+        sd = x.std(ddof=1) if len(x) > 1 else 0.0
+        if not sd > 0:
+            assert r.max_abs_cusum is None and r.cp_rn is None \
+                and r.cp_ts is None and r.cusum_score is None
+            continue
+        s = np.round(np.cumsum((x - x.mean()) / sd), 6)
+        i = int(np.argmax(np.abs(s)))  # argmax: first occurrence wins
+        assert r.max_abs_cusum == pytest.approx(abs(s[i]), abs=2e-6)
+        assert r.cp_rn == i + 1
+        assert r.cusum_score == pytest.approx(
+            abs(s[i]) / math.sqrt(len(x)), abs=2e-6)
+
+
+def test_cusum_step_series_peaks_at_step(spark):
+    # 10 zeros then 10 tens: |cusum| of z peaks exactly at the step edge
+    pdf = pd.DataFrame({
+        "user_id": [1] * 20,
+        "ts": [BASE + dt.timedelta(seconds=i) for i in range(20)],
+        "value": [0.0] * 10 + [10.0] * 10,
+        "event_id": range(20),
+    })
+    r = cusum_changepoint(spark.createDataFrame(pdf),
+                          order_col="event_id").collect()[0]
+    assert r.cp_rn == 10 and r.cp_ts == BASE + dt.timedelta(seconds=9)
+
+
+def test_series_profile_matches_bruteforce(spark):
+    pdf = _events(seed=11)
+    got = {r.user_id: r for r in series_profile(
+        spark.createDataFrame(pdf)).collect()}
+    for u, g in pdf.groupby("user_id"):
+        x = g["value"].to_numpy()
+        r = got[u]
+        assert r.n == len(x)
+        assert r.mean == pytest.approx(x.mean(), abs=2e-6)
+        if len(x) > 1:
+            assert r.sd == pytest.approx(x.std(ddof=1), abs=2e-6)
+        else:
+            assert r.sd is None
+        assert (r.min_val, r.max_val) == (x.min(), x.max())
+        q = np.quantile(x, [0.25, 0.5, 0.75, 0.9])  # linear interp
+        for gq, wq in zip((r.p25, r.p50, r.p75, r.p90), q):
+            assert gq == pytest.approx(wq, abs=2e-6)
+        q25, q75 = round(float(q[0]), 6), round(float(q[2]), 6)
+        lo, hi = q25 - 1.5 * (q75 - q25), q75 + 1.5 * (q75 - q25)
+        assert r.n_outliers == int(((x < lo) | (x > hi)).sum())
+
+
+def test_periodogram_pure_sinusoid_and_constant(spark):
+    n, p = 96, 24
+    rows = []
+    for i in range(n):
+        rows.append((1, BASE + dt.timedelta(seconds=i),
+                     math.sin(2 * math.pi * i / p), i))
+    for i in range(10):  # constant series -> power exactly 0
+        rows.append((2, BASE + dt.timedelta(seconds=i), 5.0, n + i))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    got = {(r.user_id, r.period): r.power for r in periodogram(
+        spark.createDataFrame(pdf), periods=[12, 24],
+        order_col="event_id").collect()}
+    # z-normalized pure sinusoid: c^2+s^2 = (n/2)^2 / var-scale ->
+    # power ~ (n/2)^2 * 2 / n^2 = 0.5 (sample-sd normalization, ddof=1)
+    assert got[(1, 24)] == pytest.approx(0.5, abs=0.02)
+    assert got[(1, 12)] == pytest.approx(0.0, abs=0.02)
+    assert got[(2, 12)] == 0.0 and got[(2, 24)] == 0.0
+
+
+def test_periodogram_matches_bruteforce(spark):
+    pdf = _events(seed=17)
+    got = {(r.user_id, r.period): (r.n, r.power) for r in periodogram(
+        spark.createDataFrame(pdf), periods=[8, 24],
+        order_col="event_id").collect()}
+    for u, x in _sorted_series(pdf):
+        sd = x.std(ddof=1) if len(x) > 1 else 0.0
+        z = (x - x.mean()) / sd if sd > 0 else np.zeros_like(x)
+        t = np.arange(len(x), dtype=float)
+        for p in (8, 24):
+            c = float(z @ np.cos(2 * math.pi * t / p))
+            s = float(z @ np.sin(2 * math.pi * t / p))
+            want = (c * c + s * s) / len(x) ** 2
+            assert got[(u, p)][1] == pytest.approx(want, abs=2e-6), (u, p)
+
+
+def test_periodogram_bad_period_raises(spark):
+    with pytest.raises(ValueError, match="period"):
+        periodogram(None, periods=[1])

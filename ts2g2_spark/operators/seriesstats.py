@@ -1,0 +1,262 @@
+"""Per-series statistical analysis operators: autocorrelation (ACF),
+CUSUM changepoint scoring, exact-percentile series profiling with IQR
+outlier counts, and an index-based periodogram for seasonality strength.
+
+These extend the reference's per-series analysis surface (seasonality
+linking, strategy_linking_multi_graphs.py:28-60; correlation linking,
+:80-118) with the classic statistical summaries a monitoring/analytics
+tier serves next to the rollup tables.
+
+Scale shapes (all Catalyst, no Python crossings):
+  * acf / cusum / periodogram: ONE exchange on the series key — the
+    per-series moments ride an unordered window over the same partition
+    the ordered window uses, and the final aggregate is a partial-agg'd
+    refinement of that key.  Wide per-lag/per-period sums are aggregated
+    FIRST (one row per series in the exchange), then exploded to long
+    form on the tiny aggregated frame — the shuffle never carries
+    per-point rows times lags.
+  * series_profile: one hash aggregate for the moments + exact
+    percentiles, then a second scan counting IQR outliers against the
+    per-series fences joined back via BROADCAST (the profile is one row
+    per series — always the small side).  Exact percentiles hold the
+    group's values in memory (sort-based agg); at 10^12-point scale swap
+    `F.percentile` for `percentile_approx` — same call shape, sketch
+    memory, no exchange change.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ts2g2_spark.operators.summarize import _okey
+
+
+def _series_windows(series_cols, ts_col, order_col):
+    scols = [F.col(c) for c in series_cols]
+    wo = Window.partitionBy(*scols).orderBy(_okey(ts_col, order_col))
+    wa = Window.partitionBy(*scols)
+    return scols, wo, wa
+
+
+def acf(
+    points: DataFrame,
+    max_lag: int = 5,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sample autocorrelation per series at lags 1..max_lag, with the
+    standard estimator: acf(k) = sum_{t>k}(x_t - m)(x_{t-k} - m) /
+    sum_t (x_t - m)^2, m the full-series mean.  Rows ordered by
+    (ts, order_col).  acf is NULL when the series is constant (zero
+    denominator) or shorter than k+1 points; rounded to 6 decimals
+    (cross-engine summation-order drift).
+
+    Output: series cols + lag, n_pairs, acf — one row per (series, lag).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    scols, wo, wa = _series_windows(series_cols, ts_col, order_col)
+    v = F.col(val_col)
+    m = F.avg(v).over(wa)
+    staged = points.select(
+        *scols,
+        (v - m).alias("_d"),
+        *[(F.lag(v, k).over(wo) - m).alias(f"_d{k}")
+          for k in range(1, max_lag + 1)],
+    )
+    wide = staged.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_den"),
+        *[F.sum(F.col("_d") * F.col(f"_d{k}")).alias(f"_num{k}")
+          for k in range(1, max_lag + 1)],
+    )
+    # explode lags on the one-row-per-series aggregate, never per point
+    lag_structs = F.array(*[
+        F.struct(F.lit(k).alias("lag"), F.col(f"_num{k}").alias("_num"))
+        for k in range(1, max_lag + 1)
+    ])
+    exploded = wide.select(
+        *series_cols, "_n", "_den", F.explode(lag_structs).alias("_l")
+    ).select(
+        *series_cols, "_n", "_den",
+        F.col("_l.lag").alias("lag"), F.col("_l._num").alias("_num"),
+    )
+    n_pairs = F.greatest(F.col("_n") - F.col("lag"), F.lit(0)).cast("long")
+    return exploded.select(
+        *series_cols, "lag",
+        n_pairs.alias("n_pairs"),
+        F.when(
+            (F.col("_den") > 0) & (F.col("_n") > F.col("lag")),
+            F.round(F.col("_num") / F.col("_den"), 6),
+        ).alias("acf"),
+    )
+
+
+def cusum_changepoint(
+    points: DataFrame,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """CUSUM changepoint scoring per series: standardize the series
+    against its own mean/sample-stddev, take the running sum s_t of the
+    standardized values, and report the maximum |s_t| with the position
+    (1-based index and timestamp) where it is attained — the classic
+    single-changepoint candidate — plus the scale-free score
+    max|s_t| / sqrt(n).  Ties and the argmax are taken on s rounded to
+    6 decimals (running sums are summation-order sensitive across
+    engines), earliest position winning.  Constant or single-point
+    series (stddev NULL or 0) yield NULL score columns.
+
+    Output: series cols + n, max_abs_cusum, cp_rn, cp_ts, cusum_score.
+    """
+    scols, wo, wa = _series_windows(series_cols, ts_col, order_col)
+    v = F.col(val_col)
+    m, sd = F.avg(v).over(wa), F.stddev_samp(v).over(wa)
+    staged = points.select(
+        *scols, F.col(ts_col),
+        F.row_number().over(wo).alias("_rn"),
+        F.when(sd > 0, (v - m) / sd).alias("_z"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    run = Window.partitionBy(*scols).orderBy("_rn") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    s6 = F.round(F.sum("_z").over(run), 6)
+    scored = staged.select(
+        *scols, F.col(ts_col), "_rn", "_n", s6.alias("_s6"))
+    argmax_key = F.struct(F.abs(F.col("_s6")), -F.col("_rn"))
+    out = scored.groupBy(*series_cols).agg(
+        F.max("_n").alias("n"),
+        F.max(F.abs(F.col("_s6"))).alias("max_abs_cusum"),
+        F.max_by(F.col("_rn"), argmax_key).alias("cp_rn"),
+        F.max_by(F.col(ts_col), argmax_key).alias("cp_ts"),
+    )
+    ok = F.col("max_abs_cusum").isNotNull()
+    return out.select(
+        *series_cols, "n", "max_abs_cusum",
+        F.when(ok, F.col("cp_rn")).alias("cp_rn"),
+        F.when(ok, F.col("cp_ts")).alias("cp_ts"),
+        F.when(ok, F.round(
+            F.col("max_abs_cusum") / F.sqrt(F.col("n")), 6)
+        ).alias("cusum_score"),
+    )
+
+
+def series_profile(
+    points: DataFrame,
+    series_cols: list[str] = ("user_id",),
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-series descriptive profile: n, mean, stddev, min, max, exact
+    continuous percentiles (p25/p50/p75/p90, linear interpolation — the
+    percentile_cont definition shared by Spark's `percentile` and
+    DuckDB's `quantile_cont`), and the count of Tukey IQR outliers
+    (value outside [p25 - 1.5*IQR, p75 + 1.5*IQR], fences computed from
+    the 6-decimal-rounded quartiles so both engines agree digit-for-
+    digit).  Single-point series: stddev NULL, 0 outliers.
+
+    Output: series cols + n, mean, sd, min_val, max_val, p25, p50, p75,
+    p90, n_outliers.
+    """
+    v = F.col(val_col)
+    prof = points.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.stddev_samp(v), 6).alias("sd"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+        F.percentile(v, F.lit([0.25, 0.5, 0.75, 0.9])).alias("_q"),
+    ).select(
+        *series_cols, "n", "mean", "sd", "min_val", "max_val",
+        F.round(F.col("_q")[0], 6).alias("p25"),
+        F.round(F.col("_q")[1], 6).alias("p50"),
+        F.round(F.col("_q")[2], 6).alias("p75"),
+        F.round(F.col("_q")[3], 6).alias("p90"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    fences = prof.select(
+        *series_cols,
+        (F.col("p25") - 1.5 * iqr).alias("_lo"),
+        (F.col("p75") + 1.5 * iqr).alias("_hi"),
+    )
+    outliers = (
+        points.join(F.broadcast(fences), on=list(series_cols))
+        .groupBy(*series_cols)
+        .agg(F.sum(
+            F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_outliers"))
+    )
+    return prof.join(F.broadcast(outliers), on=list(series_cols))
+
+
+def periodogram(
+    points: DataFrame,
+    periods: list[int] = (12, 24, 96),
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Index-based periodogram: z-normalize each series against its own
+    mean/stddev (constant series -> all-zero, power 0), then for each
+    candidate period p report the normalized spectral power at frequency
+    1/p over the INDEX axis t = rank-1 (points are equally weighted in
+    order, not by wall-clock spacing — resample to a regular grid first,
+    e.g. via the rollup tiers, for time-true spectra):
+
+        power(p) = (c^2 + s^2) / n^2,
+        c = sum_t z_t cos(2*pi*t/p),  s = sum_t z_t sin(2*pi*t/p)
+
+    power is in [0, ~1] (1 = a pure sinusoid at that period) and rounded
+    to 6 decimals.  The seasonality-strength twin of the reference's
+    fixed-period seasonality linking (strategy_linking_multi_graphs.py:
+    28-60): instead of asserting a known period, score candidates.
+
+    Output: series cols + period, n, power.
+    """
+    if not periods or any(p < 2 for p in periods):
+        raise ValueError("periods must be >= 2")
+    scols, wo, wa = _series_windows(series_cols, ts_col, order_col)
+    v = F.col(val_col)
+    m, sd = F.avg(v).over(wa), F.stddev_samp(v).over(wa)
+    t = (F.row_number().over(wo) - 1).cast("double")
+    z = F.when(sd > 0, (v - m) / sd).otherwise(F.lit(0.0))
+    staged = points.select(
+        *scols, z.alias("_z"),
+        *[c for p in periods for c in (
+            F.cos(F.lit(2.0 * math.pi) * t / F.lit(float(p)))
+            .alias(f"_c{p}"),
+            F.sin(F.lit(2.0 * math.pi) * t / F.lit(float(p)))
+            .alias(f"_s{p}"),
+        )],
+    )
+    wide = staged.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[a for p in periods for a in (
+            F.sum(F.col("_z") * F.col(f"_c{p}")).alias(f"_cs{p}"),
+            F.sum(F.col("_z") * F.col(f"_s{p}")).alias(f"_ss{p}"),
+        )],
+    )
+    per_structs = F.array(*[
+        F.struct(
+            F.lit(p).alias("period"),
+            ((F.col(f"_cs{p}") ** 2 + F.col(f"_ss{p}") ** 2)
+             / (F.col("n") ** 2)).alias("_pw"),
+        ) for p in periods
+    ])
+    return wide.select(
+        *series_cols, "n", F.explode(per_structs).alias("_p")
+    ).select(
+        *series_cols,
+        F.col("_p.period").alias("period"),
+        "n",
+        F.round(F.col("_p._pw"), 6).alias("power"),
+    )
