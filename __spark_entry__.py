@@ -3369,6 +3369,79 @@ from (
 """
 
 
+# --------------------------------------------- corpus-health statistics
+def q_vocab_stats(spark, sf_dir):
+    """Per-source Zipf/Heaps vocabulary report over the normalized word
+    stream: token/vocab/hapax counts, type-token + hapax ratios, top-1
+    share, and the OLS ln(freq)~ln(rank) slope over the top-100 words
+    (exact distributed bucket-tournament ranking)."""
+    from ts2g2_spark.operators.corpusstats import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), top_r=100)
+
+
+VOCAB_STATS_SQL = r"""
+with w as (
+  select source,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x != '') as ws
+  from documents
+),
+stream as (select source, unnest(ws) as word from w),
+tf as (
+  select source, word, count(*)::BIGINT as tf
+  from stream group by source, word
+),
+per_source as (
+  select source, sum(tf)::BIGINT as n_tokens, count(*)::BIGINT as vocab,
+         sum(case when tf = 1 then 1 else 0 end)::BIGINT as hapax
+  from tf group by source
+),
+ranked as (
+  select source, tf,
+         row_number() over (partition by source
+                            order by tf desc, word asc) as rank
+  from tf qualify rank <= 100
+),
+slope as (
+  select source, round(regr_slope(ln(tf), ln(rank)), 6) as zipf_slope,
+         max(case when rank = 1 then tf end) as top1
+  from ranked group by source
+)
+select p.source, p.n_tokens, p.vocab, p.hapax,
+       round(p.vocab / p.n_tokens, 6) as ttr,
+       round(p.hapax / p.vocab, 6) as hapax_ratio,
+       round(s.top1 / p.n_tokens, 6) as top1_share,
+       s.zipf_slope
+from per_source p join slope s using (source)
+"""
+
+
+def q_corpus_length_profile(spark, sf_dir):
+    """Per-source document-length profile: counts, mean, exact deciles
+    of n_chars, and the short-document fraction (< 200 chars)."""
+    from ts2g2_spark.operators.corpusstats import corpus_length_profile
+
+    return corpus_length_profile(_docs(spark, sf_dir),
+                                 short_chars=200)
+
+
+LENGTH_PROFILE_SQL = """
+select source, count(*)::BIGINT as n_docs,
+       sum(n_chars)::BIGINT as total_chars,
+       round(avg(n_chars), 6) as mean_chars,
+       round(quantile_cont(n_chars, 0.10), 6) as p10,
+       round(quantile_cont(n_chars, 0.25), 6) as p25,
+       round(quantile_cont(n_chars, 0.50), 6) as p50,
+       round(quantile_cont(n_chars, 0.75), 6) as p75,
+       round(quantile_cont(n_chars, 0.90), 6) as p90,
+       round(avg(case when n_chars < 200 then 1 else 0 end), 6)
+         as short_frac
+from documents group by source
+"""
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -3535,6 +3608,8 @@ _RAW_QUERIES = {
         "cusum_changepoint": q_cusum_changepoint,
         "series_profile": q_series_profile,
         "periodogram": q_periodogram,
+        "vocab_stats": q_vocab_stats,
+        "corpus_length_profile": q_corpus_length_profile,
     }
 
 
@@ -3630,4 +3705,6 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": CUSUM_SQL,
         "series_profile": SERIES_PROFILE_SQL,
         "periodogram": PERIODOGRAM_SQL,
+        "vocab_stats": VOCAB_STATS_SQL,
+        "corpus_length_profile": LENGTH_PROFILE_SQL,
     }

@@ -1,0 +1,117 @@
+"""Corpus vocabulary / length statistics vs brute-force pandas oracles,
+including the exact top-R tournament under tiny bucket counts."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ts2g2_spark.operators.corpusstats import (
+    corpus_length_profile, vocab_stats,
+)
+
+
+def _norm(text):
+    t = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+    return [w for w in t.split(" ") if w]
+
+
+def _docs(seed=7, n=120):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(n):
+        src = ["web", "books", "code"][i % 3]
+        # skewed zipf-ish draws + punctuation/case noise
+        k = rng.integers(3, 40)
+        words = rng.choice(vocab, size=k, p=_zipf_p(len(vocab)))
+        text = " ".join(words)
+        if i % 4 == 0:
+            text = text.upper() + "!!! (extra)"
+        rows.append((i, text, src, len(text)))
+    rows.append((n, "   ", "empty_source", 3))  # normalizes to no words
+    return pd.DataFrame(rows, columns=["doc_id", "text", "source",
+                                       "n_chars"])
+
+
+def _zipf_p(v):
+    w = 1.0 / np.arange(1, v + 1)
+    return w / w.sum()
+
+
+def _vocab_oracle(pdf, top_r):
+    out = {}
+    for src, g in pdf.groupby("source"):
+        tf = Counter(w for t in g["text"] for w in _norm(t))
+        if not tf:
+            continue
+        n_tokens = sum(tf.values())
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_r]
+        xs = [math.log(r + 1) for r in range(len(ranked))]
+        ys = [math.log(c) for _, c in ranked]
+        slope = None
+        if len(ranked) > 1:
+            mx, my = np.mean(xs), np.mean(ys)
+            den = sum((x - mx) ** 2 for x in xs)
+            if den > 0:
+                slope = round(
+                    sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den, 6)
+        hapax = sum(1 for c in tf.values() if c == 1)
+        out[src] = (n_tokens, len(tf), hapax,
+                    round(len(tf) / n_tokens, 6),
+                    round(hapax / len(tf), 6),
+                    round(ranked[0][1] / n_tokens, 6), slope)
+    return out
+
+
+@pytest.mark.parametrize("buckets,top_r", [(64, 100), (2, 3)])
+def test_vocab_stats_matches_bruteforce(spark, buckets, top_r):
+    pdf = _docs()
+    got = {r.source: (r.n_tokens, r.vocab, r.hapax, r.ttr, r.hapax_ratio,
+                      r.top1_share, r.zipf_slope)
+           for r in vocab_stats(spark.createDataFrame(pdf), top_r=top_r,
+                                buckets=buckets).collect()}
+    want = _vocab_oracle(pdf, top_r)
+    assert set(got) == set(want)  # empty_source absent from both
+    for src in want:
+        for g, w in zip(got[src], want[src]):
+            if w is None:
+                assert g is None, src
+            elif isinstance(w, float):
+                assert g == pytest.approx(w, abs=2e-6), src
+            else:
+                assert g == w, src
+
+
+def test_vocab_stats_single_word_source_null_slope(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["aaa aaa", "aaa"],
+                        "source": ["s", "s"], "n_chars": [7, 3]})
+    r = vocab_stats(spark.createDataFrame(pdf)).collect()[0]
+    assert (r.n_tokens, r.vocab, r.hapax) == (3, 1, 0)
+    assert r.ttr == pytest.approx(1 / 3, abs=1e-6)
+    assert r.top1_share == 1.0 and r.zipf_slope is None
+
+
+def test_vocab_stats_bad_params_raise(spark):
+    with pytest.raises(ValueError):
+        vocab_stats(None, top_r=1)
+
+
+def test_length_profile_matches_bruteforce(spark):
+    pdf = _docs(seed=3)
+    got = {r.source: r for r in corpus_length_profile(
+        spark.createDataFrame(pdf), short_chars=80).collect()}
+    for src, g in pdf.groupby("source"):
+        x = g["n_chars"].to_numpy()
+        r = got[src]
+        assert r.n_docs == len(x) and r.total_chars == x.sum()
+        assert r.mean_chars == pytest.approx(x.mean(), abs=2e-6)
+        q = np.quantile(x, [0.1, 0.25, 0.5, 0.75, 0.9])
+        for gq, wq in zip((r.p10, r.p25, r.p50, r.p75, r.p90), q):
+            assert gq == pytest.approx(wq, abs=2e-6), src
+        assert r.short_frac == pytest.approx((x < 80).mean(), abs=2e-6)

@@ -1,0 +1,121 @@
+"""Corpus-level vocabulary and length statistics — the "corpus health"
+reports a training-data pipeline runs per source before mixing: Zipf /
+Heaps vocabulary statistics (vocab size, hapax ratio, type-token ratio,
+top-rank share, fitted Zipf slope) and document-length profiles.
+
+Scale shapes (pure Catalyst):
+  * vocab_stats: the word stream is the classic wordcount shuffle —
+    explode -> partial-agg'd groupBy (source, word); per-source scalars
+    are a second partial agg of that (source, word, tf) frame.  The
+    top-R ranking for the Zipf fit is an EXACT two-level tournament:
+    rank inside (source, hash-bucket) first (bounded partitions even
+    when one source owns the whole corpus vocabulary), keep R per
+    bucket, then rank the <= R*buckets survivors per source — the
+    global top-R is always a subset of the per-bucket top-Rs.  No
+    single-partition sort over a full vocabulary anywhere.
+  * corpus_length_profile: one hash aggregate; exact continuous
+    percentiles hold one source's lengths in the sort-based aggregate —
+    swap `F.percentile` for `percentile_approx` at extreme scale (same
+    call shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ts2g2_spark.operators.text import _norm_words
+
+
+def vocab_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_r: int = 100,
+    buckets: int = 64,
+) -> DataFrame:
+    """Per-source vocabulary statistics over the normalized word stream
+    (lowercase, punctuation stripped — functions/hashing.normalize_text,
+    the same stream tfidf/top_ngrams use):
+
+      n_tokens      total word occurrences
+      vocab         distinct words
+      hapax         words occurring exactly once
+      ttr           type-token ratio vocab/n_tokens
+      hapax_ratio   hapax/vocab
+      top1_share    most frequent word's share of n_tokens
+      zipf_slope    OLS slope of ln(freq) vs ln(rank) over the top
+                    `top_r` words (ties ranked by (freq desc, word)) —
+                    ~-1 for natural text (Zipf's law), flatter for
+                    templated/boilerplate corpora
+
+    Ratios rounded to 6 decimals.  Sources whose documents normalize to
+    zero words produce no row.  NULL zipf_slope when a source has a
+    single distinct word (degenerate regression).
+    """
+    if top_r < 2 or buckets < 1:
+        raise ValueError("top_r must be >= 2 and buckets >= 1")
+    words = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(_norm_words(text_col)).alias("word"),
+    )
+    tf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    per_source = tf.groupBy("source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long").alias("hapax"),
+    )
+    # exact top-R tournament: bucket ranks bound partition size, the
+    # final per-source rank sees at most top_r*buckets rows
+    bucketed = tf.withColumn(
+        "_b", F.pmod(F.xxhash64("word"), F.lit(buckets)))
+    w_bucket = Window.partitionBy("source", "_b") \
+        .orderBy(F.desc("tf"), F.asc("word"))
+    cand = bucketed.withColumn("_r", F.row_number().over(w_bucket)) \
+        .where(F.col("_r") <= top_r)
+    w_src = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("word"))
+    ranked = cand.withColumn("rank", F.row_number().over(w_src)) \
+        .where(F.col("rank") <= top_r)
+    slope = ranked.groupBy("source").agg(
+        F.round(F.regr_slope(F.log("tf"), F.log("rank")), 6)
+        .alias("zipf_slope"),
+        F.max(F.when(F.col("rank") == 1, F.col("tf"))).alias("_top1"),
+    )
+    return per_source.join(F.broadcast(slope), "source").select(
+        "source", "n_tokens", "vocab", "hapax",
+        F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("hapax") / F.col("vocab"), 6).alias("hapax_ratio"),
+        F.round(F.col("_top1") / F.col("n_tokens"), 6).alias("top1_share"),
+        "zipf_slope",
+    )
+
+
+def corpus_length_profile(
+    docs: DataFrame,
+    source_col: str = "source",
+    len_col: str = "n_chars",
+    short_chars: int = 200,
+) -> DataFrame:
+    """Per-source document-length profile: doc count, total/mean chars,
+    exact continuous percentiles (p10/p25/p50/p75/p90), and the fraction
+    of short documents (< `short_chars` chars).  Rounded to 6 decimals.
+    One partial-agg'd hash aggregate."""
+    ln = F.col(len_col)
+    return docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ln).alias("total_chars"),
+        F.round(F.avg(ln), 6).alias("mean_chars"),
+        F.percentile(ln, F.lit([0.1, 0.25, 0.5, 0.75, 0.9])).alias("_q"),
+        F.round(F.avg(F.when(ln < short_chars, 1).otherwise(0)), 6)
+        .alias("short_frac"),
+    ).select(
+        "source", "n_docs", "total_chars", "mean_chars",
+        F.round(F.col("_q")[0], 6).alias("p10"),
+        F.round(F.col("_q")[1], 6).alias("p25"),
+        F.round(F.col("_q")[2], 6).alias("p50"),
+        F.round(F.col("_q")[3], 6).alias("p75"),
+        F.round(F.col("_q")[4], 6).alias("p90"),
+        "short_frac",
+    )
