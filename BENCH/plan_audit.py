@@ -39,6 +39,10 @@ AUDIT = [
     # round 3 session-3 additions
     "asof_enrich", "gapfill_1m_linear", "lm_perplexity",
     "tfidf_top_terms", "duplicated_spans",
+    # round 3 series-analytics / corpus-health additions
+    "m4_1h", "rolling_zscore", "sax_w8_a4", "acf_4",
+    "cusum_changepoint", "series_profile", "periodogram",
+    "vocab_stats", "corpus_length_profile",
 ]
 
 
