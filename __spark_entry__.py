@@ -3442,6 +3442,117 @@ from documents group by source
 """
 
 
+# --------------------------------------------- event-sequence analytics
+def q_event_transitions(spark, sf_dir):
+    """Global Markov transition matrix over per-user event-type
+    sequences ((ts, event_id) order): count + row-normalized
+    p(dst | src) per observed transition — the categorical-stream twin
+    of the ordinal-partition transition graph."""
+    from ts2g2_spark.operators.eventseq import event_transitions
+
+    return event_transitions(
+        _events(spark, sf_dir), series_cols=["user_id"],
+        order_col="event_id")
+
+
+TRANSITIONS_SQL = """
+with p as (
+  select lag(event_type) over (partition by user_id
+                               order by ts, event_id) as src_type,
+         event_type as dst_type
+  from events
+),
+c as (
+  select src_type, dst_type, count(*)::BIGINT as n
+  from p where src_type is not null group by src_type, dst_type
+)
+select src_type, dst_type, n,
+       round(n / sum(n) over (partition by src_type), 6) as p
+from c
+"""
+
+
+def q_funnel_vcp(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel: per-user first-hit
+    chaining (inclusive timestamps), per-step reach + conversion."""
+    from ts2g2_spark.operators.eventseq import funnel
+
+    return funnel(_events(spark, sf_dir),
+                  steps=["view", "click", "purchase"],
+                  series_cols=["user_id"])
+
+
+FUNNEL_SQL = """
+with h1 as (
+  select user_id, ts, event_type,
+         min(case when event_type = 'view' then ts end)
+           over (partition by user_id) as h1
+  from events
+),
+h2 as (
+  select *, min(case when event_type = 'click' and h1 is not null
+                      and ts >= h1 then ts end)
+              over (partition by user_id) as h2
+  from h1
+),
+h3 as (
+  select *, min(case when event_type = 'purchase' and h2 is not null
+                      and ts >= h2 then ts end)
+              over (partition by user_id) as h3
+  from h2
+),
+per as (
+  select user_id, max(h1) as h1, max(h2) as h2, max(h3) as h3
+  from h3 group by user_id
+),
+t as (
+  select count(h1)::BIGINT as n1, count(h2)::BIGINT as n2,
+         count(h3)::BIGINT as n3
+  from per
+)
+select 1 as step, 'view' as step_name, n1 as n_series,
+       case when n1 > 0 then round(n1 / n1, 6) end as conv from t
+union all
+select 2, 'click', n2,
+       case when n1 > 0 then round(n2 / n1, 6) end from t
+union all
+select 3, 'purchase', n3,
+       case when n2 > 0 then round(n3 / n2, 6) end from t
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention over first-event-day cohorts: active series per
+    (cohort day, day offset) + retention vs cohort size.  cohort_day is
+    emitted as a yyyy-MM-dd string so both engines hash identically."""
+    from ts2g2_spark.operators.eventseq import cohort_retention
+
+    return cohort_retention(
+        _events(spark, sf_dir), series_cols=["user_id"]
+    ).withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
+
+
+COHORT_SQL = """
+with s as (
+  select distinct user_id,
+         cast(min(ts) over (partition by user_id) as date) as cohort_day,
+         date_diff('day',
+                   cast(min(ts) over (partition by user_id) as date),
+                   cast(ts as date)) as offset_days
+  from events
+),
+a as (
+  select cohort_day, offset_days, count(*)::BIGINT as n_active
+  from s group by cohort_day, offset_days
+)
+select strftime(cohort_day, '%Y-%m-%d') as cohort_day, offset_days,
+       n_active,
+       round(n_active / max(case when offset_days = 0 then n_active end)
+               over (partition by cohort_day), 6) as retention
+from a
+"""
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -3610,6 +3721,9 @@ _RAW_QUERIES = {
         "periodogram": q_periodogram,
         "vocab_stats": q_vocab_stats,
         "corpus_length_profile": q_corpus_length_profile,
+        "event_transitions": q_event_transitions,
+        "funnel_vcp": q_funnel_vcp,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3707,4 +3821,7 @@ def oracle_sql() -> dict[str, str]:
         "periodogram": PERIODOGRAM_SQL,
         "vocab_stats": VOCAB_STATS_SQL,
         "corpus_length_profile": LENGTH_PROFILE_SQL,
+        "event_transitions": TRANSITIONS_SQL,
+        "funnel_vcp": FUNNEL_SQL,
+        "cohort_retention": COHORT_SQL,
     }

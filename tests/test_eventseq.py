@@ -1,0 +1,135 @@
+"""Event-sequence analytics (transitions / funnel / cohorts) vs
+brute-force pandas oracles, including ordering and edge pins."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ts2g2_spark.operators.eventseq import (
+    cohort_retention, event_transitions, funnel,
+)
+
+TS = dt.datetime
+BASE = TS(2024, 1, 1)
+TYPES = ["signup", "view", "click", "purchase", "error"]
+
+
+def _events(seed=31, n=800, n_keys=25):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, n_keys, n),
+        "ts": [BASE + dt.timedelta(seconds=int(s))
+               for s in rng.integers(0, 20 * 86400, n)],
+        "event_type": rng.choice(TYPES, n),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+
+
+def test_transitions_match_bruteforce(spark):
+    pdf = _events()
+    got = {(r.src_type, r.dst_type): (r.n, r.p)
+           for r in event_transitions(
+               spark.createDataFrame(pdf), order_col="event_id").collect()}
+    pairs = Counter()
+    for _, g in pdf.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        pairs.update(zip(seq, seq[1:]))
+    src_tot = defaultdict(int)
+    for (s, _), c in pairs.items():
+        src_tot[s] += c
+    assert set(got) == set(pairs)
+    for k, c in pairs.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(c / src_tot[k[0]], abs=2e-6)
+
+
+def test_transitions_no_cross_series_pairs(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1, 2], "ts": [BASE, BASE + dt.timedelta(seconds=1)],
+        "event_type": ["view", "click"], "event_id": [0, 1],
+    })
+    assert event_transitions(spark.createDataFrame(pdf),
+                             order_col="event_id").count() == 0
+
+
+def _funnel_oracle(pdf, steps):
+    reach = [0] * len(steps)
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        bound = None
+        for i, s in enumerate(steps):
+            hits = g[(g["event_type"] == s)
+                     & ((g["ts"] >= bound) if bound is not None else True)]
+            if hits.empty:
+                break
+            bound = hits["ts"].min()
+            reach[i] += 1
+    return reach
+
+
+def test_funnel_matches_bruteforce(spark):
+    pdf = _events(seed=5)
+    steps = ["view", "click", "purchase"]
+    rows = {r.step: r for r in funnel(
+        spark.createDataFrame(pdf), steps=steps).collect()}
+    want = _funnel_oracle(pdf, steps)
+    for i, s in enumerate(steps):
+        r = rows[i + 1]
+        assert r.step_name == s and r.n_series == want[i]
+        expect = (1.0 if i == 0 and want[0] else
+                  (round(want[i] / want[i - 1], 6) if i and want[i - 1]
+                   else None))
+        if expect is None:
+            assert r.conv is None
+        else:
+            assert r.conv == pytest.approx(expect, abs=2e-6)
+
+
+def test_funnel_order_matters(spark):
+    # purchase BEFORE view: step 2 must not count
+    pdf = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": [BASE, BASE + dt.timedelta(seconds=5)],
+        "event_type": ["purchase", "view"],
+        "event_id": [0, 1],
+    })
+    rows = {r.step: r for r in funnel(
+        spark.createDataFrame(pdf), steps=["view", "purchase"]).collect()}
+    assert rows[1].n_series == 1 and rows[2].n_series == 0
+    assert rows[2].conv == 0.0
+
+
+def test_funnel_simultaneous_counts_inclusive(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1, 1], "ts": [BASE, BASE],
+        "event_type": ["view", "purchase"], "event_id": [0, 1],
+    })
+    rows = {r.step: r for r in funnel(
+        spark.createDataFrame(pdf), steps=["view", "purchase"]).collect()}
+    assert rows[2].n_series == 1
+
+
+def test_funnel_single_step_raises(spark):
+    with pytest.raises(ValueError, match="steps"):
+        funnel(None, steps=["view"])
+
+
+def test_cohort_retention_matches_bruteforce(spark):
+    pdf = _events(seed=13)
+    got = {(r.cohort_day, r.offset_days): (r.n_active, r.retention)
+           for r in cohort_retention(spark.createDataFrame(pdf)).collect()}
+    first_day = pdf.groupby("user_id")["ts"].min().dt.date
+    active = defaultdict(set)
+    for _, row in pdf.iterrows():
+        cd = first_day[row["user_id"]]
+        active[(cd, (row["ts"].date() - cd).days)].add(row["user_id"])
+    sizes = {cd: len(us) for (cd, off), us in active.items() if off == 0}
+    assert set(got) == set(active)
+    for k, us in active.items():
+        assert got[k][0] == len(us), k
+        assert got[k][1] == pytest.approx(len(us) / sizes[k[0]], abs=2e-6)

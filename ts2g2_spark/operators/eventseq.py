@@ -1,0 +1,151 @@
+"""Event-sequence analytics over a (series, ts, type) stream: Markov
+transition matrices, ordered funnel conversion, and cohort retention.
+
+The transition matrix is the categorical-stream cousin of the
+reference's ordinal-partition transition graph (to_graph/strategies.py
+ordinal strategy): states are the event types themselves instead of
+value-order patterns, edges are observed consecutive transitions.
+
+Scale shapes (pure Catalyst):
+  * event_transitions: ONE ordered window on the series key for the
+    lag pairing, then a partial-agg'd groupBy (src, dst) — the second
+    exchange carries one row per distinct transition, never per event.
+    The probability normalization is a window over the tiny (|types|^2)
+    aggregate, not over events.
+  * funnel: one exchange on the series key; each step's first-hit
+    timestamp is an unordered window aggregate over that partition,
+    computed in sequence so step k can require ts >= step k-1's hit.
+    The final per-step rollup is a global partial agg of one row per
+    series.
+  * cohort_retention: user-level min rides a window over the user key,
+    then (cohort_day, offset) counts distinct users — both exchanges
+    partial-aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ts2g2_spark.operators.summarize import _okey
+
+
+def event_transitions(
+    events: DataFrame,
+    series_cols: list[str] = ("user_id",),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Global first-order Markov transition matrix over per-series event
+    sequences ((ts, order_col) order): for every observed consecutive
+    pair, the transition count and the row-normalized probability
+    p(dst | src) (rounded to 6 decimals).  Each series' first event has
+    no predecessor and contributes no pair; cross-series pairs never
+    form (the lag window is per series).
+
+    Output: src_type, dst_type, n, p — one row per observed transition.
+    """
+    scols = [F.col(c) for c in series_cols]
+    wo = Window.partitionBy(*scols).orderBy(_okey(ts_col, order_col))
+    paired = events.select(
+        F.lag(type_col).over(wo).alias("src_type"),
+        F.col(type_col).alias("dst_type"),
+    ).where(F.col("src_type").isNotNull())
+    counts = paired.groupBy("src_type", "dst_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type", "dst_type", "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("p"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    series_cols: list[str] = ("user_id",),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: a series completes step k when an
+    event of type steps[k] occurs at ts >= the FIRST qualifying hit of
+    step k-1 (inclusive — simultaneous timestamps count as in-order;
+    step hits use each step's earliest qualifying timestamp).
+
+    Output: step (1-based), step_name, n_series (series that reached
+    the step), conv (n_series / step-1 reach, rounded to 6; 1.0 for the
+    first step when any series reached it).
+
+    One exchange on the series key; step hits are sequential unordered
+    window aggregates over that partition (len(steps) window passes,
+    zero joins, zero extra shuffles).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    scols = [F.col(c) for c in series_cols]
+    w = Window.partitionBy(*scols)
+    df = events.select(*scols, F.col(type_col).alias("_t"),
+                       F.col(ts_col).alias("_ts"))
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col("_t") == s
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() \
+                & (F.col("_ts") >= F.col(prev))
+        hit = f"_h{i}"
+        df = df.withColumn(hit, F.min(F.when(cond, F.col("_ts"))).over(w))
+        prev = hit
+    per_series = df.groupBy(*series_cols).agg(
+        *[F.max(f"_h{i}").alias(f"_h{i}") for i in range(len(steps))])
+    totals = per_series.agg(
+        *[F.count(f"_h{i}").alias(f"_n{i}") for i in range(len(steps))])
+    rows = F.array(*[
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("step_name"),
+            F.col(f"_n{i}").alias("n_series"),
+            F.when(
+                (F.col(f"_n{i-1}") if i else F.col(f"_n{i}")) > 0,
+                F.round(
+                    F.col(f"_n{i}")
+                    / (F.col(f"_n{i-1}") if i else F.col(f"_n{i}")), 6),
+            ).alias("conv"),
+        ) for i, s in enumerate(steps)
+    ])
+    return totals.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: each series' cohort is the calendar day of its
+    first event; report, per (cohort_day, day offset), how many series
+    of that cohort were active (>= 1 event) that day, plus the retention
+    rate against the cohort's size (rounded to 6 decimals).
+
+    Output: cohort_day (date), offset_days, n_active, retention.
+    """
+    scols = [F.col(c) for c in series_cols]
+    w = Window.partitionBy(*scols)
+    staged = events.select(
+        *scols,
+        F.to_date(ts_col).alias("_day"),
+        F.to_date(F.min(ts_col).over(w)).alias("cohort_day"),
+    ).select(
+        *scols, "cohort_day",
+        F.datediff(F.col("_day"), F.col("cohort_day")).alias("offset_days"),
+    ).distinct()
+    active = staged.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).alias("n_active"))
+    w_cohort = Window.partitionBy("cohort_day")
+    # offset 0 contains every series of the cohort by construction
+    cohort_size = F.max(F.when(F.col("offset_days") == 0,
+                               F.col("n_active"))).over(w_cohort)
+    return active.select(
+        "cohort_day", "offset_days", "n_active",
+        F.round(F.col("n_active") / cohort_size, 6).alias("retention"),
+    )
