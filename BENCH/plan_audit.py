@@ -43,6 +43,7 @@ AUDIT = [
     "m4_1h", "rolling_zscore", "sax_w8_a4", "acf_4",
     "cusum_changepoint", "series_profile", "periodogram",
     "vocab_stats", "corpus_length_profile",
+    "event_transitions", "funnel_vcp", "cohort_retention",
 ]
 
 
