@@ -114,6 +114,19 @@ def test_funnel_simultaneous_counts_inclusive(spark):
     assert rows[2].n_series == 1
 
 
+def test_funnel_repeated_step_needs_second_event(spark):
+    # "view twice": one view must NOT satisfy both steps; two views do
+    pdf = pd.DataFrame({
+        "user_id": [1, 2, 2],
+        "ts": [BASE, BASE, BASE + dt.timedelta(seconds=5)],
+        "event_type": ["view", "view", "view"],
+        "event_id": [0, 1, 2],
+    })
+    rows = {r.step: r for r in funnel(
+        spark.createDataFrame(pdf), steps=["view", "view"]).collect()}
+    assert rows[1].n_series == 2 and rows[2].n_series == 1
+
+
 def test_funnel_single_step_raises(spark):
     with pytest.raises(ValueError, match="steps"):
         funnel(None, steps=["view"])

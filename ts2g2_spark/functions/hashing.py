@@ -28,10 +28,16 @@ def h64_py(s: str) -> int:
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapse
-    whitespace, strip non-alphanumerics (locale-free)."""
+    whitespace, strip non-alphanumerics (locale-free).
+
+    Whitespace is the EXPLICIT class [ \\t\\n\\f\\r] — RE2's ``\\s`` —
+    rather than Java's ``\\s`` (which additionally matches vertical tab
+    \\x0B), so every DuckDB oracle written with RE2 ``\\s`` tokenizes
+    identically even on \\x0B-bearing input."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+            F.regexp_replace(F.lower(c), "[^a-z0-9 \t\n\f\r]", ""),
+            "[ \t\n\f\r]+", " "
         )
     )

@@ -72,7 +72,10 @@ def funnel(
     """Ordered funnel conversion: a series completes step k when an
     event of type steps[k] occurs at ts >= the FIRST qualifying hit of
     step k-1 (inclusive — simultaneous timestamps count as in-order;
-    step hits use each step's earliest qualifying timestamp).
+    step hits use each step's earliest qualifying timestamp).  When
+    steps[k] repeats steps[k-1], the comparison is STRICT (ts >) so one
+    event can never satisfy both occurrences; repeated steps at the
+    exact same timestamp are therefore not counted as two hits.
 
     Output: step (1-based), step_name, n_series (series that reached
     the step), conv (n_series / step-1 reach, rounded to 6; 1.0 for the
@@ -92,8 +95,9 @@ def funnel(
     for i, s in enumerate(steps):
         cond = F.col("_t") == s
         if prev is not None:
-            cond = cond & F.col(prev).isNotNull() \
-                & (F.col("_ts") >= F.col(prev))
+            after = (F.col("_ts") > F.col(prev) if s == steps[i - 1]
+                     else F.col("_ts") >= F.col(prev))
+            cond = cond & F.col(prev).isNotNull() & after
         hit = f"_h{i}"
         df = df.withColumn(hit, F.min(F.when(cond, F.col("_ts"))).over(w))
         prev = hit

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -124,16 +124,15 @@ def cusum_changepoint(
         *scols, F.col(ts_col),
         F.row_number().over(wo).alias("_rn"),
         F.when(sd > 0, (v - m) / sd).alias("_z"),
-        F.count(F.lit(1)).over(wa).alias("_n"),
     )
     run = Window.partitionBy(*scols).orderBy("_rn") \
         .rowsBetween(Window.unboundedPreceding, 0)
     s6 = F.round(F.sum("_z").over(run), 6)
     scored = staged.select(
-        *scols, F.col(ts_col), "_rn", "_n", s6.alias("_s6"))
+        *scols, F.col(ts_col), "_rn", s6.alias("_s6"))
     argmax_key = F.struct(F.abs(F.col("_s6")), -F.col("_rn"))
     out = scored.groupBy(*series_cols).agg(
-        F.max("_n").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.max(F.abs(F.col("_s6"))).alias("max_abs_cusum"),
         F.max_by(F.col("_rn"), argmax_key).alias("cp_rn"),
         F.max_by(F.col(ts_col), argmax_key).alias("cp_ts"),
