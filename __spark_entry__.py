@@ -3553,6 +3553,161 @@ from a
 """
 
 
+# ------------------------------------------------- graph metrics (r3)
+def _hvg_base_edges(spark, sf_dir):
+    from ts2g2_spark.operators import graphs
+
+    return graphs.visibility_edges(
+        _event_series(spark, sf_dir), kind="horizontal")
+
+
+def q_graph_summary_hvg(spark, sf_dir):
+    """Per-series graph summary (node/edge counts, density, degree
+    stats) of the HVG — the relational form of the nx.Graph summaries
+    the reference leaves to callers after to_graph (core/model.py:433
+    materializes the whole graph object to read one metric)."""
+    from ts2g2_spark.operators import graphmetrics
+
+    return graphmetrics.graph_summary(_hvg_base_edges(spark, sf_dir)).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "n_nodes", "n_edges", "density", "max_degree", "avg_degree")
+
+
+def q_clustering_hvg(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient of the
+    HVG via the index-ordered wedge join (no per-graph adjacency)."""
+    from ts2g2_spark.operators import graphmetrics
+
+    return graphmetrics.clustering_coefficients(
+        _hvg_base_edges(spark, sf_dir)
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "node", "degree", "triangles", "lcc")
+
+
+def q_pagerank_hvg(spark, sf_dir):
+    """Fixed-iteration PageRank (5 rounds, d=0.85) over the HVG as
+    relational power iteration; ranks rounded to 9 dp each round so the
+    unrolled SQL oracle replays the identical trajectory."""
+    from ts2g2_spark.operators import graphmetrics
+
+    return graphmetrics.pagerank(
+        _hvg_base_edges(spark, sf_dir), iters=5, damping=0.85, round_dp=9
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "node", F.col("rank").alias("pr"))
+
+
+# Shared metric CTEs: HVG base edges (same n^3 membership predicate as
+# HVG_SQL's base half) + per-node degrees.  `materialized` pins DuckDB to
+# compute the O(n^3) edge CTE once even though downstream references it
+# several times.
+_HVG_METRIC_CTES = f"""
+with {_PTS_CTE},
+hvg as materialized (
+  select a.user_id, a.pos as src, b.pos as dst
+  from pts a join pts b
+    on a.user_id = b.user_id and b.pos > a.pos
+  where not exists (
+    select 1 from pts m
+    where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+      and m.v > greatest(a.v, b.v)
+  )
+),
+deg as materialized (
+  select user_id, node, count(*)::BIGINT as degree
+  from (
+    select user_id, src as node from hvg
+    union all
+    select user_id, dst as node from hvg
+  ) ends
+  group by user_id, node
+)
+"""
+
+GRAPH_SUMMARY_SQL = f"""
+{_HVG_METRIC_CTES}
+select user_id,
+       count(*)::BIGINT as n_nodes,
+       cast(sum(degree) / 2 as bigint) as n_edges,
+       round(case when count(*) > 1
+             then (2.0 * cast(sum(degree) / 2 as bigint))
+                  / (count(*) * (count(*) - 1))
+             else 0.0 end, 9) as density,
+       max(degree) as max_degree,
+       round(cast(sum(degree) as double) / count(*), 9) as avg_degree
+from deg group by user_id
+"""
+
+CLUSTERING_SQL = f"""
+{_HVG_METRIC_CTES},
+tri as materialized (
+  select e1.user_id, e1.src as a, e1.dst as b, e2.dst as c
+  from hvg e1
+  join hvg e2 on e2.user_id = e1.user_id and e2.src = e1.dst
+  join hvg e3 on e3.user_id = e1.user_id
+             and e3.src = e1.src and e3.dst = e2.dst
+),
+tcnt as (
+  select user_id, node, count(*)::BIGINT as triangles
+  from (
+    select user_id, a as node from tri
+    union all select user_id, b as node from tri
+    union all select user_id, c as node from tri
+  ) corners
+  group by user_id, node
+)
+select d.user_id, d.node, d.degree,
+       coalesce(t.triangles, 0)::BIGINT as triangles,
+       round(case when d.degree > 1
+             then 2.0 * coalesce(t.triangles, 0)
+                  / (d.degree * (d.degree - 1))
+             else 0.0 end, 9) as lcc
+from deg d
+left join tcnt t on t.user_id = d.user_id and t.node = d.node
+"""
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85, dp: int = 9) -> str:
+    """Unrolled power-iteration oracle: one CTE per iteration with the
+    SAME per-iteration 9-dp rounding as the engine, so order-dependent
+    float summation differences die at each round on both sides.  The
+    teleport constant is emitted as repr(1.0 - damping) — the exact
+    double the engine folds at plan-build time."""
+    parts = [f"""r0 as materialized (
+  select d.user_id, d.node, round(1.0 / nn.n, {dp}) as pr
+  from deg d join nn on nn.user_id = d.user_id
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f"""r{k} as materialized (
+  select s.user_id, s.v as node,
+         round({(1.0 - damping)!r} / max(nn.n)
+               + {damping!r} * sum(p.pr / d.degree), {dp}) as pr
+  from sym s
+  join r{k - 1} p on p.user_id = s.user_id and p.node = s.u
+  join deg d on d.user_id = s.user_id and d.node = s.u
+  join nn on nn.user_id = s.user_id
+  group by s.user_id, s.v
+)""")
+    body = ",\n".join(parts)
+    return f"""
+{_HVG_METRIC_CTES},
+sym as materialized (
+  select user_id, src as u, dst as v from hvg
+  union all
+  select user_id, dst as u, src as v from hvg
+),
+nn as materialized (
+  select user_id, count(*)::BIGINT as n from deg group by user_id
+),
+{body}
+select user_id, node, pr from r{iters}
+"""
+
+
+PAGERANK_SQL = _pagerank_sql(iters=5, damping=0.85, dp=9)
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -3724,6 +3879,10 @@ _RAW_QUERIES = {
         "event_transitions": q_event_transitions,
         "funnel_vcp": q_funnel_vcp,
         "cohort_retention": q_cohort_retention,
+        # round-3 session-4 additions (oracled; below the prefix)
+        "graph_summary_hvg": q_graph_summary_hvg,
+        "clustering_hvg": q_clustering_hvg,
+        "pagerank_hvg": q_pagerank_hvg,
     }
 
 
@@ -3824,4 +3983,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": TRANSITIONS_SQL,
         "funnel_vcp": FUNNEL_SQL,
         "cohort_retention": COHORT_SQL,
+        "graph_summary_hvg": GRAPH_SUMMARY_SQL,
+        "clustering_hvg": CLUSTERING_SQL,
+        "pagerank_hvg": PAGERANK_SQL,
     }

@@ -1,0 +1,231 @@
+"""Graph-metric operators over ts2g2 edge frames (degree statistics,
+triangle counting / local clustering, fixed-iteration PageRank).
+
+The reference materializes every series graph as an in-memory networkx
+object and leaves metric extraction to the caller (core/model.py:433 is
+the only built-in: eigenvector centrality).  These operators provide the
+standard graph summaries RELATIONALLY over the (series_key, src, dst)
+edge frame the visibility/ordinal/quantile strategies emit, so metrics
+for millions of per-series graphs run as a handful of equi-keyed joins
+and partial aggregates — no per-graph object materialization:
+
+  * `degrees` / `graph_summary` — one shuffle on (series_key, node),
+    then a per-series aggregate.
+  * `triangle_counts` / `clustering_coefficients` — the classic
+    index-ordered wedge join: edges canonicalized to a < b, wedges
+    (a<b<c) built by one self-equi-join on the middle node, closed by a
+    second equi-join.  Each triangle is generated exactly once; the
+    wedge fan-out per middle node is (#lower neighbors x #higher
+    neighbors), bounded by the per-series segment length for ts2g2
+    graphs (degree-ordered orientation is the drop-in fix if a caller
+    feeds one huge skewed graph).
+  * `pagerank` — relational power iteration with a FIXED iteration
+    count; per-iteration ranks are rounded to `round_dp` decimals so the
+    result is a deterministic cross-engine contract (the SQL oracle
+    replays the identical unrolled iterations; order-dependent float
+    summation differences die at each rounding step instead of
+    accumulating).
+
+All operators treat the edge frame as UNDIRECTED and ignore self-loops
+and duplicate/reversed duplicates (canonicalize + distinct first), which
+matches how the reference's strategies populate nx.Graph (parallel edge
+inserts collapse, to_graph/strategies.py:541).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set: (series_key, a < b), self-loops dropped,
+    duplicates (either orientation) collapsed.  One shuffle (distinct)."""
+    return (
+        edges.select(
+            "series_key",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree: (series_key, node, degree).  Partial-agg'd count
+    over the exploded endpoint stream — one shuffle keyed on
+    (series_key, node)."""
+    e = canonical_edges(edges)
+    ends = e.select("series_key", F.col("a").alias("node")).unionByName(
+        e.select("series_key", F.col("b").alias("node"))
+    )
+    return ends.groupBy("series_key", "node").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """Per-series graph summary: node/edge counts, density, degree
+    stats.  Built from the `degrees` shuffle plus one tiny per-series
+    aggregate (n_edges = sum(degree)/2 — rides the same pass instead of
+    re-scanning the edge frame)."""
+    d = degrees(edges)
+    n = F.count(F.lit(1)).cast("long")
+    m = (F.sum("degree") / 2).cast("long")
+    return d.groupBy("series_key").agg(
+        n.alias("n_nodes"),
+        m.alias("n_edges"),
+        F.round(
+            F.when(n > 1, (2.0 * m) / (n * (n - F.lit(1)))).otherwise(0.0),
+            9,
+        ).alias("density"),
+        F.max("degree").alias("max_degree"),
+        # sum(degree)/n instead of avg(): the division operands are exact
+        # integers, so both engines produce the identical double
+        F.round(F.sum("degree") / n, 9).alias("avg_degree"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts: (series_key, node,
+    triangles).  Nodes in no triangle are absent (join back via
+    `clustering_coefficients` for the dense form).
+
+    Wedge join on the middle node under the a<b<c total order, closed by
+    an equi-join on the (low, high) endpoints — every triangle appears
+    exactly once, and both joins are plain equi-joins the optimizer can
+    shuffle-hash.  No graph object, no adjacency matrix."""
+    e = canonical_edges(edges)
+    e2 = e.select(
+        "series_key", F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    e3 = e.select(
+        F.col("series_key").alias("k3"),
+        F.col("a").alias("ca"),
+        F.col("b").alias("cb"),
+    )
+    tri = (
+        e.join(e2, ["series_key", "b"])
+        .join(
+            e3,
+            (F.col("k3") == F.col("series_key"))
+            & (F.col("ca") == F.col("a"))
+            & (F.col("cb") == F.col("c")),
+        )
+        .select("series_key", "a", "b", "c")
+    )
+    corners = (
+        tri.select("series_key", F.col("a").alias("node"))
+        .unionByName(tri.select("series_key", F.col("b").alias("node")))
+        .unionByName(tri.select("series_key", F.col("c").alias("node")))
+    )
+    return corners.groupBy("series_key", "node").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: (series_key, node, degree,
+    triangles, lcc) with lcc = 2T / (d (d-1)), 0.0 for degree < 2
+    (networkx convention).  Left join of the triangle counts onto the
+    degree frame — both sides already keyed on (series_key, node), and
+    the triangle side is the smaller one."""
+    d = degrees(edges)
+    t = triangle_counts(edges)
+    tri = F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    deg = F.col("degree")
+    return d.join(t, ["series_key", "node"], "left").select(
+        "series_key",
+        "node",
+        "degree",
+        tri,
+        F.round(
+            F.when(
+                deg > 1,
+                2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+                / (deg * (deg - F.lit(1))),
+            ).otherwise(0.0),
+            9,
+        ).alias("lcc"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    checkpoint_every: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank per series graph: (series_key, node,
+    rank).  Relational power iteration —
+
+        r_{k+1}(v) = round((1-d)/n + d * sum_{u~v} r_k(u)/deg(u), dp)
+
+    over the symmetrized edge list.  Each iteration is one shuffle-join
+    of the rank frame against the (cached) adjacency plus one partial
+    aggregate on the destination key; lineage depth grows linearly in
+    `iters` (a fixed small constant), and the adjacency/degree frames
+    are cached because every iteration re-reads them.  Undirected graphs
+    whose nodes all come from edges have deg >= 1, so there is no
+    dangling-mass term.
+
+    DETERMINISM CONTRACT: ranks are rounded to `round_dp` decimals at
+    EVERY iteration (not just the last), so order-dependent float
+    summation differences between engines cannot accumulate — the SQL
+    oracle unrolls the same iterations with the same per-iteration
+    rounding and hash-matches.  The operator caches (lazy) and — for
+    iters below `checkpoint_every` — takes no action at construction;
+    longer runs localCheckpoint the rank frame every `checkpoint_every`
+    iterations (EAGER, so construction runs jobs then, like
+    `dedup.connected_components`) because a join plan tens of
+    iterations deep otherwise exhausts task memory in one stage."""
+    e = canonical_edges(edges)
+    sym = (
+        e.select("series_key", F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            e.select(
+                "series_key", F.col("b").alias("u"), F.col("a").alias("v")
+            )
+        )
+    )
+    deg = sym.groupBy("series_key", F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    nn = deg.groupBy("series_key").agg(F.count(F.lit(1)).alias("n"))
+    nodes = deg.join(nn, "series_key").cache()
+    adj = sym.cache()
+
+    ranks = nodes.select(
+        "series_key",
+        "node",
+        F.round(1.0 / F.col("n"), round_dp).alias("rank"),
+    )
+    for it in range(iters):
+        if it and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        contrib = (
+            adj.join(
+                ranks.join(
+                    nodes.select("series_key", "node", "degree"),
+                    ["series_key", "node"],
+                ).select(
+                    "series_key",
+                    F.col("node").alias("u"),
+                    (F.col("rank") / F.col("degree")).alias("share"),
+                ),
+                ["series_key", "u"],
+            )
+            .groupBy("series_key", F.col("v").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = contrib.join(nn, "series_key").select(
+            "series_key",
+            "node",
+            F.round(
+                (1.0 - damping) / F.col("n") + damping * F.col("inflow"),
+                round_dp,
+            ).alias("rank"),
+        )
+    return ranks
