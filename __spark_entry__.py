@@ -3553,6 +3553,65 @@ from a
 """
 
 
+# ----------------------------------------- seasonal decomposition (r3)
+def q_seasonal_decompose_24(spark, sf_dir):
+    """Classical additive decomposition (trend = centered 2x24-MA,
+    per-phase seasonal means, residual) per user series — the
+    decomposition twin of link_seasonality (L1,
+    strategy_linking_multi_graphs.py:28-60 links by seasonal lag; this
+    emits the components themselves).  All components rounded to 9 dp at
+    each derivation step so the oracle's float sums cannot diverge."""
+    from ts2g2_spark.operators.seriesstats import seasonal_decompose
+
+    return seasonal_decompose(
+        _events(spark, sf_dir), period=24, series_cols=["user_id"],
+        order_col="event_id")
+
+
+SEASONAL_DECOMP_SQL = """
+with base as (
+  select user_id, ts,
+         row_number() over (partition by user_id order by ts, event_id)
+           - 1 as pos,
+         value
+  from events
+),
+st as materialized (
+  -- trend stays RAW here; only output columns are rounded (see the
+  -- operator's rounding contract: rounded intermediates land on exact
+  -- .5e-9 boundaries where the two engines' rounding modes disagree)
+  select user_id, ts, pos, value,
+         case when count(value) over w = 25
+              then (sum(value) over w
+                    - 0.5 * (lag(value, 12) over wo
+                             + lead(value, 12) over wo)) / 24
+              end as trend_raw,
+         pos % 24 as phase
+  from base
+  window w as (partition by user_id order by pos
+               rows between 12 preceding and 12 following),
+         wo as (partition by user_id order by pos)
+),
+pm as (
+  select user_id, phase, avg(value - trend_raw) as m
+  from st group by user_id, phase
+),
+se as (
+  -- +1e-13 nudge: phase means can terminate EXACTLY on a .5e-9 half
+  -- (dyadic denominators from fixed-decimal inputs); the nudge pushes
+  -- both engines past the boundary together (see the operator docstring)
+  select user_id, phase,
+         round(m - avg(m) over (partition by user_id) + 1e-13, 9)
+           as seasonal
+  from pm
+)
+select s.user_id, s.pos, s.ts, s.value,
+       round(s.trend_raw, 9) as trend, se.seasonal,
+       round(s.value - s.trend_raw - se.seasonal, 9) as resid
+from st s join se on se.user_id = s.user_id and se.phase = s.phase
+"""
+
+
 # ------------------------------------------------- graph metrics (r3)
 def _hvg_base_edges(spark, sf_dir):
     from ts2g2_spark.operators import graphs
@@ -3883,6 +3942,7 @@ _RAW_QUERIES = {
         "graph_summary_hvg": q_graph_summary_hvg,
         "clustering_hvg": q_clustering_hvg,
         "pagerank_hvg": q_pagerank_hvg,
+        "seasonal_decompose_24": q_seasonal_decompose_24,
     }
 
 
@@ -3986,4 +4046,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_summary_hvg": GRAPH_SUMMARY_SQL,
         "clustering_hvg": CLUSTERING_SQL,
         "pagerank_hvg": PAGERANK_SQL,
+        "seasonal_decompose_24": SEASONAL_DECOMP_SQL,
     }

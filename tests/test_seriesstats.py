@@ -164,3 +164,84 @@ def test_periodogram_matches_bruteforce(spark):
 def test_periodogram_bad_period_raises(spark):
     with pytest.raises(ValueError, match="period"):
         periodogram(None, periods=[1])
+
+
+def _decompose_model(x, period):
+    """The operator's documented contract (2xp-MA for even periods,
+    per-phase means of the detrended series, centered; intermediates
+    stay RAW doubles — only outputs are rounded)."""
+    n = len(x)
+    h = period // 2
+    trend = np.full(n, np.nan)
+    for t in range(n):
+        if t - h < 0 or t + h >= n:
+            continue
+        w = x[t - h:t + h + 1]
+        if period % 2 == 0:
+            trend[t] = (w.sum() - 0.5 * (w[0] + w[-1])) / period
+        else:
+            trend[t] = w.sum() / period
+    det = x - trend
+    pm = np.full(period, np.nan)
+    for ph in range(period):
+        d = det[ph::period]
+        d = d[~np.isnan(d)]
+        if len(d):
+            pm[ph] = float(d.mean())
+    seasonal = np.round(pm - np.nanmean(pm), 9)
+    return trend, seasonal
+
+
+def test_seasonal_decompose_matches_bruteforce(spark):
+    from ts2g2_spark.operators.seriesstats import seasonal_decompose
+
+    pdf = _events(seed=29)
+    got = {(r.user_id, r.pos): r for r in seasonal_decompose(
+        spark.createDataFrame(pdf), period=6,
+        order_col="event_id").collect()}
+    n_expected = 0
+    for u, x in _sorted_series(pdf):
+        trend, seasonal = _decompose_model(x, 6)
+        n_expected += len(x)
+        for t in range(len(x)):
+            r = got[(u, t)]
+            assert r.value == pytest.approx(x[t], abs=1e-12)
+            if np.isnan(trend[t]):
+                assert r.trend is None and r.resid is None, (u, t)
+            else:
+                assert r.trend == pytest.approx(trend[t], abs=1e-8), (u, t)
+                assert r.resid == pytest.approx(
+                    x[t] - trend[t] - seasonal[t % 6], abs=1e-8), (u, t)
+            if np.isnan(seasonal[t % 6]):
+                assert r.seasonal is None
+            else:
+                assert r.seasonal == pytest.approx(
+                    seasonal[t % 6], abs=1e-8), (u, t)
+    assert len(got) == n_expected
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    # pure seasonal square wave + linear trend: resid ~ 0 in the interior
+    per = 4
+    n = 40
+    base_vals = np.tile([1.0, -1.0, 2.0, -2.0], n // per)
+    x = base_vals + 0.5 * np.arange(n)
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts": [BASE + dt.timedelta(seconds=i) for i in range(n)],
+        "value": x,
+        "event_id": range(n),
+    })
+    from ts2g2_spark.operators.seriesstats import seasonal_decompose
+    rows = seasonal_decompose(
+        spark.createDataFrame(pdf), period=per,
+        order_col="event_id").collect()
+    for r in rows:
+        if r.trend is not None:
+            assert abs(r.resid) < 1e-6, r
+
+
+def test_seasonal_decompose_bad_period_raises(spark):
+    from ts2g2_spark.operators.seriesstats import seasonal_decompose
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(None, period=1)

@@ -98,6 +98,94 @@ def acf(
     )
 
 
+def seasonal_decompose(
+    points: DataFrame,
+    period: int,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series (the
+    statsmodels `seasonal_decompose` contract, index-positional):
+
+      trend    = centered moving average of width `period` (the 2xp-MA
+                 with half-weight endpoints when `period` is even);
+                 NULL where the full window does not exist (series ends)
+      seasonal = per-phase mean of (value - trend), centered so the
+                 seasonal component sums to ~0 over one period;
+                 phase = 0-based position mod period
+      resid    = value - trend - seasonal (NULL where trend is NULL)
+
+    Scale shape: one ordered-window pass on the series key computes the
+    position, frame sum, frame count, and the +-h endpoint lag/lead —
+    all on the same exchange; the per-(series, phase) seasonal means are
+    a partial-agg'd aggregate of that frame joined back on
+    (series, phase) — the join's right side is |series| x period rows,
+    broadcast-sized.
+
+    ROUNDING CONTRACT: only the OUTPUT columns are rounded (to
+    `round_dp`); every intermediate stays a raw double, and the seasonal
+    component gets a +1e-13 nudge before its round.  Why: with
+    fixed-decimal inputs, value - trend is a rational with denominator
+    2^a*3^b*5^c, and the phase-mean arithmetic can produce decimals that
+    terminate EXACTLY on a .5e-9 half (e.g. -31.2155078125, denominator
+    2^12) — there Spark's exact-decimal HALF_UP and a float engine's
+    approximation round to different sides.  The nudge moves structural
+    halves decisively past the boundary on both engines (1e-13 is ~7
+    ulps at magnitude ~100, far above the ~1e-14 cross-engine summation
+    noise, far below the 1e-9 output grid); trend and resid cannot
+    structurally land on halves (their terminating expansions stop
+    before the half digit), so they are rounded plainly.
+
+    Output: series cols + pos, ts, value, trend, seasonal, resid.
+    """
+    if period < 2:
+        raise ValueError(f"seasonal_decompose: period must be >= 2, "
+                         f"got {period}")
+    scols, wo, wa = _series_windows(series_cols, ts_col, order_col)
+    v = F.col(val_col)
+    h = period // 2
+    frame = wo.rowsBetween(-h, h)
+    even = period % 2 == 0
+    s = F.sum(v).over(frame)
+    cnt = F.count(v).over(frame)
+    if even:
+        # 2xp-MA: half weight on the two endpoints of the (p+1)-row frame
+        ma = (s - 0.5 * (F.lag(v, h).over(wo) + F.lead(v, h).over(wo))) \
+            / period
+        full = cnt == (period + 1)
+    else:
+        ma = s / period
+        full = cnt == period
+    staged = points.select(
+        *scols,
+        (F.row_number().over(wo) - 1).alias("pos"),
+        F.col(ts_col),
+        v.alias("value"),
+        F.when(full, ma).alias("_trend"),
+    ).withColumn("phase", F.col("pos") % period)
+    phase_means = staged.groupBy(*series_cols, "phase").agg(
+        F.avg(F.col("value") - F.col("_trend")).alias("_pm"))
+    centered = phase_means.withColumn(
+        "_seasonal",
+        F.round(
+            F.col("_pm")
+            - F.avg("_pm").over(Window.partitionBy(*scols))
+            + F.lit(1e-13),
+            round_dp),
+    ).drop("_pm")
+    out = staged.join(F.broadcast(centered), [*series_cols, "phase"])
+    return out.select(
+        *series_cols, "pos", F.col(ts_col), "value",
+        F.round(F.col("_trend"), round_dp).alias("trend"),
+        F.col("_seasonal").alias("seasonal"),
+        F.round(F.col("value") - F.col("_trend") - F.col("_seasonal"),
+                round_dp).alias("resid"),
+    )
+
+
 def cusum_changepoint(
     points: DataFrame,
     series_cols: list[str] = ("user_id",),
