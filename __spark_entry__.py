@@ -3612,6 +3612,132 @@ from st s join se on se.user_id = s.user_id and se.phase = s.phase
 """
 
 
+# --------------------------------- session / downsample / smoothing (r3)
+def q_session_stats_6h(spark, sf_dir):
+    """Per-session rollup of the 6h-gap sessionization (the per-session
+    twin of sessionize_30m's per-user counts): start/end/duration/size
+    of every session."""
+    from ts2g2_spark.operators.eventseq import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_s=6 * 3600,
+                      order_col="event_id")
+
+
+SESSION_STATS_SQL = """
+with o as (
+  select user_id, ts, event_id, epoch_us(ts) as us,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over wo is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over wo
+                    > 21600000000
+              then 1 else 0 end as ns
+  from events
+  window wo as (partition by user_id order by ts, event_id)
+),
+s as (
+  select user_id, ts, us,
+         sum(ns) over (partition by user_id order by ts, event_id
+                       rows unbounded preceding) as session_id
+  from o
+)
+select user_id, session_id::BIGINT as session_id,
+       min(ts) as start_ts, max(ts) as end_ts,
+       count(*) as n_events, (max(us) - min(us))::BIGINT as duration_us
+from s group by 1, 2
+"""
+
+
+def q_lttb_48(spark, sf_dir):
+    """Parallel LTTB downsample of each user's series to 48 points —
+    the visually-lossy twin of m4_1h (which is per-bucket lossless)."""
+    from ts2g2_spark.operators.summarize import lttb_downsample
+
+    return lttb_downsample(_events(spark, sf_dir), n_out=48,
+                           order_col="event_id")
+
+
+LTTB_SQL = """
+with base as (
+  select user_id, ts, value,
+         row_number() over wo - 1 as pos,
+         count(*) over (partition by user_id) as n
+  from events
+  window wo as (partition by user_id order by ts, event_id)
+),
+b as (
+  -- bucket assignment floors the IEEE double division, identical to the
+  -- engine's F.floor(long / long); endpoints pin to buckets 0 / 47
+  select *, case when n <= 48 then pos
+                 when pos = 0 then 0
+                 when pos = n - 1 then 47
+                 else 1 + floor(((pos - 1) * 46) / (n - 2))::BIGINT
+            end as bucket
+  from base
+),
+m as (
+  select user_id, bucket, avg(pos) as mx, avg(value) as my
+  from b group by 1, 2
+),
+a as (
+  select user_id, bucket,
+         lag(mx) over wb as ax, lag(my) over wb as ay,
+         lead(mx) over wb as cx, lead(my) over wb as cy
+  from m
+  window wb as (partition by user_id order by bucket)
+),
+j as (
+  select b.user_id, b.bucket, b.pos, b.ts, b.value,
+         case when b.n > 48 and a.ax is not null and a.cx is not null
+              then round(abs((a.ax - a.cx) * (b.value - a.ay)
+                             - (a.ax - b.pos) * (a.cy - a.ay)) / 2
+                         + 1e-10, 9)
+         end as area
+  from b join a on a.user_id = b.user_id and a.bucket = b.bucket
+)
+select user_id, bucket, pos, ts, value, area
+from j
+qualify row_number() over (partition by user_id, bucket
+                           order by area desc nulls last, pos) = 1
+"""
+
+
+def q_ewma_03(spark, sf_dir):
+    """Truncated-kernel EWMA (alpha=0.3, ~85 lags) per user series."""
+    from ts2g2_spark.operators.seriesstats import ewma
+
+    return ewma(_events(spark, sf_dir), alpha=0.3, order_col="event_id")
+
+
+def _ewma_sql(alpha: float, dp: int = 9) -> str:
+    """DuckDB twin of operators.seriesstats.ewma: the SAME weight
+    literals in the SAME left-fold order, so the double is bit-identical
+    before rounding (the operator's determinism contract)."""
+    from ts2g2_spark.operators.seriesstats import ewma_weights
+
+    weights, prefix = ewma_weights(alpha)
+    terms = [f"value * {weights[0]!r}"]
+    terms += [f"coalesce(lag(value, {j}) over wo, 0) * {weights[j]!r}"
+              for j in range(1, len(weights))]
+    num = "\n           + ".join(terms)
+    plist = ", ".join(repr(p) for p in prefix)
+    k = len(weights) - 1
+    return f"""
+with base as (
+  select user_id, ts, value,
+         row_number() over wo - 1 as pos,
+         ({num}) as num
+  from events
+  window wo as (partition by user_id order by ts, event_id)
+)
+select user_id, pos, ts, value,
+       round(num / list_extract([{plist}],
+                                (least(pos, {k}) + 1)::INT), {dp}) as ewma
+from base
+"""
+
+
+EWMA_SQL = _ewma_sql(0.3)
+
+
 # ------------------------------------------------- graph metrics (r3)
 def _hvg_base_edges(spark, sf_dir):
     from ts2g2_spark.operators import graphs
@@ -3943,6 +4069,9 @@ _RAW_QUERIES = {
         "clustering_hvg": q_clustering_hvg,
         "pagerank_hvg": q_pagerank_hvg,
         "seasonal_decompose_24": q_seasonal_decompose_24,
+        "session_stats_6h": q_session_stats_6h,
+        "lttb_48": q_lttb_48,
+        "ewma_03": q_ewma_03,
     }
 
 
@@ -4047,4 +4176,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_hvg": CLUSTERING_SQL,
         "pagerank_hvg": PAGERANK_SQL,
         "seasonal_decompose_24": SEASONAL_DECOMP_SQL,
+        "session_stats_6h": SESSION_STATS_SQL,
+        "lttb_48": LTTB_SQL,
+        "ewma_03": EWMA_SQL,
     }

@@ -146,3 +146,68 @@ def test_cohort_retention_matches_bruteforce(spark):
     for k, us in active.items():
         assert got[k][0] == len(us), k
         assert got[k][1] == pytest.approx(len(us) / sizes[k[0]], abs=2e-6)
+
+
+def _sessionize_oracle(pdf, gap_s):
+    out = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        sid = 0
+        prev = None
+        for _, r in g.iterrows():
+            if prev is None or (r["ts"] - prev).total_seconds() > gap_s:
+                sid += 1
+            key = (u, sid)
+            if key not in out:
+                out[key] = [r["ts"], r["ts"], 0]
+            out[key][1] = max(out[key][1], r["ts"])
+            out[key][2] += 1
+            prev = r["ts"]
+    return out
+
+
+def test_sessionize_matches_bruteforce(spark):
+    from ts2g2_spark.operators.eventseq import sessionize
+
+    pdf = _events(seed=47, n=600, n_keys=12)
+    gap = 6 * 3600
+    got = {(r.user_id, r.session_id): r for r in sessionize(
+        spark.createDataFrame(pdf), gap_s=gap,
+        order_col="event_id").collect()}
+    exp = _sessionize_oracle(pdf, gap)
+    assert set(got) == set(exp)
+    for k, (start, end, n) in exp.items():
+        r = got[k]
+        assert r.start_ts == start and r.end_ts == end, k
+        assert r.n_events == n, k
+        assert r.duration_us == int((end - start).total_seconds() * 1e6), k
+
+
+def test_sessionize_boundary_gap_stays_in_session(spark):
+    # gap of EXACTLY gap_s stays in-session (strict > splits)
+    from ts2g2_spark.operators.eventseq import sessionize
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": [BASE, BASE + dt.timedelta(seconds=60),
+               BASE + dt.timedelta(seconds=121)],
+        "event_type": ["view"] * 3,
+        "event_id": [0, 1, 2],
+    })
+    rows = sorted(sessionize(spark.createDataFrame(pdf), gap_s=60,
+                             order_col="event_id").collect(),
+                  key=lambda r: r.session_id)
+    assert [r.n_events for r in rows] == [2, 1]
+    assert rows[0].duration_us == 60_000_000
+
+
+def test_sessionize_single_event_and_bad_gap(spark):
+    from ts2g2_spark.operators.eventseq import sessionize
+
+    pdf = pd.DataFrame({"user_id": [9], "ts": [BASE],
+                        "event_type": ["view"], "event_id": [0]})
+    rows = sessionize(spark.createDataFrame(pdf), gap_s=60).collect()
+    assert len(rows) == 1 and rows[0].session_id == 1
+    assert rows[0].n_events == 1 and rows[0].duration_us == 0
+    with pytest.raises(ValueError, match="gap_s"):
+        sessionize(None, gap_s=0)

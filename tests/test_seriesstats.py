@@ -245,3 +245,46 @@ def test_seasonal_decompose_bad_period_raises(spark):
     from ts2g2_spark.operators.seriesstats import seasonal_decompose
     with pytest.raises(ValueError, match="period"):
         seasonal_decompose(None, period=1)
+
+
+def test_ewma_matches_pandas(spark):
+    from ts2g2_spark.operators.seriesstats import ewma
+
+    pdf = _events(seed=37)
+    got = {(r.user_id, r.pos): r.ewma for r in ewma(
+        spark.createDataFrame(pdf), alpha=0.3,
+        order_col="event_id").collect()}
+    for u, x in _sorted_series(pdf):
+        exp = pd.Series(x).ewm(alpha=0.3, adjust=True).mean().to_numpy()
+        for t in range(len(x)):
+            # truncated kernel vs pandas' full recursion: < 1e-13 rel
+            assert got[(u, t)] == pytest.approx(exp[t], abs=1e-8), (u, t)
+
+
+def test_ewma_first_point_and_validation(spark):
+    from ts2g2_spark.operators.seriesstats import ewma, ewma_weights
+
+    pdf = _events(seed=41)
+    rows = ewma(spark.createDataFrame(pdf), alpha=0.5,
+                order_col="event_id").collect()
+    for r in rows:
+        if r.pos == 0:
+            assert r.ewma == pytest.approx(r.value, abs=1e-9)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(None, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(None, alpha=1.5)
+    with pytest.raises(ValueError, match="max_lags"):
+        ewma_weights(alpha=1e-4)
+
+
+def test_ewma_weights_prefix_is_left_fold():
+    from ts2g2_spark.operators.seriesstats import ewma_weights
+
+    w, p = ewma_weights(0.3)
+    assert w[0] == 1.0 and len(w) == len(p)
+    acc = 0.0
+    for i, wi in enumerate(w):
+        acc = acc + wi
+        assert p[i] == acc  # bit-exact, not approx — the fold IS the spec
+    assert w[-1] < 1e-13 * (1 - 0.3) ** -1  # K is the first sub-tol lag

@@ -167,3 +167,98 @@ def test_sax_bad_alphabet_raises(spark):
                         "event_id": [0]})
     with pytest.raises(ValueError, match="alphabet"):
         sax_symbols(spark.createDataFrame(pdf), alphabet=9)
+
+
+def _lttb_oracle(pdf, n_out):
+    """The operator's documented parallel-LTTB contract."""
+    out = []
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        x = np.arange(n, dtype=float)
+        y = g["value"].to_numpy(dtype=float)
+        if n <= n_out:
+            for p in range(n):
+                out.append((u, p, p, g["ts"].iloc[p], y[p], None))
+            continue
+        bucket = np.empty(n, dtype=int)
+        bucket[0], bucket[-1] = 0, n_out - 1
+        for p in range(1, n - 1):
+            bucket[p] = 1 + int(np.floor((p - 1) * (n_out - 2) / (n - 2)))
+        mx = {b: x[bucket == b].mean() for b in range(n_out)}
+        my = {b: y[bucket == b].mean() for b in range(n_out)}
+        for b in range(n_out):
+            idx = np.where(bucket == b)[0]
+            if b == 0 or b == n_out - 1:
+                out.append((u, b, int(idx[0]), g["ts"].iloc[idx[0]],
+                            y[idx[0]], None))
+                continue
+            ax, ay = mx[b - 1], my[b - 1]
+            cx, cy = mx[b + 1], my[b + 1]
+            areas = np.round(
+                np.abs((ax - cx) * (y[idx] - ay)
+                       - (ax - x[idx]) * (cy - ay)) / 2 + 1e-10, 9)
+            best = idx[np.argmax(areas)]  # argmax: first max wins = min pos
+            out.append((u, b, int(best), g["ts"].iloc[best], y[best],
+                        float(areas[np.argmax(areas)])))
+    return out
+
+
+def test_lttb_matches_bruteforce(spark):
+    from ts2g2_spark.operators.summarize import lttb_downsample
+
+    pdf = _events(seed=13)
+    n_out = 12
+    got = {(r.user_id, r.bucket): r for r in lttb_downsample(
+        spark.createDataFrame(pdf), n_out=n_out,
+        order_col="event_id").collect()}
+    exp = _lttb_oracle(pdf, n_out)
+    assert len(got) == len(exp)
+    for (u, b, pos, ts, val, area) in exp:
+        r = got[(u, b)]
+        assert (r.pos, r.ts) == (pos, ts), (u, b)
+        assert r.value == pytest.approx(val, abs=1e-12)
+        if area is None:
+            assert r.area is None, (u, b)
+        else:
+            assert r.area == pytest.approx(area, abs=1e-8), (u, b)
+
+
+def test_lttb_keeps_whole_short_series_and_endpoints(spark):
+    from ts2g2_spark.operators.summarize import lttb_downsample
+
+    n = 50
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts": [BASE + dt.timedelta(seconds=i) for i in range(n)],
+        "value": np.sin(np.arange(n) / 3).round(3),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    rows = lttb_downsample(spark.createDataFrame(pdf), n_out=10,
+                           order_col="event_id").collect()
+    assert len(rows) == 10  # every bucket non-empty when n > n_out
+    poss = sorted(r.pos for r in rows)
+    assert poss[0] == 0 and poss[-1] == n - 1  # endpoints always kept
+    short = pdf.head(8)
+    rows = lttb_downsample(spark.createDataFrame(short), n_out=10,
+                           order_col="event_id").collect()
+    assert len(rows) == 8 and all(r.area is None for r in rows)
+
+
+def test_lttb_preserves_planted_spike(spark):
+    from ts2g2_spark.operators.summarize import lttb_downsample
+
+    n = 200
+    vals = np.zeros(n)
+    vals[137] = 50.0  # a spike the downsample must keep
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts": [BASE + dt.timedelta(seconds=i) for i in range(n)],
+        "value": vals,
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    rows = lttb_downsample(spark.createDataFrame(pdf), n_out=20,
+                           order_col="event_id").collect()
+    assert any(r.pos == 137 for r in rows)
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(None, n_out=2)

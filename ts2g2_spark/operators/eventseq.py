@@ -1,5 +1,6 @@
 """Event-sequence analytics over a (series, ts, type) stream: Markov
-transition matrices, ordered funnel conversion, and cohort retention.
+transition matrices, ordered funnel conversion, cohort retention, and
+gap-based sessionization.
 
 The transition matrix is the categorical-stream cousin of the
 reference's ordinal-partition transition graph (to_graph/strategies.py
@@ -20,6 +21,10 @@ Scale shapes (pure Catalyst):
   * cohort_retention: user-level min rides a window over the user key,
     then (cohort_day, offset) counts distinct users — both exchanges
     partial-aggregated.
+  * sessionize: lag + running sum ride ONE ordered window on the series
+    key; the per-session rollup groups on a strict refinement of that
+    key and partial-aggregates, so the second exchange carries one row
+    per session, never per event.
 """
 
 from __future__ import annotations
@@ -119,6 +124,57 @@ def funnel(
         ) for i, s in enumerate(steps)
     ])
     return totals.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: split each series' event stream into
+    sessions wherever the gap to the previous event exceeds `gap_s`
+    seconds (strictly — a gap of exactly `gap_s` stays in-session).
+    Session ids are 1-based per series in time order.
+
+    Timestamps compare in epoch MICROseconds (cast through TIMESTAMP
+    under the pinned-UTC session, same as m4_downsample) so sub-second
+    components participate in the gap test, and the reported duration is
+    exact — `duration_us` is end minus start in microseconds.
+
+    Output: series cols + session_id, start_ts, end_ts, n_events,
+    duration_us.
+
+    Scale shape: the lag and the running session counter ride ONE
+    ordered window on the series key; the per-session rollup groups on
+    (series, session_id) — a strict refinement of the same key — and
+    partial-aggregates, so its exchange carries one row per session.
+    """
+    if gap_s <= 0:
+        raise ValueError(f"sessionize: gap_s must be positive, got {gap_s}")
+    scols = [F.col(c) for c in series_cols]
+    wo = Window.partitionBy(*scols).orderBy(_okey(ts_col, order_col))
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_session = F.when(
+        (ts_us - F.lag(ts_us).over(wo)).isNull()
+        | (ts_us - F.lag(ts_us).over(wo) > gap_s * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    staged = events.select(
+        *scols,
+        F.col(ts_col).alias("_ts"),
+        ts_us.alias("_us"),
+        F.sum(new_session).over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    return staged.groupBy(*series_cols, "session_id").agg(
+        F.min("_ts").alias("start_ts"),
+        F.max("_ts").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+    )
 
 
 def cohort_retention(

@@ -186,6 +186,83 @@ def seasonal_decompose(
     )
 
 
+def ewma_weights(alpha: float, tol: float = 1e-13, max_lags: int = 512):
+    """The truncated EWMA kernel shared by the operator and any SQL
+    oracle: weights w_j = (1-alpha)^j for j = 0..K where K is the first
+    lag with w_K < tol (so the truncation error is below the output
+    rounding grid), plus the left-fold prefix sums used as the
+    normalizer.  Both lists are plain Python floats — embed them as
+    literals on BOTH engines so the two compute bit-identical folds.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"ewma: alpha must be in (0, 1), got {alpha}")
+    r = 1.0 - alpha
+    k = math.ceil(math.log(tol) / math.log(r))
+    if k > max_lags:
+        raise ValueError(
+            f"ewma: alpha={alpha} needs {k} lags to reach tol={tol} "
+            f"(> max_lags={max_lags}); raise tol or alpha")
+    weights = [r ** j for j in range(k + 1)]
+    prefix, acc = [], 0.0
+    for w in weights:
+        acc = acc + w  # left fold, matching the num expression's order
+        prefix.append(acc)
+    return weights, prefix
+
+
+def ewma(
+    points: DataFrame,
+    alpha: float,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Exponentially-weighted moving average per series (the pandas
+    `ewm(alpha, adjust=True).mean()` contract), computed as a TRUNCATED
+    weighted lag sum: y_t = sum_j w_j * x_{t-j} / sum_j w_j over
+    j = 0..min(t, K), with w_j = (1-alpha)^j and K the first lag where
+    w_K < 1e-13 — the dropped tail is below the `round_dp` output grid.
+
+    DETERMINISM CONTRACT: the truncated kernel, the literal weights, and
+    the LEFT-FOLD summation order are the spec — an oracle embedding the
+    same `ewma_weights()` literals in a left-associative `+` chain
+    computes the bit-identical double, so the rounded outputs match
+    hash-exactly with no tolerance games.  The normalizer comes from the
+    prefix-sum array literal (indexed at min(pos, K)), not a pow() call,
+    because libm pow differs across engines in the last ulp.
+
+    Output: series cols + pos, ts, value, ewma (rounded to `round_dp`).
+
+    Scale shape: ONE ordered window pass on the series key evaluates all
+    K+1 lag frames together (sort-based window operator, O(K) state per
+    task); no joins, no second exchange.  K is ~84 at alpha=0.3 and
+    grows as log(tol)/log(1-alpha) — bounded, and independent of series
+    length.  Assumes non-null values (lag-null means "before the series
+    start"); NULL inputs would be treated as 0 in the numerator but
+    still counted by the position-based normalizer.
+    """
+    weights, prefix = ewma_weights(alpha)
+    scols, wo, _ = _series_windows(series_cols, ts_col, order_col)
+    v = F.col(val_col).cast("double")
+    pos = F.row_number().over(wo) - 1
+    num = v * F.lit(weights[0])
+    for j in range(1, len(weights)):
+        num = num + (F.coalesce(F.lag(v, j).over(wo), F.lit(0.0))
+                     * F.lit(weights[j]))
+    den = F.element_at(
+        F.array(*[F.lit(p) for p in prefix]),
+        (F.least(pos, F.lit(len(weights) - 1)) + 1).cast("int"))
+    return points.select(
+        *scols,
+        pos.alias("pos"),
+        F.col(ts_col),
+        v.alias("value"),
+        F.round(num / den, round_dp).alias("ewma"),
+    )
+
+
 def cusum_changepoint(
     points: DataFrame,
     series_cols: list[str] = ("user_id",),

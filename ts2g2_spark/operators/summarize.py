@@ -1,10 +1,11 @@
 """Per-series summarization / downsampling operators (engine-native,
-SURVEY §2.7 family): M4 visualization downsampling, rolling z-score
-anomaly flags, and PAA/SAX symbolization.
+SURVEY §2.7 family): M4 visualization downsampling, parallel LTTB
+downsampling, rolling z-score anomaly flags, and PAA/SAX symbolization.
 
-All three are pure Catalyst (no Python crossings) and shuffle once on the
-series key (M4: one partial-agg'd hash aggregate; z-score/SAX: one
-ordered window; SAX adds a co-keyed segment aggregate) — the shapes a
+All are pure Catalyst (no Python crossings) and shuffle on the series
+key (M4: one partial-agg'd hash aggregate; z-score/SAX: one ordered
+window; SAX adds a co-keyed segment aggregate; LTTB adds a bucket-keyed
+join against a |series| x n_out aggregate) — the shapes a
 1000-executor cluster wants for 10^12-point inputs.
 
 SAX cites the reference's symbolization heritage: the quantile graph
@@ -94,6 +95,102 @@ def m4_downsample(
             F.max(val).alias("max_val"),
             F.max_by(ts, max_key).alias("max_ts"),
         )
+    )
+
+
+def lttb_downsample(
+    points: DataFrame,
+    n_out: int,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    the PARALLEL variant: both triangle anchors are the neighbouring
+    buckets' mean points instead of the previously-selected point, which
+    removes the sequential dependency so every bucket selects
+    independently — the form a partition-parallel engine wants.  (The
+    sequential original feeds the left anchor forward; on smooth series
+    the two pick near-identical points.)
+
+    Semantics: the first and last point of each series are always kept
+    (buckets 0 and n_out-1); interior points split into n_out-2
+    equal-count buckets by position; each interior bucket keeps the
+    point maximizing the triangle area against the previous and next
+    buckets' (mean pos, mean value) anchors.  Series with <= n_out
+    points are returned whole (bucket = pos).  The x axis is the 0-based
+    position, not wall time (index-positional, like the reference's
+    visibility kernels).
+
+    Determinism: the comparison key is the area rounded to `round_dp`
+    after a +1e-10 nudge (several ulps above cross-engine summation
+    noise for |area| up to ~1e6, far below the 0.5e-9 grid — the
+    seasonal_decompose rounding contract, rescaled), ties broken by the
+    EARLIEST position.  Bucket assignment floors an IEEE double division
+    — bit-identical in any engine.
+
+    Output: series cols + bucket, pos, ts, value, area (NULL for the
+    endpoint buckets and for kept-whole series).
+
+    Scale shape: pos/count ride ONE ordered window on the series key;
+    bucket means are a partial-agg'd refinement of that key
+    (|series| x n_out rows); the anchors are a lag/lead window over that
+    tiny aggregate; the join back is keyed on (series, bucket) and the
+    final top-1 is a per-bucket window — no all-pairs anywhere, state
+    per task O(points in its series).
+    """
+    if n_out < 3:
+        raise ValueError(f"lttb_downsample: n_out must be >= 3, got {n_out}")
+    scols = [F.col(c) for c in series_cols]
+    wo = Window.partitionBy(*scols).orderBy(_okey(ts_col, order_col))
+    wa = Window.partitionBy(*scols)
+    pos = F.row_number().over(wo) - 1
+    n = F.count(F.lit(1)).over(wa)
+    interior = 1 + F.floor(((pos - 1) * (n_out - 2)) / (n - 2))
+    bucket = (
+        F.when(n <= n_out, pos)
+        .when(pos == 0, F.lit(0))
+        .when(pos == n - 1, F.lit(n_out - 1))
+        .otherwise(interior)
+    ).cast("long")
+    staged = points.select(
+        *scols,
+        pos.alias("pos"),
+        F.col(ts_col),
+        F.col(val_col).cast("double").alias("value"),
+        bucket.alias("bucket"),
+        (n <= n_out).alias("_keep_all"),
+    )
+    means = staged.groupBy(*series_cols, "bucket").agg(
+        F.avg("pos").alias("_mx"), F.avg("value").alias("_my"))
+    wb = Window.partitionBy(*scols).orderBy("bucket")
+    anchors = means.select(
+        *series_cols, "bucket",
+        F.lag("_mx").over(wb).alias("_ax"),
+        F.lag("_my").over(wb).alias("_ay"),
+        F.lead("_mx").over(wb).alias("_cx"),
+        F.lead("_my").over(wb).alias("_cy"),
+    )
+    joined = staged.join(anchors, [*series_cols, "bucket"])
+    area2 = (
+        (F.col("_ax") - F.col("_cx")) * (F.col("value") - F.col("_ay"))
+        - (F.col("_ax") - F.col("pos")) * (F.col("_cy") - F.col("_ay"))
+    )
+    area = F.when(
+        ~F.col("_keep_all")
+        & F.col("_ax").isNotNull() & F.col("_cx").isNotNull(),
+        F.round(F.abs(area2) / 2 + F.lit(1e-10), round_dp),
+    )
+    wpick = Window.partitionBy(*scols, "bucket").orderBy(
+        F.col("_area").desc_nulls_last(), F.col("pos"))
+    return (
+        joined.withColumn("_area", area)
+        .withColumn("_rn", F.row_number().over(wpick))
+        .where(F.col("_rn") == 1)
+        .select(*series_cols, "bucket", "pos", F.col(ts_col), "value",
+                F.col("_area").alias("area"))
     )
 
 
