@@ -3738,6 +3738,92 @@ from base
 EWMA_SQL = _ewma_sql(0.3)
 
 
+def q_hampel_3(spark, sf_dir):
+    """Hampel robust outlier filter per user series (centered window of
+    7, exact sort-based median/MAD, 3-sigma via the 1.4826 consistency
+    constant) — the robust twin of zscore_w16."""
+    from ts2g2_spark.operators.seriesstats import hampel_filter
+
+    return hampel_filter(_events(spark, sf_dir), k=3, order_col="event_id")
+
+
+HAMPEL_SQL = """
+with base as (
+  select user_id, ts, value,
+         row_number() over wo - 1 as pos,
+         list(value) over (partition by user_id order by ts, event_id
+                           rows between 3 preceding and 3 following) as arr
+  from events
+  window wo as (partition by user_id order by ts, event_id)
+),
+m as (
+  select user_id, ts, value, pos, arr,
+         list_sort(arr) as s, len(arr) as n
+  from base
+),
+-- exact median = average of the two middle elements of the sorted
+-- window (index arithmetic only), the engine's _array_median formula
+m2 as (
+  select *, (s[((n+1)//2)::INT] + s[(n//2+1)::INT]) / 2 as med from m
+),
+d as (
+  select *, list_sort(list_transform(arr, x -> abs(x - med))) as ds from m2
+),
+f as (
+  select *, (ds[((n+1)//2)::INT] + ds[(n//2+1)::INT]) / 2 as mad from d
+)
+select user_id, pos, ts, value, round(med, 9) as med, round(mad, 9) as mad,
+       abs(value - med) > 3.0 * (1.4826 * mad) as is_outlier
+from f
+"""
+
+
+def q_sax_motifs_w4(spark, sf_dir):
+    """SAX motif mining: 4-segment words over the sax_w8_a4
+    symbolization, counted per (user, word) with the earliest start."""
+    from ts2g2_spark.operators.summarize import sax_motifs
+
+    return sax_motifs(_events(spark, sf_dir), word_len=4,
+                      order_col="event_id")
+
+
+SAX_MOTIFS_SQL = """
+with o as (
+  select user_id, value,
+         row_number() over (partition by user_id
+                            order by ts, event_id) rn,
+         avg(value) over (partition by user_id) m,
+         stddev_samp(value) over (partition by user_id) sd
+  from events
+),
+z as (
+  select user_id, (rn - 1) // 8 as seg,
+         case when sd > 0 then (value - m) / sd else 0.0 end as z
+  from o
+),
+sym as (
+  select user_id, seg,
+         case when avg(z) < -0.6744897501960817 then 'a'
+              when avg(z) < 0.0 then 'b'
+              when avg(z) < 0.6744897501960817 then 'c'
+              else 'd' end as symbol
+  from z group by user_id, seg
+),
+words as (
+  -- || with a NULL lead yields NULL: words running off the end drop
+  select user_id, seg,
+         symbol || lead(symbol, 1) over ws || lead(symbol, 2) over ws
+                || lead(symbol, 3) over ws as word
+  from sym
+  window ws as (partition by user_id order by seg)
+)
+select user_id, word, count(*)::BIGINT as n_occurrences,
+       min(seg) as first_seg
+from words where word is not null
+group by user_id, word
+"""
+
+
 # ------------------------------------------------- graph metrics (r3)
 def _hvg_base_edges(spark, sf_dir):
     from ts2g2_spark.operators import graphs
@@ -4072,6 +4158,8 @@ _RAW_QUERIES = {
         "session_stats_6h": q_session_stats_6h,
         "lttb_48": q_lttb_48,
         "ewma_03": q_ewma_03,
+        "hampel_3": q_hampel_3,
+        "sax_motifs_w4": q_sax_motifs_w4,
     }
 
 
@@ -4179,4 +4267,6 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_6h": SESSION_STATS_SQL,
         "lttb_48": LTTB_SQL,
         "ewma_03": EWMA_SQL,
+        "hampel_3": HAMPEL_SQL,
+        "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

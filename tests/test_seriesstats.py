@@ -288,3 +288,56 @@ def test_ewma_weights_prefix_is_left_fold():
         acc = acc + wi
         assert p[i] == acc  # bit-exact, not approx — the fold IS the spec
     assert w[-1] < 1e-13 * (1 - 0.3) ** -1  # K is the first sub-tol lag
+
+
+def _hampel_oracle(x, k, n_sigmas=3.0):
+    """Brute-force Hampel: exact median via sort + two-middle average."""
+    def med(a):
+        s = np.sort(a)
+        n = len(s)
+        return (s[(n + 1) // 2 - 1] + s[n // 2]) / 2
+    out = []
+    for t in range(len(x)):
+        w = x[max(0, t - k): t + k + 1]
+        m = med(w)
+        mad = med(np.abs(w - m))
+        out.append((m, mad, abs(x[t] - m) > n_sigmas * (1.4826 * mad)))
+    return out
+
+
+def test_hampel_matches_bruteforce(spark):
+    from ts2g2_spark.operators.seriesstats import hampel_filter
+
+    pdf = _events(seed=53)
+    got = {(r.user_id, r.pos): r for r in hampel_filter(
+        spark.createDataFrame(pdf), k=3,
+        order_col="event_id").collect()}
+    for u, x in _sorted_series(pdf):
+        for t, (m, mad, flag) in enumerate(_hampel_oracle(x, k=3)):
+            r = got[(u, t)]
+            assert r.med == pytest.approx(m, abs=1e-9), (u, t)
+            assert r.mad == pytest.approx(mad, abs=1e-9), (u, t)
+            assert r.is_outlier == flag, (u, t)
+
+
+def test_hampel_flags_spike_zscore_misses(spark):
+    # the robustness point: a huge spike inflates rolling mean/std but
+    # not the window median/MAD
+    from ts2g2_spark.operators.seriesstats import hampel_filter
+
+    n = 40
+    vals = np.sin(np.arange(n) / 2).round(3)
+    vals[20] = 500.0
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts": [BASE + dt.timedelta(seconds=i) for i in range(n)],
+        "value": vals,
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    rows = hampel_filter(spark.createDataFrame(pdf), k=3,
+                         order_col="event_id").collect()
+    flagged = {r.pos for r in rows if r.is_outlier}
+    assert 20 in flagged
+    assert not flagged & {17, 18, 19, 21, 22, 23}  # neighbours survive
+    with pytest.raises(ValueError, match="k must be"):
+        hampel_filter(None, k=0)

@@ -289,3 +289,56 @@ def test_streaming_clean_matches_batch_gates(spark, tmp_path):
     got2 = spark.read.parquet(out_dir)
     assert got2.count() == len(good) + 1
     assert {r["doc_id"] for r in got2.collect()} >= {30}
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    from ts2g2_spark.operators.eventseq import sessionize
+
+    in_dir = str(tmp_path / "sess_in")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(in_dir)
+
+    def mk_events(lo, hi, base=1704067200):
+        # scrambled offsets on a 37s grid: per-user sorted gaps are
+        # multiples of 37 (mix of < and > the 120s threshold), and 120
+        # is NOT a multiple of 37, so the half-open boundary divergence
+        # (see streaming_sessionize docstring) cannot bite
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                base + ((F.col("id") * 7919) % 2700) * 37).alias("ts"),
+            (F.col("id") % 5).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.col("id").cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    # ONE file per drain: the file source's watermark advances between
+    # micro-batches, and ts is scrambled across ids, so a multi-file
+    # batch would drop rows older than a prior micro-batch's watermark
+    mk_events(0, 400).coalesce(1).write.mode("append").parquet(in_dir)
+    sess = ingest.streaming_sessionize(
+        ingest.stream_events(spark, in_dir), gap_s=120)
+    ingest.run_available_now(sess, out_dir, ckpt)
+    # push the watermark past every first-batch session, then drain again
+    mk_events(100000, 100010, base=1704067200 + 500_000).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_sessionize(
+            ingest.stream_events(spark, in_dir), gap_s=120),
+        out_dir, ckpt)
+
+    # batch-2's own early-ending sessions also finalize in the second
+    # drain (the watermark passes them) — compare the batch-1 range only
+    got = spark.read.parquet(out_dir).where(
+        F.col("start_ts") < F.timestamp_seconds(F.lit(1704067200 + 500_000)))
+    want = sessionize(mk_events(0, 400), gap_s=120,
+                      order_col="event_id")
+    cols = ["user_id", "start_ts", "end_ts", "n_events", "duration_us"]
+    w = want.select(F.col("user_id"), F.col("start_ts"),
+                    F.col("end_ts"), F.col("n_events"),
+                    F.col("duration_us"))
+    assert got.count() == w.count() > 0
+    assert got.select(*cols).exceptAll(w).count() == 0
+    assert w.exceptAll(got.select(*cols)).count() == 0

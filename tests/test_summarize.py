@@ -262,3 +262,47 @@ def test_lttb_preserves_planted_spike(spark):
     assert any(r.pos == 137 for r in rows)
     with pytest.raises(ValueError, match="n_out"):
         lttb_downsample(None, n_out=2)
+
+
+def test_sax_motifs_match_bruteforce(spark):
+    from ts2g2_spark.operators.summarize import sax_motifs, sax_symbols
+
+    pdf = _events(seed=61)
+    sdf = spark.createDataFrame(pdf)
+    # oracle: slide a word over the (already-tested) sax_symbols output
+    syms = {}
+    for r in sax_symbols(sdf, order_col="event_id",
+                         seg_len=4).collect():
+        syms.setdefault(r.user_id, {})[r.seg] = r.symbol
+    w = 3
+    exp = {}
+    for u, d in syms.items():
+        s = "".join(d[i] for i in range(len(d)))
+        for i in range(len(s) - w + 1):
+            key = (u, s[i:i + w])
+            cnt, first = exp.get(key, (0, i))
+            exp[key] = (cnt + 1, min(first, i))
+    got = {(r.user_id, r.word): (r.n_occurrences, r.first_seg)
+           for r in sax_motifs(sdf, word_len=w, order_col="event_id",
+                               seg_len=4).collect()}
+    assert got == exp
+
+
+def test_sax_motifs_finds_repeated_pattern(spark):
+    from ts2g2_spark.operators.summarize import sax_motifs
+
+    # a clean period-16 sine: with seg_len=4 every period emits the same
+    # 4-segment word, so the top motif must recur ~n/16 times
+    n = 128
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts": [BASE + dt.timedelta(seconds=i) for i in range(n)],
+        "value": np.sin(2 * np.pi * np.arange(n) / 16).round(6),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    rows = sax_motifs(spark.createDataFrame(pdf), word_len=4,
+                      order_col="event_id", seg_len=4).collect()
+    best = max(rows, key=lambda r: r.n_occurrences)
+    assert best.n_occurrences >= 7
+    with pytest.raises(ValueError, match="word_len"):
+        sax_motifs(None, word_len=1)

@@ -263,6 +263,81 @@ def ewma(
     )
 
 
+def _array_median(arr):
+    """Exact median of an array column: sort, average the two middle
+    elements (equal for odd counts).  Pure index arithmetic + one
+    two-term average — bit-identical in any IEEE engine, so a SQL twin
+    using the same formula hash-matches without tolerance.  Returns
+    (median, n) column expressions."""
+    s = F.sort_array(arr)
+    n = F.size(arr)
+    lo = F.element_at(s, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, (F.floor(n / 2) + 1).cast("int"))
+    return (lo + hi) / 2, n
+
+
+def hampel_filter(
+    points: DataFrame,
+    k: int = 3,
+    n_sigmas: float = 3.0,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Hampel outlier filter: for each point, take the centered window
+    of up to 2k+1 neighbours (fewer at the series edges), compute the
+    window median and the median absolute deviation (MAD), and flag the
+    point when |x - med| > n_sigmas * 1.4826 * MAD (1.4826 is the
+    consistency constant making MAD estimate sigma under normality).
+    The robust cousin of rolling_zscore — a single planted spike cannot
+    inflate its own threshold the way it inflates a mean/stddev.
+
+    Medians are exact: the frame's values ride a collect_list, and the
+    median is sort + two-middle average (`_array_median`) — index
+    arithmetic and a two-term mean only, so an oracle computing the
+    same formula produces bit-identical doubles and the boolean flag
+    compares identical products (no summation-order drift anywhere).
+    Constant windows have MAD 0 — any deviation flags, the standard
+    Hampel caveat (pair with rolling_zscore if that bites).
+
+    Output: series cols + pos, ts, value, med, mad (both rounded to
+    `round_dp`), is_outlier.
+
+    Scale shape: ONE ordered window on the series key; the collect_list
+    frame carries O(k) values per row (k is a small constant, e.g. 3-10)
+    and everything downstream is per-row array math in codegen — no
+    joins, no second exchange, state per task O(series run length).
+    """
+    if k < 1:
+        raise ValueError(f"hampel_filter: k must be >= 1, got {k}")
+    scols, wo, _ = _series_windows(series_cols, ts_col, order_col)
+    frame = wo.rowsBetween(-k, k)
+    v = F.col(val_col).cast("double")
+    arr = F.collect_list(v).over(frame)
+    staged = points.select(
+        *scols,
+        (F.row_number().over(wo) - 1).alias("pos"),
+        F.col(ts_col),
+        v.alias("value"),
+        arr.alias("_arr"),
+    )
+    med, _ = _array_median(F.col("_arr"))
+    staged = staged.withColumn("_med", med)
+    dev = F.transform("_arr", lambda x: F.abs(x - F.col("_med")))
+    mad, _ = _array_median(dev)
+    staged = staged.withColumn("_mad", mad)
+    flag = (F.abs(F.col("value") - F.col("_med"))
+            > F.lit(n_sigmas) * (F.lit(1.4826) * F.col("_mad")))
+    return staged.select(
+        *series_cols, "pos", ts_col, "value",
+        F.round("_med", round_dp).alias("med"),
+        F.round("_mad", round_dp).alias("mad"),
+        flag.alias("is_outlier"),
+    )
+
+
 def cusum_changepoint(
     points: DataFrame,
     series_cols: list[str] = ("user_id",),

@@ -294,3 +294,49 @@ def sax_symbols(
         F.round("_paa", 6).alias("paa"),
         sym.alias("symbol"),
     )
+
+
+def sax_motifs(
+    points: DataFrame,
+    word_len: int = 4,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    seg_len: int = 8,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX motif mining (Lin et al. 2002 "Finding Motifs in Time
+    Series"): slide a `word_len`-segment window over each series' SAX
+    symbol string and count how often each word recurs — the classic
+    discretized take on repeated-pattern discovery, and the symbolic
+    cousin of the reference's ordinal-pattern transition counting
+    (to_graph/strategies.py ordinal partition: patterns ARE the nodes,
+    here words are the motifs).
+
+    Output: series cols + word, n_occurrences, first_seg (the earliest
+    0-based starting segment of the word) — one row per distinct
+    (series, word); filter n_occurrences >= 2 for motifs proper.
+
+    Scale shape: builds on sax_symbols' one exchange; the word is a
+    lead-concat over the per-series SEGMENT rows (tiny — points/seg_len
+    rows), and the motif count groups on (series, word), a refinement
+    of the same key, partial-agg'd.  No joins.
+    """
+    if word_len < 2:
+        raise ValueError(f"sax_motifs: word_len must be >= 2, got {word_len}")
+    syms = sax_symbols(points, series_cols=series_cols, ts_col=ts_col,
+                       val_col=val_col, order_col=order_col,
+                       seg_len=seg_len, alphabet=alphabet)
+    scols = [F.col(c) for c in series_cols]
+    ws = Window.partitionBy(*scols).orderBy("seg")
+    parts = [F.col("symbol")] + [
+        F.lead("symbol", j).over(ws) for j in range(1, word_len)]
+    word = F.concat(*parts)  # NULL when any lead runs off the end
+    return (
+        syms.select(*series_cols, F.col("seg"), word.alias("word"))
+        .where(F.col("word").isNotNull())
+        .groupBy(*series_cols, "word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.min("seg").alias("first_seg"))
+    )

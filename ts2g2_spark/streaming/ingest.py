@@ -152,6 +152,69 @@ def streaming_rollup_1m_stateful(
             GroupStateTimeout.EventTimeTimeout)
 
 
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def stream_events(
+    spark: SparkSession, input_dir: str, max_files: int = 64
+) -> DataFrame:
+    """File-source stream of event rows (same swap-in note as
+    stream_points)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_s: int,
+    series_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators.eventseq.sessionize: Spark's native
+    session_window merges events whose gap is < gap_s and emits the
+    finalized session once the watermark passes its end — the streaming
+    engine owns the merge state, no custom stateful operator needed.
+
+    BOUNDARY CONTRACT (the one divergence from the batch operator):
+    session_window merges on HALF-OPEN extents [ts, ts+gap), so a gap of
+    EXACTLY gap_s seconds splits here but stays in-session in batch
+    (strict >).  Sub-second event times make exact-gap pairs measure
+    zero; callers needing bit-parity on pathological inputs add 1
+    microsecond to gap via the batch operator instead.
+
+    Output: series cols + start_ts, end_ts (last EVENT, not window end —
+    session_window.end is last event + gap), n_events, duration_us —
+    joinable against the batch operator's output on (series, start_ts).
+
+    Scale shape: one watermarked session aggregate keyed on the series
+    cols; state is O(open sessions), bounded by the watermark.
+    """
+    if gap_s <= 0:
+        raise ValueError(
+            f"streaming_sessionize: gap_s must be positive, got {gap_s}")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*series_cols,
+                 F.session_window(ts_col, f"{gap_s} seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("end_ts"),
+            (F.max(ts_us) - F.min(ts_us)).alias("duration_us"),
+        )
+        .select(
+            *series_cols,
+            F.col("session_window.start").alias("start_ts"),
+            "end_ts", "n_events", "duration_us",
+        )
+    )
+
+
 def stream_dedup(
     points: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id", "ts"),
