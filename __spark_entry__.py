@@ -3778,6 +3778,67 @@ from f
 """
 
 
+def q_interval_join_sessions(spark, sf_dir):
+    """Interval overlap join (grid-bucketed equi-join, no nested-loop):
+    every 30m-gap session paired with the 6h-gap session(s) it overlaps
+    — by construction each 30m session nests in exactly one parent."""
+    from ts2g2_spark.operators.eventseq import sessionize
+    from ts2g2_spark.operators.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    s30 = sessionize(ev, gap_s=1800, order_col="event_id").select(
+        "user_id", F.col("session_id").alias("s30_id"),
+        F.col("start_ts").alias("s30_start"),
+        F.col("end_ts").alias("s30_end"),
+        F.col("n_events").alias("s30_events"))
+    s6h = sessionize(ev, gap_s=21600, order_col="event_id").select(
+        "user_id", F.col("session_id").alias("s6h_id"),
+        F.col("start_ts").alias("s6h_start"),
+        F.col("end_ts").alias("s6h_end"))
+    return interval_join(
+        s30, s6h, ["user_id"],
+        left_start="s30_start", left_end="s30_end",
+        right_start="s6h_start", right_end="s6h_end", bucket_s=21600)
+
+
+def _sess_cte(gap_s: int, p: str) -> str:
+    """The SESSION_STATS_SQL pipeline as a reusable CTE pair, columns
+    prefixed `p` (same window/threshold arithmetic as the engine)."""
+    return f"""
+o{p} as (
+  select user_id, ts, event_id,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over w{p} is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over w{p}
+                    > {gap_s * 1_000_000}
+              then 1 else 0 end as ns
+  from events
+  window w{p} as (partition by user_id order by ts, event_id)
+),
+s{p} as (
+  select user_id, ts,
+         sum(ns) over (partition by user_id order by ts, event_id
+                       rows unbounded preceding) as sid
+  from o{p}
+),
+g{p} as (
+  select user_id, sid::BIGINT as {p}_id,
+         min(ts) as {p}_start, max(ts) as {p}_end,
+         count(*) as {p}_events
+  from s{p} group by 1, 2
+)"""
+
+
+INTERVAL_JOIN_SQL = f"""
+with {_sess_cte(1800, "s30")},
+{_sess_cte(21600, "s6h")}
+select g.user_id, g.s30_id, g.s30_start, g.s30_end, g.s30_events,
+       h.s6h_id, h.s6h_start, h.s6h_end
+from gs30 g join gs6h h
+  on h.user_id = g.user_id
+ and g.s30_start <= h.s6h_end and h.s6h_start <= g.s30_end
+"""
+
+
 def q_sax_motifs_w4(spark, sf_dir):
     """SAX motif mining: 4-segment words over the sax_w8_a4
     symbolization, counted per (user, word) with the earliest start."""
@@ -4159,6 +4220,7 @@ _RAW_QUERIES = {
         "lttb_48": q_lttb_48,
         "ewma_03": q_ewma_03,
         "hampel_3": q_hampel_3,
+        "interval_join_sessions": q_interval_join_sessions,
         "sax_motifs_w4": q_sax_motifs_w4,
     }
 
@@ -4268,5 +4330,6 @@ def oracle_sql() -> dict[str, str]:
         "lttb_48": LTTB_SQL,
         "ewma_03": EWMA_SQL,
         "hampel_3": HAMPEL_SQL,
+        "interval_join_sessions": INTERVAL_JOIN_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -144,3 +144,92 @@ def test_asof_empty_left_payload(spark):
         [(1, TS(2024, 1, 1, 0, 5), 3.0)], "k long, rts timestamp, rv double")
     row = asof_join(lsdf, rsdf, ["k"], "ts", "rts").collect()[0]
     assert row.rv == 3.0
+
+
+# ------------------------------------------------------- interval_join
+def _intervals(seed, n, n_keys, max_len_s):
+    rng = np.random.default_rng(seed)
+    base = TS(2024, 1, 1)
+    start = rng.integers(0, 100_000, n)
+    length = rng.integers(0, max_len_s, n)
+    return pd.DataFrame({
+        "k": rng.integers(0, n_keys, n),
+        "start_ts": [base + dt.timedelta(seconds=int(s)) for s in start],
+        "end_ts": [base + dt.timedelta(seconds=int(s + l))
+                   for s, l in zip(start, length)],
+        "iv": np.arange(n, dtype=np.int64),
+    })
+
+
+def _overlap_oracle(l, r):
+    pairs = set()
+    for a in l.itertuples(index=False):
+        for b in r.itertuples(index=False):
+            if (a.k == b.k and a.start_ts <= b.end_ts
+                    and b.start_ts <= a.end_ts):
+                pairs.add((a.k, a.iv, b.iv))
+    return pairs
+
+
+@pytest.mark.parametrize("bucket_s", [60, 3600, 86400])
+def test_interval_join_matches_bruteforce(spark, bucket_s):
+    # pair coverage must be IDENTICAL at any grid size — the grid is an
+    # execution detail, never a semantic
+    from ts2g2_spark.operators.temporal import interval_join
+
+    l = _intervals(seed=5, n=120, n_keys=5, max_len_s=5000)
+    r = _intervals(seed=6, n=90, n_keys=5, max_len_s=5000)
+    got = interval_join(
+        spark.createDataFrame(l), spark.createDataFrame(r), ["k"],
+        bucket_s=bucket_s)
+    rows = got.collect()
+    assert {(x.k, x.iv, x.iv_r) for x in rows} == _overlap_oracle(l, r)
+    assert len(rows) == len(set((x.k, x.iv, x.iv_r) for x in rows))
+
+
+def test_interval_join_edges(spark):
+    from ts2g2_spark.operators.temporal import interval_join
+
+    base = TS(2024, 1, 1)
+
+    def iv(k, s, e, tag):
+        return (k, base + dt.timedelta(seconds=s),
+                base + dt.timedelta(seconds=e), tag)
+
+    schema = "k long, start_ts timestamp, end_ts timestamp, iv string"
+    # touching endpoints overlap (closed intervals); disjoint don't;
+    # zero-length intervals join; key mismatch never joins
+    l = spark.createDataFrame(
+        [iv(1, 0, 100, "a"), iv(1, 500, 500, "b"), iv(2, 0, 100, "c")],
+        schema)
+    r = spark.createDataFrame(
+        [iv(1, 100, 200, "x"), iv(1, 201, 300, "y"), iv(1, 500, 500, "z"),
+         iv(3, 0, 100, "w")], schema)
+    got = {(x.iv, x.iv_r) for x in
+           interval_join(l, r, ["k"], bucket_s=60).collect()}
+    assert got == {("a", "x"), ("b", "z")}
+
+    # empty sides
+    empty = l.where("1=0")
+    assert interval_join(empty, r, ["k"]).count() == 0
+    assert interval_join(l, empty, ["k"]).count() == 0
+
+    with pytest.raises(ValueError, match="bucket_s"):
+        interval_join(l, r, ["k"], bucket_s=0)
+
+    bad = spark.createDataFrame([iv(1, 100, 50, "neg")], schema)
+    with pytest.raises(Exception, match="end < start"):
+        interval_join(bad, r, ["k"]).collect()
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    # the point of the grid: no BroadcastNestedLoopJoin / CartesianProduct
+    from ts2g2_spark.operators.temporal import interval_join
+
+    l = spark.createDataFrame(_intervals(seed=8, n=50, n_keys=3,
+                                         max_len_s=2000))
+    r = spark.createDataFrame(_intervals(seed=9, n=50, n_keys=3,
+                                         max_len_s=2000))
+    plan = interval_join(l, r, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

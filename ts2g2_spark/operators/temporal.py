@@ -118,3 +118,84 @@ def asof_join(
     return matched.select(
         *scols, F.col("_ts").alias(left_ts), *out_l, *out_r
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval overlap join: emit one row per (left, right) pair with
+    the same key whose CLOSED intervals overlap
+    (left.start <= right.end AND right.start <= left.end).
+
+    Spark would execute the naive inequality-join formulation as a
+    per-key cross product (BroadcastNestedLoopJoin / cartesian at
+    scale).  Here both sides explode onto a `bucket_s`-second time grid
+    and EQUI-join on (key, bucket) — candidates are only pairs sharing a
+    grid cell.  Each overlapping pair is kept in exactly ONE cell — the
+    cell containing the overlap's start, max(l.start, r.start) — so no
+    distinct/dedup shuffle is needed afterwards.
+
+    Pick `bucket_s` near the typical interval length: the explode
+    fan-out is O(interval_len / bucket_s) rows per input row, and the
+    per-cell candidate count is what bounds join work.  Intervals with
+    end < start raise at execution (raise_error rides the bucket
+    expression, un-prunable).
+
+    Output: key cols + left's other columns (as-is) + right's other
+    columns (suffixed `_r` until free of collisions).  Timestamps
+    compare in epoch microseconds (cast through TIMESTAMP under the
+    pinned-UTC session).
+
+    Scale shape: two narrow exchanges on (key, bucket) feeding one
+    equi-join; the overlap filter and the owner-cell predicate are
+    cheap per-candidate codegen.  Long intervals fan out linearly in
+    grid cells — bound them upstream (e.g. retention-clip sessions)
+    or raise bucket_s.
+    """
+    if bucket_s <= 0:
+        raise ValueError(
+            f"interval_join: bucket_s must be positive, got {bucket_s}")
+    bus = int(bucket_s) * 1_000_000
+
+    def tag(df, start, end, side):
+        s_us = F.unix_micros(F.col(start).cast("timestamp"))
+        e_us = F.unix_micros(F.col(end).cast("timestamp"))
+        seq = F.when(
+            e_us >= s_us,
+            F.sequence(F.floor(s_us / bus), F.floor(e_us / bus)),
+        ).otherwise(F.raise_error(F.lit(
+            f"interval_join: {side} interval with end < start "
+            f"({end} < {start})")))
+        return df.withColumn("_s_us", s_us).withColumn("_e_us", e_us) \
+                 .withColumn("_b", F.explode(seq))
+
+    lcols = [c for c in left.columns if c not in key_cols]
+    rcols = [c for c in right.columns if c not in key_cols]
+    l_tag = tag(left, left_start, left_end, "left").select(
+        *key_cols, "_b", F.col("_s_us").alias("_ls"),
+        F.col("_e_us").alias("_le"), *lcols)
+    used = set(key_cols) | set(lcols)
+    r_out, r_sel = [], []
+    for c in rcols:
+        name = c
+        while name in used:
+            name += "_r"
+        used.add(name)
+        r_out.append(name)
+        r_sel.append(F.col(c).alias(name))
+    r_tag = tag(right, right_start, right_end, "right").select(
+        *key_cols, "_b", F.col("_s_us").alias("_rs"),
+        F.col("_e_us").alias("_re"), *r_sel)
+
+    joined = l_tag.join(r_tag, [*key_cols, "_b"])
+    overlap = (F.col("_ls") <= F.col("_re")) & (F.col("_rs") <= F.col("_le"))
+    owner = F.col("_b") == F.floor(
+        F.greatest(F.col("_ls"), F.col("_rs")) / bus)
+    return joined.where(overlap & owner).select(*key_cols, *lcols, *r_out)
