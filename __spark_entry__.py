@@ -3839,6 +3839,76 @@ from gs30 g join gs6h h
 """
 
 
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted hourly average per user (trapezoidal integral over
+    covered spans; singleton/coincident buckets fall back to the plain
+    mean) — the irregular-sampling-correct rollup mean."""
+    from ts2g2_spark.operators.metrics import time_weighted_avg
+
+    return time_weighted_avg(_events(spark, sf_dir), bucket="hour",
+                             order_col="event_id")
+
+
+TWA_SQL = """
+with o as (
+  select user_id, ts, value,
+         date_trunc('hour', ts) as bucket_ts,
+         epoch_us(ts) as us,
+         lead(epoch_us(ts)) over wo as nus,
+         lead(value) over wo as nv,
+         lead(date_trunc('hour', ts)) over wo as nb
+  from events
+  window wo as (partition by user_id order by ts, event_id)
+),
+s as (
+  select user_id, bucket_ts, value,
+         case when nb = bucket_ts then (nus - us)::DOUBLE end as dt,
+         case when nb = bucket_ts
+              then (value + nv) / 2 * (nus - us)::DOUBLE end as area
+  from o
+),
+a as (
+  select user_id, bucket_ts, count(*) as n_points,
+         coalesce(sum(dt), 0)::BIGINT as span_us,
+         sum(area) as i, avg(value) as m
+  from s group by 1, 2
+)
+select user_id, bucket_ts, n_points, span_us,
+       round(case when span_us > 0 then i / span_us else m end, 6) as twa
+from a
+"""
+
+
+def q_counter_rate_1h(spark, sf_dir):
+    """PromQL-style hourly counter increase + rate per user with reset
+    handling (negative delta => post-reset value contributes)."""
+    from ts2g2_spark.operators.metrics import counter_rate
+
+    return counter_rate(_events(spark, sf_dir), bucket="hour",
+                        bucket_s=3600, order_col="event_id")
+
+
+COUNTER_RATE_SQL = """
+with o as (
+  select user_id, ts, value,
+         lag(value) over (partition by user_id
+                          order by ts, event_id) as pv
+  from events
+),
+s as (
+  select user_id, date_trunc('hour', ts) as bucket_ts,
+         case when pv is null then null
+              when value >= pv then value - pv
+              else value end as d
+  from o
+)
+select user_id, bucket_ts, count(*)::BIGINT as n_points,
+       round(coalesce(sum(d), 0), 6) as increase,
+       round(coalesce(sum(d), 0) / 3600.0, 9) as rate_per_s
+from s group by 1, 2
+"""
+
+
 def q_sax_motifs_w4(spark, sf_dir):
     """SAX motif mining: 4-segment words over the sax_w8_a4
     symbolization, counted per (user, word) with the earliest start."""
@@ -4221,6 +4291,8 @@ _RAW_QUERIES = {
         "ewma_03": q_ewma_03,
         "hampel_3": q_hampel_3,
         "interval_join_sessions": q_interval_join_sessions,
+        "twa_1h": q_twa_1h,
+        "counter_rate_1h": q_counter_rate_1h,
         "sax_motifs_w4": q_sax_motifs_w4,
     }
 
@@ -4331,5 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_03": EWMA_SQL,
         "hampel_3": HAMPEL_SQL,
         "interval_join_sessions": INTERVAL_JOIN_SQL,
+        "twa_1h": TWA_SQL,
+        "counter_rate_1h": COUNTER_RATE_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -1,0 +1,162 @@
+"""Monitoring-tier rollup math (time-weighted avg, counter rate) vs
+brute-force numpy oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+TS = dt.datetime
+BASE = TS(2024, 1, 1)
+
+
+def _events(seed=71, n=400, n_keys=5):
+    rng = np.random.default_rng(seed)
+    secs = rng.integers(0, 30_000, n)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, n_keys, n),
+        "ts": [BASE + dt.timedelta(seconds=int(s)) for s in secs],
+        "value": rng.normal(50, 20, n).round(2),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+
+
+def _twa_oracle(pdf, bucket_s=3600):
+    out = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy() // 1000  # us
+        v = g["value"].to_numpy(float)
+        bk = (ts // (bucket_s * 1_000_000)) * bucket_s * 1_000_000
+        for b in np.unique(bk):
+            idx = np.where(bk == b)[0]
+            area = span = 0.0
+            for i in idx:
+                if i + 1 < len(ts) and bk[i + 1] == b:
+                    d = float(ts[i + 1] - ts[i])
+                    area += (v[i] + v[i + 1]) / 2 * d
+                    span += d
+            twa = area / span if span > 0 else v[idx].mean()
+            out[(u, int(b))] = (len(idx), int(span), round(twa, 6))
+    return out
+
+
+def test_twa_matches_bruteforce(spark):
+    from ts2g2_spark.operators.metrics import time_weighted_avg
+
+    pdf = _events()
+    rows = time_weighted_avg(spark.createDataFrame(pdf), bucket="hour",
+                             order_col="event_id").collect()
+    got = {(r.user_id, int(r.bucket_ts.replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1e6)):
+           (r.n_points, r.span_us, r.twa) for r in rows}
+    exp = _twa_oracle(pdf)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert got[k][1] == exp[k][1], k
+        assert got[k][2] == pytest.approx(exp[k][2], abs=1e-5), k
+
+
+def test_twa_oversampled_spike_vs_plain_avg(spark):
+    # the operator's reason to exist: 100 samples during a 10s spike
+    # must NOT dominate an hour that sat at 10 the rest of the time
+    from ts2g2_spark.operators.metrics import time_weighted_avg
+
+    rows = [(1, BASE, 10.0), (1, BASE + dt.timedelta(minutes=50), 10.0)]
+    rows += [(1, BASE + dt.timedelta(minutes=50, seconds=1 + i * 0.1),
+              1000.0) for i in range(100)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["event_id"] = np.arange(len(pdf), dtype=np.int64)
+    r = time_weighted_avg(spark.createDataFrame(pdf), bucket="hour",
+                          order_col="event_id").collect()[0]
+    plain = pdf["value"].mean()
+    assert plain > 900           # naive mean is spike-dominated
+    assert r.twa < 25            # TWA stays near the true level
+
+
+def test_twa_singleton_and_coincident_fallback(spark):
+    from ts2g2_spark.operators.metrics import time_weighted_avg
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 2, 2],
+        "ts": [BASE, BASE + dt.timedelta(hours=2),
+               BASE + dt.timedelta(hours=2)],
+        "value": [7.0, 4.0, 8.0],
+        "event_id": np.arange(3, dtype=np.int64),
+    })
+    got = {r.user_id: r for r in time_weighted_avg(
+        spark.createDataFrame(pdf), order_col="event_id").collect()}
+    assert got[1].twa == 7.0 and got[1].span_us == 0
+    assert got[2].twa == 6.0 and got[2].n_points == 2  # mean fallback
+
+
+def _rate_oracle(pdf, bucket_s=3600):
+    out = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy(float)
+        ts = g["ts"].astype("int64").to_numpy() // 1000
+        bk = (ts // (bucket_s * 1_000_000)) * bucket_s * 1_000_000
+        inc = {}
+        n = {}
+        for i in range(len(v)):
+            b = int(bk[i])
+            n[b] = n.get(b, 0) + 1
+            if i == 0:
+                continue
+            d = v[i] - v[i - 1] if v[i] >= v[i - 1] else v[i]
+            inc[b] = inc.get(b, 0.0) + d
+        for b in n:
+            out[(u, b)] = (n[b], round(inc.get(b, 0.0), 6))
+    return out
+
+
+def test_counter_rate_matches_bruteforce(spark):
+    from ts2g2_spark.operators.metrics import counter_rate
+
+    # cumulative counters with planted resets
+    rng = np.random.default_rng(77)
+    frames = []
+    for u in range(4):
+        n = 120
+        secs = np.sort(rng.integers(0, 20_000, n))
+        vals = np.cumsum(rng.integers(0, 50, n)).astype(float)
+        reset_at = rng.integers(20, n - 20)
+        vals[reset_at:] -= vals[reset_at]  # counter restart from 0
+        frames.append(pd.DataFrame({
+            "user_id": u,
+            "ts": [BASE + dt.timedelta(seconds=int(s)) for s in secs],
+            "value": vals,
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf["event_id"] = np.arange(len(pdf), dtype=np.int64)
+    rows = counter_rate(spark.createDataFrame(pdf), bucket="hour",
+                        bucket_s=3600, order_col="event_id").collect()
+    got = {(r.user_id, int(r.bucket_ts.replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1e6)):
+           (r.n_points, r.increase, r.rate_per_s) for r in rows}
+    exp = _rate_oracle(pdf)
+    assert set(got) == set(exp)
+    for k, (n, inc) in exp.items():
+        assert got[k][0] == n, k
+        assert got[k][1] == pytest.approx(inc, abs=1e-5), k
+        assert got[k][2] == pytest.approx(inc / 3600, abs=1e-7), k
+
+
+def test_counter_rate_reset_and_first_sample(spark):
+    from ts2g2_spark.operators.metrics import counter_rate
+
+    pdf = pd.DataFrame({
+        "user_id": [1] * 4,
+        "ts": [BASE + dt.timedelta(minutes=m) for m in (0, 10, 20, 30)],
+        "value": [100.0, 150.0, 30.0, 40.0],  # reset at sample 3
+        "event_id": np.arange(4, dtype=np.int64),
+    })
+    r = counter_rate(spark.createDataFrame(pdf),
+                     order_col="event_id").collect()[0]
+    # 50 (150-100) + 30 (post-reset value) + 10 (40-30); first sample free
+    assert r.increase == 90.0 and r.n_points == 4

@@ -1,0 +1,127 @@
+"""Monitoring-tier rollup math over irregular samples (engine-native,
+SURVEY §2.7 family): time-weighted averages and counter rates — the two
+aggregates a metrics store serves from its continuous-aggregate tiers
+that a plain avg()/sum() rollup gets WRONG on irregularly-spaced points
+(TimescaleDB's time_weight / PromQL's increase-rate, re-expressed as
+windowed Catalyst aggregates).
+
+Scale shapes (pure Catalyst): each operator is one ordered window on
+the series key (lag/lead neighbours) followed by a hash aggregate on
+(series, bucket) — a strict refinement of the window key, so the
+second exchange is partial-aggregated and carries one row per bucket.
+No joins, no Python crossings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts2g2_spark.operators.seriesstats import _series_windows
+
+
+def time_weighted_avg(
+    points: DataFrame,
+    bucket: str = "hour",
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Time-weighted average per (series, bucket): the trapezoidal
+    integral of the piecewise-linear series over the bucket, divided by
+    the covered span — so a sensor reporting 1000x more often during a
+    spike no longer drags the bucket mean toward the spike the way a
+    plain avg() does.
+
+    Contract: a trapezoid forms between each consecutive pair of points
+    of the same series that fall in the SAME `bucket` (a `date_trunc`
+    unit: 'minute'/'hour'/'day'); cross-boundary segments are not split
+    (the next tier up re-aggregates covered spans, so boundary mass is
+    attributed to neither bucket — documented, deterministic).  Buckets
+    whose points are all coincident or singletons (zero covered span)
+    fall back to the plain mean of their points.  `twa` rounds to
+    `round_dp` (hash-agg summation order is engine/partition dependent;
+    the grid absorbs last-ulp drift).
+
+    Output: series cols + bucket_ts, n_points, span_us (covered span),
+    twa.
+    """
+    scols, wo, _ = _series_windows(series_cols, ts_col, order_col)
+    b = F.date_trunc(bucket, F.col(ts_col))
+    v = F.col(val_col).cast("double")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    nxt_us = F.lead(ts_us).over(wo)
+    nxt_v = F.lead(v).over(wo)
+    same_bucket = F.lead(b).over(wo) == b
+    dt = F.when(same_bucket, (nxt_us - ts_us).cast("double"))
+    staged = points.select(
+        *scols,
+        b.alias("bucket_ts"),
+        v.alias("_v"),
+        dt.alias("_dt"),
+        F.when(dt.isNotNull(), (v + nxt_v) / 2 * dt).alias("_area"),
+    )
+    agg = staged.groupBy(*series_cols, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_dt").cast("long").alias("span_us"),
+        F.sum("_area").alias("_int"),
+        F.avg("_v").alias("_mean"),
+    )
+    twa = F.when(F.col("span_us") > 0, F.col("_int") / F.col("span_us")) \
+           .otherwise(F.col("_mean"))
+    return agg.select(
+        *series_cols, "bucket_ts", "n_points",
+        F.coalesce("span_us", F.lit(0)).alias("span_us"),
+        F.round(twa, round_dp).alias("twa"),
+    )
+
+
+def counter_rate(
+    points: DataFrame,
+    bucket: str = "hour",
+    bucket_s: int = 3600,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Counter increase + rate per (series, bucket) with RESET handling
+    (the PromQL increase/rate contract): a monotone counter's delta to
+    the previous sample is its contribution; a NEGATIVE delta means the
+    counter reset, and the post-reset VALUE is the contribution (the
+    counter restarted from 0).  The first sample of a series
+    contributes nothing (no baseline).  Deltas crossing a bucket
+    boundary belong to the bucket of the LATER sample — every delta is
+    counted exactly once, so bucket increases sum to the series total.
+
+    `rate_per_s` divides by the FIXED bucket length `bucket_s` (pass
+    the seconds matching `bucket`), not the covered span — the
+    convention that makes rates comparable across buckets with
+    different sample counts.
+
+    Output: series cols + bucket_ts, n_points, increase, rate_per_s.
+    """
+    scols, wo, _ = _series_windows(series_cols, ts_col, order_col)
+    v = F.col(val_col).cast("double")
+    prev = F.lag(v).over(wo)
+    delta = F.when(prev.isNull(), F.lit(None).cast("double")) \
+             .when(v >= prev, v - prev).otherwise(v)
+    staged = points.select(
+        *scols,
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        delta.alias("_d"),
+    )
+    return (
+        staged.groupBy(*series_cols, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.coalesce(F.sum("_d"), F.lit(0.0)).alias("_inc"))
+        .select(
+            *series_cols, "bucket_ts", "n_points",
+            F.round("_inc", round_dp).alias("increase"),
+            F.round(F.col("_inc") / F.lit(float(bucket_s)),
+                    round_dp + 3).alias("rate_per_s"),
+        )
+    )
