@@ -3613,6 +3613,37 @@ from st s join se on se.user_id = s.user_id and se.phase = s.phase
 
 
 # --------------------------------- session / downsample / smoothing (r3)
+def _sess_cte(gap_s: int, p: str) -> str:
+    """The sessionization SQL pipeline as a reusable CTE chain, columns
+    prefixed `p` (same window/threshold arithmetic as the engine) —
+    the SINGLE source of the oracle-side gap/boundary contract, shared
+    by SESSION_STATS_SQL and INTERVAL_JOIN_SQL."""
+    return f"""
+o{p} as (
+  select user_id, ts, event_id,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over w{p} is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over w{p}
+                    > {gap_s * 1_000_000}
+              then 1 else 0 end as ns
+  from events
+  window w{p} as (partition by user_id order by ts, event_id)
+),
+s{p} as (
+  select user_id, ts,
+         sum(ns) over (partition by user_id order by ts, event_id
+                       rows unbounded preceding) as sid
+  from o{p}
+),
+g{p} as (
+  select user_id, sid::BIGINT as {p}_id,
+         min(ts) as {p}_start, max(ts) as {p}_end,
+         count(*) as {p}_events,
+         (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT
+           as {p}_duration_us
+  from s{p} group by 1, 2
+)"""
+
+
 def q_session_stats_6h(spark, sf_dir):
     """Per-session rollup of the 6h-gap sessionization (the per-session
     twin of sessionize_30m's per-user counts): start/end/duration/size
@@ -3623,26 +3654,12 @@ def q_session_stats_6h(spark, sf_dir):
                       order_col="event_id")
 
 
-SESSION_STATS_SQL = """
-with o as (
-  select user_id, ts, event_id, epoch_us(ts) as us,
-         case when epoch_us(ts) - lag(epoch_us(ts)) over wo is null
-                or epoch_us(ts) - lag(epoch_us(ts)) over wo
-                    > 21600000000
-              then 1 else 0 end as ns
-  from events
-  window wo as (partition by user_id order by ts, event_id)
-),
-s as (
-  select user_id, ts, us,
-         sum(ns) over (partition by user_id order by ts, event_id
-                       rows unbounded preceding) as session_id
-  from o
-)
-select user_id, session_id::BIGINT as session_id,
-       min(ts) as start_ts, max(ts) as end_ts,
-       count(*) as n_events, (max(us) - min(us))::BIGINT as duration_us
-from s group by 1, 2
+SESSION_STATS_SQL = f"""
+with {_sess_cte(21600, "ss")}
+select user_id, ss_id as session_id, ss_start as start_ts,
+       ss_end as end_ts, ss_events as n_events,
+       ss_duration_us as duration_us
+from gss
 """
 
 
@@ -3801,33 +3818,6 @@ def q_interval_join_sessions(spark, sf_dir):
         right_start="s6h_start", right_end="s6h_end", bucket_s=21600)
 
 
-def _sess_cte(gap_s: int, p: str) -> str:
-    """The SESSION_STATS_SQL pipeline as a reusable CTE pair, columns
-    prefixed `p` (same window/threshold arithmetic as the engine)."""
-    return f"""
-o{p} as (
-  select user_id, ts, event_id,
-         case when epoch_us(ts) - lag(epoch_us(ts)) over w{p} is null
-                or epoch_us(ts) - lag(epoch_us(ts)) over w{p}
-                    > {gap_s * 1_000_000}
-              then 1 else 0 end as ns
-  from events
-  window w{p} as (partition by user_id order by ts, event_id)
-),
-s{p} as (
-  select user_id, ts,
-         sum(ns) over (partition by user_id order by ts, event_id
-                       rows unbounded preceding) as sid
-  from o{p}
-),
-g{p} as (
-  select user_id, sid::BIGINT as {p}_id,
-         min(ts) as {p}_start, max(ts) as {p}_end,
-         count(*) as {p}_events
-  from s{p} group by 1, 2
-)"""
-
-
 INTERVAL_JOIN_SQL = f"""
 with {_sess_cte(1800, "s30")},
 {_sess_cte(21600, "s6h")}
@@ -3862,8 +3852,10 @@ with o as (
 ),
 s as (
   select user_id, bucket_ts, value,
-         case when nb = bucket_ts then (nus - us)::DOUBLE end as dt,
-         case when nb = bucket_ts
+         case when nb = bucket_ts and value is not null
+                and nv is not null then (nus - us)::DOUBLE end as dt,
+         case when nb = bucket_ts and value is not null
+                and nv is not null
               then (value + nv) / 2 * (nus - us)::DOUBLE end as area
   from o
 ),

@@ -94,6 +94,30 @@ def test_twa_singleton_and_coincident_fallback(spark):
     assert got[2].twa == 6.0 and got[2].n_points == 2  # mean fallback
 
 
+def test_twa_null_values_void_segments(spark):
+    # a NULL sample is a gap: segments touching it contribute to
+    # neither the integral nor span_us (review fix)
+    from ts2g2_spark.operators.metrics import time_weighted_avg
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": [BASE, BASE + dt.timedelta(seconds=10),
+               BASE + dt.timedelta(seconds=20),
+               BASE + dt.timedelta(seconds=30),
+               BASE, BASE + dt.timedelta(seconds=10)],
+        "value": [10.0, 10.0, None, 12.0, 5.0, None],
+        "event_id": np.arange(6, dtype=np.int64),
+    })
+    got = {r.user_id: r for r in time_weighted_avg(
+        spark.createDataFrame(pdf), order_col="event_id").collect()}
+    # user 1: only the 0s-10s segment survives -> twa 10.0, span 10s
+    assert got[1].span_us == 10_000_000 and got[1].twa == 10.0
+    assert got[1].n_points == 4
+    # user 2: the only segment is voided -> zero span, mean fallback
+    # over the non-null points
+    assert got[2].span_us == 0 and got[2].twa == 5.0
+
+
 def _rate_oracle(pdf, bucket_s=3600):
     out = {}
     for u, g in pdf.groupby("user_id"):

@@ -222,6 +222,26 @@ def test_interval_join_edges(spark):
         interval_join(bad, r, ["k"]).collect()
 
 
+def test_interval_join_internal_name_collision(spark):
+    # payload columns named like the internal staging columns must pass
+    # through untouched (review fix: fresh internal names)
+    from ts2g2_spark.operators.temporal import interval_join
+
+    base = TS(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(seconds=100), "keepL", 7)],
+        "k long, start_ts timestamp, end_ts timestamp, _b string, _ls long")
+    r = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=50),
+          base + dt.timedelta(seconds=150), "keepR", 9)],
+        "k long, start_ts timestamp, end_ts timestamp, _rs string, _b long")
+    rows = interval_join(l, r, ["k"], bucket_s=60).collect()
+    assert len(rows) == 1
+    row = rows[0].asDict()
+    assert row["_b"] == "keepL" and row["_ls"] == 7
+    assert row["_rs"] == "keepR" and row["_b_r"] == 9
+
+
 def test_interval_join_plan_is_equi_join(spark):
     # the point of the grid: no BroadcastNestedLoopJoin / CartesianProduct
     from ts2g2_spark.operators.temporal import interval_join

@@ -39,7 +39,10 @@ def time_weighted_avg(
     of the same series that fall in the SAME `bucket` (a `date_trunc`
     unit: 'minute'/'hour'/'day'); cross-boundary segments are not split
     (the next tier up re-aggregates covered spans, so boundary mass is
-    attributed to neither bucket — documented, deterministic).  Buckets
+    attributed to neither bucket — documented, deterministic).  A
+    segment with a NULL value at either endpoint is voided entirely —
+    it contributes to neither the integral nor `span_us` (null samples
+    are gaps, not zeros).  Buckets
     whose points are all coincident or singletons (zero covered span)
     fall back to the plain mean of their points.  `twa` rounds to
     `round_dp` (hash-agg summation order is engine/partition dependent;
@@ -55,7 +58,10 @@ def time_weighted_avg(
     nxt_us = F.lead(ts_us).over(wo)
     nxt_v = F.lead(v).over(wo)
     same_bucket = F.lead(b).over(wo) == b
-    dt = F.when(same_bucket, (nxt_us - ts_us).cast("double"))
+    # NULL-valued endpoints void the segment entirely (dt AND area), so
+    # a null sample neither nullifies the integral nor inflates span_us
+    dt = F.when(same_bucket & v.isNotNull() & nxt_v.isNotNull(),
+                (nxt_us - ts_us).cast("double"))
     staged = points.select(
         *scols,
         b.alias("bucket_ts"),

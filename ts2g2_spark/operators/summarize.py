@@ -146,7 +146,9 @@ def lttb_downsample(
     scols = [F.col(c) for c in series_cols]
     wo = Window.partitionBy(*scols).orderBy(_okey(ts_col, order_col))
     wa = Window.partitionBy(*scols)
-    pos = F.row_number().over(wo) - 1
+    # long pos: row_number is 32-bit, and (pos-1)*(n_out-2) would wrap
+    # (ANSI: raise) past ~2^31/(n_out-2) points in one series
+    pos = (F.row_number().over(wo) - 1).cast("long")
     n = F.count(F.lit(1)).over(wa)
     interior = 1 + F.floor(((pos - 1) * (n_out - 2)) / (n - 2))
     bucket = (

@@ -164,7 +164,21 @@ def interval_join(
             f"interval_join: bucket_s must be positive, got {bucket_s}")
     bus = int(bucket_s) * 1_000_000
 
-    def tag(df, start, end, side):
+    # internal staging names are made fresh against BOTH inputs so a
+    # caller payload named `_b`/`_ls`/... is never overwritten/shadowed
+    taken = set(left.columns) | set(right.columns) | set(key_cols)
+
+    def fresh(base):
+        name = base
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        return name
+
+    B, LS, LE, RS, RE = (fresh(n) for n in ("_b", "_ls", "_le",
+                                            "_rs", "_re"))
+
+    def tag(df, start, end, side, s_name, e_name):
         s_us = F.unix_micros(F.col(start).cast("timestamp"))
         e_us = F.unix_micros(F.col(end).cast("timestamp"))
         seq = F.when(
@@ -173,15 +187,14 @@ def interval_join(
         ).otherwise(F.raise_error(F.lit(
             f"interval_join: {side} interval with end < start "
             f"({end} < {start})")))
-        return df.withColumn("_s_us", s_us).withColumn("_e_us", e_us) \
-                 .withColumn("_b", F.explode(seq))
+        return df.withColumn(s_name, s_us).withColumn(e_name, e_us) \
+                 .withColumn(B, F.explode(seq))
 
     lcols = [c for c in left.columns if c not in key_cols]
     rcols = [c for c in right.columns if c not in key_cols]
-    l_tag = tag(left, left_start, left_end, "left").select(
-        *key_cols, "_b", F.col("_s_us").alias("_ls"),
-        F.col("_e_us").alias("_le"), *lcols)
-    used = set(key_cols) | set(lcols)
+    l_tag = tag(left, left_start, left_end, "left", LS, LE).select(
+        *key_cols, B, LS, LE, *lcols)
+    used = set(key_cols) | set(lcols) | {B, LS, LE, RS, RE}
     r_out, r_sel = [], []
     for c in rcols:
         name = c
@@ -190,12 +203,10 @@ def interval_join(
         used.add(name)
         r_out.append(name)
         r_sel.append(F.col(c).alias(name))
-    r_tag = tag(right, right_start, right_end, "right").select(
-        *key_cols, "_b", F.col("_s_us").alias("_rs"),
-        F.col("_e_us").alias("_re"), *r_sel)
+    r_tag = tag(right, right_start, right_end, "right", RS, RE).select(
+        *key_cols, B, RS, RE, *r_sel)
 
-    joined = l_tag.join(r_tag, [*key_cols, "_b"])
-    overlap = (F.col("_ls") <= F.col("_re")) & (F.col("_rs") <= F.col("_le"))
-    owner = F.col("_b") == F.floor(
-        F.greatest(F.col("_ls"), F.col("_rs")) / bus)
+    joined = l_tag.join(r_tag, [*key_cols, B])
+    overlap = (F.col(LS) <= F.col(RE)) & (F.col(RS) <= F.col(LE))
+    owner = F.col(B) == F.floor(F.greatest(F.col(LS), F.col(RS)) / bus)
     return joined.where(overlap & owner).select(*key_cols, *lcols, *r_out)
