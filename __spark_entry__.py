@@ -3901,6 +3901,60 @@ from s group by 1, 2
 """
 
 
+_SERVE_T0, _SERVE_T1 = "2024-01-03 05:37:21", "2024-01-27 17:11:03"
+
+
+def q_serve_range_stitched(spark, sf_dir):
+    """Real-time continuous-aggregate serving: answer an UNALIGNED
+    [t0, t1) per-user cnt/sum/min/max/first/last/avg by stitching the
+    1d tier for whole days, 1h/1m tiers for the edges, and raw points
+    for the sub-minute slivers (plans/rollup.serve_range) — the oracle
+    recomputes directly over raw, proving the stitch is exact."""
+    import datetime as dtm
+
+    from ts2g2_spark.plans.rollup import serve_range
+
+    t0 = dtm.datetime.fromisoformat(_SERVE_T0)
+    t1 = dtm.datetime.fromisoformat(_SERVE_T1)
+    return serve_range(_events(spark, sf_dir), t0, t1,
+                       series_cols=["user_id"], order_col="event_id")
+
+
+SERVE_RANGE_SQL = f"""
+select user_id, count(*) as cnt,
+       round(sum(value), 6) as sum_val,
+       min(value) as min_val, max(value) as max_val,
+       arg_min(value, {_OKEY_SQL}) as first_val,
+       arg_max(value, {_OKEY_SQL}) as last_val,
+       round(sum(value) / count(*), 6) as avg_val
+from events
+where ts >= timestamp '{_SERVE_T0}' and ts < timestamp '{_SERVE_T1}'
+group by 1
+"""
+
+
+def q_distinct_users_1h(spark, sf_dir):
+    """Hourly active users per event_type served from MERGED 1m HLL
+    sketches (datasketches hll_sketch_agg / hll_union_agg) — the
+    mergeable-sketch tier a count(distinct) rollup cannot provide.
+    The exact-count oracle is valid because per-bucket cardinality at
+    this SF sits in the sketch's sparse exact regime (<< 2^(lgk-3));
+    the beyond-regime error bound is pinned in test_rollup."""
+    from ts2g2_spark.plans.rollup import distinct_rollup, distinct_tier_up
+
+    m1 = distinct_rollup(_events(spark, sf_dir), "1m", "user_id",
+                         series_cols=["event_type"])
+    h1 = distinct_tier_up(m1, "1h", series_cols=["event_type"])
+    return h1.select("event_type", "bucket_ts", "n_distinct")
+
+
+DISTINCT_USERS_SQL = """
+select event_type, date_trunc('hour', ts) as bucket_ts,
+       count(distinct user_id) as n_distinct
+from events group by 1, 2
+"""
+
+
 def q_sax_motifs_w4(spark, sf_dir):
     """SAX motif mining: 4-segment words over the sax_w8_a4
     symbolization, counted per (user, word) with the earliest start."""
@@ -4286,6 +4340,8 @@ _RAW_QUERIES = {
         "twa_1h": q_twa_1h,
         "counter_rate_1h": q_counter_rate_1h,
         "sax_motifs_w4": q_sax_motifs_w4,
+        "serve_range_stitched": q_serve_range_stitched,
+        "distinct_users_1h": q_distinct_users_1h,
     }
 
 
@@ -4397,5 +4453,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_sessions": INTERVAL_JOIN_SQL,
         "twa_1h": TWA_SQL,
         "counter_rate_1h": COUNTER_RATE_SQL,
+        "serve_range_stitched": SERVE_RANGE_SQL,
+        "distinct_users_1h": DISTINCT_USERS_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -249,3 +249,132 @@ def test_gapfill_linear_matches_locf_on_real_rows(spark, gappy_df):
     g = lin.gapfilled
     assert lin.loc[g, "sum"].between(
         lin["sum"].min(), lin["sum"].max()).all()
+
+
+# ----------------------------------------------- tier-stitched serving
+def test_decompose_range_covers_exactly():
+    rng = np.random.default_rng(7)
+    tiers = [86_400_000_000, 3_600_000_000, 60_000_000]
+    for _ in range(200):
+        t0 = int(rng.integers(0, 10**12))
+        t1 = t0 + int(rng.integers(1, 40 * 86_400_000_000))
+        segs = rollup_mod.decompose_range(t0, t1, tiers)
+        allsegs = sorted(
+            s for k in segs for s in segs[k])
+        # disjoint, contiguous, exact cover
+        assert allsegs[0][0] == t0 and allsegs[-1][1] == t1
+        for (a, b), (c, d) in zip(allsegs, allsegs[1:]):
+            assert b == c and a < b
+        # alignment per tier, and coarser tiers actually used when they fit
+        for t in tiers:
+            for a, b in segs[t]:
+                assert a % t == 0 and b % t == 0 and a < b
+        for a, b in segs["raw"]:
+            assert b - a < 60_000_000
+
+    with pytest.raises(ValueError):
+        rollup_mod.decompose_range(5, 5, tiers)
+
+
+def test_serve_range_matches_direct(spark):
+    import datetime as dt
+
+    import duckdb
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(path)
+    rng = np.random.default_rng(11)
+    base = dt.datetime(2024, 1, 1)
+    for _ in range(4):
+        s0 = int(rng.integers(0, 20 * 86400))
+        s1 = s0 + int(rng.integers(90, 9 * 86400))
+        t0, t1 = (base + dt.timedelta(seconds=s0),
+                  base + dt.timedelta(seconds=s1))
+        got = rollup_mod.serve_range(
+            ev, t0, t1, series_cols=["user_id"], order_col="event_id")
+        rows = {r.user_id: r for r in got.collect()}
+        exp = duckdb.sql(f"""
+            select user_id, count(*) cnt, round(sum(value), 6) sum_val,
+                   min(value) min_val, max(value) max_val,
+                   arg_min(value, (epoch_us(ts) - 1704067200000000)
+                                  * 100000 + event_id) first_val,
+                   arg_max(value, (epoch_us(ts) - 1704067200000000)
+                                  * 100000 + event_id) last_val,
+                   round(sum(value) / count(*), 6) avg_val
+            from read_parquet('{path}')
+            where ts >= '{t0}' and ts < '{t1}' group by 1
+        """).fetchall()
+        assert len(exp) > 0 and len(rows) == len(exp)
+        for (u, cnt, sv, mn, mx, fv, lv, av) in exp:
+            r = rows[u]
+            assert (r.cnt, r.min_val, r.max_val) == (cnt, mn, mx), u
+            assert (r.first_val, r.last_val) == (fv, lv), u
+            assert r.sum_val == pytest.approx(sv, abs=2e-6), u
+            assert r.avg_val == pytest.approx(av, abs=2e-6), u
+
+
+def test_serve_range_subminute_and_aligned(spark):
+    import datetime as dt
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = dt.datetime(2024, 1, 2)
+    # sub-minute: raw-only path
+    sub = rollup_mod.serve_range(
+        ev, base, base + dt.timedelta(seconds=30),
+        series_cols=["user_id"], order_col="event_id")
+    direct = ev.where(
+        (ev.ts >= base.isoformat()) &
+        (ev.ts < (base + dt.timedelta(seconds=30)).isoformat()))
+    assert sub.selectExpr("sum(cnt)").first()[0] == direct.count() \
+        or direct.count() == 0
+    # day-aligned: no raw segments, pure 1d tier
+    segs = rollup_mod.decompose_range(
+        int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+        int((base + dt.timedelta(days=3)).replace(
+            tzinfo=dt.timezone.utc).timestamp() * 1e6),
+        [86_400_000_000, 3_600_000_000, 60_000_000])
+    assert segs["raw"] == [] and segs[3_600_000_000] == [] \
+        and segs[60_000_000] == []
+    day = rollup_mod.serve_range(
+        ev, base, base + dt.timedelta(days=3),
+        series_cols=["user_id"], order_col="event_id")
+    d2 = ev.where((ev.ts >= base.isoformat()) &
+                  (ev.ts < (base + dt.timedelta(days=3)).isoformat()))
+    assert day.selectExpr("sum(cnt)").first()[0] == d2.count()
+
+
+# ----------------------------------------------- HLL distinct tiers
+def test_distinct_rollup_exact_regime_and_tier_up(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    m1 = rollup_mod.distinct_rollup(ev, "1m", "user_id",
+                                    series_cols=["event_type"])
+    h1 = rollup_mod.distinct_tier_up(m1, "1h", series_cols=["event_type"])
+    d1 = rollup_mod.distinct_tier_up(h1, "1d", series_cols=["event_type"])
+    import pyspark.sql.functions as F
+    for df, unit in ((h1, "hour"), (d1, "day")):
+        got = {(r.event_type, r.bucket_ts): r.n_distinct
+               for r in df.collect()}
+        exp = {(r.event_type, r.bucket_ts): r.n
+               for r in ev.groupBy(
+                   "event_type",
+                   F.date_trunc(unit, "ts").alias("bucket_ts"))
+               .agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert got == exp  # sparse exact regime at this cardinality
+
+
+def test_distinct_sketch_error_bound_beyond_exact_regime(spark):
+    import pyspark.sql.functions as F
+    n = 200_000
+    df = spark.range(n).select(
+        F.lit("2024-01-01 00:00:30").cast("timestamp").alias("ts"),
+        F.col("id").alias("k"))
+    est = rollup_mod.distinct_rollup(df, "1h", "k").first().n_distinct
+    assert abs(est - n) / n < 0.05  # lgk=12 -> ~1.6% RSE
+    # union of disjoint shards == direct sketch estimate
+    sharded = spark.range(n).select(
+        F.lit("2024-01-01 00:00:30").cast("timestamp").alias("ts"),
+        (F.col("id") % 7).alias("shard"), F.col("id").alias("k"))
+    m = rollup_mod.distinct_rollup(sharded, "1m", "k",
+                                   series_cols=["shard"])
+    u = rollup_mod.distinct_tier_up(m, "1h").first().n_distinct
+    assert u == est

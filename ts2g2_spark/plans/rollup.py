@@ -364,3 +364,206 @@ def apply_retention(
     return tier_df.where(
         F.unix_timestamp("bucket_ts") >= F.lit(cutoff)
     )
+
+
+def decompose_range(t0_us: int, t1_us: int,
+                    tier_us: list[int]) -> dict:
+    """Greedy coarse-to-fine cover of the half-open interval
+    [t0_us, t1_us) (epoch microseconds) by tier-aligned segments.
+
+    Returns {tier: [(lo, hi), ...], "raw": [(lo, hi), ...]} where each
+    tier's segments are aligned to that tier's bucket grid and fully
+    inside the request; whatever no tier grid can cover lands in "raw".
+    Segments are pairwise disjoint and union exactly to [t0, t1) — the
+    invariant the serve_range tests pin.  `tier_us` must be sorted
+    coarsest-first; finer tiers must divide coarser ones (60s/3600s/
+    86400s do), so a finer segment never straddles a coarser one.
+    """
+    if t0_us >= t1_us:
+        raise ValueError(
+            f"decompose_range: empty interval [{t0_us}, {t1_us})")
+    segs: dict = {t: [] for t in tier_us}
+    segs["raw"] = []
+    remaining = [(t0_us, t1_us)]
+    for t in tier_us:
+        nxt = []
+        for a, b in remaining:
+            lo = -(-a // t) * t  # ceil to grid
+            hi = (b // t) * t    # floor to grid
+            if lo < hi:
+                segs[t].append((lo, hi))
+                if a < lo:
+                    nxt.append((a, lo))
+                if hi < b:
+                    nxt.append((hi, b))
+            else:
+                nxt.append((a, b))
+        remaining = nxt
+    segs["raw"] = remaining
+    return segs
+
+
+def serve_range(
+    points: DataFrame,
+    t0,
+    t1,
+    tiers: dict[str, DataFrame] | None = None,
+    series_cols: list[str] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Real-time continuous-aggregate query: answer
+    cnt/sum/min/max/first/last/avg per series over an ARBITRARY
+    half-open [t0, t1) by stitching materialized tiers — whole days
+    from the 1d tier, the day edges from 1h, the hour edges from 1m,
+    and only the sub-minute slivers from raw (the TimescaleDB
+    real-time CAGG serving pattern).
+
+    `tiers` maps tier name -> rollup frame in the rollup_points schema
+    (series cols + bucket_ts, cnt, sum, min, max, first, last,
+    gapfilled).  When None, the 1m tier is computed from `points` and
+    1h/1d derive via rollup_tier_up — the all-from-raw fallback the
+    tests use; production passes the materialized tier tables and the
+    raw scan touches at most ~2 minutes of data per edge.
+
+    Each covering segment is disjoint in time, so the global first is
+    the `first` of the earliest contributing unit and symmetrically for
+    `last` — merged with min_by/max_by on (unit start, intra-unit
+    order); tier units carry order -1 (they start at or before any raw
+    point inside them, and tier/raw units never share a start).
+
+    sum/avg round to `round_dp`: partial sums re-associate float
+    addition vs a direct single-pass sum (drift ~1e-9 at this scale —
+    the grid absorbs it; cnt/min/max/first/last are exact).
+
+    Scale shape: each tier scan is a bucket_ts range predicate
+    (partition-prunable on date-partitioned tier tables) feeding one
+    partial+final hash agg on the series key; no joins, no windows.
+    The raw scan reads only the sub-minute slivers.
+    """
+    import datetime as _dt
+
+    def _us(x):
+        if isinstance(x, _dt.datetime):
+            if x.tzinfo is None:
+                x = x.replace(tzinfo=_dt.timezone.utc)
+            return int(x.timestamp() * 1_000_000)
+        return int(x)
+
+    t0_us, t1_us = _us(t0), _us(t1)
+    by_us = {TIER_SECONDS[name] * 1_000_000: name for name in TIER_SECONDS}
+    segs = decompose_range(t0_us, t1_us, sorted(by_us, reverse=True))
+
+    if tiers is None:
+        m1 = rollup_points(points, "1m", series_cols=series_cols,
+                           ts_col=ts_col, val_col=val_col,
+                           order_col=order_col)
+        h1 = rollup_tier_up(m1, "1h", series_cols=series_cols)
+        d1 = rollup_tier_up(h1, "1d", series_cols=series_cols)
+        tiers = {"1m": m1, "1h": h1, "1d": d1}
+
+    def _pred(col, ranges):
+        p = F.lit(False)
+        for lo, hi in ranges:
+            p = p | ((col >= F.lit(lo)) & (col < F.lit(hi)))
+        return p
+
+    scols = [F.col(c) for c in series_cols]
+    parts = []
+    for t_us, ranges in segs.items():
+        if t_us == "raw" or not ranges:
+            continue
+        df = tiers[by_us[t_us]]
+        b_us = F.unix_micros(F.col("bucket_ts"))
+        parts.append(
+            df.where(~F.col("gapfilled")).where(_pred(b_us, ranges))
+            .select(*scols, b_us.alias("_t"), F.lit(-1).alias("_o"),
+                    "cnt", F.col("sum").alias("_s"), "min", "max",
+                    "first", "last"))
+    if segs["raw"]:
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        v = F.col(val_col).cast("double")
+        o = F.col(order_col).cast("long") if order_col else F.lit(0)
+        parts.append(
+            points.where(_pred(ts_us, segs["raw"]))
+            .select(*scols, ts_us.alias("_t"), o.alias("_o"),
+                    F.lit(1).cast("long").alias("cnt"), v.alias("_s"),
+                    v.alias("min"), v.alias("max"),
+                    v.alias("first"), v.alias("last")))
+    if not parts:
+        raise ValueError("serve_range: no tier covers the interval "
+                         "and no raw frame segments were produced")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    k = F.struct(F.col("_t"), F.col("_o"))
+    agg = u.groupBy(*series_cols).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("_s").alias("_sum"),
+        F.min("min").alias("min_val"),
+        F.max("max").alias("max_val"),
+        F.min_by("first", k).alias("first_val"),
+        F.max_by("last", k).alias("last_val"),
+    )
+    return agg.select(
+        *series_cols, "cnt",
+        F.round("_sum", round_dp).alias("sum_val"),
+        "min_val", "max_val", "first_val", "last_val",
+        F.round(F.col("_sum") / F.col("cnt"), round_dp).alias("avg_val"),
+    )
+
+
+def distinct_rollup(
+    points: DataFrame,
+    tier: str,
+    key_col: str,
+    series_cols: list[str] = (),
+    ts_col: str = "ts",
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count tier: one Apache DataSketches HLL
+    sketch of `key_col` per (series, bucket) plus its estimate — the
+    engine-native answer to "hourly/daily active users" that a plain
+    count(distinct) tier cannot give, because count(distinct) is NOT
+    re-aggregable to coarser buckets while sketches union losslessly
+    (`distinct_tier_up`).
+
+    `n_distinct` is the sketch estimate (exact while the sketch is in
+    its sparse exact regime — up to ~2^(lgk-3) distincts; ~1.6% RSE
+    beyond for lgk=12).  The binary `sketch` column is the mergeable
+    state a tier catalog persists.
+
+    Scale shape: partial hash agg merges sketches map-side, so the
+    exchange carries one lgk-bounded sketch per (series, bucket) —
+    never the key values themselves.
+    """
+    tier_s = TIER_SECONDS[tier]
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / tier_s).cast("long") * tier_s
+    ).alias("bucket_ts")
+    return (
+        points.groupBy(*[F.col(c) for c in series_cols], bucket)
+        .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"))
+        .withColumn("n_distinct", F.hll_sketch_estimate("sketch"))
+    )
+
+
+def distinct_tier_up(
+    finer: DataFrame, to_tier: str,
+    series_cols: list[str] = (),
+) -> DataFrame:
+    """Union finer-tier HLL sketches into a coarser tier — lossless
+    (the union of sketches is bit-equivalent in estimate to sketching
+    the coarser bucket directly), so daily actives come from hourly
+    state without re-reading raw."""
+    tier_s = TIER_SECONDS[to_tier]
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_ts") / tier_s).cast("long") * tier_s
+    ).alias("bucket_ts")
+    return (
+        finer.groupBy(*[F.col(c) for c in series_cols], bucket)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn("n_distinct", F.hll_sketch_estimate("sketch"))
+    )
