@@ -3955,6 +3955,72 @@ from events group by 1, 2
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, stride 24) of the
+    documents table — the training/RAG chunker; tail chunks below 8
+    tokens or fully contained in the previous window are dropped."""
+    from ts2g2_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=32,
+                           stride=24, min_tokens=8)
+
+
+CHUNK_DOCS_SQL = """
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\\s+') as ws
+  from documents where length(trim(text)) > 0
+),
+c as (
+  select doc_id, ws, len(ws) as n,
+         unnest(generate_series(0, (len(ws) - 1) // 24)) as cid
+  from w
+)
+select doc_id, cid::BIGINT as chunk_id, (cid * 24)::BIGINT as start_word,
+       least(32, n - cid * 24)::BIGINT as n_tokens,
+       array_to_string(ws[cid * 24 + 1 : least(cid * 24 + 32, n)], ' ')
+         as chunk_text
+from c
+where cid = 0 or (least(32, n - cid * 24) >= 8
+                  and least(32, n - cid * 24) > 32 - 24)
+"""
+
+
+def q_dict_encode(spark, sf_dir):
+    """Dictionary-encode every doc against the frequency-ranked vocab
+    (ids dense by count desc, word asc; words under min_count=500
+    encode as -1) — integer token streams for a training pipeline."""
+    from ts2g2_spark.operators.text import dict_encode
+
+    return dict_encode(_docs(spark, sf_dir), min_count=500)
+
+
+DICT_ENCODE_SQL = """
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\\s+') as ws
+  from documents where length(trim(text)) > 0
+),
+t as (
+  select doc_id, unnest(ws) as word, generate_subscripts(ws, 1) as pos
+  from w
+),
+vc as (
+  select word, count(*) as cnt from t group by 1 having count(*) >= 500
+),
+v as (
+  select word,
+         (row_number() over (order by cnt desc, word) - 1)::BIGINT as id
+  from vc
+),
+e as (
+  select t.doc_id, t.pos, coalesce(v.id, -1) as id
+  from t left join v using (word)
+)
+select doc_id, count(*)::BIGINT as n_tokens,
+       list(id order by pos) as ids
+from e group by 1
+"""
+
+
 def q_sax_motifs_w4(spark, sf_dir):
     """SAX motif mining: 4-segment words over the sax_w8_a4
     symbolization, counted per (user, word) with the earliest start."""
@@ -4342,6 +4408,8 @@ _RAW_QUERIES = {
         "sax_motifs_w4": q_sax_motifs_w4,
         "serve_range_stitched": q_serve_range_stitched,
         "distinct_users_1h": q_distinct_users_1h,
+        "chunk_docs": q_chunk_docs,
+        "dict_encode_docs": q_dict_encode,
     }
 
 
@@ -4455,5 +4523,7 @@ def oracle_sql() -> dict[str, str]:
         "counter_rate_1h": COUNTER_RATE_SQL,
         "serve_range_stitched": SERVE_RANGE_SQL,
         "distinct_users_1h": DISTINCT_USERS_SQL,
+        "chunk_docs": CHUNK_DOCS_SQL,
+        "dict_encode_docs": DICT_ENCODE_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -395,3 +395,143 @@ def top_ngrams(docs: DataFrame, n_words: int = 2, k: int = 20,
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 256,
+    stride: int = 192,
+    min_tokens: int = 32,
+    key_cols: list[str] = ("doc_id",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking for training/RAG pipelines:
+    split each doc's whitespace token stream into windows of
+    `chunk_size` tokens starting every `stride` tokens (overlap =
+    chunk_size - stride).
+
+    Contract: chunk c covers word positions [c*stride,
+    c*stride + chunk_size) clipped to the doc.  A non-first chunk is
+    kept only if it has >= `min_tokens` tokens AND extends past the
+    previous chunk's coverage (strictly more than chunk_size - stride
+    tokens — a fully-contained tail adds no new text).  The first chunk
+    is always kept; docs whose trimmed text is empty produce no rows.
+
+    Output: key cols + chunk_id, start_word, n_tokens, chunk_text
+    (space-rejoined window).
+
+    Scale shape: map-only — one split per doc behind a projection-
+    collapse barrier (_staged_words), one explode with O(n_words /
+    stride) fan-out, slice/concat inside codegen.  No shuffle at all.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"chunk_documents: need 0 < stride <= chunk_size, got "
+            f"stride={stride} chunk_size={chunk_size}")
+    if not 1 <= min_tokens <= chunk_size:
+        raise ValueError(
+            f"chunk_documents: need 1 <= min_tokens <= chunk_size, "
+            f"got {min_tokens}")
+    staged = _staged_words(
+        docs.where(F.length(F.trim(F.col(text_col))) > 0), text_col)
+    n = F.size("_ws")
+    ex = staged.select(
+        *key_cols, F.col("_ws"), n.alias("_n"),
+        F.explode(F.sequence(
+            F.lit(0), F.floor((n - 1) / stride).cast("long"))).alias("_c"),
+    )
+    s = F.col("_c") * stride
+    size = F.least(F.lit(chunk_size), F.col("_n") - s)
+    keep = (F.col("_c") == 0) | (
+        (size >= min_tokens) & (size > chunk_size - stride))
+    return ex.where(keep).select(
+        *key_cols,
+        F.col("_c").alias("chunk_id"),
+        s.cast("long").alias("start_word"),
+        size.cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(
+            "_ws", (s + 1).cast("int"), F.lit(chunk_size))
+        ).alias("chunk_text"),
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary over the whitespace token stream:
+    (word, cnt, id) with dense 0-based ids ordered by (cnt desc, word
+    asc), keeping words with cnt >= min_count.  Docs whose trimmed
+    text is empty are excluded (their split would otherwise contribute
+    a spurious empty-string token).
+
+    The dense rank is computed WITHOUT a global single-partition sort
+    over the vocabulary: per-word row_number partitions by cnt (fully
+    parallel), and the per-cnt base offset is a running sum over the
+    count-of-counts frame — #distinct frequencies rows, thousands at
+    most even for web-scale corpora (Zipf), so its single-partition
+    window is a non-issue.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        _staged_words(
+            docs.where(F.length(F.trim(F.col(text_col))) > 0), text_col)
+        .select(F.explode("_ws").alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    cc = counts.groupBy("cnt").agg(F.count("*").alias("_nw"))
+    w_off = (Window.orderBy(F.desc("cnt"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = cc.select(
+        "cnt", F.coalesce(F.sum("_nw").over(w_off), F.lit(0)).alias("_off"))
+    w_in = Window.partitionBy("cnt").orderBy(F.asc("word"))
+    return (
+        counts.join(F.broadcast(offsets), "cnt")
+        .select("word", "cnt",
+                (F.col("_off") + F.row_number().over(w_in) - 1)
+                .cast("long").alias("id"))
+    )
+
+
+def dict_encode(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    key_cols: list[str] = ("doc_id",),
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Dictionary-encode each doc's whitespace token stream against a
+    frequency-ranked vocabulary (build_vocab): out-of-vocabulary words
+    (below min_count, or absent from a supplied `vocab`) encode as -1.
+    Docs whose trimmed text is empty produce no rows.
+
+    Output: key cols + n_tokens, ids (array<long> in document order).
+
+    Scale shape: posexplode -> equi-join on word (AQE picks broadcast
+    when the vocab fits, sort-merge otherwise; hot-word skew is benign
+    because the vocab side has one row per word) -> one groupBy per doc
+    re-assembling order via array_sort over (pos, id) structs.  The
+    collected array is bounded by doc length — the same per-row bound
+    as the input text itself.
+    """
+    if vocab is None:
+        vocab = build_vocab(docs, text_col=text_col, min_count=min_count)
+    src = docs.where(F.length(F.trim(F.col(text_col))) > 0)
+    toks = _staged_words(src, text_col).select(
+        *key_cols, F.posexplode("_ws").alias("pos", "word"))
+    enc = (
+        toks.join(vocab.select("word", "id"), "word", "left")
+        .select(*key_cols, "pos",
+                F.coalesce("id", F.lit(-1)).alias("_id"))
+    )
+    return (
+        enc.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_tokens"),
+             F.array_sort(F.collect_list(
+                 F.struct("pos", "_id"))).alias("_pairs"))
+        .select(*key_cols, "n_tokens",
+                F.transform("_pairs", lambda x: x["_id"]).alias("ids"))
+    )
