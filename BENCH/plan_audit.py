@@ -44,6 +44,12 @@ AUDIT = [
     "cusum_changepoint", "series_profile", "periodogram",
     "vocab_stats", "corpus_length_profile",
     "event_transitions", "funnel_vcp", "cohort_retention",
+    # round 3 session 4-5 additions
+    "pagerank_hvg", "session_stats_6h", "lttb_48", "ewma_03",
+    "interval_join_sessions", "twa_1h", "counter_rate_1h",
+    # round 3 session 6-7 additions
+    "serve_range_stitched", "distinct_users_1h", "chunk_docs",
+    "dict_encode_docs",
 ]
 
 

@@ -4021,6 +4021,74 @@ from e group by 1
 """
 
 
+def q_forecast_24h(spark, sf_dir):
+    """Seasonal-naive forecast (period 24 hourly buckets, 12-step
+    horizon) per user with in-sample MAE/MAPE backtest — the baseline
+    forecaster a monitoring tier serves; a wall-clock guard keeps the
+    period look-back honest across bucket gaps."""
+    from ts2g2_spark.operators.metrics import seasonal_naive_forecast
+
+    return seasonal_naive_forecast(_events(spark, sf_dir), period=24,
+                                   horizon=12)
+
+
+FORECAST_SQL = """
+with m as (
+  select user_id, date_trunc('hour', ts) as bucket_ts, avg(value) as y
+  from events group by 1, 2
+),
+l2 as (
+  select m.user_id, m.bucket_ts, m.y, p.y as yl
+  from m left join m p
+    on p.user_id = m.user_id
+   and p.bucket_ts = m.bucket_ts - interval 24 hour
+),
+s as (
+  select user_id, max(bucket_ts) as last_ts,
+         round(avg(abs(y - yl)), 6) as mae,
+         round(avg(case when y <> 0 then abs((y - yl) / y) end), 6)
+           as mape
+  from l2 group by 1
+),
+f as (
+  select user_id, last_ts, mae, mape,
+         unnest(generate_series(1, 12)) as step
+  from s
+)
+select f.user_id,
+       f.last_ts + f.step * interval 1 hour as bucket_ts,
+       f.step::BIGINT as step, round(m.y, 6) as yhat, f.mae, f.mape
+from f left join m
+  on m.user_id = f.user_id
+ and m.bucket_ts = f.last_ts + (f.step - 24) * interval 1 hour
+"""
+
+
+def q_anomaly_stl_24(spark, sf_dir):
+    """Seasonality-aware anomalies: seasonal_decompose(24) residuals
+    z-scored per user, |z| > 3 flagged — composed entirely from the
+    decompose output so the oracle wraps SEASONAL_DECOMP_SQL."""
+    from ts2g2_spark.operators.seriesstats import residual_anomalies
+
+    return residual_anomalies(_events(spark, sf_dir), period=24,
+                              series_cols=["user_id"],
+                              order_col="event_id")
+
+
+def _anomaly_sql() -> str:
+    return f"""
+select user_id, pos, ts, value, resid,
+       round((resid - avg(resid) over w)
+             / stddev_samp(resid) over w, 6) + 0.0 as z,
+       coalesce(abs((resid - avg(resid) over w)
+                    / stddev_samp(resid) over w) > 3.0, false)
+         as is_anomaly
+from ({SEASONAL_DECOMP_SQL}) b
+where resid is not null
+window w as (partition by user_id)
+"""
+
+
 def q_sax_motifs_w4(spark, sf_dir):
     """SAX motif mining: 4-segment words over the sax_w8_a4
     symbolization, counted per (user, word) with the earliest start."""
@@ -4410,6 +4478,8 @@ _RAW_QUERIES = {
         "distinct_users_1h": q_distinct_users_1h,
         "chunk_docs": q_chunk_docs,
         "dict_encode_docs": q_dict_encode,
+        "forecast_24h": q_forecast_24h,
+        "anomaly_stl_24": q_anomaly_stl_24,
     }
 
 
@@ -4525,5 +4595,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_1h": DISTINCT_USERS_SQL,
         "chunk_docs": CHUNK_DOCS_SQL,
         "dict_encode_docs": DICT_ENCODE_SQL,
+        "forecast_24h": FORECAST_SQL,
+        "anomaly_stl_24": _anomaly_sql(),
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

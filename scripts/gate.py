@@ -47,7 +47,11 @@ def _fmt(v) -> str:
     if v is None:
         return _NULL
     if isinstance(v, (float, np.floating)):
-        return _NULL if np.isnan(v) else f"{float(v):.12g}"
+        if np.isnan(v):
+            return _NULL
+        # -0.0 == 0.0 (IEEE): canonicalize, engines disagree on the
+        # sign of a zero round result
+        return f"{float(v) + 0.0:.12g}"
     return str(v)
 
 

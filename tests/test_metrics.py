@@ -184,3 +184,74 @@ def test_counter_rate_reset_and_first_sample(spark):
                      order_col="event_id").collect()[0]
     # 50 (150-100) + 30 (post-reset value) + 10 (40-30); first sample free
     assert r.increase == 90.0 and r.n_points == 4
+
+
+def _forecast_oracle(pdf, period=4, horizon=3, bucket_s=3600):
+    import math
+    out = {}
+    for u, g in pdf.groupby("user_id"):
+        m = (g.assign(b=g["ts"].dt.floor(f"{bucket_s}s"))
+             .groupby("b")["value"].mean().sort_index())
+        ts = list(m.index)
+        y = list(m.values)
+        yl = {}
+        for t in ts:
+            st = t - pd.Timedelta(seconds=period * bucket_s)
+            if st in m.index:
+                yl[t] = m[st]
+        errs = [abs(m[t] - yl[t]) for t in yl]
+        perrs = [abs((m[t] - yl[t]) / m[t]) for t in yl if m[t] != 0]
+        mae = round(sum(errs) / len(errs), 6) if errs else None
+        mape = round(sum(perrs) / len(perrs), 6) if perrs else None
+        last = ts[-1]
+        for step in range(1, horizon + 1):
+            ft = last + pd.Timedelta(seconds=step * bucket_s)
+            st = ft - pd.Timedelta(seconds=period * bucket_s)
+            yhat = round(m[st], 6) if st in m.index else None
+            out[(u, step)] = (ft, yhat, mae, mape)
+    return out
+
+
+def test_seasonal_naive_forecast_matches_bruteforce(spark):
+    from ts2g2_spark.operators.metrics import seasonal_naive_forecast
+
+    pdf = _events(seed=5, n=300, n_keys=4)
+    got = {(r.user_id, r.step): (pd.Timestamp(r.bucket_ts), r.yhat,
+                                 r.mae, r.mape)
+           for r in seasonal_naive_forecast(
+               spark.createDataFrame(pdf), period=4, horizon=3).collect()}
+    exp = _forecast_oracle(pdf)
+    assert set(got) == set(exp)
+    for k in exp:
+        ft, yhat, mae, mape = exp[k]
+        gft, gyhat, gmae, gmape = got[k]
+        assert gft == ft, k
+        assert gyhat == pytest.approx(yhat, abs=1e-9) if yhat is not None \
+            else gyhat is None, k
+        assert gmae == pytest.approx(mae, abs=1e-9), k
+        assert gmape == pytest.approx(mape, abs=1e-9), k
+
+
+def test_seasonal_naive_forecast_gap_guard_and_validation(spark):
+    from ts2g2_spark.operators.metrics import seasonal_naive_forecast
+
+    # series with a missing bucket: a positional lag-24 would line up
+    # the WRONG bucket; the self-join on (bucket_ts - period) stays
+    # exact and simply drops pairs whose source bucket is absent
+    rows = []
+    for hour in [0, 1, 2, 4, 5, 6, 7]:  # hour 3 missing
+        rows.append((1, BASE + dt.timedelta(hours=hour), float(hour), hour))
+    pdf = pd.DataFrame(rows,
+                       columns=["user_id", "ts", "value", "event_id"])
+    got = seasonal_naive_forecast(
+        spark.createDataFrame(pdf), period=4, horizon=2).collect()
+    by_step = {r.step: r for r in got}
+    # future buckets: hour 8 (src hour 4 -> 4.0), hour 9 (src hour 5)
+    assert by_step[1].yhat == 4.0 and by_step[2].yhat == 5.0
+    # backtest pairs: hours 4,5,6 have sources 0,1,2 (hour 7's source
+    # hour 3 is missing); errors all |h - (h-4)| = 4 -> mae 4.0
+    assert by_step[1].mae == 4.0
+
+    with pytest.raises(ValueError, match="horizon"):
+        seasonal_naive_forecast(spark.createDataFrame(pdf),
+                                period=4, horizon=5)

@@ -341,3 +341,40 @@ def test_hampel_flags_spike_zscore_misses(spark):
     assert not flagged & {17, 18, 19, 21, 22, 23}  # neighbours survive
     with pytest.raises(ValueError, match="k must be"):
         hampel_filter(None, k=0)
+
+
+def test_residual_anomalies_flags_planted_spike(spark):
+    import pandas as pd
+
+    from ts2g2_spark.operators.seriesstats import (residual_anomalies,
+                                                   seasonal_decompose)
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for u in (1, 2):
+        for i in range(96):
+            v = 10 * np.sin(2 * np.pi * i / 24) + rng.normal(0, 0.3)
+            if u == 1 and i == 50:
+                v += 25  # planted anomaly on a seasonal series
+            rows.append((u, BASE + dt.timedelta(hours=i), round(v, 3), i))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    df = spark.createDataFrame(pdf)
+    out = residual_anomalies(df, period=24, order_col="event_id").collect()
+    flagged = {(r.user_id, r.pos) for r in out if r.is_anomaly}
+    assert (1, 50) in flagged
+    assert not any(u == 2 for u, _ in flagged)
+    # z matches recomputation from the decompose residuals
+    dec = {(r.user_id, r.pos): r.resid
+           for r in seasonal_decompose(df, 24,
+                                       order_col="event_id").collect()
+           if r.resid is not None}
+    import statistics
+    for u in (1, 2):
+        res = [v for (uu, _), v in dec.items() if uu == u]
+        mu, sd = statistics.fmean(res), statistics.stdev(res)
+        for r in out:
+            if r.user_id == u:
+                assert r.z == pytest.approx(
+                    round((dec[(u, r.pos)] - mu) / sd, 6), abs=1e-6)
+    # rows with undefined residuals are excluded
+    assert all(r.resid is not None for r in out)

@@ -131,3 +131,87 @@ def counter_rate(
                     round_dp + 3).alias("rate_per_s"),
         )
     )
+
+
+def seasonal_naive_forecast(
+    points: DataFrame,
+    period: int,
+    horizon: int,
+    bucket: str = "hour",
+    bucket_s: int = 3600,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Seasonal-naive forecast with an in-sample backtest — the
+    canonical monitoring-tier baseline forecaster (yhat(t) =
+    y(t - period buckets)) and the error floor every fancier model
+    must beat.
+
+    Semantics: the series is first bucketed to `bucket` means (pass
+    bucket_s = seconds per bucket).  For each series, emits
+    `horizon` FUTURE buckets after that series' last observed bucket,
+    with yhat = the bucket mean one period earlier (NULL when the
+    source bucket was empty — gap-fill upstream if continuity is
+    needed; horizon must be <= period so every look-back lands in
+    observed history).  Backtest columns (per series, same on every
+    row): mae / mape over all historical buckets where both y(t) and
+    y(t - period) exist.
+
+    Output: series cols + bucket_ts (future), step (1..horizon), yhat,
+    mae, mape.
+
+    Scale shape: one hash agg to bucket means; the period look-back is
+    a self equi-join of the BUCKET FRAME (|series| x n_buckets rows,
+    not raw points) on (series, bucket_ts - period) — exact under
+    bucket gaps, where a positional window lag would silently misalign;
+    the forecast is an explode of `horizon` offsets joined back to the
+    same frame.  Raw points are read once.
+    """
+    if period < 1 or not 1 <= horizon <= period:
+        raise ValueError(
+            f"seasonal_naive_forecast: need period >= 1 and "
+            f"1 <= horizon <= period, got {period=} {horizon=}")
+    scols = [F.col(c) for c in series_cols]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    means = (
+        points.groupBy(*scols, b.alias("bucket_ts"))
+        .agg(F.avg(F.col(val_col).cast("double")).alias("y"))
+    )
+    shifted = means.select(
+        *scols,
+        (F.col("bucket_ts")
+         + F.expr(f"interval {period * bucket_s} second")
+         ).alias("bucket_ts"),
+        F.col("y").alias("_yl"),
+    )
+    lagged = means.join(shifted, [*series_cols, "bucket_ts"], "left")
+    stats = lagged.groupBy(*series_cols).agg(
+        F.max("bucket_ts").alias("_last"),
+        F.round(F.avg(F.abs(F.col("y") - F.col("_yl"))),
+                round_dp).alias("mae"),
+        F.round(F.avg(F.when(F.col("y") != 0,
+                             F.abs((F.col("y") - F.col("_yl"))
+                                   / F.col("y")))),
+                round_dp).alias("mape"),
+    )
+    fut = stats.select(
+        *series_cols, "_last", "mae", "mape",
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("step"),
+    ).select(
+        *series_cols, "mae", "mape", "step",
+        (F.col("_last") + F.expr(f"interval {bucket_s} second")
+         * F.col("step")).alias("bucket_ts"),
+        (F.col("_last") + F.expr(f"interval {bucket_s} second")
+         * (F.col("step") - F.lit(period))).alias("_src_ts"),
+    )
+    src = means.select(
+        *scols, F.col("bucket_ts").alias("_src_ts"),
+        F.round("y", round_dp).alias("yhat"))
+    return (
+        fut.join(src, [*series_cols, "_src_ts"], "left")
+        .select(*series_cols, "bucket_ts",
+                F.col("step").cast("long").alias("step"),
+                "yhat", "mae", "mape")
+    )

@@ -499,3 +499,49 @@ def periodogram(
         "n",
         F.round(F.col("_p._pw"), 6).alias("power"),
     )
+
+
+def residual_anomalies(
+    points: DataFrame,
+    period: int,
+    z_thresh: float = 3.0,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: seasonal_decompose
+    residuals z-scored against each series' residual mean/stddev
+    (sample), flagged where |z| > z_thresh — a raw-value z-score would
+    flag every seasonal peak; removing trend+seasonal first is what
+    makes the flag mean "anomalous for this time of day".
+
+    Rows where the residual is undefined (trend window incomplete at
+    the series edges) are excluded.  `z` rounds to `round_dp` over the
+    already-rounded residuals (the decompose rounding contract), so
+    oracles replay bit-stably; is_anomaly is false when the z-score is
+    undefined (zero/NULL stddev).
+
+    Output: series cols + pos, ts, value, resid, z, is_anomaly.
+
+    Scale shape: seasonal_decompose's exchanges (ordered window +
+    broadcast-joined phase means) plus ONE more unordered window on
+    the series key for mean/std — no extra shuffle (same key), no
+    joins.
+    """
+    dec = seasonal_decompose(points, period, series_cols=series_cols,
+                             ts_col=ts_col, val_col=val_col,
+                             order_col=order_col)
+    ok = dec.where(F.col("resid").isNotNull())
+    w = Window.partitionBy(*[F.col(c) for c in series_cols])
+    z = (F.col("resid") - F.avg("resid").over(w)) \
+        / F.stddev_samp("resid").over(w)
+    return ok.select(
+        *series_cols, "pos", F.col(ts_col), "value", "resid",
+        # + 0.0 canonicalizes IEEE -0.0 (engines disagree on the sign
+        # of a zero round result)
+        (F.round(z, round_dp) + F.lit(0.0)).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(float(z_thresh)),
+                   F.lit(False)).alias("is_anomaly"),
+    )
