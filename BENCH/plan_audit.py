@@ -49,7 +49,7 @@ AUDIT = [
     "interval_join_sessions", "twa_1h", "counter_rate_1h",
     # round 3 session 6-7 additions
     "serve_range_stitched", "distinct_users_1h", "chunk_docs",
-    "dict_encode_docs",
+    "dict_encode_docs", "forecast_24h", "anomaly_stl_24",
 ]
 
 

@@ -4078,11 +4078,13 @@ def q_anomaly_stl_24(spark, sf_dir):
 def _anomaly_sql() -> str:
     return f"""
 select user_id, pos, ts, value, resid,
-       round((resid - avg(resid) over w)
-             / stddev_samp(resid) over w, 6) + 0.0 as z,
-       coalesce(abs((resid - avg(resid) over w)
-                    / stddev_samp(resid) over w) > 3.0, false)
-         as is_anomaly
+       round(case when stddev_samp(resid) over w <> 0
+                  then (resid - avg(resid) over w)
+                       / stddev_samp(resid) over w end, 6) + 0.0 as z,
+       coalesce(abs(case when stddev_samp(resid) over w <> 0
+                         then (resid - avg(resid) over w)
+                              / stddev_samp(resid) over w end) > 3.0,
+                false) as is_anomaly
 from ({SEASONAL_DECOMP_SQL}) b
 where resid is not null
 window w as (partition by user_id)

@@ -535,8 +535,11 @@ def residual_anomalies(
                              order_col=order_col)
     ok = dec.where(F.col("resid").isNotNull())
     w = Window.partitionBy(*[F.col(c) for c in series_cols])
-    z = (F.col("resid") - F.avg("resid").over(w)) \
-        / F.stddev_samp("resid").over(w)
+    sd = F.stddev_samp("resid").over(w)
+    # NULL z for constant-residual (sd = 0) or singleton (sd NULL)
+    # series -- ANSI-safe, and the flag stays false via the coalesce
+    z = F.when(sd != 0,
+               (F.col("resid") - F.avg("resid").over(w)) / sd)
     return ok.select(
         *series_cols, "pos", F.col(ts_col), "value", "resid",
         # + 0.0 canonicalizes IEEE -0.0 (engines disagree on the sign
