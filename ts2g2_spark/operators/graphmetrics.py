@@ -156,7 +156,7 @@ def pagerank(
     iters: int = 8,
     damping: float = 0.85,
     round_dp: int = 9,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank per series graph: (series_key, node,
     rank).  Relational power iteration —
@@ -175,13 +175,22 @@ def pagerank(
     EVERY iteration (not just the last), so order-dependent float
     summation differences between engines cannot accumulate — the SQL
     oracle unrolls the same iterations with the same per-iteration
-    rounding and hash-matches.  The operator caches (lazy) and — for
-    iters below `checkpoint_every` — takes no action at construction;
-    longer runs localCheckpoint the rank frame every `checkpoint_every`
-    iterations (EAGER, so construction runs jobs then, like
-    `dedup.connected_components`) because a join plan tens of
-    iterations deep otherwise exhausts task memory in one stage."""
+    rounding and hash-matches.  EAGER API for iters >=
+    `checkpoint_every` (like `dedup.connected_components`): the rank
+    frame localCheckpoints every `checkpoint_every` iterations, so
+    construction runs jobs then.  Truncating aggressively is a measured
+    4.8x win (8.0s -> 1.65s on the sf0.1 HVG, bit-identical output,
+    interleaved median-of-ratios): the all-lazy multi-iteration plan's
+    cost is Catalyst planning + AQE replanning, superlinear in lineage
+    depth, not the 57k-row data.  Set checkpoint_every > iters to get
+    a fully lazy single plan (e.g. to inspect it)."""
     e = canonical_edges(edges)
+    if iters >= checkpoint_every:
+        # materialize the (small) canonical edge frame so the iteration
+        # checkpoints replay against stored bytes, not the caller's
+        # upstream lineage (e.g. a visibility kernel) -- the measured
+        # win below assumes this
+        e = e.localCheckpoint(eager=True)
     sym = (
         e.select("series_key", F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(
