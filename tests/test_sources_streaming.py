@@ -342,3 +342,52 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got.count() == w.count() > 0
     assert got.select(*cols).exceptAll(w).count() == 0
     assert w.exceptAll(got.select(*cols)).count() == 0
+
+
+def test_streaming_distinct_matches_batch_and_tiers_up(spark, tmp_path):
+    from ts2g2_spark.plans import rollup as R2
+
+    in_dir = str(tmp_path / "din")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    os.makedirs(in_dir)
+
+    def mk_points(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+            F.lit("src_00").alias("source"),
+            F.timestamp_seconds(1704067200 + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 11).cast("double").alias("value"),
+        )
+
+    mk_points(0, 500).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_distinct_1m(ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 0  # watermark holds
+
+    mk_points(100000, 100200).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_distinct_1m(ingest.stream_points(spark, in_dir)),
+        out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+
+    want = R2.distinct_rollup(mk_points(0, 500), "1m", "value",
+                              series_cols=["doc_id", "source"])
+    assert got.count() == want.count() > 0
+    g = {(r.doc_id, r.bucket_ts): r.n_distinct for r in got.collect()}
+    w = {(r.doc_id, r.bucket_ts): r.n_distinct for r in want.collect()}
+    assert g == w
+    # sparse exact regime: estimates equal exact distincts
+    exact = {(r.doc_id, r.b): r.n for r in mk_points(0, 500).groupBy(
+        "doc_id", F.date_trunc("minute", "ts").alias("b")).agg(
+        F.countDistinct("value").alias("n")).collect()}
+    assert g == exact
+    # batch tier-up composes on the STREAMED sketch state
+    h_stream = R2.distinct_tier_up(got, "1h",
+                                   series_cols=["doc_id", "source"])
+    h_direct = R2.distinct_rollup(mk_points(0, 500), "1h", "value",
+                                  series_cols=["doc_id", "source"])
+    hs = {(r.doc_id, r.bucket_ts): r.n_distinct for r in h_stream.collect()}
+    hd = {(r.doc_id, r.bucket_ts): r.n_distinct for r in h_direct.collect()}
+    assert hs == hd

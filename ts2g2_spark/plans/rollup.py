@@ -515,6 +515,17 @@ def serve_range(
     )
 
 
+def _hll_key(df: DataFrame, key_col: str):
+    """hll_sketch_agg accepts int/bigint/string/binary only; other key
+    types (doubles, timestamps, ...) sketch their canonical string form
+    — distinctness is preserved, and both the batch and streaming tiers
+    use the same cast so their sketches stay mergeable."""
+    ok = {"int", "bigint", "string", "binary"}
+    dtype = dict(df.dtypes).get(key_col)
+    c = F.col(key_col)
+    return c if dtype in ok else c.cast("string")
+
+
 def distinct_rollup(
     points: DataFrame,
     tier: str,
@@ -545,7 +556,8 @@ def distinct_rollup(
     ).alias("bucket_ts")
     return (
         points.groupBy(*[F.col(c) for c in series_cols], bucket)
-        .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"))
+        .agg(F.hll_sketch_agg(_hll_key(points, key_col),
+                              F.lit(lgk)).alias("sketch"))
         .withColumn("n_distinct", F.hll_sketch_estimate("sketch"))
     )
 

@@ -232,6 +232,40 @@ def stream_dedup(
         .dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def streaming_distinct_1m(
+    points: DataFrame,
+    key_col: str = "value",
+    series_cols: tuple = ("doc_id", "source"),
+    watermark: str = "1 hour",
+    lgk: int = 12,
+) -> DataFrame:
+    """Streaming distinct-count tier: watermarked 1m tumbling-window
+    datasketches HLL sketch of `key_col` per (series, bucket) — the
+    streaming twin of plans/rollup.distinct_rollup, emitting the SAME
+    mergeable sketch state, so the batch `distinct_tier_up` composes
+    coarser tiers directly on a live stream's output.
+
+    Append mode emits one final row per window once the watermark
+    passes its end (same completeness contract as streaming_rollup_1m);
+    because sketch union is associative and order-insensitive in
+    estimate, the emitted state is exactly what a tier catalog stores.
+    """
+    from ts2g2_spark.plans.rollup import _hll_key
+
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(*series_cols, F.window("ts", "1 minute"))
+        .agg(F.hll_sketch_agg(_hll_key(points, key_col),
+                              F.lit(lgk)).alias("sketch"))
+        .select(
+            *series_cols,
+            F.col("window.start").alias("bucket_ts"),
+            "sketch",
+            F.hll_sketch_estimate("sketch").alias("n_distinct"),
+        )
+    )
+
+
 def run_available_now(
     tier: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
