@@ -378,3 +378,42 @@ def test_distinct_sketch_error_bound_beyond_exact_regime(spark):
                                    series_cols=["shard"])
     u = rollup_mod.distinct_tier_up(m, "1h").first().n_distinct
     assert u == est
+
+
+def test_serve_range_supplied_tiers_with_gapfill_and_partial_catalog(spark):
+    import datetime as dt
+
+    import duckdb
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(path)
+    # production path: MATERIALIZED tier frames, the 1m tier gap-filled
+    # (serve_range must ignore gapfilled marker rows)
+    m1 = rollup_mod.rollup_points(ev, "1m", series_cols=["user_id"],
+                                  order_col="event_id")
+    m1g = rollup_mod.gapfill(m1, "1m", series_cols=["user_id"])
+    h1 = rollup_mod.rollup_tier_up(m1, "1h", series_cols=["user_id"])
+    d1 = rollup_mod.rollup_tier_up(h1, "1d", series_cols=["user_id"])
+    assert m1g.where("gapfilled").count() > 0  # gap rows exercised
+    t0 = dt.datetime(2024, 1, 3, 5, 37, 21)
+    t1 = dt.datetime(2024, 1, 10, 17, 11, 3)
+
+    def direct():
+        return duckdb.sql(f"""
+            select user_id, count(*) cnt, round(sum(value), 6) sum_val
+            from read_parquet('{path}')
+            where ts >= '{t0}' and ts < '{t1}' group by 1
+        """).fetchall()
+
+    for catalog in ({"1m": m1g, "1h": h1, "1d": d1},
+                    {"1m": m1g, "1h": h1}):  # partial: 1d dropped
+        got = {r.user_id: r for r in rollup_mod.serve_range(
+            ev, t0, t1, tiers=catalog, series_cols=["user_id"],
+            order_col="event_id").collect()}
+        for (u, cnt, sv) in direct():
+            assert got[u].cnt == cnt, (u, catalog.keys())
+            assert got[u].sum_val == pytest.approx(sv, abs=2e-6)
+
+    with pytest.raises(ValueError, match="unknown tier"):
+        rollup_mod.serve_range(ev, t0, t1, tiers={"5s": m1},
+                               series_cols=["user_id"])

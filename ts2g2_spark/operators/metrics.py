@@ -138,7 +138,7 @@ def seasonal_naive_forecast(
     period: int,
     horizon: int,
     bucket: str = "hour",
-    bucket_s: int = 3600,
+    bucket_s: int | None = None,
     series_cols: list[str] = ("user_id",),
     ts_col: str = "ts",
     val_col: str = "value",
@@ -149,8 +149,11 @@ def seasonal_naive_forecast(
     y(t - period buckets)) and the error floor every fancier model
     must beat.
 
-    Semantics: the series is first bucketed to `bucket` means (pass
-    bucket_s = seconds per bucket).  For each series, emits
+    Semantics: the series is first bucketed to `bucket` means;
+    `bucket_s` (seconds per bucket) is derived from `bucket` for the
+    fixed-length units and must be passed explicitly (and consistently)
+    otherwise -- a mismatched pair would silently corrupt the look-back
+    grid, so an inconsistent explicit value raises.  For each series, emits
     `horizon` FUTURE buckets after that series' last observed bucket,
     with yhat = the bucket mean one period earlier (NULL when the
     source bucket was empty — gap-fill upstream if continuity is
@@ -173,6 +176,18 @@ def seasonal_naive_forecast(
         raise ValueError(
             f"seasonal_naive_forecast: need period >= 1 and "
             f"1 <= horizon <= period, got {period=} {horizon=}")
+    known = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    if bucket in known:
+        if bucket_s is None:
+            bucket_s = known[bucket]
+        elif bucket_s != known[bucket]:
+            raise ValueError(
+                f"seasonal_naive_forecast: bucket_s={bucket_s} "
+                f"contradicts bucket='{bucket}' ({known[bucket]}s)")
+    elif bucket_s is None:
+        raise ValueError(
+            f"seasonal_naive_forecast: pass bucket_s for "
+            f"non-fixed-length bucket '{bucket}'")
     scols = [F.col(c) for c in series_cols]
     b = F.date_trunc(bucket, F.col(ts_col))
     means = (

@@ -37,6 +37,14 @@ TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 # retention horizons per tier (north rule: tier-scoped retention)
 DEFAULT_RETENTION = {"1m": 7 * 86400, "1h": 90 * 86400, "1d": 3650 * 86400}
 
+def _bucket_ts(col, tier_s: int):
+    """Epoch-floor bucket: the single bucket-grid definition every tier
+    (rollup, distinct sketch, tier-up) shares -- one place to change
+    alignment semantics."""
+    return F.timestamp_seconds(
+        (F.unix_timestamp(col) / tier_s).cast("long") * tier_s)
+
+
 ROLLUP_SCHEMA = (
     "doc_id string, source string, bucket_ts timestamp, cnt long, "
     "sum double, min double, max double, first double, last double, "
@@ -224,9 +232,7 @@ def rollup_points(
     """Relational rollup for row-per-point tables.  Partial+final hash agg;
     first/last are deterministic via min_by/max_by on (ts, order_col)."""
     tier_s = TIER_SECONDS[tier]
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / tier_s).cast("long") * tier_s
-    ).alias("bucket_ts")
+    bucket = _bucket_ts(F.col(ts_col), tier_s).alias("bucket_ts")
     okey = (F.struct(F.col(ts_col), F.col(order_col)) if order_col
             else F.col(ts_col))
     return (
@@ -252,9 +258,7 @@ def rollup_tier_up(
     the finer tier are excluded (they carry no data)."""
     tier_s = TIER_SECONDS[to_tier]
     src = finer.where(~F.col("gapfilled"))
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp("bucket_ts") / tier_s).cast("long") * tier_s
-    ).alias("bucket_ts")
+    bucket = _bucket_ts("bucket_ts", tier_s).alias("bucket_ts")
     return (
         src.groupBy(*[F.col(c) for c in series_cols], bucket)
         .agg(
@@ -453,16 +457,28 @@ def serve_range(
         return int(x)
 
     t0_us, t1_us = _us(t0), _us(t1)
-    by_us = {TIER_SECONDS[name] * 1_000_000: name for name in TIER_SECONDS}
-    segs = decompose_range(t0_us, t1_us, sorted(by_us, reverse=True))
-
+    raw_pred_src = None
     if tiers is None:
+        # fallback builds tiers from raw: pre-filter to the request
+        # first (every consumed bucket is fully inside [t0, t1), so
+        # this is exact) -- otherwise the whole table is rolled up to
+        # serve a one-hour ask
+        ts_us_src = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        points = points.where(
+            (ts_us_src >= F.lit(t0_us)) & (ts_us_src < F.lit(t1_us)))
         m1 = rollup_points(points, "1m", series_cols=series_cols,
                            ts_col=ts_col, val_col=val_col,
                            order_col=order_col)
         h1 = rollup_tier_up(m1, "1h", series_cols=series_cols)
         d1 = rollup_tier_up(h1, "1d", series_cols=series_cols)
         tiers = {"1m": m1, "1h": h1, "1d": d1}
+    unknown = set(tiers) - set(TIER_SECONDS)
+    if unknown:
+        raise ValueError(f"serve_range: unknown tier names {unknown}")
+    # decompose against the tiers actually supplied -- a partial
+    # catalog (e.g. 1d dropped by retention) stitches from what exists
+    by_us = {TIER_SECONDS[name] * 1_000_000: name for name in tiers}
+    segs = decompose_range(t0_us, t1_us, sorted(by_us, reverse=True))
 
     def _pred(col, ranges):
         p = F.lit(False)
@@ -518,8 +534,14 @@ def serve_range(
 def _hll_key(df: DataFrame, key_col: str):
     """hll_sketch_agg accepts int/bigint/string/binary only; other key
     types (doubles, timestamps, ...) sketch their canonical string form
-    — distinctness is preserved, and both the batch and streaming tiers
-    use the same cast so their sketches stay mergeable."""
+    — distinctness within one pipeline is preserved.
+
+    MERGEABILITY CONTRACT: sketches are only union-safe across frames
+    whose key column has the SAME physical type — a bigint 42 sketches
+    the integer, a double 42.0 sketches the string '42.0', and a union
+    of the two double-counts every id with no error.  Normalize the key
+    type at ingestion (the same rule as any join key); this helper only
+    guarantees batch and streaming agree GIVEN equally-typed inputs."""
     ok = {"int", "bigint", "string", "binary"}
     dtype = dict(df.dtypes).get(key_col)
     c = F.col(key_col)
@@ -551,9 +573,7 @@ def distinct_rollup(
     never the key values themselves.
     """
     tier_s = TIER_SECONDS[tier]
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / tier_s).cast("long") * tier_s
-    ).alias("bucket_ts")
+    bucket = _bucket_ts(F.col(ts_col), tier_s).alias("bucket_ts")
     return (
         points.groupBy(*[F.col(c) for c in series_cols], bucket)
         .agg(F.hll_sketch_agg(_hll_key(points, key_col),
@@ -571,9 +591,7 @@ def distinct_tier_up(
     the coarser bucket directly), so daily actives come from hourly
     state without re-reading raw."""
     tier_s = TIER_SECONDS[to_tier]
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp("bucket_ts") / tier_s).cast("long") * tier_s
-    ).alias("bucket_ts")
+    bucket = _bucket_ts("bucket_ts", tier_s).alias("bucket_ts")
     return (
         finer.groupBy(*[F.col(c) for c in series_cols], bucket)
         .agg(F.hll_union_agg("sketch").alias("sketch"))
