@@ -4091,6 +4091,41 @@ window w as (partition by user_id)
 """
 
 
+def q_threshold_alerts(spark, sf_dir):
+    """Hysteresis alerting: raise at value >= 90, clear at <= 55 —
+    transition rows only, the flap-free monitoring alert stream."""
+    from ts2g2_spark.operators.metrics import threshold_alerts
+
+    return threshold_alerts(_events(spark, sf_dir), upper=90.0,
+                            lower=55.0, order_col="event_id")
+
+
+ALERTS_SQL = """
+with m as (
+  select user_id, ts, event_id, value,
+         case when value >= 90 then 1
+              when value <= 55 then 0 end as mk
+  from events
+),
+s as (
+  select user_id, ts, event_id, value,
+         coalesce(last_value(mk ignore nulls) over
+                  (partition by user_id order by ts, event_id
+                   rows unbounded preceding), 0) as st
+  from m
+),
+t as (
+  select user_id, ts, value, st,
+         coalesce(lag(st) over (partition by user_id
+                                order by ts, event_id), 0) as pst
+  from s
+)
+select user_id, ts, value,
+       case when st = 1 then 'raise' else 'clear' end as event
+from t where st <> pst
+"""
+
+
 def q_sax_motifs_w4(spark, sf_dir):
     """SAX motif mining: 4-segment words over the sax_w8_a4
     symbolization, counted per (user, word) with the earliest start."""
@@ -4482,6 +4517,7 @@ _RAW_QUERIES = {
         "dict_encode_docs": q_dict_encode,
         "forecast_24h": q_forecast_24h,
         "anomaly_stl_24": q_anomaly_stl_24,
+        "threshold_alerts": q_threshold_alerts,
     }
 
 
@@ -4599,5 +4635,6 @@ def oracle_sql() -> dict[str, str]:
         "dict_encode_docs": DICT_ENCODE_SQL,
         "forecast_24h": FORECAST_SQL,
         "anomaly_stl_24": _anomaly_sql(),
+        "threshold_alerts": ALERTS_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

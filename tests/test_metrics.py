@@ -255,3 +255,54 @@ def test_seasonal_naive_forecast_gap_guard_and_validation(spark):
     with pytest.raises(ValueError, match="horizon"):
         seasonal_naive_forecast(spark.createDataFrame(pdf),
                                 period=4, horizon=5)
+
+
+def _alert_oracle(pdf, upper, lower):
+    out = []
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        st = 0
+        for r in g.itertuples():
+            nst = 1 if r.value >= upper else (0 if r.value <= lower
+                                              else st)
+            if nst != st:
+                out.append((u, r.ts, r.value,
+                            "raise" if nst else "clear"))
+            st = nst
+    return sorted(out)
+
+
+@pytest.mark.parametrize("upper,lower", [(70.0, 40.0), (50.0, 50.0)])
+def test_threshold_alerts_matches_state_machine(spark, upper, lower):
+    from ts2g2_spark.operators.metrics import threshold_alerts
+
+    pdf = _events(seed=13, n=500, n_keys=4)
+    got = sorted(
+        (r.user_id, pd.Timestamp(r.ts), r.value, r.event)
+        for r in threshold_alerts(
+            spark.createDataFrame(pdf), upper=upper, lower=lower,
+            order_col="event_id").collect())
+    exp = [(u, pd.Timestamp(t), v, e)
+           for (u, t, v, e) in _alert_oracle(pdf, upper, lower)]
+    assert got == exp and len(got) > 0
+
+
+def test_threshold_alerts_hysteresis_and_validation(spark):
+    from ts2g2_spark.operators.metrics import threshold_alerts
+
+    # flapping between the thresholds must NOT re-alert
+    vals = [10, 80, 60, 65, 75, 30, 85, 90, 20]  # raise..holds..clear..raise..clear
+    pdf = pd.DataFrame({
+        "user_id": [1] * len(vals),
+        "ts": [BASE + dt.timedelta(minutes=i) for i in range(len(vals))],
+        "value": [float(v) for v in vals],
+        "event_id": np.arange(len(vals), dtype=np.int64),
+    })
+    got = [(r.value, r.event) for r in threshold_alerts(
+        spark.createDataFrame(pdf), upper=70, lower=40,
+        order_col="event_id").orderBy("ts").collect()]
+    assert got == [(80.0, "raise"), (30.0, "clear"), (85.0, "raise"),
+                   (20.0, "clear")]
+
+    with pytest.raises(ValueError, match="lower <= upper"):
+        threshold_alerts(spark.createDataFrame(pdf), upper=10, lower=20)

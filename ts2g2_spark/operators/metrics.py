@@ -230,3 +230,59 @@ def seasonal_naive_forecast(
                 F.col("step").cast("long").alias("step"),
                 "yhat", "mae", "mape")
     )
+
+
+def threshold_alerts(
+    points: DataFrame,
+    upper: float,
+    lower: float | None = None,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Hysteresis threshold alerting (the monitoring-engine staple):
+    a series RAISES when its value reaches `upper` and CLEARS only
+    once it falls back to `lower` (defaults to `upper` — no
+    hysteresis); values between the thresholds keep the current state,
+    so a noisy series flapping around one line does not spam alerts.
+
+    Although the alert state is a running state machine, it is exactly
+    expressible relationally: each point gets a marker (1 at >= upper,
+    0 at <= lower, NULL between), the state is last(marker,
+    ignorenulls) over the ordered series window (initial state: ok),
+    and transitions are where the state differs from its lag.  Emits
+    ONLY transition rows: series cols + ts, value, event
+    ('raise' | 'clear').
+
+    Scale shape: one ordered window on the series key computes marker,
+    state, and previous state (same exchange); the transition filter is
+    a projection.  No joins, no Python.
+    """
+    if lower is None:
+        lower = upper
+    if lower > upper:
+        raise ValueError(
+            f"threshold_alerts: need lower <= upper, got {lower=} "
+            f"{upper=}")
+    scols, wo, _ = _series_windows(series_cols, ts_col, order_col)
+    from pyspark.sql import Window
+
+    v = F.col(val_col).cast("double")
+    mk = F.when(v >= upper, F.lit(1)).when(v <= lower, F.lit(0))
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = points.select(
+        *scols, F.col(ts_col), v.alias("value"),
+        F.coalesce(F.last(mk, ignorenulls=True).over(run),
+                   F.lit(0)).alias("_st"),
+        *([F.col(order_col)] if order_col else []),
+    )
+    scols2, wo2, _ = _series_windows(series_cols, ts_col, order_col)
+    prev = F.coalesce(F.lag("_st").over(wo2), F.lit(0))
+    return (
+        staged.withColumn("_pst", prev)
+        .where(F.col("_st") != F.col("_pst"))
+        .select(*scols2, F.col(ts_col), "value",
+                F.when(F.col("_st") == 1, F.lit("raise"))
+                 .otherwise(F.lit("clear")).alias("event"))
+    )
