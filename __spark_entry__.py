@@ -4126,6 +4126,40 @@ from t where st <> pst
 """
 
 
+def q_heartbeat_gaps(spark, sf_dir):
+    """Absence detection: every silence > 1h between a user's events,
+    with per-user gap count and uptime%% over the observed span — the
+    monitoring complement of sessionize (same strict-> boundary)."""
+    from ts2g2_spark.operators.eventseq import heartbeat_gaps
+
+    return heartbeat_gaps(_events(spark, sf_dir), gap_s=3600,
+                          order_col="event_id")
+
+
+HEARTBEAT_SQL = """
+with o as (
+  select user_id, ts,
+         lag(ts) over wo as gap_start,
+         epoch_us(ts) - lag(epoch_us(ts)) over wo as gap_us,
+         max(epoch_us(ts)) over wa - min(epoch_us(ts)) over wa as span_us
+  from events
+  window wo as (partition by user_id order by ts, event_id),
+         wa as (partition by user_id)
+),
+g as (
+  select user_id, gap_start, ts as gap_end, gap_us, span_us
+  from o where gap_us > 3600000000
+)
+select user_id, gap_start, gap_end, gap_us,
+       count(*) over wg as n_gaps,
+       case when span_us > 0
+            then round(100.0 * (1 - sum(gap_us) over wg / span_us), 6)
+            else 100.0 end as uptime_pct
+from g
+window wg as (partition by user_id)
+"""
+
+
 def q_sax_motifs_w4(spark, sf_dir):
     """SAX motif mining: 4-segment words over the sax_w8_a4
     symbolization, counted per (user, word) with the earliest start."""
@@ -4518,6 +4552,7 @@ _RAW_QUERIES = {
         "forecast_24h": q_forecast_24h,
         "anomaly_stl_24": q_anomaly_stl_24,
         "threshold_alerts": q_threshold_alerts,
+        "heartbeat_gaps": q_heartbeat_gaps,
     }
 
 
@@ -4636,5 +4671,6 @@ def oracle_sql() -> dict[str, str]:
         "forecast_24h": FORECAST_SQL,
         "anomaly_stl_24": _anomaly_sql(),
         "threshold_alerts": ALERTS_SQL,
+        "heartbeat_gaps": HEARTBEAT_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -211,3 +211,54 @@ def test_sessionize_single_event_and_bad_gap(spark):
     assert rows[0].n_events == 1 and rows[0].duration_us == 0
     with pytest.raises(ValueError, match="gap_s"):
         sessionize(None, gap_s=0)
+
+
+def _hb_oracle(pdf, gap_s):
+    out = []
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy() // 1000
+        t = g["ts"].tolist()
+        span = int(ts[-1] - ts[0]) if len(ts) > 1 else 0
+        gaps = [(t[i - 1], t[i], int(ts[i] - ts[i - 1]))
+                for i in range(1, len(ts))
+                if ts[i] - ts[i - 1] > gap_s * 1_000_000]
+        tot = sum(g[2] for g in gaps)
+        up = round(100.0 * (1 - tot / span), 6) if span > 0 else 100.0
+        for gs, ge, gu in gaps:
+            out.append((u, gs, ge, gu, len(gaps), up))
+    return sorted(out)
+
+
+def test_heartbeat_gaps_matches_bruteforce(spark):
+    from ts2g2_spark.operators.eventseq import heartbeat_gaps
+
+    pdf = _events(seed=21, n=400, n_keys=5)
+    got = sorted(
+        (r.user_id, pd.Timestamp(r.gap_start), pd.Timestamp(r.gap_end),
+         r.gap_us, r.n_gaps, r.uptime_pct)
+        for r in heartbeat_gaps(spark.createDataFrame(pdf), gap_s=600,
+                                order_col="event_id").collect())
+    exp = [(u, pd.Timestamp(a), pd.Timestamp(b), g, n, up)
+           for (u, a, b, g, n, up) in _hb_oracle(pdf, 600)]
+    assert got == exp and len(got) > 0
+
+
+def test_heartbeat_gaps_boundary_and_validation(spark):
+    from ts2g2_spark.operators.eventseq import heartbeat_gaps
+
+    base = TS(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        # gaps: exactly 600s (NOT a gap), 601s (a gap)
+        "ts": [base, base + dt.timedelta(seconds=600),
+               base + dt.timedelta(seconds=1201)],
+        "value": [1.0, 2.0, 3.0],
+        "event_id": np.arange(3, dtype=np.int64),
+    })
+    rows = heartbeat_gaps(spark.createDataFrame(pdf), gap_s=600,
+                          order_col="event_id").collect()
+    assert len(rows) == 1 and rows[0].gap_us == 601_000_000
+    assert rows[0].uptime_pct == round(100.0 * (1 - 601 / 1201), 6)
+    with pytest.raises(ValueError, match="gap_s"):
+        heartbeat_gaps(spark.createDataFrame(pdf), gap_s=0)

@@ -209,3 +209,60 @@ def cohort_retention(
         "cohort_day", "offset_days", "n_active",
         F.round(F.col("n_active") / cohort_size, 6).alias("retention"),
     )
+
+
+def heartbeat_gaps(
+    events: DataFrame,
+    gap_s: int,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Heartbeat / absence detection (the monitoring complement of
+    sessionize): report every silence longer than `gap_s` seconds
+    between consecutive events of a series, plus per-series coverage —
+    how much of the observed span was NOT inside such a gap.
+
+    One row per detected gap: series cols + gap_start (last event
+    before the silence), gap_end (first event after), gap_us, and the
+    per-series constants n_gaps, uptime_pct (rounded to 6 dp; 100.0 for
+    single-event series whose observed span is zero).  Strictly-greater
+    comparison (a silence of exactly gap_s is NOT a gap) — the same
+    boundary contract as sessionize.
+
+    Scale shape: one lag on the ordered series window, a filter, and a
+    per-series window for the constants — the gap rows are the tiny
+    frame, so the second window costs one exchange over detected gaps
+    only.  No joins.
+    """
+    from pyspark.sql import Window
+
+    if gap_s <= 0:
+        raise ValueError(f"heartbeat_gaps: gap_s must be > 0, got {gap_s}")
+    scols = [F.col(c) for c in series_cols]
+    okey = ([F.col(ts_col), F.col(order_col)] if order_col
+            else [F.col(ts_col)])
+    wo = Window.partitionBy(*scols).orderBy(*okey)
+    wa = Window.partitionBy(*scols)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(wo)
+    span = F.max(ts_us).over(wa) - F.min(ts_us).over(wa)
+    staged = events.select(
+        *scols,
+        F.col(ts_col).alias("gap_end"),
+        F.lag(F.col(ts_col)).over(wo).alias("gap_start"),
+        (ts_us - prev_us).alias("_gap_us"),
+        span.alias("_span_us"),
+    ).where(F.col("_gap_us") > gap_s * 1_000_000)
+    wg = Window.partitionBy(*series_cols)
+    up = F.when(
+        F.col("_span_us") > 0,
+        F.round(100.0 * (1 - F.sum("_gap_us").over(wg)
+                         / F.col("_span_us")), 6),
+    ).otherwise(F.lit(100.0))
+    return staged.select(
+        *series_cols, "gap_start", "gap_end",
+        F.col("_gap_us").alias("gap_us"),
+        F.count(F.lit(1)).over(wg).alias("n_gaps"),
+        up.alias("uptime_pct"),
+    )
