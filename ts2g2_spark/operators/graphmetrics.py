@@ -238,3 +238,116 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Fused map-only twins (series frame -> metrics, zero shuffle)
+# ---------------------------------------------------------------------------
+# ts2g2's unit of work is the per-series segment, so graph metrics over
+# visibility graphs are embarrassingly row-local: build the edge array AND
+# run the metric inside the same Arrow batch that holds the series.  These
+# are the 100 TB path for millions of small graphs (the relational twins
+# above remain the one-huge-graph path and the SQL-oracle cross-check);
+# parity tests pin the two strategies bit-identical, including the
+# per-iteration HALF_UP rounding contract (kernels.round_half_up).
+
+def _fused(series_df, build_rows, schema):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kern(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                y = np.asarray(r.values, np.float64)
+                frames.append(build_rows(r.series_key, y))
+            frames = [f for f in frames if f is not None]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return series_df.mapInPandas(kern, schema=schema)
+
+
+def graph_summary_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0
+):
+    """Fused twin of visibility_edges(kind) |> graph_summary: one summary
+    row per series, map-only."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        s = kernels.graph_summary_kernel(e)
+        if s["n_nodes"] == 0:
+            # edgeless series: the relational twin derives nodes from
+            # edges, so it emits no row — match that contract exactly
+            return None
+        return pd.DataFrame([{"series_key": key, **s}])
+
+    return _fused(
+        series_df,
+        build,
+        "series_key string, n_nodes long, n_edges long, density double,"
+        " max_degree long, avg_degree double",
+    )
+
+
+def clustering_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0
+):
+    """Fused twin of visibility_edges(kind) |> clustering_coefficients."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        nodes, degree, tri, lcc = kernels.graph_clustering_kernel(e)
+        if len(nodes) == 0:
+            return None
+        return pd.DataFrame(
+            {"series_key": key, "node": nodes, "degree": degree,
+             "triangles": tri, "lcc": lcc}
+        )
+
+    return _fused(
+        series_df,
+        build,
+        "series_key string, node long, degree long, triangles long,"
+        " lcc double",
+    )
+
+
+def pagerank_from_series(
+    series_df,
+    kind: str = "horizontal",
+    limit: int = 0,
+    iters: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 9,
+):
+    """Fused twin of visibility_edges(kind) |> pagerank: identical
+    per-iteration rounding trajectory, zero shuffle, no iteration plans."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        nodes, rank = kernels.graph_pagerank_kernel(
+            e, iters=iters, damping=damping, round_dp=round_dp
+        )
+        if len(nodes) == 0:
+            return None
+        return pd.DataFrame(
+            {"series_key": key, "node": nodes, "rank": rank}
+        )
+
+    return _fused(
+        series_df, build, "series_key string, node long, rank double"
+    )

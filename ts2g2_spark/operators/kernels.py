@@ -480,3 +480,165 @@ def proximity_annn_edges(
     e = np.array(sorted(seen), dtype=np.int64)
     w = np.array([seen[tuple(t)] for t in e.tolist()])
     return e, w
+
+
+# ---------------------------------------------------------------------------
+# Per-graph metric kernels (grouped twins of operators/graphmetrics.py)
+# ---------------------------------------------------------------------------
+# ts2g2 emits millions of SMALL per-series graphs (one per segment), so the
+# scale-right physical strategy for graph metrics is map-only: run the whole
+# metric on each series' edge array inside the same Arrow batch that built
+# it, zero shuffles.  The relational twins in operators/graphmetrics.py stay
+# as the one-huge-graph path and the SQL-oracle cross-check; these kernels
+# must reproduce their output BIT-IDENTICALLY (same rounding contract).
+
+def round_half_up(x: np.ndarray, dp: int) -> np.ndarray:
+    """Vectorized twin of Spark's ``round(double, dp)`` (HALF_UP on the
+    shortest decimal repr, via JVM BigDecimal.valueOf).  Fast path:
+    floor/ceil at +-0.5; values whose scaled fraction sits inside a
+    tolerance band of an exact .5 are re-rounded through Python's
+    shortest-repr Decimal path, which matches BigDecimal.valueOf exactly
+    (both parse the shortest round-trip decimal form).  Same boundary
+    discipline as the visibility kernels above."""
+    import decimal
+
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** dp
+    y = x * scale
+    fast = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / scale
+    frac = np.abs(y - np.trunc(y))
+    near = np.abs(frac - 0.5) < 1e-6
+    if near.any():
+        q = decimal.Decimal(1).scaleb(-dp)
+        out = fast.copy()
+        for i in np.nonzero(near)[0]:
+            out[i] = float(
+                decimal.Decimal(repr(float(x[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+        return out
+    return fast
+
+
+def _canonical_edge_arrays(
+    edges: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(m,2) any-orientation edge array -> (a, b, nodes, degree) with
+    a < b unique (self-loops dropped), nodes = sorted unique endpoints,
+    degree aligned to nodes.  Mirrors graphmetrics.canonical_edges +
+    degrees."""
+    if len(edges) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    a = np.minimum(edges[:, 0], edges[:, 1])
+    b = np.maximum(edges[:, 0], edges[:, 1])
+    keep = a != b
+    a, b = a[keep], b[keep]
+    ab = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = ab[:, 0], ab[:, 1]
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    degree = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    return a, b, nodes, degree
+
+
+def graph_summary_kernel(edges: np.ndarray) -> dict:
+    """Per-graph summary over one edge array; float fields rounded like
+    the relational twin (graphmetrics.graph_summary)."""
+    a, _b, nodes, degree = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    m = len(a)
+    if n == 0:
+        return {"n_nodes": 0, "n_edges": 0, "density": 0.0,
+                "max_degree": 0, "avg_degree": 0.0}
+    density = (2.0 * m) / (n * (n - 1)) if n > 1 else 0.0
+    return {
+        "n_nodes": int(n),
+        "n_edges": int(m),
+        "density": float(round_half_up(np.array([density]), 9)[0]),
+        "max_degree": int(degree.max()),
+        "avg_degree": float(
+            round_half_up(np.array([int(degree.sum()) / n]), 9)[0]
+        ),
+    }
+
+
+def graph_clustering_kernel(
+    edges: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Local clustering per node of one small graph: (nodes, degree,
+    triangles, lcc).  Dense boolean-adjacency matmul for n <= 4096 (the
+    ts2g2 per-segment regime), sorted-neighbor intersection above.
+    lcc = round(2T / (d (d-1)), 9), 0.0 for degree < 2 — identical to
+    graphmetrics.clustering_coefficients."""
+    a, b, nodes, degree = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0)
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    if n <= 4096:
+        A = np.zeros((n, n), dtype=np.int64)
+        A[ia, ib] = 1
+        A[ib, ia] = 1
+        tri = ((A @ A) * A).sum(axis=1) // 2
+    else:
+        nbr_start = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(nbr_start, ia + 1, 1)
+        np.add.at(nbr_start, ib + 1, 1)
+        nbr_start = np.cumsum(nbr_start)
+        nbrs = np.empty(2 * len(ia), dtype=np.int64)
+        fill = nbr_start[:-1].copy()
+        for u, v in zip(ia, ib):
+            nbrs[fill[u]] = v
+            fill[u] += 1
+            nbrs[fill[v]] = u
+            fill[v] += 1
+        for u in range(n):
+            nbrs[nbr_start[u]: nbr_start[u + 1]].sort()
+        tri = np.zeros(n, dtype=np.int64)
+        for u, v in zip(ia, ib):
+            common = np.intersect1d(
+                nbrs[nbr_start[u]: nbr_start[u + 1]],
+                nbrs[nbr_start[v]: nbr_start[v + 1]],
+                assume_unique=True,
+            )
+            tri[u] += len(common)
+            tri[v] += len(common)
+            tri[common] += 1
+        tri //= 3  # each triangle reached via all 3 of its edges
+    lcc = np.zeros(n, dtype=np.float64)
+    mask = degree > 1
+    lcc[mask] = round_half_up(
+        2.0 * tri[mask] / (degree[mask] * (degree[mask] - 1)), 9
+    )
+    return nodes, degree, tri, lcc
+
+
+def graph_pagerank_kernel(
+    edges: np.ndarray,
+    iters: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 9,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-iteration PageRank on one small undirected graph: (nodes,
+    ranks).  Identical trajectory to graphmetrics.pagerank: ranks are
+    rounded HALF_UP to round_dp at EVERY iteration (including the
+    uniform init), shares rank/degree unrounded, no dangling term
+    (every node has degree >= 1 by construction)."""
+    a, b, nodes, degree = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        return nodes, np.empty(0)
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    rank = round_half_up(np.full(n, 1.0 / n), round_dp)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        share = rank / degree
+        inflow = np.bincount(dst, weights=share[src], minlength=n)
+        rank = round_half_up(base + damping * inflow, round_dp)
+    return nodes, rank
