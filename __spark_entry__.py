@@ -3955,6 +3955,125 @@ from events group by 1, 2
 """
 
 
+def q_value_quantiles_1h(spark, sf_dir):
+    """Hourly p50/p90/p99 per event_type served from MERGED 1m
+    fixed-grid histogram tiers (plans/rollup.histogram_rollup |>
+    histogram_tier_up |> histogram_quantiles) — the mergeable
+    percentile tier.  Contrast rollup_1m_quantiles: exact percentile()
+    is NOT re-aggregable to coarser buckets, histogram state is (sum
+    per bin), at the cost of grid resolution (width 5.0 on [0, 640)).
+    Estimates are deterministic grid arithmetic (upper edge of the
+    ceil(q*n)-rank bin), so the oracle replays them exactly."""
+    from ts2g2_spark.plans.rollup import (
+        histogram_quantiles, histogram_rollup, histogram_tier_up,
+    )
+
+    ev = _events(spark, sf_dir)
+    m1 = histogram_rollup(ev, "1m", 0.0, 640.0, 128,
+                          series_cols=["event_type"])
+    h1 = histogram_tier_up(m1, "1h", series_cols=["event_type"])
+    return histogram_quantiles(
+        h1, [0.5, 0.9, 0.99], 0.0, 640.0, 128,
+        series_cols=["event_type"], round_dp=9)
+
+
+VALUE_QUANTILES_SQL = """
+with b as (
+  select event_type, date_trunc('hour', ts) as bucket_ts,
+         case when value < 0.0 then -1
+              when value >= 640.0 then 128
+              else cast(floor(value / 5.0) as int) end as bin
+  from events
+),
+h as (
+  select event_type, bucket_ts, bin, count(*) as cnt
+  from b group by 1, 2, 3
+),
+c as (
+  select *,
+         sum(cnt) over (partition by event_type, bucket_ts
+                        order by bin) as cum,
+         sum(cnt) over (partition by event_type, bucket_ts) as total
+  from h
+)
+select event_type, bucket_ts, q,
+       round(min(greatest(0.0, least(640.0, (bin + 1) * 5.0))), 9)
+         as quantile
+from c
+cross join (select unnest([0.5, 0.9, 0.99]::DOUBLE[]) as q) qs
+where cum >= ceil(q * total)
+group by 1, 2, 3
+"""
+
+
+def q_top_tokens_1h(spark, sf_dir):
+    """Hourly top-5 heavy-hitter tokens per source, served from MERGED
+    1m frequency tiers (plans/rollup.token_topk_rollup |>
+    token_topk_tier_up |> topk_serve).  The tier stores the FULL
+    per-bucket token frequency table (truncated top-k is the classic
+    non-mergeable state — tier-up from someone else's top-k
+    under-counts); truncation happens only at serve time with the
+    (cnt desc, token asc) deterministic tie-break.  Token streams are
+    the same md5-derived input_hint shape as tokens_rollup_1m, spread
+    over a week by a per-doc deterministic offset so multiple 1h
+    buckets exist."""
+    from ts2g2_spark.functions.hashing import h64
+    from ts2g2_spark.plans.points import BASE_EPOCH
+    from ts2g2_spark.plans.rollup import (
+        token_topk_rollup, token_topk_tier_up, topk_serve,
+    )
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.trim("text"), r"\s+"),
+                     lambda w: w != F.lit(""))
+    off = F.pmod(h64(F.col("doc_id").cast("string")), F.lit(604800))
+    pts = (
+        docs.select("doc_id", "source", F.posexplode(words))
+        .select(
+            "source",
+            F.timestamp_seconds(
+                F.lit(BASE_EPOCH) + off + F.col("pos")).alias("ts"),
+            F.pmod(h64(F.col("col")), F.lit(32003)).cast("long")
+            .alias("token"),
+        )
+    )
+    m1 = token_topk_rollup(pts, "1m", "token", series_cols=["source"])
+    h1 = token_topk_tier_up(m1, "1h", series_cols=["source"])
+    return topk_serve(h1, k=5, series_cols=["source"])
+
+
+TOP_TOKENS_SQL = """
+with w as (
+  select doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x != '') as words
+  from documents
+),
+p as (
+  select source,
+         1704067200
+           + cast(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15))
+                  as bigint) % 604800
+           + generate_subscripts(words, 1) - 1 as sec,
+         cast(concat('0x', substr(md5(unnest(words)), 1, 15)) as bigint)
+           % 32003 as token
+  from w
+),
+f as (
+  select source, epoch_ms(sec // 3600 * 3600 * 1000) as bucket_ts,
+         token, count(*) as cnt
+  from p group by 1, 2, 3
+),
+r as (
+  select *, row_number() over (partition by source, bucket_ts
+                               order by cnt desc, token asc) as rnk
+  from f
+)
+select source, bucket_ts, token, cnt, rnk::BIGINT as rnk
+from r where rnk <= 5
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window chunking (32-token windows, stride 24) of the
     documents table — the training/RAG chunker; tail chunks below 8
@@ -4554,6 +4673,8 @@ _RAW_QUERIES = {
         "sax_motifs_w4": q_sax_motifs_w4,
         "serve_range_stitched": q_serve_range_stitched,
         "distinct_users_1h": q_distinct_users_1h,
+        "value_quantiles_1h": q_value_quantiles_1h,
+        "top_tokens_1h": q_top_tokens_1h,
         "chunk_docs": q_chunk_docs,
         "dict_encode_docs": q_dict_encode,
         "forecast_24h": q_forecast_24h,
@@ -4673,6 +4794,8 @@ def oracle_sql() -> dict[str, str]:
         "counter_rate_1h": COUNTER_RATE_SQL,
         "serve_range_stitched": SERVE_RANGE_SQL,
         "distinct_users_1h": DISTINCT_USERS_SQL,
+        "value_quantiles_1h": VALUE_QUANTILES_SQL,
+        "top_tokens_1h": TOP_TOKENS_SQL,
         "chunk_docs": CHUNK_DOCS_SQL,
         "dict_encode_docs": DICT_ENCODE_SQL,
         "forecast_24h": FORECAST_SQL,

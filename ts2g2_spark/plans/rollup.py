@@ -597,3 +597,184 @@ def distinct_tier_up(
         .agg(F.hll_union_agg("sketch").alias("sketch"))
         .withColumn("n_distinct", F.hll_sketch_estimate("sketch"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile (fixed-grid histogram) tiers — percentile serving
+# ---------------------------------------------------------------------------
+# Exact percentiles are not re-aggregable (percentile of percentiles is
+# wrong), so a quantile tier needs MERGEABLE state.  The engine's sketch is
+# the fixed-grid histogram: per (series, bucket) one count per value bin on
+# a caller-chosen [lo, hi) grid, stored as plain (bin, cnt) ROWS — merging
+# tiers is a sum, partial hash agg combines map-side, and the exchange is
+# bounded by n_bins per bucket regardless of point count.  Estimates are
+# deterministic grid arithmetic (bin upper edge at the ceil(q*n)-th rank),
+# so a SQL oracle replays them exactly: accuracy is the grid resolution
+# (hi-lo)/n_bins, the classic latency-histogram trade (Prometheus/
+# HdrHistogram-style), vs the order-dependent estimates of GK/KLL sketches
+# which no cross-engine contract could pin.
+
+def _hist_bin(val_col, lo: float, hi: float, n_bins: int):
+    """Grid bin with overflow capture: -1 below lo, n_bins at/above hi.
+    `width` is injected as a Python literal so Spark and any SQL oracle
+    compute bit-identical float arithmetic."""
+    width = (hi - lo) / n_bins
+    v = F.col(val_col)
+    raw = F.floor((v - F.lit(lo)) / F.lit(width))
+    return (
+        F.when(v < F.lit(lo), F.lit(-1))
+        .when(v >= F.lit(hi), F.lit(n_bins))
+        .otherwise(raw)
+        .cast("int")
+    )
+
+
+def histogram_rollup(
+    points: DataFrame,
+    tier: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    series_cols: list[str] = (),
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Mergeable histogram tier: (series..., bucket_ts, bin, cnt), one
+    row per non-empty bin.  Map-side partial agg means the exchange
+    carries <= n_bins + 2 rows per (series, bucket) — never points."""
+    tier_s = TIER_SECONDS[tier]
+    bucket = _bucket_ts(F.col(ts_col), tier_s).alias("bucket_ts")
+    b = _hist_bin(val_col, lo, hi, n_bins).alias("bin")
+    return (
+        points.groupBy(*[F.col(c) for c in series_cols], bucket, b)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_tier_up(
+    finer: DataFrame, to_tier: str, series_cols: list[str] = ()
+) -> DataFrame:
+    """Coarser histogram tier from finer state: sum counts per bin —
+    lossless (bin grids are identical by construction)."""
+    tier_s = TIER_SECONDS[to_tier]
+    bucket = _bucket_ts("bucket_ts", tier_s).alias("bucket_ts")
+    return (
+        finer.groupBy(*[F.col(c) for c in series_cols], bucket, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    series_cols: list[str] = (),
+    round_dp: int = 9,
+) -> DataFrame:
+    """Serve quantiles from a histogram tier: (series..., bucket_ts, q,
+    quantile).  For each q the estimate is the UPPER EDGE of the first
+    bin whose cumulative count reaches rank ceil(q * n), clamped to
+    [lo, hi] for the overflow bins — a value v with P(X <= v) >= q at
+    grid resolution.  Pure grid arithmetic on longs + literal doubles,
+    identical in any engine; one window cumsum + one aggregate, both on
+    the (series, bucket) key the tier is already grouped by."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
+    keys = [*series_cols, "bucket_ts"]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *keys, "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*keys).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    q_lit = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    edge = F.greatest(
+        F.lit(float(lo)),
+        F.least(
+            F.lit(float(hi)),
+            F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width),
+        ),
+    )
+    return (
+        cum.select(*keys, "bin", "cum", "total", q_lit)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*keys, "q")
+        .agg(F.round(F.min(edge), round_dp).alias("quantile"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k (heavy hitters) token tiers
+# ---------------------------------------------------------------------------
+# "Most frequent tokens per source per hour" at 10^12-sequence scale.  The
+# tier catalog stores the FULL per-bucket frequency table (one row per
+# distinct token per bucket — bounded by the token vocabulary, not by the
+# stream), because a TRUNCATED top-k is the classic non-mergeable state:
+# tier-up from someone else's top-k under-counts anything that was k+1-th
+# in every fine bucket.  Truncation happens only at serve time
+# (`topk_serve`).  The exchange is safe at scale for token payloads:
+# map-side partial agg collapses each task's stream to (bucket, token)
+# partials, so shuffle rows are bounded by vocab x buckets per task.
+
+def token_topk_rollup(
+    points: DataFrame,
+    tier: str,
+    key_col: str,
+    series_cols: list[str] = (),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Frequency tier: (series..., bucket_ts, token, cnt) — mergeable
+    heavy-hitter state (sum on merge), exact at every tier."""
+    tier_s = TIER_SECONDS[tier]
+    bucket = _bucket_ts(F.col(ts_col), tier_s).alias("bucket_ts")
+    return (
+        points.groupBy(
+            *[F.col(c) for c in series_cols], bucket,
+            F.col(key_col).alias("token"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def token_topk_tier_up(
+    finer: DataFrame, to_tier: str, series_cols: list[str] = ()
+) -> DataFrame:
+    """Coarser frequency tier from finer state (sum per token) —
+    lossless because the fine tier is untruncated."""
+    tier_s = TIER_SECONDS[to_tier]
+    bucket = _bucket_ts("bucket_ts", tier_s).alias("bucket_ts")
+    return (
+        finer.groupBy(*[F.col(c) for c in series_cols], bucket, "token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def topk_serve(
+    freq: DataFrame, k: int, series_cols: list[str] = ()
+) -> DataFrame:
+    """Serve-time truncation: rank tokens per (series, bucket) by
+    (cnt desc, token asc — the deterministic tie-break) and keep the
+    top k.  One window over groups the tier is already keyed by."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*series_cols, "bucket_ts").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(*series_cols, "bucket_ts", "token", "cnt",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
