@@ -2610,6 +2610,46 @@ from base left join top using (doc_id)
 """
 
 
+def q_entropy_signals(spark, sf_dir):
+    """Lexical-diversity quality signals per doc: type-token ratio,
+    Shannon word entropy (bits), max-word share — the low-entropy /
+    boilerplate filters of LLM corpus pipelines.  Explode + two-level
+    partial agg on doc_id (exchange carries distinct (doc, word) pairs,
+    then one row per doc)."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.entropy_signals(_docs(spark, sf_dir))
+
+
+# entropy replayed as (ln n - sum(c ln c)/n) / ln 2 over per-(doc, word)
+# counts — identical expression tree in both engines; round(x,6)+0.0
+# canonicalizes the -0.0 an all-same-word doc can produce.
+ENTROPY_SQL = r"""
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') ws
+  from documents
+),
+g as (
+  select doc_id, wi, count(*) cnt
+  from w, lateral unnest(ws) t(wi)
+  group by 1, 2
+),
+s as (
+  select doc_id, count(*)::BIGINT n_types, sum(cnt)::BIGINT n_words,
+         max(cnt) mx, sum(cnt * ln(cnt)) sl
+  from g group by 1
+)
+select d.doc_id,
+  coalesce(s.n_words, 0) as n_words,
+  coalesce(s.n_types, 0) as n_types,
+  coalesce(round(s.n_types / s.n_words, 6) + 0.0, 0.0) as ttr,
+  coalesce(round((ln(s.n_words) - s.sl / s.n_words) / ln(2), 6) + 0.0,
+           0.0) as word_entropy,
+  coalesce(round(s.mx / s.n_words, 6) + 0.0, 0.0) as max_word_frac
+from documents d left join s using (doc_id)
+"""
+
+
 def q_pii_counts(spark, sf_dir):
     """PII-shaped span census (emails/URLs/IPv4/phones/long digit runs).
     All-zero on this synthetic corpus by construction — the oracle pins
@@ -4634,6 +4674,7 @@ _RAW_QUERIES = {
         # round-3 additions (oracled; below the prefix so the driver's
         # 50-query sample window is byte-stable across rounds)
         "repetition_signals": q_repetition_signals,
+        "entropy_signals": q_entropy_signals,
         "pii_counts": q_pii_counts,
         "top_2grams": q_top_2grams,
         "contamination": q_contamination,
@@ -4758,6 +4799,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh_top5 / ann_ivf_top5: intentionally no oracle (approximate
         # by design; recall bounded in tests) -> driver records rows-only.
         "repetition_signals": REPETITION_SQL,
+        "entropy_signals": ENTROPY_SQL,
         "pii_counts": _pii_sql(),
         "top_2grams": TOP_2GRAMS_SQL,
         "contamination": CONTAMINATION_SQL,

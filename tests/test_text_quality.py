@@ -415,3 +415,45 @@ def test_tfidf_top_terms_matches_python_model(spark):
     for r in got:
         if r["rank"] == 1:
             assert r["term"].startswith("marker")
+
+
+def test_entropy_signals_match_python_model(spark):
+    """Word entropy / TTR / max-word share vs a literal collections.Counter
+    model, including degenerate docs (all-same word -> 0 bits, all-distinct
+    -> log2(n) bits, empty text -> the [''] singleton the \\s+ split
+    yields)."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from ts2g2_spark.operators.text import entropy_signals
+
+    docs = {
+        1: "spam spam spam spam",
+        2: "a b c d e f g h",
+        3: "the cat sat on the mat",
+        4: "",
+        5: "solo",
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    )
+    got = {
+        r["doc_id"]: r
+        for r in entropy_signals(spark.createDataFrame(pdf)).collect()
+    }
+    for did, text in docs.items():
+        ws = text.strip().split() or [""]  # split('') -> [''] in-engine
+        c = collections.Counter(ws)
+        n = len(ws)
+        ent = -sum(v / n * math.log2(v / n) for v in c.values())
+        r = got[did]
+        assert r["n_words"] == n
+        assert r["n_types"] == len(c)
+        assert r["ttr"] == round(len(c) / n, 6)
+        assert abs(r["word_entropy"] - ent) < 1e-6
+        assert r["max_word_frac"] == round(max(c.values()) / n, 6)
+    assert got[1]["word_entropy"] == 0.0  # canonical +0.0, not -0.0
+    assert math.copysign(1.0, got[1]["word_entropy"]) == 1.0
+    assert got[2]["word_entropy"] == 3.0

@@ -215,6 +215,61 @@ def repetition_signals(docs: DataFrame,
     )
 
 
+def entropy_signals(docs: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """Per-doc lexical-diversity quality signals: word count, type
+    count, type-token ratio, Shannon word entropy (bits), and the share
+    of the most frequent word — the low-entropy/boilerplate filters of
+    LLM corpus pipelines (degenerate repetition scores near 0 entropy,
+    natural prose several bits).
+
+    Entropy is computed as (ln n - sum(c ln c)/n) / ln 2 over the
+    per-(doc, word) counts: one explode + two-level partial hash
+    aggregation keyed on doc_id (the exchange carries distinct
+    (doc, word) pairs, then one row per doc), a doc_id equi-join back
+    to the corpus — the same scale shape as repetition_signals.  All
+    fractions round to 6 dp (+0.0 canonicalizes -0.0, which the
+    all-same-word entropy can hit) so any SQL engine replays them."""
+    import math
+
+    staged = _staged_words(docs, text_col)
+    g = (
+        staged.select("doc_id", F.explode("_ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    n = F.col("n_words")
+    s = (
+        g.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("count").alias("n_words"),
+            F.max("count").alias("_mx"),
+            F.sum(F.col("count") * F.log("count")).alias("_sl"),
+        )
+        .select(
+            "doc_id", "n_words", "n_types",
+            (F.round(F.col("n_types") / n, 6) + F.lit(0.0)).alias("ttr"),
+            (
+                F.round(
+                    (F.log(n) - F.col("_sl") / n)
+                    / F.lit(math.log(2.0)), 6,
+                ) + F.lit(0.0)
+            ).alias("word_entropy"),
+            (F.round(F.col("_mx") / n, 6) + F.lit(0.0))
+            .alias("max_word_frac"),
+        )
+    )
+    return docs.select("doc_id").join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_types", F.lit(0)).alias("n_types"),
+        F.coalesce("ttr", F.lit(0.0)).alias("ttr"),
+        F.coalesce("word_entropy", F.lit(0.0)).alias("word_entropy"),
+        F.coalesce("max_word_frac", F.lit(0.0)).alias("max_word_frac"),
+    )
+
+
 # PII-ish pattern census.  Patterns are deliberately RE2-compatible (no
 # lookaround / backrefs) so the exact same literals run in Spark's Java
 # regex and any RE2-based oracle engine; each is wrapped in one outer
