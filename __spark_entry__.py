@@ -3973,6 +3973,53 @@ group by 1
 """
 
 
+def q_serve_quantiles_range(spark, sf_dir):
+    """Percentiles over the same unaligned [t0, t1) as
+    serve_range_stitched, served from STITCHED histogram tiers (whole
+    days from 1d, edges from 1h/1m, slivers from raw) — the
+    range-serving composition of the mergeable quantile tier.  The
+    stitch is exact vs recomputing the histogram from raw (integer bin
+    counts over disjoint segments), so the oracle recomputes directly
+    over raw."""
+    import datetime as dtm
+
+    from ts2g2_spark.plans.rollup import serve_range_quantiles
+
+    t0 = dtm.datetime.fromisoformat(_SERVE_T0)
+    t1 = dtm.datetime.fromisoformat(_SERVE_T1)
+    return serve_range_quantiles(
+        _events(spark, sf_dir), t0, t1, [0.5, 0.9, 0.99],
+        0.0, 640.0, 128, series_cols=["event_type"])
+
+
+SERVE_QUANTILES_SQL = f"""
+with b as (
+  select event_type,
+         case when value < 0.0 then -1
+              when value >= 640.0 then 128
+              else cast(floor(value / 5.0) as int) end as bin
+  from events
+  where ts >= timestamp '{_SERVE_T0}' and ts < timestamp '{_SERVE_T1}'
+),
+h as (
+  select event_type, bin, count(*) as cnt from b group by 1, 2
+),
+c as (
+  select *,
+         sum(cnt) over (partition by event_type order by bin) as cum,
+         sum(cnt) over (partition by event_type) as total
+  from h
+)
+select event_type, q,
+       round(min(greatest(0.0, least(640.0, (bin + 1) * 5.0))), 9)
+         as quantile
+from c
+cross join (select unnest([0.5, 0.9, 0.99]::DOUBLE[]) as q) qs
+where cum >= ceil(q * total)
+group by 1, 2
+"""
+
+
 def q_distinct_users_1h(spark, sf_dir):
     """Hourly active users per event_type served from MERGED 1m HLL
     sketches (datasketches hll_sketch_agg / hll_union_agg) — the
@@ -4715,6 +4762,7 @@ _RAW_QUERIES = {
         "serve_range_stitched": q_serve_range_stitched,
         "distinct_users_1h": q_distinct_users_1h,
         "value_quantiles_1h": q_value_quantiles_1h,
+        "serve_quantiles_range": q_serve_quantiles_range,
         "top_tokens_1h": q_top_tokens_1h,
         "chunk_docs": q_chunk_docs,
         "dict_encode_docs": q_dict_encode,
@@ -4837,6 +4885,7 @@ def oracle_sql() -> dict[str, str]:
         "serve_range_stitched": SERVE_RANGE_SQL,
         "distinct_users_1h": DISTINCT_USERS_SQL,
         "value_quantiles_1h": VALUE_QUANTILES_SQL,
+        "serve_quantiles_range": SERVE_QUANTILES_SQL,
         "top_tokens_1h": TOP_TOKENS_SQL,
         "chunk_docs": CHUNK_DOCS_SQL,
         "dict_encode_docs": DICT_ENCODE_SQL,

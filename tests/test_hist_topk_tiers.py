@@ -141,3 +141,83 @@ def test_truncated_topk_state_is_not_mergeable(spark, token_points):
         k=1, series_cols=["source"])
     assert [r["token"] for r in wrong.collect()] == [10]
     assert [r["token"] for r in right.collect()] == [20]
+
+
+def test_serve_range_histogram_exact_vs_raw(spark):
+    """Stitched histogram over an unaligned multi-day [t0, t1) must
+    equal the histogram of the raw points in range, bit-for-bit
+    (integer counts over disjoint segments — no float drift)."""
+    import datetime as dtm
+
+    rng = np.random.default_rng(9)
+    n = 6000
+    pdf = pd.DataFrame({
+        "series": rng.choice(["a", "b"], size=n),
+        "ts": pd.to_datetime(
+            BASE + rng.integers(0, 5 * 86400, size=n), unit="s"),
+        "value": rng.uniform(-10, 120, size=n),
+    })
+    pts = spark.createDataFrame(pdf).cache()
+    t0 = dtm.datetime(2024, 1, 1, 7, 13, 42)
+    t1 = dtm.datetime(2024, 1, 4, 22, 4, 5)
+
+    from ts2g2_spark.plans.rollup import serve_range_histogram
+
+    got = serve_range_histogram(
+        pts, t0, t1, LO, HI, NB, series_cols=["series"])
+    lo_ts = pd.Timestamp(t0)
+    hi_ts = pd.Timestamp(t1)
+    raw = pdf[(pdf["ts"] >= lo_ts) & (pdf["ts"] < hi_ts)].copy()
+    width = (HI - LO) / NB
+    raw["bin"] = np.where(
+        raw["value"] < LO, -1,
+        np.where(raw["value"] >= HI, NB,
+                 np.floor((raw["value"] - LO) / width).astype(int)))
+    want = (
+        raw.groupby(["series", "bin"]).size().rename("cnt").reset_index()
+    )
+    g = got.orderBy("series", "bin").toPandas()
+    w = want.sort_values(["series", "bin"]).reset_index(drop=True)
+    assert g["series"].tolist() == w["series"].tolist()
+    assert g["bin"].tolist() == w["bin"].tolist()
+    assert g["cnt"].tolist() == w["cnt"].tolist()
+
+    # quantiles served over the range agree with the bucketed formula
+    from ts2g2_spark.plans.rollup import serve_range_quantiles
+
+    q = serve_range_quantiles(
+        pts, t0, t1, [0.5, 0.95], LO, HI, NB, series_cols=["series"]
+    ).toPandas()
+    for row in q.itertuples(index=False):
+        vals = raw[raw["series"] == row.series][
+            "value"].sort_values().to_numpy()
+        rank = int(np.ceil(row.q * len(vals)))
+        exact = vals[rank - 1]
+        if LO <= exact < HI:
+            assert exact <= row.quantile < exact + width + 1e-9
+        else:
+            assert row.quantile in (LO, HI)
+
+
+def test_serve_range_histogram_partial_tier_catalog(spark, points):
+    """A catalog missing the 1d tier (retention dropped it) still
+    stitches exactly from 1h + 1m + raw."""
+    import datetime as dtm
+
+    from ts2g2_spark.plans.rollup import (
+        histogram_rollup, histogram_tier_up, serve_range_histogram,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 10, 30)
+    t1 = dtm.datetime(2024, 1, 1, 2, 45, 10)
+    m1 = histogram_rollup(points, "1m", LO, HI, NB, series_cols=["series"])
+    h1 = histogram_tier_up(m1, "1h", series_cols=["series"])
+    got = serve_range_histogram(
+        points, t0, t1, LO, HI, NB, tiers={"1m": m1, "1h": h1},
+        series_cols=["series"])
+    want = serve_range_histogram(
+        points, t0, t1, LO, HI, NB, series_cols=["series"])
+    keys = ["series", "bin"]
+    a = got.orderBy(*keys).toPandas()
+    b = want.orderBy(*keys).toPandas()
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])

@@ -391,3 +391,54 @@ def test_streaming_distinct_matches_batch_and_tiers_up(spark, tmp_path):
     hs = {(r.doc_id, r.bucket_ts): r.n_distinct for r in h_stream.collect()}
     hd = {(r.doc_id, r.bucket_ts): r.n_distinct for r in h_direct.collect()}
     assert hs == hd
+
+
+def test_streaming_histogram_matches_batch_and_tiers_up(spark, tmp_path):
+    from ts2g2_spark.plans import rollup as R3
+
+    in_dir = str(tmp_path / "hin")
+    out_dir = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+    os.makedirs(in_dir)
+    LO, HI, NB = 0.0, 11.0, 11
+
+    def mk_points(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+            F.lit("src_00").alias("source"),
+            F.timestamp_seconds(1704067200 + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 11).cast("double").alias("value"),
+        )
+
+    mk_points(0, 500).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_histogram_1m(
+            ingest.stream_points(spark, in_dir), LO, HI, NB),
+        out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 0  # watermark holds
+
+    mk_points(100000, 100200).write.mode("append").parquet(in_dir)
+    ingest.run_available_now(
+        ingest.streaming_histogram_1m(
+            ingest.stream_points(spark, in_dir), LO, HI, NB),
+        out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+
+    want = R3.histogram_rollup(mk_points(0, 500), "1m", LO, HI, NB,
+                               series_cols=["doc_id", "source"])
+    assert got.count() == want.count() > 0
+    key = lambda r: (r.doc_id, r.bucket_ts, r.bin)  # noqa: E731
+    assert {key(r): r.cnt for r in got.collect()} == \
+           {key(r): r.cnt for r in want.collect()}
+    # batch tier-up + quantile serving compose on the STREAMED state
+    h_stream = R3.histogram_tier_up(got, "1h",
+                                    series_cols=["doc_id", "source"])
+    q_stream = R3.histogram_quantiles(
+        h_stream, [0.5], LO, HI, NB, series_cols=["doc_id", "source"])
+    h_direct = R3.histogram_rollup(mk_points(0, 500), "1h", LO, HI, NB,
+                                   series_cols=["doc_id", "source"])
+    q_direct = R3.histogram_quantiles(
+        h_direct, [0.5], LO, HI, NB, series_cols=["doc_id", "source"])
+    qs = {(r.doc_id, r.bucket_ts): r.quantile for r in q_stream.collect()}
+    qd = {(r.doc_id, r.bucket_ts): r.quantile for r in q_direct.collect()}
+    assert qs == qd and len(qs) > 0

@@ -778,3 +778,138 @@ def topk_serve(
         .select(*series_cols, "bucket_ts", "token", "cnt",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def serve_range_histogram(
+    points: DataFrame,
+    t0,
+    t1,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    tiers: dict[str, DataFrame] | None = None,
+    series_cols: list[str] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Stitched value histogram over an ARBITRARY half-open [t0, t1):
+    whole days from the 1d histogram tier, day edges from 1h, hour
+    edges from 1m, sub-minute slivers binned from raw (same
+    decomposition as serve_range).  Returns (series..., bin, cnt).
+
+    Unlike the avg in serve_range (float re-association), the stitch
+    here is EXACT: bins are value-based and counts are additive over
+    disjoint time segments, so the stitched histogram equals the
+    histogram of the raw points in [t0, t1) bit-for-bit.
+
+    `tiers` maps tier name -> histogram frame in the histogram_rollup
+    schema (series cols + bucket_ts, bin, cnt); None builds all three
+    from (pre-filtered) raw — the oracle-checkable fallback."""
+    import datetime as _dt
+
+    def _us(x):
+        if isinstance(x, _dt.datetime):
+            if x.tzinfo is None:
+                x = x.replace(tzinfo=_dt.timezone.utc)
+            return int(x.timestamp() * 1_000_000)
+        return int(x)
+
+    t0_us, t1_us = _us(t0), _us(t1)
+    if tiers is None:
+        ts_us_src = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        points = points.where(
+            (ts_us_src >= F.lit(t0_us)) & (ts_us_src < F.lit(t1_us)))
+        m1 = histogram_rollup(points, "1m", lo, hi, n_bins,
+                              series_cols=series_cols, ts_col=ts_col,
+                              val_col=val_col)
+        h1 = histogram_tier_up(m1, "1h", series_cols=series_cols)
+        d1 = histogram_tier_up(h1, "1d", series_cols=series_cols)
+        tiers = {"1m": m1, "1h": h1, "1d": d1}
+    unknown = set(tiers) - set(TIER_SECONDS)
+    if unknown:
+        raise ValueError(
+            f"serve_range_histogram: unknown tier names {unknown}")
+    by_us = {TIER_SECONDS[name] * 1_000_000: name for name in tiers}
+    segs = decompose_range(t0_us, t1_us, sorted(by_us, reverse=True))
+
+    def _pred(col, ranges):
+        p = F.lit(False)
+        for lo_us, hi_us in ranges:
+            p = p | ((col >= F.lit(lo_us)) & (col < F.lit(hi_us)))
+        return p
+
+    scols = [F.col(c) for c in series_cols]
+    parts = []
+    for t_us, ranges in segs.items():
+        if t_us == "raw" or not ranges:
+            continue
+        df = tiers[by_us[t_us]]
+        b_us = F.unix_micros(F.col("bucket_ts"))
+        parts.append(
+            df.where(_pred(b_us, ranges)).select(*scols, "bin", "cnt"))
+    if segs["raw"]:
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        parts.append(
+            points.where(_pred(ts_us, segs["raw"]))
+            .select(*scols, _hist_bin(val_col, lo, hi, n_bins).alias("bin"),
+                    F.lit(1).cast("long").alias("cnt")))
+    if not parts:
+        raise ValueError("serve_range_histogram: no tier covers the "
+                         "interval and no raw segments were produced")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*series_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def serve_range_quantiles(
+    points: DataFrame,
+    t0,
+    t1,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    tiers: dict[str, DataFrame] | None = None,
+    series_cols: list[str] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Percentiles over an arbitrary [t0, t1) served from stitched
+    histogram tiers: (series..., q, quantile) — the range-serving
+    composition of the mergeable quantile tier (exact vs recomputing
+    the histogram from raw; accuracy = grid resolution).  One range
+    stitch + one window cumsum + one aggregate."""
+    from pyspark.sql.window import Window
+
+    hist = serve_range_histogram(
+        points, t0, t1, lo, hi, n_bins, tiers=tiers,
+        series_cols=series_cols, ts_col=ts_col, val_col=val_col)
+    width = (hi - lo) / n_bins
+    keys = list(series_cols)
+    w = (
+        Window.partitionBy(*keys).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *keys, "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*keys).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    edge = F.greatest(
+        F.lit(float(lo)),
+        F.least(F.lit(float(hi)),
+                F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)),
+    )
+    return (
+        cum.select(
+            *keys, "bin", "cum", "total",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*keys, "q")
+        .agg(F.round(F.min(edge), round_dp).alias("quantile"))
+    )

@@ -281,3 +281,40 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_histogram_1m(
+    points: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    series_cols: tuple = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming quantile-tier state: watermarked 1m tumbling-window
+    fixed-grid histogram per (series, bucket) — the streaming twin of
+    plans/rollup.histogram_rollup, emitting the SAME (bin, cnt) rows,
+    so the batch histogram_tier_up / histogram_quantiles compose
+    directly on a live stream's output.
+
+    Bin counts are integers merged by sum (associative,
+    order-insensitive), so stream state is bit-equal to the batch tier
+    — no estimate regime caveat like the HLL twin needs."""
+    from ts2g2_spark.plans.rollup import _hist_bin
+
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(
+            *series_cols,
+            F.window(ts_col, "1 minute"),
+            _hist_bin(val_col, lo, hi, n_bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *series_cols,
+            F.col("window.start").alias("bucket_ts"),
+            "bin", "cnt",
+        )
+    )
