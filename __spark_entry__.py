@@ -3458,6 +3458,48 @@ from per_source p join slope s using (source)
 """
 
 
+def q_source_divergence(spark, sf_dir):
+    """Per-source KL divergence (bits) from the corpus token mixture —
+    the domain-weighting diagnostic run before datamix decisions.  One
+    wordcount shuffle; corpus totals re-aggregate the (source, word)
+    frame; the log keeps only integer counts inside so the oracle
+    replays the identical expression tree."""
+    from ts2g2_spark.operators.corpusstats import source_divergence
+
+    return source_divergence(_docs(spark, sf_dir))
+
+
+SOURCE_DIVERGENCE_SQL = r"""
+with w as (
+  select source,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x != '') as ws
+  from documents
+),
+stream as (select source, unnest(ws) as word from w),
+tf as (
+  select source, word, count(*)::BIGINT as c_sw
+  from stream group by 1, 2
+),
+cw as (select word, sum(c_sw)::BIGINT as c_w from tf group by 1),
+tot as (
+  select source, sum(c_sw)::BIGINT as n_tokens,
+         count(*)::BIGINT as n_types
+  from tf group by 1
+),
+n as (select sum(n_tokens)::BIGINT as nn from tot),
+sl as (
+  select source, sum(c_sw * ln(c_sw / c_w)) as sl
+  from tf join cw using (word) group by 1
+)
+select t.source, t.n_tokens, t.n_types,
+       round((sl.sl / t.n_tokens + ln(n.nn / t.n_tokens)) / ln(2), 6)
+         + 0.0 as kl_bits
+from tot t join sl using (source) cross join n
+"""
+
+
 def q_corpus_length_profile(spark, sf_dir):
     """Per-source document-length profile: counts, mean, exact deciles
     of n_chars, and the short-document fraction (< 200 chars)."""
@@ -4742,6 +4784,7 @@ _RAW_QUERIES = {
         "series_profile": q_series_profile,
         "periodogram": q_periodogram,
         "vocab_stats": q_vocab_stats,
+        "source_divergence": q_source_divergence,
         "corpus_length_profile": q_corpus_length_profile,
         "event_transitions": q_event_transitions,
         "funnel_vcp": q_funnel_vcp,
@@ -4867,6 +4910,7 @@ def oracle_sql() -> dict[str, str]:
         "series_profile": SERIES_PROFILE_SQL,
         "periodogram": PERIODOGRAM_SQL,
         "vocab_stats": VOCAB_STATS_SQL,
+        "source_divergence": SOURCE_DIVERGENCE_SQL,
         "corpus_length_profile": LENGTH_PROFILE_SQL,
         "event_transitions": TRANSITIONS_SQL,
         "funnel_vcp": FUNNEL_SQL,

@@ -115,3 +115,48 @@ def test_length_profile_matches_bruteforce(spark):
         for gq, wq in zip((r.p10, r.p25, r.p50, r.p75, r.p90), q):
             assert gq == pytest.approx(wq, abs=2e-6), src
         assert r.short_frac == pytest.approx((x < 80).mean(), abs=2e-6)
+
+
+def test_source_divergence_matches_python_model(spark):
+    """KL(source || corpus) vs a literal Counter model; a source that IS
+    the corpus mixture scores 0 bits (canonical +0.0)."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from ts2g2_spark.operators.corpusstats import source_divergence
+
+    docs = [
+        (1, "mono", "alpha alpha alpha alpha"),
+        (2, "mix", "alpha beta gamma delta"),
+        (3, "mix", "beta beta gamma alpha"),
+        (4, "solo", "zeta"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "source", "text"])
+    got = {r["source"]: r for r in source_divergence(
+        spark.createDataFrame(pdf)).collect()}
+
+    tf: dict[str, collections.Counter] = {}
+    for _, src, text in docs:
+        tf.setdefault(src, collections.Counter()).update(text.split())
+    corpus = collections.Counter()
+    for c in tf.values():
+        corpus.update(c)
+    big_n = sum(corpus.values())
+    for src, c in tf.items():
+        n = sum(c.values())
+        kl = sum(
+            (v / n) * math.log2((v / n) / (corpus[w] / big_n))
+            for w, v in c.items()
+        )
+        r = got[src]
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(c)
+        assert abs(r["kl_bits"] - kl) < 1e-6, src
+        assert math.copysign(1.0, r["kl_bits"]) == 1.0  # never -0.0
+
+    # single-source corpus degenerates to exactly 0 bits
+    one = pdf[pdf["source"] == "mix"]
+    z = source_divergence(spark.createDataFrame(one)).collect()
+    assert all(r["kl_bits"] == 0.0 for r in z)

@@ -119,3 +119,66 @@ def corpus_length_profile(
         F.round(F.col("_q")[4], 6).alias("p90"),
         "short_frac",
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-source token-distribution divergence from the whole corpus —
+    the datamix diagnostic behind domain-weighting decisions: KL(source
+    || corpus) in bits over the normalized word stream, plus the
+    sizes the divergence is conditioned on.
+
+      n_tokens   source word occurrences
+      n_types    distinct words in the source
+      kl_bits    sum_w p_s(w) * log2(p_s(w) / p_c(w)) — 0 for a source
+                 that mirrors the corpus mixture, growing as its
+                 vocabulary usage diverges.  No smoothing is needed:
+                 the sum ranges over words PRESENT in the source
+                 (p_s > 0), and every such word has corpus mass.
+
+    Scale shape: one wordcount shuffle keyed (source, word); corpus
+    totals re-aggregate that frame (never re-reading text); the
+    word-level join is corpus-vocab-bounded, then one per-source
+    partial agg.  KL is computed as
+    (sum c_sw * ln(c_sw / c_w) ) / n_s / ln 2 + log2(N / n_s)
+    restated with only integer counts inside the log — the identical
+    expression tree any SQL engine replays; rounded (+0.0) so the
+    -0.0 a single-source corpus hits is canonical."""
+    import math
+
+    words = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(_norm_words(text_col)).alias("w"),
+    )
+    sw = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c_sw"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    totals = sw.groupBy("source").agg(
+        F.sum("c_sw").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"))
+    n_corpus = F.sum("n_tokens").over(Window.partitionBy())
+    joined = (
+        sw.join(cw, "w")
+        .groupBy("source")
+        .agg(F.sum(F.col("c_sw")
+                   * F.log(F.col("c_sw") / F.col("c_w"))).alias("_sl"))
+    )
+    return (
+        totals.withColumn("_n", n_corpus)
+        .join(joined, "source")
+        .select(
+            "source", "n_tokens", "n_types",
+            (
+                F.round(
+                    (F.col("_sl") / F.col("n_tokens")
+                     + F.log(F.col("_n") / F.col("n_tokens")))
+                    / F.lit(math.log(2.0)),
+                    round_dp,
+                ) + F.lit(0.0)
+            ).alias("kl_bits"),
+        )
+    )
