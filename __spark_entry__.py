@@ -2004,6 +2004,67 @@ def q_link_correlation(spark, sf_dir):
         "src", "dst", F.round("weight", 6).alias("weight"))
 
 
+def q_link_xcorr(spark, sf_dir):
+    """Lagged cross-correlation linking (L3 + lag grid): best Pearson r
+    between a[t] and b[t+lag] over lags in [-3, 3] per node pair,
+    deterministic (|r| desc, lag asc) tie-break on 6-dp-rounded r.  Same
+    daily-sum node frame as link_correlation."""
+    from ts2g2_spark.operators import linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("val"))
+    packed = F.array_sort(
+        F.collect_list(F.struct("day", F.col("val").alias("v"))))
+    nodes = daily.groupBy("user_id").agg(
+        F.transform(packed, lambda s: s["v"]).alias("values")
+    ).select(F.col("user_id").cast("string").alias("node_id"), "values")
+    return linking.link_cross_correlation(nodes, max_lag=3)
+
+
+LINK_XCORR_SQL = """
+with daily as (
+  select user_id, date_trunc('day', ts) as day,
+         round(sum(value), 6) as val
+  from events where user_id < 20 group by 1, 2
+),
+n as (
+  select user_id, list(val order by day) as vals
+  from daily group by 1
+),
+p as (
+  -- node_id is a STRING in the engine frame, so pair orientation uses
+  -- the lexicographic order ('10' < '2'); lag sign depends on it
+  select a.user_id::VARCHAR ai, b.user_id::VARCHAR bi,
+         a.vals va, b.vals vb
+  from n a join n b on a.user_id::VARCHAR < b.user_id::VARCHAR
+),
+e as (
+  select p.ai, p.bi, l.lag, t.v as xa, p.vb[t.i + l.lag] as xb
+  from p
+  cross join (select unnest(range(-3, 4)) as lag) l,
+       lateral (select unnest(p.va) as v,
+                       generate_subscripts(p.va, 1) as i) t
+  where t.i + l.lag between 1 and len(p.vb)
+),
+c as (
+  select ai, bi, lag, count(*) as m, corr(xa, xb) as r
+  from e group by 1, 2, 3
+),
+r as (
+  select ai, bi, lag, round(coalesce(r, 0.0), 6) + 0.0 as w,
+         row_number() over (
+           partition by ai, bi
+           order by abs(round(coalesce(r, 0.0), 6)) desc, lag asc) as rn
+  from c where m >= 3
+)
+select ai as src, bi as dst, lag::INT as lag,
+       w as weight, 'xcorr' as binding
+from r where rn = 1
+"""
+
+
 LINK_CORRELATION_SQL = """
 with daily as (
   select user_id, date_trunc('day', ts) as day, round(sum(value), 6) as val
@@ -4764,6 +4825,7 @@ _RAW_QUERIES = {
         # 50-query sample window is byte-stable across rounds)
         "repetition_signals": q_repetition_signals,
         "entropy_signals": q_entropy_signals,
+        "link_xcorr": q_link_xcorr,
         "pii_counts": q_pii_counts,
         "top_2grams": q_top_2grams,
         "contamination": q_contamination,
@@ -4891,6 +4953,7 @@ def oracle_sql() -> dict[str, str]:
         # by design; recall bounded in tests) -> driver records rows-only.
         "repetition_signals": REPETITION_SQL,
         "entropy_signals": ENTROPY_SQL,
+        "link_xcorr": LINK_XCORR_SQL,
         "pii_counts": _pii_sql(),
         "top_2grams": TOP_2GRAMS_SQL,
         "contamination": CONTAMINATION_SQL,

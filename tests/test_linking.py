@@ -377,3 +377,73 @@ def test_dtw_band_too_narrow_raises():
 def test_dtw_empty_series_raises():
     with pytest.raises(ValueError, match="empty series"):
         linking.dtw_path(np.array([]), np.array([1.0, 2.0]))
+
+
+def test_link_cross_correlation_best_lag(spark):
+    """Planted lag structure: series B is A shifted by +2 with noise, C
+    is anti-correlated at lag 0; brute-force numpy model must agree on
+    (lag, weight) per pair, including the (|r| desc, lag asc)
+    tie-break on rounded r."""
+    import numpy as np
+    import pandas as pd
+
+    from ts2g2_spark.operators.linking import link_cross_correlation
+
+    rng = np.random.default_rng(13)
+    base = np.cumsum(rng.normal(size=40))
+    a = base
+    b = np.concatenate([rng.normal(size=2), base])[:40] \
+        + rng.normal(scale=1e-3, size=40)
+    c = -base + rng.normal(scale=1e-3, size=40)
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "node_id": ["A", "B", "C"],
+        "values": [a.tolist(), b.tolist(), c.tolist()],
+    }))
+    got = {(r.src, r.dst): (r.lag, r.weight, r.binding)
+           for r in link_cross_correlation(nodes, max_lag=3).collect()}
+
+    def model(x, y, max_lag=3, min_overlap=3):
+        best = None
+        for lag in range(-max_lag, max_lag + 1):
+            t0, t1 = max(0, -lag), min(len(x), len(y) - lag)
+            if t1 - t0 < min_overlap:
+                continue
+            r = np.corrcoef(x[t0:t1], y[t0 + lag:t1 + lag])[0, 1]
+            w = 0.0 if np.isnan(r) else float(np.round(r, 6)) + 0.0
+            key = (-abs(w), lag)
+            if best is None or key < best[:2]:
+                best = (-abs(w), lag, w)
+        return best[1], best[2]
+
+    series = {"A": a, "B": b, "C": c}
+    for (s, d), (lag, w, binding) in got.items():
+        ml, mw = model(series[s], series[d])
+        assert (lag, w) == (ml, mw), (s, d)
+        assert binding == "xcorr"
+    # planted structure recovered: B lags A by 2; C anti-correlates at 0
+    assert got[("A", "B")][0] == 2
+    assert got[("A", "C")][0] == 0 and got[("A", "C")][1] < -0.99
+
+
+def test_link_cross_correlation_validation_and_edges(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from ts2g2_spark.operators.linking import link_cross_correlation
+
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "node_id": ["A", "B"], "values": [[1.0, 2.0], [2.0, 1.0]]}))
+    with _pytest.raises(ValueError):
+        link_cross_correlation(nodes, max_lag=-1)
+    with _pytest.raises(ValueError):
+        link_cross_correlation(nodes, min_overlap=1)
+    # series too short for min_overlap at every lag -> pair dropped
+    assert link_cross_correlation(nodes, max_lag=0,
+                                  min_overlap=3).count() == 0
+    # constant series: zero variance -> weight 0.0 at the lag-asc tie
+    flat = spark.createDataFrame(pd.DataFrame({
+        "node_id": ["A", "B"],
+        "values": [[1.0] * 6, [1.0] * 6]}))
+    rows = link_cross_correlation(flat, max_lag=1).collect()
+    assert len(rows) == 1
+    assert rows[0].weight == 0.0 and rows[0].lag == -1

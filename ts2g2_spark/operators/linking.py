@@ -432,3 +432,72 @@ def combine_identical_subgraphs(
         .dropDuplicates(["src", "dst"])
     )
     return merged, e
+
+
+def link_cross_correlation(
+    nodes: DataFrame,
+    max_lag: int = 3,
+    min_overlap: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lagged cross-correlation linking — L3 extended with a lag grid:
+    for every a < b node pair, Pearson r between a[t] and b[t + lag]
+    over the overlapping positions for each lag in [-max_lag, max_lag],
+    keeping the single best lag per pair (|r| desc, then lag asc — the
+    deterministic tie-break; r rounded to `round_dp` BEFORE ranking so
+    engine and oracle order identically).  Lags with fewer than
+    `min_overlap` overlapping points are skipped; zero-variance windows
+    score r = 0 (the reference's NaN -> 0 contract,
+    strategy_linking_multi_graphs.py:66-68).
+
+    Output: (src, dst, lag, weight, binding='xcorr').  Physical plan:
+    the same a < b self-join as link_correlation (broadcast at
+    reference node counts), then a row-local Arrow kernel over the
+    lag grid — no extra shuffle beyond the pair join."""
+    if max_lag < 0 or min_overlap < 2:
+        raise ValueError("max_lag must be >= 0 and min_overlap >= 2")
+    n = nodes.select("node_id", "values")
+    pairs = (
+        n.alias("a").join(
+            n.alias("b"), on=F.col("a.node_id") < F.col("b.node_id"))
+        .select(
+            F.col("a.node_id").alias("src"),
+            F.col("b.node_id").alias("dst"),
+            F.col("a.values").alias("values_a"),
+            F.col("b.values").alias("values_b"),
+        )
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = np.asarray(r.values_a, np.float64)
+                b = np.asarray(r.values_b, np.float64)
+                best = None  # (-|w|, lag, w)
+                for lag in lags:
+                    t0 = max(0, -lag)
+                    t1 = min(len(a), len(b) - lag)
+                    m = t1 - t0
+                    if m < min_overlap:
+                        continue
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        c = np.corrcoef(a[t0:t1], b[t0 + lag:t1 + lag])[0, 1]
+                    w = 0.0 if np.isnan(c) else float(np.round(c, round_dp))
+                    w += 0.0  # canonicalize -0.0
+                    key = (-abs(w), lag)
+                    if best is None or key < best[:2]:
+                        best = (-abs(w), lag, w)
+                if best is not None:
+                    out.append({"src": r.src, "dst": r.dst,
+                                "lag": best[1], "weight": best[2],
+                                "binding": "xcorr"})
+            if out:
+                yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(
+        kern,
+        schema="src string, dst string, lag int, weight double,"
+               " binding string",
+    )
