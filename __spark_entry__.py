@@ -168,6 +168,38 @@ from events group by 2, 3
 """
 
 
+def q_tier_refresh_late(spark, sf_dir):
+    """Late-data incremental tier refresh (continuous-aggregate
+    invalidation): 5% of events (event_id % 20 == 7) are withheld as a
+    'late batch', the 1m tier state is materialized from the rest, and
+    `plans.rollup.refresh_tier` folds the late state back in — touching
+    only the (series, bucket) groups the late batch names (broadcast
+    anti/semi split; untouched tier rows pass through with no
+    re-aggregation).  The oracle recomputes the tier from ALL events:
+    equality proves refresh(state(base), late) == rollup(base ∪ late),
+    the TimescaleDB-style invalidation contract.  ts2g2 has no rollup
+    path (engine-native, SURVEY §2.7)."""
+    from ts2g2_spark.plans import rollup
+
+    ev = _events(spark, sf_dir)
+    is_late = F.pmod(F.col("event_id"), F.lit(20)) == 7
+    state = rollup.rollup_state(
+        ev.where(~is_late), "1m", series_cols=("user_id",),
+        ts_col="ts", val_col="value", okey=_okey())
+    refreshed = rollup.refresh_tier(
+        state, ev.where(is_late), "1m", series_cols=("user_id",),
+        ts_col="ts", val_col="value", okey=_okey())
+    out = rollup.finalize_state(refreshed, series_cols=("user_id",))
+    return out.select(
+        "user_id", "bucket_ts", "cnt",
+        F.round("sum", 6).alias("sum_val"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+        F.col("first").alias("first_val"),
+        F.col("last").alias("last_val"),
+    )
+
+
 def q_tokens_rollup_1m(spark, sf_dir):
     """The NORTH-RULE core operator over the exact input_hint shape
     (doc_id:string, tokens:array<int32>, n_tok:int32, source:string):
@@ -4875,6 +4907,7 @@ _RAW_QUERIES = {
         "anomaly_stl_24": q_anomaly_stl_24,
         "threshold_alerts": q_threshold_alerts,
         "heartbeat_gaps": q_heartbeat_gaps,
+        "tier_refresh_late": q_tier_refresh_late,
     }
 
 
@@ -5000,5 +5033,6 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_stl_24": _anomaly_sql(),
         "threshold_alerts": ALERTS_SQL,
         "heartbeat_gaps": HEARTBEAT_SQL,
+        "tier_refresh_late": _rollup_sql(60),
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -417,3 +417,77 @@ def test_serve_range_supplied_tiers_with_gapfill_and_partial_catalog(spark):
     with pytest.raises(ValueError, match="unknown tier"):
         rollup_mod.serve_range(ev, t0, t1, tiers={"5s": m1},
                                series_cols=["user_id"])
+
+
+# ---------------------------------------------------- late-data refresh
+
+def test_refresh_tier_equals_full_recompute(spark, input_df):
+    """refresh(state(base), late) == rollup(base ∪ late) exactly.
+
+    Token values are integers, so even the merged sums are exact doubles —
+    full bit-equality is required on every column.  The late split is
+    idx%17==3 (scattered late points) PLUS one whole doc (every one of its
+    buckets is brand-new at refresh time, exercising the delta-only-bucket
+    union path)."""
+    from pyspark.sql import functions as F
+
+    pts = explode_points(input_df)
+    some_doc = pts.select("doc_id").orderBy("doc_id").first().doc_id
+    is_late = (F.pmod(F.col("idx"), F.lit(17)) == 3) | \
+        (F.col("doc_id") == some_doc)
+    state = rollup_mod.rollup_state(
+        pts.where(~is_late), "1m", okey=F.col("idx"))
+    refreshed = rollup_mod.refresh_tier(
+        state, pts.where(is_late), "1m", okey=F.col("idx"))
+    got = rollup_mod.finalize_state(refreshed).toPandas()
+    want = rollup_mod.rollup_points(pts, "1m", order_col="idx").toPandas()
+    for df in (got, want):
+        df.sort_values(["doc_id", "bucket_ts"], inplace=True,
+                       ignore_index=True)
+    assert len(got) == len(want)
+    # the late doc's buckets exist only in the delta — they must be present
+    assert (got["doc_id"] == some_doc).any()
+    for c in ("doc_id", "source", "bucket_ts", "cnt", "sum", "min", "max",
+              "first", "last", "gapfilled"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_refresh_tier_untouched_rows_pass_through(spark, input_df):
+    """Tier rows whose (series, bucket) the late batch does not name come
+    back byte-identical — including the stored first/last order keys —
+    proving they never went through the merge aggregate."""
+    from pyspark.sql import functions as F
+
+    pts = explode_points(input_df)
+    is_late = F.pmod(F.col("idx"), F.lit(17)) == 3
+    state = rollup_mod.rollup_state(
+        pts.where(~is_late), "1m", okey=F.col("idx"))
+    delta = rollup_mod.rollup_state(
+        pts.where(is_late), "1m", okey=F.col("idx"))
+    merged = rollup_mod.merge_tier_states(state, delta)
+    dk = delta.select("doc_id", "source", "bucket_ts")
+    keys = ["doc_id", "source", "bucket_ts"]
+    got = merged.join(dk, keys, "left_anti").toPandas()
+    want = state.join(dk, keys, "left_anti").toPandas()
+    for df in (got, want):
+        df.sort_values(keys, inplace=True, ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in got.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_refresh_tier_plan_broadcasts_key_split(spark, input_df):
+    """The untouched/touched split is a broadcast anti/semi join pair —
+    the big tier is never shuffled by the refresh."""
+    from pyspark.sql import functions as F
+
+    pts = explode_points(input_df)
+    is_late = F.pmod(F.col("idx"), F.lit(17)) == 3
+    state = rollup_mod.rollup_state(
+        pts.where(~is_late), "1m", okey=F.col("idx"))
+    refreshed = rollup_mod.refresh_tier(
+        state, pts.where(is_late), "1m", okey=F.col("idx"))
+    plan = refreshed._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan

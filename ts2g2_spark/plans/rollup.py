@@ -356,6 +356,129 @@ def gapfill(
     return out
 
 
+def rollup_state(
+    points: DataFrame,
+    tier: str,
+    series_cols: list[str] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    okey=None,
+) -> DataFrame:
+    """Mergeable per-bucket aggregate STATE (the continuous-aggregate
+    partial): (series..., bucket_ts, cnt, sum, min, max, first_key, first,
+    last_key, last).
+
+    Unlike the serving row (`rollup_points`), the state keeps the ORDER
+    KEY of its first/last picks, which is exactly what makes two states
+    over disjoint point sets mergeable without re-reading raw points:
+    cnt/sum add, min/min, max/max, and first/last re-pick by the stored
+    keys.  This is how TimescaleDB/Druid-style continuous aggregates
+    absorb late data — the engine's incremental-refresh path
+    (`merge_tier_states`) rides on it.
+
+    `okey` must be a Column that is UNIQUE per point within a
+    (series, bucket) group (e.g. an event-id-salted epoch) — uniqueness is
+    what makes first/last, and therefore the merge, deterministic.
+    Defaults to the raw timestamp, which is only safe when timestamps
+    never tie within a series."""
+    tier_s = TIER_SECONDS[tier]
+    okey = F.col(ts_col) if okey is None else okey
+    bucket = _bucket_ts(F.col(ts_col), tier_s).alias("bucket_ts")
+    src = points.select(
+        *[F.col(c) for c in series_cols], bucket,
+        F.col(val_col).alias("_v"), okey.alias("_k"))
+    return src.groupBy(*[F.col(c) for c in series_cols], "bucket_ts").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("_v").alias("sum"),
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+        F.min("_k").alias("first_key"),
+        F.min_by("_v", F.col("_k")).alias("first"),
+        F.max("_k").alias("last_key"),
+        F.max_by("_v", F.col("_k")).alias("last"),
+    )
+
+
+_STATE_COLS = ("cnt", "sum", "min", "max",
+               "first_key", "first", "last_key", "last")
+
+
+def merge_tier_states(
+    state: DataFrame,
+    delta: DataFrame,
+    series_cols: list[str] = ("doc_id", "source"),
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Incremental tier refresh: fold a (small) late-data `delta` state
+    into the materialized tier `state`, touching ONLY the
+    (series, bucket) groups the delta names.
+
+    Physical shape: the delta's key set is broadcast, so the big tier
+    splits map-only into untouched rows (broadcast LEFT ANTI —
+    passed through byte-identical, never re-aggregated) and touched rows
+    (broadcast LEFT SEMI); only touched ∪ delta re-aggregates, an
+    exchange of O(|delta|) rows.  At 10^12-bucket scale the refresh cost
+    is proportional to the late batch, not the tier.  Buckets that exist
+    only in the delta (a late point opening a brand-new bucket) fall out
+    of the same union.  Set broadcast_keys=False when the late batch is
+    itself huge (shuffle-hash joins instead).
+
+    Merging is exact for cnt/min/max/first/last (associative picks over
+    the stored unique order keys) and float-associative for sum — same
+    contract as `rollup_tier_up`."""
+    keys = [*series_cols, "bucket_ts"]
+    cols = [*keys, *_STATE_COLS]
+    delta = delta.select(*cols)
+    dkeys = delta.select(*keys).dropDuplicates(keys)
+    if broadcast_keys:
+        dkeys = F.broadcast(dkeys)
+    untouched = state.select(*cols).join(dkeys, keys, "left_anti")
+    touched = state.select(*cols).join(dkeys, keys, "left_semi")
+    merged = touched.unionByName(delta).groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.min_by("first", F.col("first_key")).alias("first"),
+        F.min("first_key").alias("first_key"),
+        F.max_by("last", F.col("last_key")).alias("last"),
+        F.max("last_key").alias("last_key"),
+    )
+    return untouched.unionByName(merged.select(*cols))
+
+
+def finalize_state(
+    state: DataFrame,
+    series_cols: list[str] = ("doc_id", "source"),
+) -> DataFrame:
+    """Project the mergeable state down to the serving-tier row shape
+    (drops the first/last order keys; adds the gapfilled marker so the
+    result composes with `gapfill`/`rollup_tier_up`/`serve_range`)."""
+    return state.select(
+        *[F.col(c) for c in series_cols], "bucket_ts",
+        "cnt", "sum", "min", "max", "first", "last",
+        F.lit(False).alias("gapfilled"),
+    )
+
+
+def refresh_tier(
+    state: DataFrame,
+    late_points: DataFrame,
+    tier: str,
+    series_cols: list[str] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    okey=None,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Convenience composition: state ⊕ rollup_state(late batch) —
+    the one-call late-data refresh over a materialized tier state."""
+    delta = rollup_state(late_points, tier, series_cols=series_cols,
+                         ts_col=ts_col, val_col=val_col, okey=okey)
+    return merge_tier_states(state, delta, series_cols=series_cols,
+                             broadcast_keys=broadcast_keys)
+
+
 def apply_retention(
     tier_df: DataFrame, tier: str, now_epoch: int,
     horizons: dict[str, int] = DEFAULT_RETENTION,
