@@ -491,3 +491,46 @@ def test_refresh_tier_plan_broadcasts_key_split(spark, input_df):
     assert "LeftAnti" in plan
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_tier_join_is_exchange_free(spark, tmp_path):
+    """Tiers written bucketed on the series key join against a
+    same-bucketed dim with NO Exchange on either side; the identical
+    frames read back as plain parquet paths (bucket spec lost) shuffle
+    both sides — same rows either way."""
+    from pyspark.sql import functions as F
+
+    from ts2g2_spark.catalog import Catalog
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tier = rollup_mod.rollup_points(
+        ev, "1m", series_cols=["user_id"], order_col="event_id")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    cat = Catalog(str(tmp_path), spark)
+    cat.write_bucketed(tier, "tier_1m_b", ["user_id"], 8,
+                       sort_cols=["user_id"])
+    cat.write_bucketed(dim, "user_dim_b", ["user_id"], 8,
+                       sort_cols=["user_id"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cat.read_bucketed("tier_1m_b").join(
+            cat.read_bucketed("user_dim_b"), "user_id")
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # bucketed groupBy on the bucket key also skips the exchange
+        g = cat.read_bucketed("tier_1m_b").groupBy("user_id").agg(
+            F.sum("cnt").alias("c"))
+        g.count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan
+        # contrast: path reads lose the bucket spec -> shuffle comes back
+        t2 = spark.read.parquet(str(tmp_path / "tier_1m_b"))
+        d2 = spark.read.parquet(str(tmp_path / "user_dim_b"))
+        j2 = t2.join(d2, "user_id")
+        assert j2.count() == n
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

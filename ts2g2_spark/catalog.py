@@ -67,6 +67,46 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 
+    # -- bucketed tables ----------------------------------------------
+    def _table_ident(self, name: str) -> str:
+        import hashlib
+
+        # session-catalog identifier scoped to this catalog root, so two
+        # Catalogs in one SparkSession never collide
+        suffix = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"{name}_{suffix}"
+
+    def write_bucketed(self, df: DataFrame, name: str,
+                       bucket_cols: list[str], num_buckets: int,
+                       sort_cols: list[str] | None = None) -> str:
+        """Write a table hash-bucketed on `bucket_cols` (optionally
+        sorted within buckets).  Every later join or aggregation keyed on
+        the bucket columns against a table with the SAME bucket count
+        reads co-located buckets and plans with NO Exchange on either
+        side — the tier⋈dim / tier⋈tier serving joins become map-side.
+        At 10^12-series scale this removes the recurring shuffle of the
+        materialized tiers on every downstream query; the one-time
+        bucketing cost is paid at write.  (With Iceberg, the same seam is
+        a bucket(N, col) partition transform.)
+
+        Returns the session-catalog identifier to pass to
+        `read_bucketed`."""
+        ident = self._table_ident(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        w = (df.write.mode("overwrite").format("parquet")
+             .option("path", self.table_path(name))
+             .bucketBy(num_buckets, *bucket_cols))
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(ident)
+        return ident
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table back THROUGH the session catalog — a
+        plain path read (`spark.read.parquet`) loses the bucket spec and
+        reintroduces the shuffle."""
+        return self.spark.table(self._table_ident(name))
+
     def drop_partitions(self, name: str, predicate) -> int:
         """Metadata-only retention for dirs partitioned by bucket_date:
         remove partition directories whose value fails the predicate.
