@@ -4405,6 +4405,71 @@ from f left join m
 """
 
 
+def q_holt_forecast_12(spark, sf_dir):
+    """Holt linear-trend (double exponential smoothing) 12-step hourly
+    forecast per user.  Bucket means rounded to 6dp before the
+    recurrence and l/b rounded HALF_UP to 9dp at EVERY step (the
+    pagerank determinism discipline), so the recursive-CTE oracle
+    replays the identical smoothing trajectory bit-for-bit.  The engine
+    kernel's time loop is vectorized ACROSS series in each Arrow
+    batch."""
+    from ts2g2_spark.operators.metrics import holt_forecast
+
+    return holt_forecast(_events(spark, sf_dir), alpha=0.3, beta=0.1,
+                         horizon=12)
+
+
+def _holt_sql(alpha: float = 0.3, beta: float = 0.1,
+              horizon: int = 12) -> str:
+    # quantization is floor(x*1e9 + 0.5)/1e9 — the same pure-IEEE float
+    # ops as the engine kernel (decimal round() implementations disagree
+    # in the last unit and cascade through the recurrence)
+    ia, ib = repr(1.0 - alpha), repr(1.0 - beta)
+    a, bb = repr(alpha), repr(beta)
+
+    def q9(expr: str) -> str:
+        return f"floor(({expr}) * 1e9 + 0.5) / 1e9"
+
+    l_new = q9(f"{a}*o.y + {ia}*(hw.l + hw.b)")
+    return f"""
+with recursive m as (
+  select user_id, date_trunc('hour', ts) as bucket_ts,
+         round(avg(value), 6) as y
+  from events group by 1, 2
+),
+o as (
+  select user_id, y,
+         row_number() over (partition by user_id order by bucket_ts) as t,
+         count(*) over (partition by user_id) as n,
+         max(bucket_ts) over (partition by user_id) as last_ts
+  from m
+),
+hw as (
+  select o1.user_id, 1 as t, o1.n, o1.last_ts,
+         o1.y as l, {q9("o2.y - o1.y")} as b
+  from o o1 join o o2 on o2.user_id = o1.user_id and o2.t = 2
+  where o1.t = 1
+  union all
+  select hw.user_id, hw.t + 1, hw.n, hw.last_ts,
+         {l_new} as l,
+         {q9(f"{bb}*(({l_new}) - hw.l) + {ib}*hw.b")} as b
+  from hw join o on o.user_id = hw.user_id and o.t = hw.t + 1
+),
+f as (
+  select user_id, last_ts, l, b,
+         unnest(generate_series(1, {horizon})) as step
+  from hw where t = n
+)
+select user_id,
+       last_ts + step * interval 1 hour as bucket_ts,
+       step::BIGINT as step,
+       floor((l + step * b) * 1e6 + 0.5) / 1e6 + 0.0 as yhat,
+       l + 0.0 as level,
+       b + 0.0 as trend
+from f
+"""
+
+
 def q_anomaly_stl_24(spark, sf_dir):
     """Seasonality-aware anomalies: seasonal_decompose(24) residuals
     z-scored per user, |z| > 3 flagged — composed entirely from the
@@ -4908,6 +4973,7 @@ _RAW_QUERIES = {
         "threshold_alerts": q_threshold_alerts,
         "heartbeat_gaps": q_heartbeat_gaps,
         "tier_refresh_late": q_tier_refresh_late,
+        "holt_forecast_12": q_holt_forecast_12,
     }
 
 
@@ -5034,5 +5100,6 @@ def oracle_sql() -> dict[str, str]:
         "threshold_alerts": ALERTS_SQL,
         "heartbeat_gaps": HEARTBEAT_SQL,
         "tier_refresh_late": _rollup_sql(60),
+        "holt_forecast_12": _holt_sql(),
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

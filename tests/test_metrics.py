@@ -306,3 +306,86 @@ def test_threshold_alerts_hysteresis_and_validation(spark):
 
     with pytest.raises(ValueError, match="lower <= upper"):
         threshold_alerts(spark.createDataFrame(pdf), upper=10, lower=20)
+
+
+# --------------------------------------------------------------- holt
+
+def _holt_oracle(pdf, alpha, beta, horizon, dp=9, out_dp=6):
+    """Scalar per-series reference of the quantized Holt recurrence."""
+    s, so = 10.0 ** dp, 10.0 ** out_dp
+
+    def q(x, sc):
+        return np.floor(x * sc + 0.5) / sc
+
+    rows = []
+    pdf = pdf.copy()
+    pdf["b"] = pdf["ts"].dt.floor("h")
+    for u, g in pdf.groupby("user_id"):
+        m = g.groupby("b")["value"].mean().round(6).sort_index()
+        y = m.to_numpy()
+        if len(y) < 2:
+            continue
+        lvl, trd = y[0], q(y[1] - y[0], s)
+        for t in range(1, len(y)):
+            l_new = q(alpha * y[t] + (1 - alpha) * (lvl + trd), s)
+            trd = q(beta * (l_new - lvl) + (1 - beta) * trd, s)
+            lvl = l_new
+        for h in range(1, horizon + 1):
+            rows.append((u, m.index[-1] + dt.timedelta(hours=h), h,
+                         q(lvl + h * trd, so) + 0.0, lvl + 0.0, trd + 0.0))
+    return pd.DataFrame(rows, columns=[
+        "user_id", "bucket_ts", "step", "yhat", "level", "trend"])
+
+
+def test_holt_forecast_matches_scalar_oracle(spark):
+    """The across-series vectorized kernel (NaN padding + lane masks)
+    reproduces the scalar per-series recurrence bit-for-bit, on series
+    of very different lengths."""
+    from ts2g2_spark.operators.metrics import holt_forecast
+
+    pdf = _events(seed=5, n=600, n_keys=7)
+    # make series lengths wildly uneven: drop most points for some users
+    pdf = pdf[(pdf.user_id > 2) | (pdf.index % 11 == 0)].reset_index()
+    got = holt_forecast(spark.createDataFrame(pdf[
+        ["user_id", "ts", "value"]]), alpha=0.3, beta=0.1,
+        horizon=8).toPandas()
+    want = _holt_oracle(pdf, 0.3, 0.1, 8)
+    for df in (got, want):
+        df.sort_values(["user_id", "step"], inplace=True,
+                       ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in want.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_holt_forecast_two_points_and_skips(spark):
+    """A 2-bucket series forecasts the straight line y2 + h*(y2-y1);
+    1-bucket series are skipped."""
+    from ts2g2_spark.operators.metrics import holt_forecast
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [BASE, BASE + dt.timedelta(hours=1),
+               BASE + dt.timedelta(hours=2)],
+        "value": [10.0, 13.0, 99.0],
+    })
+    got = holt_forecast(spark.createDataFrame(pdf), alpha=0.5, beta=0.5,
+                        horizon=3).toPandas()
+    assert set(got.user_id) == {1}
+    got = got.sort_values("step")
+    assert np.array_equal(got.yhat.to_numpy(), [16.0, 19.0, 22.0])
+    assert (got.level == 13.0).all() and (got.trend == 3.0).all()
+
+
+def test_holt_forecast_validation(spark):
+    from ts2g2_spark.operators.metrics import holt_forecast
+
+    df = spark.createDataFrame(_events(n=20))
+    with pytest.raises(ValueError, match="alpha"):
+        holt_forecast(df, alpha=0.0)
+    with pytest.raises(ValueError, match="horizon"):
+        holt_forecast(df, horizon=0)
+    with pytest.raises(ValueError, match="contradicts"):
+        holt_forecast(df, bucket="hour", bucket_s=60)
+    with pytest.raises(ValueError, match="non-fixed-length"):
+        holt_forecast(df, bucket="month")

@@ -232,6 +232,142 @@ def seasonal_naive_forecast(
     )
 
 
+def holt_forecast(
+    points: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 12,
+    bucket: str = "hour",
+    bucket_s: int | None = None,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    state_dp: int = 9,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) forecast per
+    series — the first model up from seasonal-naive that tracks a drift:
+
+        l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        yhat_{T+h} = l_T + h*b_T
+
+    with the standard init l_1 = y_1, b_1 = y_2 - y_1 (series with
+    fewer than 2 observed buckets are skipped).  The recurrence runs
+    over OBSERVED buckets in time order (no gap-fill — gap-fill
+    upstream for a wall-clock-uniform recurrence).
+
+    DETERMINISM CONTRACT (same discipline as pagerank, stricter
+    mechanism): bucket means are rounded to `out_dp` BEFORE the
+    recurrence, and l/b are quantized at EVERY step with the pure-IEEE
+    formula floor(x*10^dp + 0.5)/10^dp (half-up toward +inf at the
+    boundary).  Unlike decimal HALF_UP round(), that formula is the
+    same three float ops in every engine, so a recursive-CTE SQL
+    oracle replays the trajectory bit-for-bit — decimal round()
+    implementations (BigDecimal vs DuckDB) disagree in the last unit
+    just often enough to cascade through a feedback recurrence.
+
+    Scale shape: one hash agg to bucket means, one collect_list shuffle
+    keyed on the series, then a map-only Arrow kernel whose time loop is
+    VECTORIZED ACROSS SERIES in the batch (one numpy step per bucket
+    index over all series at once, NaN-padded lanes masked) — per-series
+    work never touches Python row-at-a-time.  The horizon expansion is a
+    relational explode of the O(|series|) state frame.
+
+    Output: series cols + bucket_ts (future), step (1..horizon), yhat,
+    level, trend (final smoothed state, `state_dp` decimals)."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    if not (0.0 < alpha <= 1.0 and 0.0 < beta <= 1.0):
+        raise ValueError(
+            f"holt_forecast: need 0 < alpha, beta <= 1, got {alpha=} "
+            f"{beta=}")
+    if horizon < 1:
+        raise ValueError(f"holt_forecast: need horizon >= 1, got {horizon=}")
+    known = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    if bucket in known:
+        if bucket_s is None:
+            bucket_s = known[bucket]
+        elif bucket_s != known[bucket]:
+            raise ValueError(
+                f"holt_forecast: bucket_s={bucket_s} contradicts "
+                f"bucket='{bucket}' ({known[bucket]}s)")
+    elif bucket_s is None:
+        raise ValueError(
+            f"holt_forecast: pass bucket_s for non-fixed-length "
+            f"bucket '{bucket}'")
+    scols = [F.col(c) for c in series_cols]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    means = points.groupBy(*scols, b.alias("bucket_ts")).agg(
+        F.round(F.avg(F.col(val_col).cast("double")), out_dp).alias("y"))
+    grouped = means.groupBy(*scols).agg(
+        F.sort_array(F.collect_list(F.struct("bucket_ts", "y"))).alias("_s")
+    ).select(*scols, F.col("_s.y").alias("_ys"),
+             F.element_at(F.col("_s.bucket_ts"), -1).alias("last_ts"))
+    key_fields = [grouped.schema[c] for c in series_cols]
+    out_schema = StructType(key_fields + [
+        StructField("last_ts", TimestampType()),
+        StructField("n", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ])
+    ia, ib = 1.0 - alpha, 1.0 - beta
+    names = list(series_cols)
+
+    scale = 10.0 ** state_dp
+
+    def kern(batches):
+        import numpy as np
+
+        def quant(x):
+            return np.floor(x * scale + 0.5) / scale
+
+        for pdf in batches:
+            lens = pdf["_ys"].map(len).to_numpy()
+            sub = pdf.loc[lens >= 2]
+            if sub.empty:
+                continue
+            lens = lens[lens >= 2]
+            t_max = int(lens.max())
+            y_mat = np.full((len(sub), t_max), np.nan)
+            for i, v in enumerate(sub["_ys"]):
+                y_mat[i, : len(v)] = v
+            lvl = y_mat[:, 0].copy()
+            trd = quant(y_mat[:, 1] - y_mat[:, 0])
+            for t in range(1, t_max):
+                act = t < lens
+                y_t = y_mat[:, t]
+                l_new = quant(alpha * y_t + ia * (lvl + trd))
+                t_new = quant(beta * (l_new - lvl) + ib * trd)
+                lvl = np.where(act, l_new, lvl)
+                trd = np.where(act, t_new, trd)
+            out = sub[[*names, "last_ts"]].copy()
+            out["n"] = lens
+            out["level"] = lvl
+            out["trend"] = trd
+            yield out
+
+    state = grouped.mapInPandas(kern, schema=out_schema)
+    step = F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("step")
+    # yhat quantized with the same IEEE floor formula (F.round would
+    # reintroduce the decimal-HALF_UP vs engine-round divergence);
+    # `+ 0.0` canonicalizes IEEE -0.0 so cross-engine value hashes agree
+    out_scale = 10.0 ** out_dp
+    raw = F.col("level") + F.col("step") * F.col("trend")
+    return state.select(*scols, "last_ts", "level", "trend", step).select(
+        *scols,
+        (F.col("last_ts")
+         + F.expr(f"interval {bucket_s} second") * F.col("step")
+         ).alias("bucket_ts"),
+        F.col("step").cast("long").alias("step"),
+        (F.floor(raw * out_scale + F.lit(0.5)) / F.lit(out_scale)
+         + F.lit(0.0)).alias("yhat"),
+        (F.col("level") + F.lit(0.0)).alias("level"),
+        (F.col("trend") + F.lit(0.0)).alias("trend"),
+    )
+
+
 def threshold_alerts(
     points: DataFrame,
     upper: float,
