@@ -442,3 +442,58 @@ def test_streaming_histogram_matches_batch_and_tiers_up(spark, tmp_path):
     qs = {(r.doc_id, r.bucket_ts): r.quantile for r in q_stream.collect()}
     qd = {(r.doc_id, r.bucket_ts): r.quantile for r in q_direct.collect()}
     assert qs == qd and len(qs) > 0
+
+
+def test_incremental_tier_fold_matches_batch_and_is_idempotent(
+        spark, tmp_path):
+    """Three out-of-order micro-batches folded through the mergeable
+    tier table equal the batch rollup over all points bit-for-bit —
+    INCLUDING a batch that lands entirely inside already-finalized
+    buckets (arbitrary lateness, the case the watermarked tiers
+    cannot absorb).  Replaying a batch_id is a no-op (at-least-once
+    foreachBatch made exactly-once)."""
+    in_dir = str(tmp_path / "in")
+    tbl = str(tmp_path / "tier")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    os.makedirs(tbl)
+
+    def mk_points(lo, hi, ts_off=0):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+            F.lit("src_00").alias("source"),
+            F.timestamp_seconds(
+                1704067200 + ts_off + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 10).cast("double").alias("value"),
+        )
+
+    # batch 1: base window; batch 2: ~1h later; batch 3: LATE data
+    # back inside batch 1's minute buckets (ts collisions impossible:
+    # ids disjoint, step 7s, offset 3)
+    parts = [mk_points(0, 300), mk_points(600, 900),
+             mk_points(300, 600, ts_off=3)]
+    for p in parts:
+        p.write.mode("append").parquet(in_dir)
+        ingest.run_tier_maintenance(
+            ingest.stream_points(spark, in_dir), tbl, ckpt)
+
+    got = R.finalize_state(
+        ingest.read_tier_snapshot(spark, tbl)).toPandas()
+    allpts = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    want = R.rollup_points(allpts, "1m").toPandas()
+    keys = ["doc_id", "source", "bucket_ts"]
+    for df in (got, want):
+        df.sort_values(keys, inplace=True, ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), c
+
+    # idempotent replay: re-applying an old batch_id changes nothing
+    import json
+
+    with open(f"{tbl}/_LATEST") as f:
+        before = json.load(f)
+    fold = ingest.incremental_tier_fold(spark, tbl)
+    fold(parts[2], before["batch_id"])  # same id → skipped
+    with open(f"{tbl}/_LATEST") as f:
+        assert json.load(f) == before

@@ -283,6 +283,118 @@ def run_available_now(
     q.awaitTermination()
 
 
+def incremental_tier_fold(
+    spark: SparkSession,
+    table_root: str,
+    tier: str = "1m",
+    series_cols: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    okey_col: str | None = None,
+    keep_versions: int = 2,
+):
+    """foreachBatch fold that maintains a MERGEABLE tier table from a
+    stream, absorbing arbitrarily late data (no watermark bound): each
+    micro-batch becomes a rollup_state delta and
+    `plans.rollup.merge_tier_states` folds it into the last committed
+    snapshot — only the (series, bucket) groups the batch names are
+    re-aggregated, so per-batch cost is O(|batch|), not O(tier).
+
+    This is the third streaming-tier strategy, complementary to the
+    watermarked append-only tiers above: those finalize each bucket once
+    (state inside the streaming engine, bounded by the watermark and
+    deaf to later data); this one keeps buckets forever-updatable with
+    state in the TABLE itself.
+
+    Commit protocol (the Iceberg-snapshot seam in miniature, same idea
+    as catalog.Catalog): each applied batch writes a new `v{batch_id}`
+    directory, then atomically replaces the `_LATEST` pointer file
+    (JSON: version + batch_id).  foreachBatch is AT-LEAST-ONCE, so the
+    fold is made idempotent by recording the last applied batch_id in
+    the pointer and skipping replays (batch_id <= last) — re-merging a
+    delta twice would double-count.  Old versions beyond
+    `keep_versions` are removed after commit."""
+    import json
+    import os
+    import shutil
+
+    from ts2g2_spark.plans import rollup as rollup_mod
+
+    ptr = os.path.join(table_root, "_LATEST")
+
+    def _read_ptr() -> dict | None:
+        try:
+            with open(ptr) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _read_ptr()
+        if cur is not None and batch_id <= cur["batch_id"]:
+            return  # replayed batch — already folded in
+        okey = F.col(okey_col) if okey_col else None
+        delta = rollup_mod.rollup_state(
+            batch_df, tier, series_cols=series_cols,
+            ts_col=ts_col, val_col=val_col, okey=okey)
+        if cur is not None:
+            state = spark.read.parquet(
+                os.path.join(table_root, cur["version"]))
+            merged = rollup_mod.merge_tier_states(
+                state, delta, series_cols=series_cols)
+        else:
+            merged = delta
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(table_root, version))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "batch_id": batch_id}, f)
+        os.replace(tmp, ptr)  # atomic snapshot commit
+        live = {version} | ({cur["version"]} if cur else set())
+        versions = sorted(
+            (d for d in os.listdir(table_root)
+             if d.startswith("v") and d not in live),
+            key=lambda d: int(d[1:]))
+        for old in versions[:max(0, len(versions) - (keep_versions - 2))]:
+            shutil.rmtree(os.path.join(table_root, old),
+                          ignore_errors=True)
+
+    return fold
+
+
+def read_tier_snapshot(spark: SparkSession, table_root: str) -> DataFrame:
+    """Read the last committed tier snapshot (the `_LATEST` pointer's
+    version directory) as a mergeable state frame; compose with
+    plans.rollup.finalize_state for the serving shape."""
+    import json
+    import os
+
+    with open(os.path.join(table_root, "_LATEST")) as f:
+        version = json.load(f)["version"]
+    return spark.read.parquet(os.path.join(table_root, version))
+
+
+def run_tier_maintenance(
+    points: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    **fold_kwargs,
+) -> None:
+    """Drain all available input through the incremental tier fold and
+    stop (availableNow catch-up trigger; the checkpoint dir plus the
+    idempotent fold give exactly-once table updates across resumes)."""
+    spark = points.sparkSession
+    fold = incremental_tier_fold(spark, table_root, **fold_kwargs)
+    q = (
+        points.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_histogram_1m(
     points: DataFrame,
     lo: float,
