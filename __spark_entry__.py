@@ -200,6 +200,41 @@ def q_tier_refresh_late(spark, sf_dir):
     )
 
 
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend per user over hourly bucket means —
+    median of pairwise slopes in epoch-hours (gap-correct), median
+    intercept.  The kernel holds the O(n^2) pair set transiently per
+    series; the oracle's relational twin (self-join + median) proves
+    the same numbers bit-for-bit via the shared IEEE quantization."""
+    from ts2g2_spark.operators.seriesstats import theil_sen_trend
+
+    return theil_sen_trend(_events(spark, sf_dir))
+
+
+THEIL_SEN_SQL = """
+with m as (
+  select user_id, date_trunc('hour', ts) as b, round(avg(value), 6) as y
+  from events group by 1, 2
+),
+tt as (select user_id, epoch(b) / 3600.0 as t, y from m),
+p as (
+  select a.user_id, (c.y - a.y) / (c.t - a.t) as s
+  from tt a join tt c on c.user_id = a.user_id and c.t > a.t
+),
+sl as (select user_id, median(s) as slope from p group by 1),
+ic as (
+  select tt.user_id, median(tt.y - sl.slope * tt.t) as iv
+  from tt join sl on sl.user_id = tt.user_id group by 1
+)
+select sl.user_id,
+       (select count(*) from tt where tt.user_id = sl.user_id)::BIGINT
+         as n_buckets,
+       floor(sl.slope * 1e9 + 0.5) / 1e9 + 0.0 as slope,
+       floor(ic.iv * 1e9 + 0.5) / 1e9 + 0.0 as intercept
+from sl join ic on ic.user_id = sl.user_id
+"""
+
+
 def q_tokens_rollup_1m(spark, sf_dir):
     """The NORTH-RULE core operator over the exact input_hint shape
     (doc_id:string, tokens:array<int32>, n_tok:int32, source:string):
@@ -4974,6 +5009,7 @@ _RAW_QUERIES = {
         "heartbeat_gaps": q_heartbeat_gaps,
         "tier_refresh_late": q_tier_refresh_late,
         "holt_forecast_12": q_holt_forecast_12,
+        "theil_sen_trend": q_theil_sen_trend,
     }
 
 
@@ -5101,5 +5137,6 @@ def oracle_sql() -> dict[str, str]:
         "heartbeat_gaps": HEARTBEAT_SQL,
         "tier_refresh_late": _rollup_sql(60),
         "holt_forecast_12": _holt_sql(),
+        "theil_sen_trend": THEIL_SEN_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -378,3 +378,63 @@ def test_residual_anomalies_flags_planted_spike(spark):
                     round((dec[(u, r.pos)] - mu) / sd, 6), abs=1e-6)
     # rows with undefined residuals are excluded
     assert all(r.resid is not None for r in out)
+
+
+# ----------------------------------------------------------- theil-sen
+
+def _theil_sen_oracle(pdf, dp=9):
+    rows = []
+    pdf = pdf.copy()
+    pdf["b"] = pdf["ts"].dt.floor("h")
+    s = 10.0 ** dp
+
+    def q(x):
+        return float(np.floor(x * s + 0.5) / s) + 0.0
+
+    for u, g in pdf.groupby("user_id"):
+        m = g.groupby("b")["value"].mean().round(6).sort_index()
+        if len(m) < 2:
+            continue
+        y = m.to_numpy()
+        t = (m.index.asi8 // 1_000_000_000).astype(float) / 3600.0
+        i, j = np.triu_indices(len(y), 1)
+        slope = float(np.median((y[j] - y[i]) / (t[j] - t[i])))
+        rows.append((u, len(y), q(slope),
+                     q(float(np.median(y - slope * t)))))
+    return pd.DataFrame(rows, columns=[
+        "user_id", "n_buckets", "slope", "intercept"])
+
+
+def test_theil_sen_matches_scalar_oracle(spark):
+    from ts2g2_spark.operators.seriesstats import theil_sen_trend
+
+    pdf = _events(seed=9, n=700, n_keys=8)
+    got = theil_sen_trend(
+        spark.createDataFrame(pdf[["user_id", "ts", "value"]])).toPandas()
+    want = _theil_sen_oracle(pdf)
+    for df in (got, want):
+        df.sort_values("user_id", inplace=True, ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    # the 1-point series (user 91) must be skipped
+    assert 91 not in set(got.user_id)
+    for c in want.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_theil_sen_ignores_outliers(spark):
+    """20% wild outliers on an exact line: the median-of-slopes trend
+    recovers the true slope exactly (the breakdown point is ~29%)."""
+    from ts2g2_spark.operators.seriesstats import theil_sen_trend
+
+    hours = np.arange(20)
+    vals = 2.5 * hours + 4.0
+    vals[[3, 8, 13, 17]] += np.array([500.0, -900.0, 777.0, -321.0])
+    pdf = pd.DataFrame({
+        "user_id": 1,
+        "ts": [BASE + dt.timedelta(hours=int(h)) for h in hours],
+        "value": vals,
+    })
+    got = theil_sen_trend(spark.createDataFrame(pdf)).collect()
+    assert len(got) == 1
+    # slope per epoch-HOUR equals the construction slope exactly
+    assert got[0].slope == 2.5

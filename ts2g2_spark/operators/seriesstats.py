@@ -548,3 +548,88 @@ def residual_anomalies(
         F.coalesce(F.abs(z) > F.lit(float(z_thresh)),
                    F.lit(False)).alias("is_anomaly"),
     )
+
+
+def theil_sen_trend(
+    points: DataFrame,
+    bucket: str = "hour",
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    out_dp: int = 9,
+) -> DataFrame:
+    """Theil-Sen robust trend per series: slope = median of all pairwise
+    slopes (y_j - y_i)/(t_j - t_i) over the bucketed series (t in epoch
+    hours, so bucket GAPS weight the slope correctly where a positional
+    index would not), intercept = median(y_i - slope*t_i).  Up to ~29%
+    outliers cannot move the estimate — the robust complement to the
+    OLS-flavored smoothing forecasts.
+
+    DETERMINISM: bucket means round to 6dp (both engines agree on that
+    — pinned by the forecast family), pair slopes and medians are pure
+    IEEE ops in a fixed orientation (later minus earlier), and outputs
+    quantize with floor(x*10^dp + 0.5)/10^dp, so a SQL oracle
+    (self-join pairs + median) hash-matches bit-for-bit.  Even-count
+    medians average the two central values in numpy, Spark percentile,
+    and DuckDB median alike.
+
+    Scale shape: one hash agg to bucket means, one collect_list shuffle
+    on the series key, then a map-only Arrow kernel.  The O(n^2) pair
+    set exists only TRANSIENTLY inside the kernel, one series at a time
+    (n = buckets per series, bounded by retention — e.g. 90d of hourly
+    buckets is 2160 points, 2.3M pair slopes, ~19 MB); nothing
+    quadratic ever enters a shuffle, unlike the relational twin the
+    oracle runs.  Series with < 2 buckets are skipped."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    scols = [F.col(c) for c in series_cols]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    means = points.groupBy(*scols, b.alias("bucket_ts")).agg(
+        F.round(F.avg(F.col(val_col).cast("double")), 6).alias("y"))
+    grouped = means.groupBy(*scols).agg(
+        F.sort_array(F.collect_list(F.struct("bucket_ts", "y"))).alias("_s")
+    ).select(*scols, F.col("_s.bucket_ts").alias("_ts"),
+             F.col("_s.y").alias("_ys"))
+    key_fields = [grouped.schema[c] for c in series_cols]
+    out_schema = StructType(key_fields + [
+        StructField("n_buckets", LongType()),
+        StructField("slope", DoubleType()),
+        StructField("intercept", DoubleType()),
+    ])
+    names = list(series_cols)
+    scale = 10.0 ** out_dp
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        def quant(x):
+            return float(np.floor(x * scale + 0.5) / scale) + 0.0
+
+        for pdf in batches:
+            rows = []
+            # positional access: itertuples mangles the _-prefixed
+            # staging column names
+            for k in range(len(pdf)):
+                y = np.asarray(pdf["_ys"].iat[k], dtype=np.float64)
+                if len(y) < 2:
+                    continue
+                # pandas timestamps are int64 ns; ns exceeds double's
+                # exact-integer range, so floor-divide to seconds in
+                # int64 FIRST, then one float division to hours
+                sec = np.asarray(
+                    pd.DatetimeIndex(pdf["_ts"].iat[k]).asi8
+                ) // 1_000_000_000
+                t = sec.astype(np.float64) / 3600.0
+                i, j = np.triu_indices(len(y), 1)
+                slope = float(np.median((y[j] - y[i]) / (t[j] - t[i])))
+                intercept = float(np.median(y - slope * t))
+                rows.append((*[pdf[c].iat[k] for c in names], len(y),
+                             quant(slope), quant(intercept)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[*names, "n_buckets", "slope",
+                                   "intercept"])
+
+    return grouped.mapInPandas(kern, schema=out_schema)
