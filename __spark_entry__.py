@@ -4809,6 +4809,76 @@ select user_id, node, pr from r{iters}
 PAGERANK_SQL = _pagerank_sql(iters=5, damping=0.85, dp=9)
 
 
+def q_graph_mixing_hvg(spark, sf_dir):
+    """Degree assortativity + global transitivity per HVG series graph.
+    Fused map-only kernel (mixing computed inside the Arrow batch that
+    built the graph); graphmetrics.graph_mixing is the relational twin,
+    pinned by parity tests.  Both metrics reduce to exact integer-sum
+    rationals (the symmetrized Pearson's sqrt cancels), so the values
+    are bit-identical across engines before the 6dp quantization."""
+    from ts2g2_spark.operators import graphmetrics
+
+    return graphmetrics.mixing_from_series(
+        _event_series(spark, sf_dir), kind="horizontal"
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "assortativity", "transitivity")
+
+
+GRAPH_MIXING_SQL = f"""
+{_HVG_METRIC_CTES},
+tri as materialized (
+  select e1.user_id, e1.src as a, e1.dst as b, e2.dst as c
+  from hvg e1
+  join hvg e2 on e2.user_id = e1.user_id and e2.src = e1.dst
+  join hvg e3 on e3.user_id = e1.user_id
+             and e3.src = e1.src and e3.dst = e2.dst
+),
+tcnt as (
+  select user_id, node, count(*)::BIGINT as triangles
+  from (
+    select user_id, a as node from tri
+    union all select user_id, b as node from tri
+    union all select user_id, c as node from tri
+  ) corners
+  group by user_id, node
+),
+tw as (
+  select d.user_id,
+         sum(coalesce(t.triangles, 0)) as t3,
+         sum(d.degree * (d.degree - 1) / 2) as w
+  from deg d
+  left join tcnt t on t.user_id = d.user_id and t.node = d.node
+  group by d.user_id
+),
+sym as (
+  select user_id, src as u, dst as v from hvg
+  union all select user_id, dst as u, src as v from hvg
+),
+ac as (
+  select s.user_id,
+         count(*)::BIGINT as n,
+         sum(du.degree)::BIGINT as sx,
+         sum(du.degree * dv.degree)::BIGINT as sxy,
+         sum(du.degree * du.degree)::BIGINT as sxx
+  from sym s
+  join deg du on du.user_id = s.user_id and du.node = s.u
+  join deg dv on dv.user_id = s.user_id and dv.node = s.v
+  group by s.user_id
+)
+select ac.user_id,
+       case when ac.n * ac.sxx - ac.sx * ac.sx > 0 then
+         floor((ac.n * ac.sxy - ac.sx * ac.sx)::DOUBLE
+               / (ac.n * ac.sxx - ac.sx * ac.sx)::DOUBLE * 1e6 + 0.5)
+           / 1e6 + 0.0
+       end as assortativity,
+       case when tw.w > 0
+            then floor(tw.t3 / tw.w * 1e6 + 0.5) / 1e6 + 0.0 end
+         as transitivity
+from ac join tw on tw.user_id = ac.user_id
+"""
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -5010,6 +5080,7 @@ _RAW_QUERIES = {
         "tier_refresh_late": q_tier_refresh_late,
         "holt_forecast_12": q_holt_forecast_12,
         "theil_sen_trend": q_theil_sen_trend,
+        "graph_mixing_hvg": q_graph_mixing_hvg,
     }
 
 
@@ -5138,5 +5209,6 @@ def oracle_sql() -> dict[str, str]:
         "tier_refresh_late": _rollup_sql(60),
         "holt_forecast_12": _holt_sql(),
         "theil_sen_trend": THEIL_SEN_SQL,
+        "graph_mixing_hvg": GRAPH_MIXING_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

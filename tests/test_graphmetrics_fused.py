@@ -236,3 +236,49 @@ def test_round_half_up_negative_and_bulk_agreement():
         for v in x
     ])
     assert np.array_equal(got, ref)
+
+
+# ------------------------------------------------------------- mixing
+
+@pytest.mark.parametrize("kind", ["horizontal", "natural"])
+def test_fused_mixing_equals_relational(spark, series_df, kind):
+    from ts2g2_spark.operators.graphmetrics import (
+        graph_mixing, mixing_from_series,
+    )
+
+    edges = graphs.visibility_edges(series_df, kind=kind)
+    rel = _sorted_pdf(graph_mixing(edges), ["series_key"])
+    fus = _sorted_pdf(
+        mixing_from_series(series_df, kind=kind), ["series_key"])
+    pd.testing.assert_frame_equal(rel, fus[rel.columns.tolist()])
+
+
+def test_mixing_matches_networkx(spark, series_df):
+    """assortativity == nx.degree_assortativity_coefficient and
+    transitivity == nx.transitivity at the 6dp contract rounding, per
+    series graph; degenerate graphs (tiny: one edge) give NULLs."""
+    from ts2g2_spark.operators.graphmetrics import mixing_from_series
+
+    got = {r.series_key: r for r in mixing_from_series(
+        series_df, kind="horizontal").collect()}
+    from ts2g2_spark.operators.kernels import visibility_graph
+
+    for key, vals in SERIES.items():
+        e, _ = visibility_graph(np.asarray(vals, float),
+                                kind="horizontal")
+        if len(e) == 0:
+            assert key not in got
+            continue
+        g = nx.Graph()
+        g.add_edges_from(e.tolist())
+        r = got[key]
+        if len({d for _, d in g.degree()}) > 1:
+            want = nx.degree_assortativity_coefficient(g)
+            assert r.assortativity == pytest.approx(want, abs=2e-6), key
+        else:
+            assert r.assortativity is None, key
+        want_t = nx.transitivity(g)
+        if sum(d * (d - 1) // 2 for _, d in g.degree()) > 0:
+            assert r.transitivity == pytest.approx(want_t, abs=2e-6), key
+        else:
+            assert r.transitivity is None, key

@@ -151,6 +151,73 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     )
 
 
+def graph_mixing(edges: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Per-series degree assortativity + global transitivity:
+    (series_key, assortativity, transitivity).
+
+    assortativity = Pearson corr of the degree pairs at either end of
+    every edge, both orientations (the joint-degree-distribution
+    convention networkx uses); NULL when undefined (constant degrees).
+    Because the orientation-symmetrized pair set has identical x and y
+    marginals, Pearson reduces to the EXACT rational
+
+        (n*sum(du*dv) - sum(du)^2) / (n*sum(du^2) - sum(du)^2)
+
+    over integer sums — no sqrt, no float accumulation, one double
+    division — so the value is bit-identical across engines (integer
+    sums stay exact below 2^53; fine for per-series segment graphs,
+    re-derive in int128/decimal for one genuinely huge graph).
+    transitivity = 3*triangles / wedges with wedges = sum C(d_v, 2);
+    NULL when the graph has no wedge; also an exact integer ratio.
+    Both quantized with the IEEE floor(x*10^dp + 0.5)/10^dp formula.
+
+    Physical shape: the degree frame joins the symmetrized edge list
+    twice (equi-joins on (series, node) — both sides partial-agg'd
+    small), plus the triangle pipeline reused from
+    `clustering_coefficients`; everything keys on the series."""
+    e = canonical_edges(edges)
+    d = degrees(edges)
+    sym = e.select(
+        "series_key", F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        e.select("series_key", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    du = d.select("series_key", F.col("node").alias("u"),
+                  F.col("degree").alias("du"))
+    dv = d.select("series_key", F.col("node").alias("v"),
+                  F.col("degree").alias("dv"))
+    ac = (
+        sym.join(du, ["series_key", "u"]).join(dv, ["series_key", "v"])
+        .groupBy("series_key").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("du").alias("_sx"),
+            F.sum(F.col("du") * F.col("dv")).alias("_sxy"),
+            F.sum(F.col("du") * F.col("du")).alias("_sxx"),
+        )
+    )
+    cc = clustering_coefficients(edges)
+    tw = cc.groupBy("series_key").agg(
+        F.sum("triangles").alias("_t3"),
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("_w"),
+    )
+    scale = 10.0 ** round_dp
+
+    def quant(x):
+        return F.floor(x * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return ac.join(tw, "series_key").select(
+        "series_key",
+        (F.when(den > 0,
+                quant(num.cast("double") / den.cast("double")))
+         + F.lit(0.0)).alias("assortativity"),
+        (F.when(F.col("_w") > 0,
+                quant(F.col("_t3") / F.col("_w")))
+         + F.lit(0.0)).alias("transitivity"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 8,
@@ -320,6 +387,31 @@ def clustering_from_series(
         build,
         "series_key string, node long, degree long, triangles long,"
         " lcc double",
+    )
+
+
+def mixing_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0,
+    round_dp: int = 6,
+):
+    """Fused twin of visibility_edges(kind) |> graph_mixing: one
+    (assortativity, transitivity) row per series, map-only."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        m = kernels.graph_mixing_kernel(e, round_dp=round_dp)
+        if m is None:
+            return None
+        return pd.DataFrame([{
+            "series_key": key, "assortativity": m[0], "transitivity": m[1],
+        }])
+
+    return _fused(
+        series_df, build,
+        "series_key string, assortativity double, transitivity double",
     )
 
 

@@ -616,6 +616,50 @@ def graph_clustering_kernel(
     return nodes, degree, tri, lcc
 
 
+def graph_mixing_kernel(
+    edges: np.ndarray, round_dp: int = 6,
+) -> tuple[float | None, float | None] | None:
+    """Degree assortativity + global transitivity of one small graph:
+    (assortativity, transitivity), None for an edgeless graph.
+
+    assortativity = Pearson corr of (deg(u), deg(v)) over the
+    symmetrized edge list (each undirected edge counted in both
+    orientations — the joint degree distribution convention), computed
+    as the EXACT integer-sum rational
+    (n*sum(du*dv) - sum(du)^2) / (n*sum(du^2) - sum(du)^2) — the x/y
+    marginals coincide under symmetrization, so the sqrt cancels;
+    transitivity = 3*triangles / wedges = sum_v tri(v) / sum_v C(d_v,2).
+    Degenerate cases are None: constant degrees, no wedges.  Quantized
+    with floor(x*10^dp + 0.5)/10^dp like graphmetrics.graph_mixing, the
+    relational twin."""
+    a, b, nodes, degree = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        return None
+    scale = 10.0 ** round_dp
+
+    def quant(x: float) -> float:
+        return float(np.floor(x * scale + 0.5) / scale) + 0.0
+
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    da = degree[ia].astype(np.int64)
+    db = degree[ib].astype(np.int64)
+    m2 = 2 * len(da)  # symmetrized pair count
+    sx = int(da.sum() + db.sum())
+    sxy = int(2 * (da * db).sum())
+    sxx = int((da * da).sum() + (db * db).sum())
+    den = m2 * sxx - sx * sx
+    assort = quant(float(m2 * sxy - sx * sx) / float(den)) \
+        if den > 0 else None
+    _, deg, tri, _ = graph_clustering_kernel(edges)
+    # d(d-1)/2 and the triangle counts are exact integers in double, so
+    # the sums (and their ratio) are order-independent bit-for-bit
+    wedges = float((deg * (deg - 1) / 2).sum())
+    trans = quant(float(tri.sum()) / wedges) if wedges > 0 else None
+    return assort, trans
+
+
 def graph_pagerank_kernel(
     edges: np.ndarray,
     iters: int = 8,
