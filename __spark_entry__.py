@@ -235,6 +235,71 @@ from sl join ic on ic.user_id = sl.user_id
 """
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per user over hourly bucket
+    means — the distribution-free significance companion to
+    theil_sen_trend.  S and the tie-corrected variance numerator are
+    exact integers; sqrt is IEEE-correctly-rounded everywhere, so z is
+    bit-identical cross-engine under the shared floor quantization."""
+    from ts2g2_spark.operators.seriesstats import mann_kendall
+
+    return mann_kendall(_events(spark, sf_dir))
+
+
+MANN_KENDALL_SQL = """
+with m as (
+  select user_id, date_trunc('hour', ts) as b, round(avg(value), 6) as y
+  from events group by 1, 2
+),
+o as (
+  select user_id, y,
+         row_number() over (partition by user_id order by b) as t
+  from m
+),
+s as (
+  select a.user_id, sum(sign(c.y - a.y))::BIGINT as s_stat
+  from o a join o c on c.user_id = a.user_id and c.t > a.t
+  group by 1
+),
+n as (
+  select user_id, count(*)::BIGINT as n from m
+  group by 1 having count(*) >= 2
+),
+tg as (
+  select user_id, sum(t * (t - 1) * (2 * t + 5))::BIGINT as tie_sum
+  from (
+    select user_id, count(*)::BIGINT as t
+    from m group by user_id, y having count(*) > 1
+  ) g group by 1
+),
+zc as (
+  select n.user_id, n.n as n_buckets, s.s_stat,
+         (n.n * (n.n - 1) * (2 * n.n + 5)
+          - coalesce(tg.tie_sum, 0)) / 18.0 as var_s,
+         case when s.s_stat = 0 then 0.0
+              when s.s_stat > 0 then
+                floor((s.s_stat - 1) / sqrt(
+                  (n.n * (n.n - 1) * (2 * n.n + 5)
+                   - coalesce(tg.tie_sum, 0)) / 18.0) * 1e9 + 0.5)
+                / 1e9 + 0.0
+              else
+                floor((s.s_stat + 1) / sqrt(
+                  (n.n * (n.n - 1) * (2 * n.n + 5)
+                   - coalesce(tg.tie_sum, 0)) / 18.0) * 1e9 + 0.5)
+                / 1e9 + 0.0
+         end as z
+  from n
+  join s on s.user_id = n.user_id
+  left join tg on tg.user_id = n.user_id
+)
+select user_id, n_buckets, s_stat, var_s, z,
+       case when abs(z) <= 1.96 then 'no trend'
+            when z > 0 then 'increasing'
+            else 'decreasing' end as trend
+from zc
+"""
+
+
 def q_tokens_rollup_1m(spark, sf_dir):
     """The NORTH-RULE core operator over the exact input_hint shape
     (doc_id:string, tokens:array<int32>, n_tok:int32, source:string):
@@ -5081,6 +5146,7 @@ _RAW_QUERIES = {
         "holt_forecast_12": q_holt_forecast_12,
         "theil_sen_trend": q_theil_sen_trend,
         "graph_mixing_hvg": q_graph_mixing_hvg,
+        "mann_kendall": q_mann_kendall,
     }
 
 
@@ -5210,5 +5276,6 @@ def oracle_sql() -> dict[str, str]:
         "holt_forecast_12": _holt_sql(),
         "theil_sen_trend": THEIL_SEN_SQL,
         "graph_mixing_hvg": GRAPH_MIXING_SQL,
+        "mann_kendall": MANN_KENDALL_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -438,3 +438,65 @@ def test_theil_sen_ignores_outliers(spark):
     assert len(got) == 1
     # slope per epoch-HOUR equals the construction slope exactly
     assert got[0].slope == 2.5
+
+
+def test_mann_kendall_matches_scalar_oracle(spark):
+    from ts2g2_spark.operators.seriesstats import mann_kendall
+
+    pdf = _events(seed=13, n=600, n_keys=7)
+    got = mann_kendall(
+        spark.createDataFrame(pdf[["user_id", "ts", "value"]])).toPandas()
+    # scalar reference
+    rows = []
+    p2 = pdf.copy()
+    p2["b"] = p2["ts"].dt.floor("h")
+    for u, g in p2.groupby("user_id"):
+        m = g.groupby("b")["value"].mean().round(6).sort_index()
+        y = m.to_numpy()
+        n = len(y)
+        if n < 2:
+            continue
+        i, j = np.triu_indices(n, 1)
+        s = int(np.sign(y[j] - y[i]).sum())
+        _, tc = np.unique(y, return_counts=True)
+        t = tc[tc > 1].astype(np.int64)
+        var_s = (n * (n - 1) * (2 * n + 5)
+                 - int((t * (t - 1) * (2 * t + 5)).sum())) / 18.0
+        if s == 0:
+            z = 0.0
+        else:
+            z = float(np.floor(((s - 1 if s > 0 else s + 1)
+                                / np.sqrt(var_s)) * 1e9 + 0.5) / 1e9) + 0.0
+        trend = ("no trend" if abs(z) <= 1.96
+                 else "increasing" if z > 0 else "decreasing")
+        rows.append((u, n, s, var_s, z, trend))
+    want = pd.DataFrame(rows, columns=[
+        "user_id", "n_buckets", "s_stat", "var_s", "z", "trend"])
+    for df in (got, want):
+        df.sort_values("user_id", inplace=True, ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    # user 90 (constant series, 6 points in one bucket) collapses to 1
+    # bucket -> skipped; user 91 single point -> skipped
+    assert not {90, 91} & set(got.user_id)
+    for c in want.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_mann_kendall_detects_monotonic_trend(spark):
+    from ts2g2_spark.operators.seriesstats import mann_kendall
+
+    hours = np.arange(24)
+    pdf = pd.DataFrame({
+        "user_id": [1] * 24 + [2] * 24,
+        "ts": [BASE + dt.timedelta(hours=int(h)) for h in hours] * 2,
+        "value": np.concatenate([
+            hours.astype(float),            # strictly increasing
+            np.full(24, 5.0),               # constant (all ties)
+        ]),
+    })
+    got = {r.user_id: r for r in mann_kendall(
+        spark.createDataFrame(pdf)).collect()}
+    assert got[1].trend == "increasing"
+    assert got[1].s_stat == 24 * 23 // 2  # every pair ascending
+    assert got[2].trend == "no trend" and got[2].z == 0.0 \
+        and got[2].s_stat == 0

@@ -633,3 +633,92 @@ def theil_sen_trend(
                                    "intercept"])
 
     return grouped.mapInPandas(kern, schema=out_schema)
+
+
+def mann_kendall(
+    points: DataFrame,
+    bucket: str = "hour",
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    z_crit: float = 1.96,
+    out_dp: int = 9,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series — the significance
+    companion to `theil_sen_trend` (that one estimates the slope, this
+    one says whether a monotonic trend exists at all, distribution-free):
+
+        S      = sum over bucket pairs i<j of sign(y_j - y_i)
+        Var(S) = [n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)] / 18
+        z      = (S-1)/sqrt(Var) if S>0, 0 if S=0, (S+1)/sqrt(Var) else
+
+    with `trend` = 'increasing' / 'decreasing' when |z| > z_crit (1.96
+    ~ p<0.05 two-sided) else 'no trend'.
+
+    DETERMINISM: S and the variance numerator are exact integers; the
+    /18.0, sqrt (IEEE-correctly-rounded everywhere), and one division
+    make z bit-identical across engines; quantized with the IEEE floor
+    formula.  Series with < 2 buckets are skipped; an all-constant
+    series has S=0, z=0, 'no trend' (Var(S)=0 never divides: the S=0
+    branch short-circuits first, and S != 0 implies Var > 0).
+
+    Scale shape: identical to theil_sen_trend — bucket means, one
+    collect_list shuffle, map-only kernel with the O(n^2) sign pairs
+    transient per series."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    scols = [F.col(c) for c in series_cols]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    means = points.groupBy(*scols, b.alias("bucket_ts")).agg(
+        F.round(F.avg(F.col(val_col).cast("double")), 6).alias("y"))
+    grouped = means.groupBy(*scols).agg(
+        F.sort_array(F.collect_list(F.struct("bucket_ts", "y"))).alias("_s")
+    ).select(*scols, F.col("_s.y").alias("_ys"))
+    key_fields = [grouped.schema[c] for c in series_cols]
+    out_schema = StructType(key_fields + [
+        StructField("n_buckets", LongType()),
+        StructField("s_stat", LongType()),
+        StructField("var_s", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("trend", StringType()),
+    ])
+    names = list(series_cols)
+    scale = 10.0 ** out_dp
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        def quant(x):
+            return float(np.floor(x * scale + 0.5) / scale) + 0.0
+
+        for pdf in batches:
+            rows = []
+            for k in range(len(pdf)):
+                y = np.asarray(pdf["_ys"].iat[k], dtype=np.float64)
+                n = len(y)
+                if n < 2:
+                    continue
+                i, j = np.triu_indices(n, 1)
+                s = int(np.sign(y[j] - y[i]).sum())
+                _, tcnt = np.unique(y, return_counts=True)
+                t = tcnt[tcnt > 1].astype(np.int64)
+                var_num = (n * (n - 1) * (2 * n + 5)
+                           - int((t * (t - 1) * (2 * t + 5)).sum()))
+                var_s = var_num / 18.0
+                if s == 0:
+                    z = 0.0
+                else:
+                    adj = s - 1 if s > 0 else s + 1
+                    z = quant(adj / np.sqrt(var_s))
+                trend = ("no trend" if abs(z) <= z_crit
+                         else "increasing" if z > 0 else "decreasing")
+                rows.append((*[pdf[c].iat[k] for c in names],
+                             n, s, var_s, z, trend))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[*names, "n_buckets", "s_stat",
+                                   "var_s", "z", "trend"])
+
+    return grouped.mapInPandas(kern, schema=out_schema)
