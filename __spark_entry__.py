@@ -4890,6 +4890,27 @@ def q_graph_mixing_hvg(spark, sf_dir):
         "assortativity", "transitivity")
 
 
+def q_betweenness_hvg(spark, sf_dir):
+    """Brandes betweenness centrality per HVG node (fused map-only
+    kernel, frontier-vectorized BFS).  ROWS-ONLY by design: per-source
+    shortest-path counting is inherently iterative and has no ANSI-SQL
+    twin; correctness is pinned against networkx betweenness_centrality
+    in tests/test_graphmetrics_fused.py instead.  Bounded to the
+    deterministic 1-in-5 series sample (user_id % 5 == 0): the exact
+    Brandes pass is O(n*m) per series — the priciest per-series metric
+    — and one-fifth of the series exercises the identical code path at
+    every sf."""
+    from ts2g2_spark.operators import graphmetrics
+
+    series = _event_series(spark, sf_dir).where(
+        F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
+    return graphmetrics.betweenness_from_series(
+        series, kind="horizontal"
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "node", "betweenness")
+
+
 GRAPH_MIXING_SQL = f"""
 {_HVG_METRIC_CTES},
 tri as materialized (
@@ -5147,6 +5168,7 @@ _RAW_QUERIES = {
         "theil_sen_trend": q_theil_sen_trend,
         "graph_mixing_hvg": q_graph_mixing_hvg,
         "mann_kendall": q_mann_kendall,
+        "betweenness_hvg": q_betweenness_hvg,
     }
 
 

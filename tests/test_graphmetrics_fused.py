@@ -282,3 +282,40 @@ def test_mixing_matches_networkx(spark, series_df):
             assert r.transitivity == pytest.approx(want_t, abs=2e-6), key
         else:
             assert r.transitivity is None, key
+
+
+# -------------------------------------------------------- betweenness
+
+def test_betweenness_matches_networkx(spark, series_df):
+    """Frontier-vectorized Brandes == nx.betweenness_centrality
+    (normalized) at the 9dp rounding, for every series graph including
+    the 2-node degenerate one."""
+    from ts2g2_spark.operators.graphmetrics import betweenness_from_series
+    from ts2g2_spark.operators.kernels import visibility_graph
+
+    got = betweenness_from_series(series_df, kind="horizontal").toPandas()
+    for key, vals in SERIES.items():
+        e, _ = visibility_graph(np.asarray(vals, float), kind="horizontal")
+        sub = got[got.series_key == key].set_index("node")
+        if len(e) == 0:
+            assert sub.empty
+            continue
+        g = nx.Graph()
+        g.add_edges_from(e.tolist())
+        want = nx.betweenness_centrality(g, normalized=True)
+        assert set(sub.index) == set(want)
+        for node, w in want.items():
+            assert sub.loc[node, "betweenness"] == pytest.approx(
+                w, abs=2e-9), (key, node)
+
+
+def test_betweenness_path_graph_exact(spark):
+    """P4 (path graph on a monotone ramp HVG): interior nodes carry
+    betweenness 2/3 with nx normalization, endpoints 0 — exact values,
+    no tolerance."""
+    from ts2g2_spark.operators.kernels import graph_betweenness_kernel
+
+    e = np.array([[0, 1], [1, 2], [2, 3]])
+    nodes, bc = graph_betweenness_kernel(e)
+    assert nodes.tolist() == [0, 1, 2, 3]
+    assert bc.tolist() == [0.0, round(2 / 3, 9), round(2 / 3, 9), 0.0]

@@ -415,6 +415,33 @@ def mixing_from_series(
     )
 
 
+def betweenness_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0,
+    normalized: bool = True, round_dp: int = 9,
+):
+    """Fused visibility_edges(kind) |> Brandes betweenness centrality,
+    map-only.  No relational twin exists — per-source shortest-path
+    counting is inherently iterative, so this is a kernel-only metric
+    (parity pinned against networkx instead of a SQL oracle)."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        nodes, bc = kernels.graph_betweenness_kernel(
+            e, normalized=normalized, round_dp=round_dp)
+        if len(nodes) == 0:
+            return None
+        return pd.DataFrame(
+            {"series_key": key, "node": nodes, "betweenness": bc})
+
+    return _fused(
+        series_df, build,
+        "series_key string, node long, betweenness double",
+    )
+
+
 def pagerank_from_series(
     series_df,
     kind: str = "horizontal",

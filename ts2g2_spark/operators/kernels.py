@@ -660,6 +660,86 @@ def graph_mixing_kernel(
     return assort, trans
 
 
+def graph_betweenness_kernel(
+    edges: np.ndarray, normalized: bool = True, round_dp: int = 9,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact betweenness centrality of one small undirected graph:
+    (nodes, bc) via Brandes' algorithm, with every per-source phase
+    VECTORIZED over the BFS frontier (flat CSR gathers + np.add.at for
+    path counts and dependency accumulation — no per-edge Python).
+
+    Normalization matches networkx betweenness_centrality(
+    normalized=True): pair double-counting halved, then scaled by
+    2/((n-1)(n-2)) for n > 2.  Deterministic: fixed source order, fixed
+    level order, rounded HALF_UP at the end only (float accumulation
+    inside one implementation is order-stable).  O(n*m) per graph —
+    the per-series segment regime; not for one huge graph."""
+    a, b, nodes, _deg = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        return nodes, np.empty(0)
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    # CSR adjacency over both orientations
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, ia + 1, 1)
+    np.add.at(indptr, ib + 1, 1)
+    indptr = np.cumsum(indptr)
+    indices = np.empty(2 * len(ia), dtype=np.int64)
+    fill = indptr[:-1].copy()
+    for u, v in zip(ia, ib):
+        indices[fill[u]] = v
+        fill[u] += 1
+        indices[fill[v]] = u
+        fill[v] += 1
+
+    def _gather(frontier):
+        """All (u, v) adjacency pairs with u in frontier, flat."""
+        starts = indptr[frontier]
+        lens = indptr[frontier + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 2
+        u_rep = np.repeat(frontier, lens)
+        base = np.repeat(starts, lens)
+        local = np.arange(total) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        return u_rep, indices[base + local]
+
+    bc = np.zeros(n, dtype=np.float64)
+    for s in range(n):
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.float64)
+        dist[s] = 0
+        sigma[s] = 1.0
+        levels = [np.array([s], dtype=np.int64)]
+        while True:
+            u_rep, v_all = _gather(levels[-1])
+            if len(v_all) == 0:
+                break
+            fresh = v_all[dist[v_all] == -1]
+            if len(fresh) == 0:
+                break
+            nxt = np.unique(fresh)
+            dist[nxt] = len(levels)
+            tree = dist[v_all] == len(levels)
+            np.add.at(sigma, v_all[tree], sigma[u_rep[tree]])
+            levels.append(nxt)
+        delta = np.zeros(n, dtype=np.float64)
+        for depth in range(len(levels) - 1, 0, -1):
+            w_rep, v_all = _gather(levels[depth])
+            pred = dist[v_all] == depth - 1
+            vp, wp = v_all[pred], w_rep[pred]
+            np.add.at(delta, vp,
+                      sigma[vp] / sigma[wp] * (1.0 + delta[wp]))
+        delta[s] = 0.0
+        bc += delta
+    bc /= 2.0  # undirected: each (s, t) pair contributes twice
+    if normalized and n > 2:
+        bc *= 2.0 / ((n - 1) * (n - 2))
+    return nodes, round_half_up(bc, round_dp)
+
+
 def graph_pagerank_kernel(
     edges: np.ndarray,
     iters: int = 8,
