@@ -300,6 +300,55 @@ from zc
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """Day-over-day PSI distribution drift per event_type on the
+    [0, 640) x 16-bin grid the quantile tiers also use; eps-floored
+    dense-spine shares so emptying/appearing bins count as drift.
+    The monitoring-tier twin of the corpus datamix/divergence checks."""
+    from ts2g2_spark.operators.metrics import psi_drift
+
+    return psi_drift(_events(spark, sf_dir), lo=0.0, hi=640.0,
+                     n_bins=16)
+
+
+PSI_DRIFT_SQL = """
+with c as (
+  select event_type, date_trunc('day', ts) as day,
+         case when value < 0.0 then -1
+              when value >= 640.0 then 16
+              else floor((value - 0.0) / 40.0)::INT end as bin,
+         count(*)::BIGINT as cnt
+  from events group by 1, 2, 3
+),
+t as (
+  select event_type, day, sum(cnt)::BIGINT as total from c group by 1, 2
+),
+dense as (
+  select t.event_type, t.day, r.range::INT as bin,
+         greatest(coalesce(c.cnt, 0) / t.total, 1e-6) as p
+  from t cross join range(-1, 17) r
+  left join c on c.event_type = t.event_type and c.day = t.day
+             and c.bin = r.range
+),
+pairs as (
+  select d.event_type, d.day, d.p, q.p as q
+  from dense d
+  join dense q on q.event_type = d.event_type and q.bin = d.bin
+              and q.day = d.day - interval 1 day
+),
+s as (
+  select event_type, day,
+         round(sum((p - q) * ln(p / q)), 6) + 0.0 as psi
+  from pairs group by 1, 2
+)
+select event_type, day, psi,
+       case when psi >= 0.2 then 'major'
+            when psi >= 0.1 then 'moderate'
+            else 'stable' end as drift
+from s
+"""
+
+
 def q_tokens_rollup_1m(spark, sf_dir):
     """The NORTH-RULE core operator over the exact input_hint shape
     (doc_id:string, tokens:array<int32>, n_tok:int32, source:string):
@@ -5169,6 +5218,7 @@ _RAW_QUERIES = {
         "graph_mixing_hvg": q_graph_mixing_hvg,
         "mann_kendall": q_mann_kendall,
         "betweenness_hvg": q_betweenness_hvg,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -5299,5 +5349,6 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_trend": THEIL_SEN_SQL,
         "graph_mixing_hvg": GRAPH_MIXING_SQL,
         "mann_kendall": MANN_KENDALL_SQL,
+        "psi_drift": PSI_DRIFT_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

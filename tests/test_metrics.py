@@ -389,3 +389,75 @@ def test_holt_forecast_validation(spark):
         holt_forecast(df, bucket="hour", bucket_s=60)
     with pytest.raises(ValueError, match="non-fixed-length"):
         holt_forecast(df, bucket="month")
+
+
+# ---------------------------------------------------------------- psi
+
+def test_psi_drift_matches_scalar_oracle(spark):
+    from ts2g2_spark.operators.metrics import psi_drift
+
+    pdf = _events(seed=31, n=900, n_keys=4)
+    pdf["event_type"] = "t" + (pdf.pop("user_id") % 3).astype(str)
+    # spread across 4 days so consecutive-day pairs exist
+    pdf["ts"] = pdf["ts"] + pd.to_timedelta(
+        pdf["event_id"] % 4, unit="D")
+    lo, hi, nb = 0.0, 120.0, 6
+    got = psi_drift(spark.createDataFrame(
+        pdf[["event_type", "ts", "value"]]), lo, hi, nb).toPandas()
+
+    width = (hi - lo) / nb
+    rows = []
+    p2 = pdf.copy()
+    p2["day"] = p2["ts"].dt.floor("D")
+    p2["bin"] = np.where(
+        p2.value < lo, -1,
+        np.where(p2.value >= hi, nb,
+                 np.floor((p2.value - lo) / width))).astype(int)
+    for et, g in p2.groupby("event_type"):
+        days = sorted(g.day.unique())
+        for d0, d1 in zip(days, days[1:]):
+            if (d1 - d0) != pd.Timedelta(days=1):
+                continue
+            psi = 0.0
+            for b in range(-1, nb + 1):
+                q = max(len(g[(g.day == d0) & (g.bin == b)])
+                        / len(g[g.day == d0]), 1e-6)
+                p = max(len(g[(g.day == d1) & (g.bin == b)])
+                        / len(g[g.day == d1]), 1e-6)
+                psi += (p - q) * np.log(p / q)
+            psi = float(np.round(psi, 6)) + 0.0
+            rows.append((et, d1, psi))
+    want = pd.DataFrame(rows, columns=["event_type", "day", "psi"])
+    for df in (got, want):
+        df.sort_values(["event_type", "day"], inplace=True,
+                       ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    assert (got.event_type == want.event_type).all()
+    assert np.allclose(got.psi.to_numpy(), want.psi.to_numpy(),
+                       atol=2e-6)
+    lab = np.where(got.psi >= 0.2, "major",
+                   np.where(got.psi >= 0.1, "moderate", "stable"))
+    assert (got.drift == lab).all()
+
+
+def test_psi_drift_detects_shift_and_validates(spark):
+    from ts2g2_spark.operators.metrics import psi_drift
+
+    # day 1 values ~10, day 2 values ~90: massive drift
+    pdf = pd.DataFrame({
+        "event_type": "a",
+        "ts": [BASE + dt.timedelta(hours=i) for i in range(12)]
+        + [BASE + dt.timedelta(days=1, hours=i) for i in range(12)],
+        "value": [10.0] * 12 + [90.0] * 12,
+    })
+    got = psi_drift(spark.createDataFrame(pdf), 0.0, 100.0, 10).collect()
+    assert len(got) == 1 and got[0].drift == "major"
+    # identical distributions: psi == 0
+    pdf2 = pdf.copy()
+    pdf2["value"] = 42.0
+    got2 = psi_drift(spark.createDataFrame(pdf2), 0.0, 100.0, 10).collect()
+    assert got2[0].psi == 0.0 and got2[0].drift == "stable"
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(spark.createDataFrame(pdf), 0.0, 100.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        psi_drift(spark.createDataFrame(pdf), 5.0, 5.0, 4)

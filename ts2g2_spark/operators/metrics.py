@@ -368,6 +368,72 @@ def holt_forecast(
     )
 
 
+def psi_drift(
+    points: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 16,
+    series_cols: list[str] = ("event_type",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    eps: float = 1e-6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index drift per series between consecutive
+    DAYS — the standard training-data / model-monitoring distribution
+    check:
+
+        PSI(day) = sum over bins of (p_b - q_b) * ln(p_b / q_b)
+
+    where p is today's bin share, q is yesterday's, over the fixed
+    [lo, hi) grid (plus the two overflow bins the histogram tiers also
+    carry); zero shares are floored at `eps` (the standard guard — the
+    sum is over the FULL dense bin spine, so a bin emptying out or
+    appearing counts as drift instead of vanishing from the sum).
+    Output rows exist only for days whose previous day has data.
+    `drift` labels the rounded PSI with the industry rule of thumb:
+    >= 0.2 'major', >= 0.1 'moderate', else 'stable'.
+
+    Scale shape: one hash agg to (series, day, bin) counts (the
+    exchange carries bins, never points), a per-(series, day) total, a
+    dense spine explode of the O(days x bins) frame, and one
+    self-equi-join shifted by a day.  Pure Catalyst, no Python."""
+    from ts2g2_spark.plans.rollup import _hist_bin
+
+    if n_bins < 1:
+        raise ValueError(f"psi_drift: need n_bins >= 1, got {n_bins}")
+    if not lo < hi:
+        raise ValueError(f"psi_drift: need lo < hi, got {lo=} {hi=}")
+    scols = [F.col(c) for c in series_cols]
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    cnts = points.groupBy(
+        *scols, day, _hist_bin(val_col, lo, hi, n_bins).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = cnts.groupBy(*scols, "day").agg(F.sum("cnt").alias("total"))
+    spine = totals.select(
+        *scols, "day", "total",
+        F.explode(F.sequence(F.lit(-1), F.lit(n_bins))).alias("bin"))
+    dense = spine.join(cnts, [*series_cols, "day", "bin"], "left").select(
+        *scols, "day", "bin",
+        F.greatest(F.coalesce(F.col("cnt"), F.lit(0)) / F.col("total"),
+                   F.lit(eps)).alias("p"))
+    prev = dense.select(
+        *scols,
+        (F.col("day") + F.expr("interval 1 day")).alias("day"),
+        "bin", F.col("p").alias("q"))
+    pairs = dense.join(prev, [*series_cols, "day", "bin"])
+    psi = (F.round(F.sum((F.col("p") - F.col("q"))
+                         * F.log(F.col("p") / F.col("q"))), round_dp)
+           + F.lit(0.0))
+    out = pairs.groupBy(*scols, "day").agg(psi.alias("psi"))
+    return out.select(
+        *scols, "day", "psi",
+        F.when(F.col("psi") >= 0.2, F.lit("major"))
+         .when(F.col("psi") >= 0.1, F.lit("moderate"))
+         .otherwise(F.lit("stable")).alias("drift"),
+    )
+
+
 def threshold_alerts(
     points: DataFrame,
     upper: float,
