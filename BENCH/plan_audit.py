@@ -50,6 +50,9 @@ AUDIT = [
     # round 3 session 6-7 additions
     "serve_range_stitched", "distinct_users_1h", "chunk_docs",
     "dict_encode_docs", "forecast_24h", "anomaly_stl_24",
+    # round 3 session 9 additions
+    "tier_refresh_late", "holt_forecast_12", "theil_sen_trend",
+    "mann_kendall", "graph_mixing_hvg", "betweenness_hvg", "psi_drift",
 ]
 
 

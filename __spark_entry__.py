@@ -409,6 +409,43 @@ from pts group by 1, 2, 3
 """
 
 
+def q_tokens_refresh_late(spark, sf_dir):
+    """Late-data incremental refresh on the NORTH-RULE input shape:
+    5% of token DOCS (xxhash64(doc_id) % 20 == 7) arrive late; the 1m
+    tier state is built from the rest and `refresh_tier` folds the late
+    docs' points in — only the (doc, bucket) groups the late docs name
+    re-aggregate (and a late doc's buckets are exactly its own, so the
+    broadcast anti/semi split touches nothing else).  Token values are
+    integers, so even the merged sums are exact — the oracle is the
+    plain full recompute (TOKENS_ROLLUP_SQL) with no rounding."""
+    from ts2g2_spark.functions.hashing import h64
+    from ts2g2_spark.plans import rollup as rollup_mod
+    from ts2g2_spark.plans.points import explode_points
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.trim("text"), r"\s+"),
+                     lambda w: w != F.lit(""))
+    toks = F.transform(words, lambda w: F.pmod(h64(w), F.lit(32003))
+                       .cast("int"))
+    tok_table = docs.select(
+        "doc_id", "source", toks.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    pts = explode_points(tok_table)
+    is_late = F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 7
+    state = rollup_mod.rollup_state(
+        pts.where(~is_late), "1m", okey=F.col("idx"))
+    refreshed = rollup_mod.refresh_tier(
+        state, pts.where(is_late), "1m", okey=F.col("idx"))
+    out = rollup_mod.finalize_state(refreshed)
+    return out.select(
+        "doc_id", "source", "bucket_ts",
+        "cnt", F.col("sum").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+        F.col("first").alias("first_val"), F.col("last").alias("last_val"),
+    )
+
+
 def q_rollup_1m_quantiles(spark, sf_dir):
     """1m tier with per-bucket p50/p95 (continuous-aggregate percentile
     columns, the TimescaleDB-style tier extension).  Exact percentile()
@@ -5219,6 +5256,7 @@ _RAW_QUERIES = {
         "mann_kendall": q_mann_kendall,
         "betweenness_hvg": q_betweenness_hvg,
         "psi_drift": q_psi_drift,
+        "tokens_refresh_late": q_tokens_refresh_late,
     }
 
 
@@ -5350,5 +5388,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_mixing_hvg": GRAPH_MIXING_SQL,
         "mann_kendall": MANN_KENDALL_SQL,
         "psi_drift": PSI_DRIFT_SQL,
+        "tokens_refresh_late": TOKENS_ROLLUP_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }
