@@ -349,6 +349,85 @@ from s
 """
 
 
+def q_burst_hourly(spark, sf_dir):
+    """Kleinberg-style two-state burst detection per user over DENSE
+    hourly counts (zero buckets included): Poisson-cost Viterbi with
+    entering-burst cost gamma*ln(n).  Third cross-engine-replayable
+    recurrence after pagerank and holt — running costs quantized with
+    the IEEE floor formula every bucket, ties prefer baseline, and the
+    oracle replays BOTH passes (forward costs + backward backtrack) as
+    recursive CTEs."""
+    from ts2g2_spark.operators.eventseq import burst_detection
+
+    return burst_detection(_events(spark, sf_dir), bucket_s=3600,
+                           s=3.0, gamma=1.0)
+
+
+BURST_SQL = """
+with recursive c as materialized (
+  select user_id, date_trunc('hour', ts) as b, count(*)::BIGINT as cnt
+  from events group by 1, 2
+),
+bounds as materialized (
+  select user_id, min(b) as b0, max(b) as b1, sum(cnt)::BIGINT as total
+  from c group by 1
+),
+spine as materialized (
+  select user_id, total, b0,
+         unnest(generate_series(b0, b1, interval 1 hour)) as b
+  from bounds
+),
+spine_t as materialized (
+  select user_id, total, b,
+         ((epoch(b) - epoch(b0)) / 3600)::BIGINT as t
+  from spine
+),
+dense as materialized (
+  select s.user_id, s.total, s.t, s.b, coalesce(c.cnt, 0)::BIGINT as cnt,
+         count(*) over (partition by s.user_id) as n
+  from spine_t s
+  left join c on c.user_id = s.user_id and c.b = s.b
+),
+p as materialized (
+  select user_id, n, total / n as l0, 3.0 * (total / n) as l1,
+         1.0 * ln(n) as g
+  from (select distinct user_id, total, n from dense)
+),
+f as (
+  select d.user_id, d.t, p.n, p.l0, p.l1, p.g,
+         floor((p.l0 - d.cnt * ln(p.l0)) * 1e9 + 0.5) / 1e9 as c0,
+         floor((p.g + p.l1 - d.cnt * ln(p.l1)) * 1e9 + 0.5) / 1e9 as c1,
+         0 as p0, 0 as p1
+  from dense d join p on p.user_id = d.user_id
+  where d.t = 0
+  union all
+  select f.user_id, d.t, f.n, f.l0, f.l1, f.g,
+         floor((f.l0 - d.cnt * ln(f.l0) + least(f.c0, f.c1)) * 1e9 + 0.5)
+           / 1e9 as c0,
+         floor((f.l1 - d.cnt * ln(f.l1) + least(f.c0 + f.g, f.c1))
+               * 1e9 + 0.5) / 1e9 as c1,
+         case when f.c0 <= f.c1 then 0 else 1 end as p0,
+         case when f.c0 + f.g <= f.c1 then 0 else 1 end as p1
+  from f join dense d on d.user_id = f.user_id and d.t = f.t + 1
+),
+fm as materialized (
+  select * from f
+),
+bk as (
+  select user_id, t, case when c1 < c0 then 1 else 0 end as s
+  from fm where t = n - 1
+  union all
+  select bk.user_id, bk.t - 1,
+         case when bk.s = 0 then fm.p0 else fm.p1 end as s
+  from bk join fm on fm.user_id = bk.user_id and fm.t = bk.t
+  where bk.t >= 1
+)
+select d.user_id, d.b as bucket_ts, d.cnt, bk.s = 1 as burst
+from dense d
+join bk on bk.user_id = d.user_id and bk.t = d.t
+"""
+
+
 def q_tokens_rollup_1m(spark, sf_dir):
     """The NORTH-RULE core operator over the exact input_hint shape
     (doc_id:string, tokens:array<int32>, n_tok:int32, source:string):
@@ -5257,6 +5336,7 @@ _RAW_QUERIES = {
         "betweenness_hvg": q_betweenness_hvg,
         "psi_drift": q_psi_drift,
         "tokens_refresh_late": q_tokens_refresh_late,
+        "burst_hourly": q_burst_hourly,
     }
 
 
@@ -5389,5 +5469,6 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall": MANN_KENDALL_SQL,
         "psi_drift": PSI_DRIFT_SQL,
         "tokens_refresh_late": TOKENS_ROLLUP_SQL,
+        "burst_hourly": BURST_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

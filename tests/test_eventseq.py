@@ -262,3 +262,92 @@ def test_heartbeat_gaps_boundary_and_validation(spark):
     assert rows[0].uptime_pct == round(100.0 * (1 - 601 / 1201), 6)
     with pytest.raises(ValueError, match="gap_s"):
         heartbeat_gaps(spark.createDataFrame(pdf), gap_s=0)
+
+
+# -------------------------------------------------------------- bursts
+
+def _burst_oracle(pdf, bucket_s=3600, s=3.0, gamma=1.0, dp=9):
+    """Scalar per-series Viterbi reference of the quantized automaton."""
+    sc = 10.0 ** dp
+
+    def q(x):
+        return np.floor(x * sc + 0.5) / sc
+
+    rows = []
+    p2 = pdf.copy()
+    p2["b"] = p2["ts"].dt.floor("h")
+    for u, g in p2.groupby("user_id"):
+        byb = g.groupby("b").size().sort_index()
+        t0, t1 = byb.index[0], byb.index[-1]
+        n = int((t1 - t0).total_seconds() // bucket_s) + 1
+        cnt = np.zeros(n, dtype=np.int64)
+        idx = ((byb.index - t0).total_seconds() // bucket_s).astype(int)
+        cnt[idx] = byb.to_numpy()
+        l0 = cnt.sum() / n
+        l1 = s * l0
+        gg = gamma * np.log(n)
+        c0 = q(l0 - cnt[0] * np.log(l0))
+        c1 = q(gg + l1 - cnt[0] * np.log(l1))
+        ptr = np.zeros((n, 2), dtype=int)
+        costs = [(c0, c1)]
+        for t in range(1, n):
+            p0 = 0 if c0 <= c1 else 1
+            p1 = 0 if c0 + gg <= c1 else 1
+            n0 = q(l0 - cnt[t] * np.log(l0) + min(c0, c1))
+            n1 = q(l1 - cnt[t] * np.log(l1) + min(c0 + gg, c1))
+            ptr[t] = (p0, p1)
+            c0, c1 = n0, n1
+            costs.append((c0, c1))
+        st = np.zeros(n, dtype=int)
+        st[n - 1] = 1 if c1 < c0 else 0
+        for t in range(n - 2, -1, -1):
+            st[t] = ptr[t + 1][st[t + 1]]
+        for t in range(n):
+            rows.append((u, t0 + pd.Timedelta(seconds=t * bucket_s),
+                         int(cnt[t]), bool(st[t])))
+    return pd.DataFrame(rows, columns=[
+        "user_id", "bucket_ts", "cnt", "burst"])
+
+
+def test_burst_detection_matches_scalar_oracle(spark):
+    from ts2g2_spark.operators.eventseq import burst_detection
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-01-01")
+    frames = []
+    for u, n in ((1, 400), (2, 90), (3, 15)):
+        secs = rng.integers(0, 40 * 3600, n)
+        frames.append(pd.DataFrame({
+            "user_id": u,
+            "ts": base + pd.to_timedelta(secs, unit="s"),
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    got = burst_detection(spark.createDataFrame(pdf)).toPandas()
+    want = _burst_oracle(pdf)
+    keys = ["user_id", "bucket_ts"]
+    for df in (got, want):
+        df.sort_values(keys, inplace=True, ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in want.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_burst_detection_flags_planted_burst(spark):
+    from ts2g2_spark.operators.eventseq import burst_detection
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for h in range(48):
+        per = 20 if 20 <= h < 26 else 2  # 6-hour 10x burst
+        for i in range(per):
+            rows.append((1, base + pd.Timedelta(hours=h, seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    got = burst_detection(spark.createDataFrame(pdf)).toPandas()
+    got = got.sort_values("bucket_ts", ignore_index=True)
+    assert len(got) == 48
+    assert got.burst[20:26].all()          # the planted burst
+    assert not got.burst[:20].any() and not got.burst[26:].any()
+    with pytest.raises(ValueError, match="s > 1"):
+        burst_detection(spark.createDataFrame(pdf), s=1.0)
+    with pytest.raises(ValueError, match="gamma"):
+        burst_detection(spark.createDataFrame(pdf), gamma=-0.5)

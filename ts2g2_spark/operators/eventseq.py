@@ -266,3 +266,139 @@ def heartbeat_gaps(
         F.count(F.lit(1)).over(wg).alias("n_gaps"),
         up.alias("uptime_pct"),
     )
+
+
+def burst_detection(
+    points: DataFrame,
+    bucket_s: int = 3600,
+    s: float = 3.0,
+    gamma: float = 1.0,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    state_dp: int = 9,
+) -> DataFrame:
+    """Kleinberg-style burst detection per series (the batched two-state
+    automaton over DENSE bucket counts, Poisson emissions):
+
+      state 0 emits at the series' baseline rate l0 = total/n_buckets,
+      state 1 at the burst rate l1 = s*l0; emitting count c under rate l
+      costs l - c*ln(l) (the Poisson NLL with the state-independent
+      ln(c!) dropped — it cancels in every Viterbi comparison); entering
+      the burst state costs gamma*ln(n), leaving is free.  The exact
+      Viterbi (min-cost) state path labels each bucket burst/not.
+
+    DETERMINISM CONTRACT (the holt/pagerank discipline): both running
+    costs are quantized with floor(x*1e9 + 0.5)/1e9 at EVERY bucket,
+    cost ties prefer state 0, and the backtrack pointers are functions
+    of those quantized costs — so a recursive-CTE SQL oracle (forward
+    pass + backward backtrack pass) replays the identical path.
+
+    Buckets are DENSIFIED per series between its first and last
+    observed bucket (zero counts included — absence of events is
+    evidence against a burst); n_buckets at 90d of hourly buckets is
+    ~2160, the per-series segment regime.
+
+    Scale shape: one hash agg to (series, bucket) counts, one
+    collect_list shuffle, then a map-only kernel whose forward AND
+    backward passes are vectorized ACROSS series per Arrow batch.
+
+    Output: series cols + bucket_ts, cnt, burst (boolean), one row per
+    dense bucket."""
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    if s <= 1.0:
+        raise ValueError(f"burst_detection: need s > 1, got {s=}")
+    if gamma < 0.0:
+        raise ValueError(f"burst_detection: need gamma >= 0, got {gamma=}")
+    scols = [F.col(c) for c in series_cols]
+    b = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long")
+        * bucket_s)
+    cnts = points.groupBy(*scols, b.alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    grouped = cnts.groupBy(*scols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket_ts", "cnt"))).alias("_s")
+    ).select(*scols, F.col("_s.bucket_ts").alias("_ts"),
+             F.col("_s.cnt").alias("_cs"))
+    key_fields = [grouped.schema[c] for c in series_cols]
+    out_schema = StructType(key_fields + [
+        StructField("bucket_ts", TimestampType()),
+        StructField("cnt", LongType()),
+        StructField("burst", BooleanType()),
+    ])
+    names = list(series_cols)
+    scale = 10.0 ** state_dp
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        def quant(x):
+            return np.floor(x * scale + 0.5) / scale
+
+        for pdf in batches:
+            outs = []
+            # densify every series in the batch into one (lanes, T) grid
+            secs, lens, counts = [], [], []
+            for k in range(len(pdf)):
+                ts = (np.asarray(pd.DatetimeIndex(pdf["_ts"].iat[k]).asi8)
+                      // 1_000_000_000)
+                cs = np.asarray(pdf["_cs"].iat[k], dtype=np.int64)
+                n = int((ts[-1] - ts[0]) // bucket_s) + 1
+                dense = np.zeros(n, dtype=np.int64)
+                dense[(ts - ts[0]) // bucket_s] = cs
+                secs.append(int(ts[0]))
+                lens.append(n)
+                counts.append(dense)
+            lens = np.asarray(lens)
+            t_max = int(lens.max())
+            lanes = len(counts)
+            c_mat = np.zeros((lanes, t_max), dtype=np.float64)
+            for i, dense in enumerate(counts):
+                c_mat[i, : len(dense)] = dense
+            n_f = lens.astype(np.float64)
+            l0 = c_mat.sum(axis=1) / n_f
+            l1 = s * l0
+            ln0, ln1 = np.log(l0), np.log(l1)
+            g = gamma * np.log(n_f)
+            c0 = quant(l0 - c_mat[:, 0] * ln0)
+            c1 = quant(g + l1 - c_mat[:, 0] * ln1)
+            ptr0 = np.zeros((lanes, t_max), dtype=np.int8)
+            ptr1 = np.zeros((lanes, t_max), dtype=np.int8)
+            for t in range(1, t_max):
+                act = t < lens
+                e0 = l0 - c_mat[:, t] * ln0
+                e1 = l1 - c_mat[:, t] * ln1
+                p0 = np.where(c0 <= c1, 0, 1).astype(np.int8)
+                p1 = np.where(c0 + g <= c1, 0, 1).astype(np.int8)
+                n0 = quant(e0 + np.minimum(c0, c1))
+                n1 = quant(e1 + np.minimum(c0 + g, c1))
+                ptr0[:, t] = np.where(act, p0, 0)
+                ptr1[:, t] = np.where(act, p1, 0)
+                c0 = np.where(act, n0, c0)
+                c1 = np.where(act, n1, c1)
+            # backtrack, vectorized across lanes
+            st = np.zeros((lanes, t_max), dtype=np.int8)
+            lane = np.arange(lanes)
+            final = (c1 < c0).astype(np.int8)  # ties prefer state 0
+            st[lane, lens - 1] = final
+            for t in range(t_max - 2, -1, -1):
+                nxt = st[:, t + 1]
+                via = np.where(nxt == 0, ptr0[lane, t + 1],
+                               ptr1[lane, t + 1])
+                st[:, t] = np.where(t + 1 < lens, via, st[:, t])
+            for i in range(lanes):
+                n = int(lens[i])
+                outs.append(pd.DataFrame({
+                    **{c: pdf[c].iat[i] for c in names},
+                    "bucket_ts": pd.to_datetime(
+                        secs[i] + np.arange(n) * bucket_s, unit="s"),
+                    "cnt": counts[i],
+                    "burst": st[i, :n].astype(bool),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return grouped.mapInPandas(kern, schema=out_schema)
