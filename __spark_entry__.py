@@ -1495,6 +1495,29 @@ where {_BUCKET_SQL.format(salt='sample')} < 100000
 """
 
 
+def q_source_cap_25(spark, sf_dir):
+    """Deterministic at-most-25-docs-per-source cap (the datamix
+    pre-training bound on any one source's contribution): rank by the
+    salted md5 bucket inside each source, keep rank <= 25.  Replayable
+    and resize-stable — the kept set for k is a prefix of k+1's."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.per_key_cap(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"), 25)
+
+
+SOURCE_CAP_SQL = f"""
+with r as (
+  select doc_id, lang, source,
+         row_number() over (
+           partition by source
+           order by {_BUCKET_SQL.format(salt='cap')}, doc_id) as rn
+  from documents
+)
+select doc_id, lang, source from r where rn <= 25
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-source mixing weights (datamix proportioning): src0 kept at
     50%, src1 at 20%, everything else dropped."""
@@ -5337,6 +5360,7 @@ _RAW_QUERIES = {
         "psi_drift": q_psi_drift,
         "tokens_refresh_late": q_tokens_refresh_late,
         "burst_hourly": q_burst_hourly,
+        "source_cap_25": q_source_cap_25,
     }
 
 
@@ -5470,5 +5494,6 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": PSI_DRIFT_SQL,
         "tokens_refresh_late": TOKENS_ROLLUP_SQL,
         "burst_hourly": BURST_SQL,
+        "source_cap_25": SOURCE_CAP_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

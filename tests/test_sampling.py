@@ -49,3 +49,25 @@ def test_train_val_split_partition(spark):
     # split column variant agrees
     a = sampling.split_assignment(docs, 0.2)
     assert a.where(F.col("split") == "val").count() == nv
+
+
+def test_per_key_cap_deterministic_and_prefix_stable(spark):
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    c10 = sampling.per_key_cap(docs_df, 10)
+    a = {r.doc_id for r in c10.collect()}
+    b = {r.doc_id for r in sampling.per_key_cap(docs_df, 10).collect()}
+    assert a == b and len(a) > 0
+    # per-group bound holds
+    per = sampling.per_key_cap(docs_df, 10).groupBy("source").count()
+    assert all(r["count"] <= 10 for r in per.collect())
+    # resize-stable: kept(10) is a subset of kept(15)
+    c15 = {r.doc_id for r in sampling.per_key_cap(docs_df, 15).collect()}
+    assert a <= c15
+    # different salt -> different choice (overwhelmingly)
+    other = {r.doc_id
+             for r in sampling.per_key_cap(docs_df, 10, salt="x").collect()}
+    assert other != a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        sampling.per_key_cap(docs_df, 0)

@@ -236,3 +236,35 @@ def pack_sequences(
         F.floor(cum / budget).cast("long").alias("seq_id"),
         F.pmod(cum, F.lit(budget)).cast("long").alias("seq_offset"),
     )
+
+
+def per_key_cap(
+    df: DataFrame, k: int, group_cols: list[str] = ("source",),
+    key_col: str = "doc_id", salt: str = "cap",
+) -> DataFrame:
+    """Deterministic at-most-k rows per group — the per-source document
+    cap a datamix applies before training (bound any one source's
+    contribution without RNG): rows rank inside their group by the
+    salted hash bucket (ties broken by the key itself, so the order is
+    total) and only rank <= k survives.
+
+    Like every sampler here the choice is REPLAYABLE and
+    RESIZE-STABLE: the kept set for k is a prefix of the kept set for
+    k+1, so growing a cap never churns previously selected documents
+    (hash_sample's fraction-monotonicity, in rank form).
+
+    Scale shape: one window shuffle on the group key.  A skewed giant
+    group serializes its own rank walk — pre-filter with
+    `hash_sample(k / |group|-estimate)` first when a single group is
+    billions of rows, then cap exactly."""
+    if k < 1:
+        raise ValueError(f"per_key_cap: need k >= 1, got {k=}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        _bucket(key_col, salt), F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
