@@ -4785,6 +4785,40 @@ window w as (partition by user_id)
 """
 
 
+def q_seasonal_strength_24(spark, sf_dir):
+    """Hyndman STL strength features per user from the period-24
+    decomposition: F_s = max(0, 1 - Var(resid)/Var(seasonal+resid)),
+    F_t likewise with trend — the one-number seasonality/trend
+    classifiers a monitoring tier serves; oracle wraps
+    SEASONAL_DECOMP_SQL."""
+    from ts2g2_spark.operators.seriesstats import decompose_strength
+
+    return decompose_strength(_events(spark, sf_dir), period=24,
+                              series_cols=["user_id"],
+                              order_col="event_id")
+
+
+SEASONAL_STRENGTH_SQL = f"""
+with agg as (
+  select user_id, count(*)::BIGINT as n_rows,
+         var_samp(resid) as vr,
+         var_samp(seasonal + resid) as vs,
+         var_samp(trend + resid) as vt
+  from ({SEASONAL_DECOMP_SQL}) b
+  where resid is not null
+  group by 1
+)
+select user_id, n_rows,
+       case when vs > 0
+            then greatest(0.0, round(1.0 - vr / vs, 6)) + 0.0 end
+         as seasonal_strength,
+       case when vt > 0
+            then greatest(0.0, round(1.0 - vr / vt, 6)) + 0.0 end
+         as trend_strength
+from agg
+"""
+
+
 def q_threshold_alerts(spark, sf_dir):
     """Hysteresis alerting: raise at value >= 90, clear at <= 55 —
     transition rows only, the flap-free monitoring alert stream."""
@@ -5361,6 +5395,7 @@ _RAW_QUERIES = {
         "tokens_refresh_late": q_tokens_refresh_late,
         "burst_hourly": q_burst_hourly,
         "source_cap_25": q_source_cap_25,
+        "seasonal_strength_24": q_seasonal_strength_24,
     }
 
 
@@ -5495,5 +5530,6 @@ def oracle_sql() -> dict[str, str]:
         "tokens_refresh_late": TOKENS_ROLLUP_SQL,
         "burst_hourly": BURST_SQL,
         "source_cap_25": SOURCE_CAP_SQL,
+        "seasonal_strength_24": SEASONAL_STRENGTH_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

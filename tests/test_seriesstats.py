@@ -500,3 +500,46 @@ def test_mann_kendall_detects_monotonic_trend(spark):
     assert got[1].s_stat == 24 * 23 // 2  # every pair ascending
     assert got[2].trend == "no trend" and got[2].z == 0.0 \
         and got[2].s_stat == 0
+
+
+def test_decompose_strength_classifies_signals(spark):
+    """Pure period-24 sinusoid -> seasonal_strength ~1, trend ~weak;
+    steep line + small noise -> trend_strength ~1; strengths recompute
+    from the decompose output exactly."""
+    from ts2g2_spark.operators.seriesstats import (
+        decompose_strength, seasonal_decompose,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 24 * 6
+    hours = np.arange(n)
+    pdf = pd.concat([
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [BASE + dt.timedelta(hours=int(h)) for h in hours],
+            "value": 10 * np.sin(2 * np.pi * hours / 24)
+            + rng.normal(0, 0.1, n),
+        }),
+        pd.DataFrame({
+            "user_id": 2,
+            "ts": [BASE + dt.timedelta(hours=int(h)) for h in hours],
+            "value": 3.0 * hours + rng.normal(0, 0.5, n),
+        }),
+    ], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    got = {r.user_id: r for r in decompose_strength(
+        df, 24, series_cols=["user_id"]).collect()}
+    assert got[1].seasonal_strength > 0.99
+    assert got[2].trend_strength > 0.99
+    assert got[2].seasonal_strength < 0.6
+
+    dec = seasonal_decompose(df, 24, series_cols=["user_id"]).toPandas()
+    dec = dec[dec.resid.notna()]
+    for u in (1, 2):
+        g = dec[dec.user_id == u]
+        vr = g.resid.var(ddof=1)
+        fs = max(0.0, round(1 - vr / (g.seasonal + g.resid).var(ddof=1), 6))
+        ft = max(0.0, round(1 - vr / (g.trend + g.resid).var(ddof=1), 6))
+        assert got[u].seasonal_strength == pytest.approx(fs, abs=2e-6)
+        assert got[u].trend_strength == pytest.approx(ft, abs=2e-6)
+        assert got[u].n_rows == len(g)

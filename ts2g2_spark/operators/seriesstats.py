@@ -722,3 +722,54 @@ def mann_kendall(
                                    "var_s", "z", "trend"])
 
     return grouped.mapInPandas(kern, schema=out_schema)
+
+
+def decompose_strength(
+    points: DataFrame,
+    period: int,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Seasonal and trend STRENGTH per series (the Hyndman STL feature
+    pair — the one-number answers to "is this series seasonal?" /
+    "is it trending?"):
+
+        F_s = max(0, 1 - Var(resid) / Var(seasonal + resid))
+        F_t = max(0, 1 - Var(resid) / Var(trend + resid))
+
+    over the rows where the decomposition is defined (interior rows
+    with a full trend window).  NULL when the denominator variance is
+    zero (degenerate constant series).  Rounded to `round_dp` before
+    the max() clamp (variance accumulation is engine-ordered; the
+    rounded value is the contract — the acf discipline), `+ 0.0`
+    canonicalizing -0.0.
+
+    Scale shape: seasonal_decompose's two exchanges plus one per-series
+    hash aggregate of three variances."""
+    dec = seasonal_decompose(points, period, series_cols=series_cols,
+                             ts_col=ts_col, val_col=val_col,
+                             order_col=order_col)
+    ok = dec.where(F.col("resid").isNotNull())
+    agg = ok.groupBy(*[F.col(c) for c in series_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.var_samp("resid").alias("_vr"),
+        F.var_samp(F.col("seasonal") + F.col("resid")).alias("_vs"),
+        F.var_samp(F.col("trend") + F.col("resid")).alias("_vt"),
+    )
+
+    def strength(den):
+        return (F.greatest(
+            F.lit(0.0),
+            F.round(1.0 - F.col("_vr") / den, round_dp))
+            + F.lit(0.0))
+
+    return agg.select(
+        *series_cols, "n_rows",
+        F.when(F.col("_vs") > 0, strength(F.col("_vs")))
+         .alias("seasonal_strength"),
+        F.when(F.col("_vt") > 0, strength(F.col("_vt")))
+         .alias("trend_strength"),
+    )
