@@ -534,3 +534,21 @@ def test_bucketed_tier_join_is_exchange_free(spark, tmp_path):
         assert "Exchange" in plan2
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_table_names_are_sanitized(spark, tmp_path):
+    """Names legal as path segments elsewhere in Catalog (hyphens,
+    dots) must work for bucketed tables too — identifiers are data,
+    never SQL text."""
+    from ts2g2_spark.catalog import Catalog
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = ev.groupBy("user_id").count()
+    cat = Catalog(str(tmp_path), spark)
+    cat.write_bucketed(dim, "tier-1m.dim", ["user_id"], 4)
+    got = cat.read_bucketed("tier-1m.dim")
+    assert got.count() == dim.count()
+    # same sanitized prefix, different raw names -> distinct tables
+    cat.write_bucketed(dim.limit(3), "tier_1m.dim", ["user_id"], 4)
+    assert cat.read_bucketed("tier_1m.dim").count() == 3
+    assert cat.read_bucketed("tier-1m.dim").count() == dim.count()

@@ -488,12 +488,21 @@ def test_incremental_tier_fold_matches_batch_and_is_idempotent(
     for c in want.columns:
         assert (got[c] == want[c]).all(), c
 
-    # idempotent replay: re-applying an old batch_id changes nothing
+    # idempotent replay: re-applying the LAST batch_id changes nothing
     import json
+
+    import pytest as _pytest
 
     with open(f"{tbl}/_LATEST") as f:
         before = json.load(f)
     fold = ingest.incremental_tier_fold(spark, tbl)
     fold(parts[2], before["batch_id"])  # same id → skipped
+    with open(f"{tbl}/_LATEST") as f:
+        assert json.load(f) == before
+    # a batch_id going BACKWARDS means the checkpoint lineage restarted
+    # and the source will redeliver everything — folding would
+    # double-count, so the fold refuses loudly
+    with _pytest.raises(RuntimeError, match="lineage restarted"):
+        fold(parts[0], before["batch_id"] - 1)
     with open(f"{tbl}/_LATEST") as f:
         assert json.load(f) == before

@@ -70,11 +70,17 @@ class Catalog:
     # -- bucketed tables ----------------------------------------------
     def _table_ident(self, name: str) -> str:
         import hashlib
+        import re
 
         # session-catalog identifier scoped to this catalog root, so two
-        # Catalogs in one SparkSession never collide
-        suffix = hashlib.md5(self.root.encode()).hexdigest()[:8]
-        return f"{name}_{suffix}"
+        # Catalogs in one SparkSession never collide; the name is
+        # sanitized to identifier characters (every other Catalog method
+        # treats it as a path segment, where '-' and '.' are legal) and
+        # the suffix hashes root AND raw name so sanitization collisions
+        # ('a-b' vs 'a.b') still map to distinct tables
+        suffix = hashlib.md5(f"{self.root}\0{name}".encode()).hexdigest()[:8]
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        return f"{safe}_{suffix}"
 
     def write_bucketed(self, df: DataFrame, name: str,
                        bucket_cols: list[str], num_buckets: int,
@@ -92,7 +98,8 @@ class Catalog:
         Returns the session-catalog identifier to pass to
         `read_bucketed`."""
         ident = self._table_ident(name)
-        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        # backtick-quoted: identifiers are data here, never SQL text
+        self.spark.sql(f"DROP TABLE IF EXISTS `{ident}`")
         w = (df.write.mode("overwrite").format("parquet")
              .option("path", self.table_path(name))
              .bucketBy(num_buckets, *bucket_cols))

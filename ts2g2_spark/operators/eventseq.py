@@ -305,46 +305,50 @@ def burst_detection(
     Output: series cols + bucket_ts, cnt, burst (boolean), one row per
     dense bucket."""
     from pyspark.sql.types import (BooleanType, LongType, StructField,
-                                   StructType, TimestampType)
+                                   StructType)
 
     if s <= 1.0:
         raise ValueError(f"burst_detection: need s > 1, got {s=}")
     if gamma < 0.0:
         raise ValueError(f"burst_detection: need gamma >= 0, got {gamma=}")
     scols = [F.col(c) for c in series_cols]
-    b = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long")
-        * bucket_s)
-    cnts = points.groupBy(*scols, b.alias("bucket_ts")).agg(
+    # epoch-floor bucket kept as an epoch-second LONG end-to-end (the
+    # grid is plans.rollup._bucket_ts's, pre-timestamp_seconds): the
+    # kernel's dense index math and its output stay timezone-free —
+    # Arrow hands Python session-LOCAL naive datetimes, which collide
+    # across DST transitions under a non-UTC session timezone
+    b = ((F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long")
+         * bucket_s)
+    cnts = points.groupBy(*scols, b.alias("bucket_sec")).agg(
         F.count(F.lit(1)).alias("cnt"))
     grouped = cnts.groupBy(*scols).agg(
         F.sort_array(
-            F.collect_list(F.struct("bucket_ts", "cnt"))).alias("_s")
-    ).select(*scols, F.col("_s.bucket_ts").alias("_ts"),
+            F.collect_list(F.struct("bucket_sec", "cnt"))).alias("_s")
+    ).select(*scols, F.col("_s.bucket_sec").alias("_secs"),
              F.col("_s.cnt").alias("_cs"))
     key_fields = [grouped.schema[c] for c in series_cols]
     out_schema = StructType(key_fields + [
-        StructField("bucket_ts", TimestampType()),
+        StructField("bucket_sec", LongType()),
         StructField("cnt", LongType()),
         StructField("burst", BooleanType()),
     ])
     names = list(series_cols)
-    scale = 10.0 ** state_dp
 
     def kern(batches):
         import numpy as np
         import pandas as pd
 
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
         def quant(x):
-            return np.floor(x * scale + 0.5) / scale
+            return quantize_ieee(x, state_dp)
 
         for pdf in batches:
             outs = []
             # densify every series in the batch into one (lanes, T) grid
             secs, lens, counts = [], [], []
             for k in range(len(pdf)):
-                ts = (np.asarray(pd.DatetimeIndex(pdf["_ts"].iat[k]).asi8)
-                      // 1_000_000_000)
+                ts = np.asarray(pdf["_secs"].iat[k], dtype=np.int64)
                 cs = np.asarray(pdf["_cs"].iat[k], dtype=np.int64)
                 n = int((ts[-1] - ts[0]) // bucket_s) + 1
                 dense = np.zeros(n, dtype=np.int64)
@@ -393,12 +397,16 @@ def burst_detection(
                 n = int(lens[i])
                 outs.append(pd.DataFrame({
                     **{c: pdf[c].iat[i] for c in names},
-                    "bucket_ts": pd.to_datetime(
-                        secs[i] + np.arange(n) * bucket_s, unit="s"),
+                    "bucket_sec": secs[i] + np.arange(n) * bucket_s,
                     "cnt": counts[i],
                     "burst": st[i, :n].astype(bool),
                 }))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return grouped.mapInPandas(kern, schema=out_schema)
+    out = grouped.mapInPandas(kern, schema=out_schema)
+    return out.select(
+        *[F.col(c) for c in series_cols],
+        F.timestamp_seconds("bucket_sec").alias("bucket_ts"),
+        "cnt", "burst",
+    )

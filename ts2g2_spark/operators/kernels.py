@@ -521,6 +521,17 @@ def round_half_up(x: np.ndarray, dp: int) -> np.ndarray:
     return fast
 
 
+def quantize_ieee(x, dp: int):
+    """floor(x*10^dp + 0.5)/10^dp — the recurrence-safe quantizer: the
+    same three IEEE float ops in every engine (numpy, Spark
+    floor()/lit(), DuckDB floor()), unlike decimal round()
+    implementations (BigDecimal vs DuckDB) which disagree in the last
+    decimal unit just often enough to cascade through feedback
+    recurrences.  Half-up toward +inf at the boundary."""
+    scale = 10.0 ** dp
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+
+
 def _canonical_edge_arrays(
     edges: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -578,6 +589,21 @@ def graph_clustering_kernel(
         return z, z, z, np.empty(0)
     ia = np.searchsorted(nodes, a)
     ib = np.searchsorted(nodes, b)
+    tri = _triangles_from_canonical(ia, ib, n)
+    lcc = np.zeros(n, dtype=np.float64)
+    mask = degree > 1
+    lcc[mask] = round_half_up(
+        2.0 * tri[mask] / (degree[mask] * (degree[mask] - 1)), 9
+    )
+    return nodes, degree, tri, lcc
+
+
+def _triangles_from_canonical(
+    ia: np.ndarray, ib: np.ndarray, n: int,
+) -> np.ndarray:
+    """Per-node triangle counts from canonical index-mapped edges —
+    the shared core of graph_clustering_kernel and graph_mixing_kernel
+    (one canonicalization per caller, not two)."""
     if n <= 4096:
         A = np.zeros((n, n), dtype=np.int64)
         A[ia, ib] = 1
@@ -608,12 +634,7 @@ def graph_clustering_kernel(
             tri[v] += len(common)
             tri[common] += 1
         tri //= 3  # each triangle reached via all 3 of its edges
-    lcc = np.zeros(n, dtype=np.float64)
-    mask = degree > 1
-    lcc[mask] = round_half_up(
-        2.0 * tri[mask] / (degree[mask] * (degree[mask] - 1)), 9
-    )
-    return nodes, degree, tri, lcc
+    return tri
 
 
 def graph_mixing_kernel(
@@ -636,10 +657,8 @@ def graph_mixing_kernel(
     n = len(nodes)
     if n == 0:
         return None
-    scale = 10.0 ** round_dp
-
     def quant(x: float) -> float:
-        return float(np.floor(x * scale + 0.5) / scale) + 0.0
+        return float(quantize_ieee(x, round_dp)) + 0.0
 
     ia = np.searchsorted(nodes, a)
     ib = np.searchsorted(nodes, b)
@@ -652,10 +671,10 @@ def graph_mixing_kernel(
     den = m2 * sxx - sx * sx
     assort = quant(float(m2 * sxy - sx * sx) / float(den)) \
         if den > 0 else None
-    _, deg, tri, _ = graph_clustering_kernel(edges)
+    tri = _triangles_from_canonical(ia, ib, n)
     # d(d-1)/2 and the triangle counts are exact integers in double, so
     # the sums (and their ratio) are order-independent bit-for-bit
-    wedges = float((deg * (deg - 1) / 2).sum())
+    wedges = float((degree * (degree - 1) / 2).sum())
     trans = quant(float(tri.sum()) / wedges) if wedges > 0 else None
     return assort, trans
 

@@ -297,10 +297,11 @@ def holt_forecast(
         raise ValueError(
             f"holt_forecast: pass bucket_s for non-fixed-length "
             f"bucket '{bucket}'")
+    from ts2g2_spark.operators.seriesstats import bucket_means
+
     scols = [F.col(c) for c in series_cols]
-    b = F.date_trunc(bucket, F.col(ts_col))
-    means = points.groupBy(*scols, b.alias("bucket_ts")).agg(
-        F.round(F.avg(F.col(val_col).cast("double")), out_dp).alias("y"))
+    means = bucket_means(points, bucket, series_cols, ts_col, val_col,
+                         dp=out_dp)
     grouped = means.groupBy(*scols).agg(
         F.sort_array(F.collect_list(F.struct("bucket_ts", "y"))).alias("_s")
     ).select(*scols, F.col("_s.y").alias("_ys"),
@@ -315,13 +316,13 @@ def holt_forecast(
     ia, ib = 1.0 - alpha, 1.0 - beta
     names = list(series_cols)
 
-    scale = 10.0 ** state_dp
-
     def kern(batches):
         import numpy as np
 
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
         def quant(x):
-            return np.floor(x * scale + 0.5) / scale
+            return quantize_ieee(x, state_dp)
 
         for pdf in batches:
             lens = pdf["_ys"].map(len).to_numpy()

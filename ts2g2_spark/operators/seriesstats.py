@@ -550,6 +550,25 @@ def residual_anomalies(
     )
 
 
+def bucket_means(
+    points: DataFrame,
+    bucket: str,
+    series_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Fixed-decimal bucket means — the shared input frame of every
+    cross-engine-replayable recurrence (holt_forecast, theil_sen_trend,
+    mann_kendall): (series..., bucket_ts, y) with y rounded to `dp` so
+    both engines feed bit-identical values into the recurrence.  One
+    hash aggregate."""
+    scols = [F.col(c) for c in series_cols]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    return points.groupBy(*scols, b.alias("bucket_ts")).agg(
+        F.round(F.avg(F.col(val_col).cast("double")), dp).alias("y"))
+
+
 def theil_sen_trend(
     points: DataFrame,
     bucket: str = "hour",
@@ -584,12 +603,16 @@ def theil_sen_trend(
                                    StructType)
 
     scols = [F.col(c) for c in series_cols]
-    b = F.date_trunc(bucket, F.col(ts_col))
-    means = points.groupBy(*scols, b.alias("bucket_ts")).agg(
-        F.round(F.avg(F.col(val_col).cast("double")), 6).alias("y"))
+    # the kernel receives epoch SECONDS via unix_timestamp (an absolute
+    # instant) rather than the timestamps themselves: Arrow hands Python
+    # session-LOCAL naive datetimes, whose differences go wrong across
+    # DST transitions under a non-UTC session timezone
+    means = bucket_means(points, bucket, series_cols, ts_col, val_col)
     grouped = means.groupBy(*scols).agg(
-        F.sort_array(F.collect_list(F.struct("bucket_ts", "y"))).alias("_s")
-    ).select(*scols, F.col("_s.bucket_ts").alias("_ts"),
+        F.sort_array(F.collect_list(F.struct(
+            "bucket_ts", "y",
+            F.unix_timestamp("bucket_ts").alias("sec")))).alias("_s")
+    ).select(*scols, F.col("_s.sec").alias("_secs"),
              F.col("_s.y").alias("_ys"))
     key_fields = [grouped.schema[c] for c in series_cols]
     out_schema = StructType(key_fields + [
@@ -598,14 +621,15 @@ def theil_sen_trend(
         StructField("intercept", DoubleType()),
     ])
     names = list(series_cols)
-    scale = 10.0 ** out_dp
 
     def kern(batches):
         import numpy as np
         import pandas as pd
 
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
         def quant(x):
-            return float(np.floor(x * scale + 0.5) / scale) + 0.0
+            return float(quantize_ieee(x, out_dp)) + 0.0
 
         for pdf in batches:
             rows = []
@@ -615,12 +639,7 @@ def theil_sen_trend(
                 y = np.asarray(pdf["_ys"].iat[k], dtype=np.float64)
                 if len(y) < 2:
                     continue
-                # pandas timestamps are int64 ns; ns exceeds double's
-                # exact-integer range, so floor-divide to seconds in
-                # int64 FIRST, then one float division to hours
-                sec = np.asarray(
-                    pd.DatetimeIndex(pdf["_ts"].iat[k]).asi8
-                ) // 1_000_000_000
+                sec = np.asarray(pdf["_secs"].iat[k], dtype=np.int64)
                 t = sec.astype(np.float64) / 3600.0
                 i, j = np.triu_indices(len(y), 1)
                 slope = float(np.median((y[j] - y[i]) / (t[j] - t[i])))
@@ -669,9 +688,7 @@ def mann_kendall(
                                    StructField, StructType)
 
     scols = [F.col(c) for c in series_cols]
-    b = F.date_trunc(bucket, F.col(ts_col))
-    means = points.groupBy(*scols, b.alias("bucket_ts")).agg(
-        F.round(F.avg(F.col(val_col).cast("double")), 6).alias("y"))
+    means = bucket_means(points, bucket, series_cols, ts_col, val_col)
     grouped = means.groupBy(*scols).agg(
         F.sort_array(F.collect_list(F.struct("bucket_ts", "y"))).alias("_s")
     ).select(*scols, F.col("_s.y").alias("_ys"))
@@ -684,14 +701,15 @@ def mann_kendall(
         StructField("trend", StringType()),
     ])
     names = list(series_cols)
-    scale = 10.0 ** out_dp
 
     def kern(batches):
         import numpy as np
         import pandas as pd
 
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
         def quant(x):
-            return float(np.floor(x * scale + 0.5) / scale) + 0.0
+            return float(quantize_ieee(x, out_dp)) + 0.0
 
         for pdf in batches:
             rows = []

@@ -311,9 +311,16 @@ def incremental_tier_fold(
     directory, then atomically replaces the `_LATEST` pointer file
     (JSON: version + batch_id).  foreachBatch is AT-LEAST-ONCE, so the
     fold is made idempotent by recording the last applied batch_id in
-    the pointer and skipping replays (batch_id <= last) — re-merging a
-    delta twice would double-count.  Old versions beyond
-    `keep_versions` are removed after commit."""
+    the pointer: redelivery of the LAST batch (a crash between the
+    table commit and the streaming checkpoint advancing — the only
+    batch the engine can redeliver within one checkpoint lineage) is
+    skipped, and a batch_id going BACKWARDS raises instead of silently
+    skipping or double-counting: it means the streaming checkpoint was
+    deleted/recreated, the source will redeliver EVERYTHING, and the
+    only correct resumption is a fresh `table_root` (or restoring the
+    matching checkpoint).  One table_root is bound to one checkpoint
+    lineage.  Old versions beyond `keep_versions` are removed after
+    commit."""
     import json
     import os
     import shutil
@@ -331,8 +338,16 @@ def incremental_tier_fold(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         cur = _read_ptr()
-        if cur is not None and batch_id <= cur["batch_id"]:
-            return  # replayed batch — already folded in
+        if cur is not None and batch_id == cur["batch_id"]:
+            return  # redelivered last batch — already folded in
+        if cur is not None and batch_id < cur["batch_id"]:
+            raise RuntimeError(
+                f"incremental_tier_fold: batch_id {batch_id} is behind "
+                f"the table's last applied {cur['batch_id']} — the "
+                "streaming checkpoint lineage restarted (checkpoint "
+                "deleted or repointed).  Folding would double-count "
+                "redelivered data; start a fresh table_root or restore "
+                "the original checkpoint.")
         okey = F.col(okey_col) if okey_col else None
         delta = rollup_mod.rollup_state(
             batch_df, tier, series_cols=series_cols,
@@ -366,7 +381,13 @@ def incremental_tier_fold(
 def read_tier_snapshot(spark: SparkSession, table_root: str) -> DataFrame:
     """Read the last committed tier snapshot (the `_LATEST` pointer's
     version directory) as a mergeable state frame; compose with
-    plans.rollup.finalize_state for the serving shape."""
+    plans.rollup.finalize_state for the serving shape.
+
+    The frame is LAZY over the version directory, and the maintenance
+    fold garbage-collects versions beyond `keep_versions` after each
+    commit — materialize (an action, cache, or write) before the
+    stream can cycle `keep_versions` more batches, or raise
+    keep_versions to widen the read grace window."""
     import json
     import os
 
