@@ -1,0 +1,70 @@
+"""spark-submit entry point for incremental tier maintenance.
+
+Continuously (or catch-up-style with --available-now) folds a stream of
+point rows into a mergeable 1m-tier table that absorbs arbitrarily late
+data (streaming/ingest.incremental_tier_fold): each micro-batch
+re-aggregates only the (series, bucket) groups it names, commits a new
+snapshot version, and atomically advances the `_LATEST` pointer — the
+at-least-once foreachBatch becomes exactly-once on the table, and a
+restarted checkpoint lineage is refused loudly instead of
+double-counting.
+
+    bash scripts/package.sh     # builds dist/ts2g2_spark.zip
+    spark-submit \
+        --master <cluster-master> \
+        --py-files dist/ts2g2_spark.zip \
+        jobs/maintain_job.py \
+        --input /path/of/point_parquet_stream \
+        --table /path/to/tier_table_root \
+        --checkpoint /path/to/stream_checkpoint \
+        [--tier 1m] [--okey-col event_id] [--keep-versions 2]
+
+One --table is bound to one --checkpoint lineage for its lifetime.
+Serve the result via streaming/ingest.read_tier_snapshot (+
+plans/rollup.finalize_state), or tier it up with rollup_tier_up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="ts2g2_spark incremental tier maintenance")
+    ap.add_argument("--input", required=True,
+                    help="parquet dir streamed as point rows "
+                         "(doc_id, source, ts, value)")
+    ap.add_argument("--table", required=True,
+                    help="tier table root (versioned snapshots + _LATEST)")
+    ap.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (bound to --table)")
+    ap.add_argument("--tier", default="1m", choices=["1m", "1h", "1d"])
+    ap.add_argument("--okey-col", default=None,
+                    help="unique-per-point order column for exact "
+                         "first/last (defaults to the raw timestamp)")
+    ap.add_argument("--keep-versions", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ts2g2_spark.streaming import ingest
+
+    spark = SparkSession.builder.appName("tsg-tier-maintenance") \
+        .getOrCreate()
+    ingest.run_tier_maintenance(
+        ingest.stream_points(spark, args.input),
+        args.table, args.checkpoint,
+        tier=args.tier, okey_col=args.okey_col,
+        keep_versions=args.keep_versions)
+    snap = ingest.read_tier_snapshot(spark, args.table)
+    print(json.dumps({
+        "table": args.table,
+        "tier": args.tier,
+        "rows": snap.count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
