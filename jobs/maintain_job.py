@@ -45,6 +45,9 @@ def main() -> None:
                     help="unique-per-point order column for exact "
                          "first/last (defaults to the raw timestamp)")
     ap.add_argument("--keep-versions", type=int, default=2)
+    ap.add_argument("--n-parts", type=int, default=16,
+                    help="series-hash partition count — size so a "
+                         "typical batch touches a small fraction")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +60,7 @@ def main() -> None:
         ingest.stream_points(spark, args.input),
         args.table, args.checkpoint,
         tier=args.tier, okey_col=args.okey_col,
-        keep_versions=args.keep_versions)
+        keep_versions=args.keep_versions, n_parts=args.n_parts)
     snap = ingest.read_tier_snapshot(spark, args.table)
     print(json.dumps({
         "table": args.table,

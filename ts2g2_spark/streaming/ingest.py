@@ -292,13 +292,24 @@ def incremental_tier_fold(
     val_col: str = "value",
     okey_col: str | None = None,
     keep_versions: int = 2,
+    n_parts: int = 16,
 ):
     """foreachBatch fold that maintains a MERGEABLE tier table from a
     stream, absorbing arbitrarily late data (no watermark bound): each
     micro-batch becomes a rollup_state delta and
     `plans.rollup.merge_tier_states` folds it into the last committed
     snapshot — only the (series, bucket) groups the batch names are
-    re-aggregated, so per-batch cost is O(|batch|), not O(tier).
+    re-aggregated, so per-batch COMPUTE is O(|batch|), not O(tier).
+
+    The WRITE is partition-pruned too (the file-level behavior of an
+    Iceberg MERGE INTO, in miniature): the table is hash-partitioned on
+    the series key into `n_parts` `_pb=` directories; a fold reads and
+    rewrites ONLY the partitions the batch touches, and carries every
+    untouched partition into the new version by HARDLINKING its files —
+    no data copy, and version GC stays safe because the bytes live
+    until the last version referencing them is removed.  Per-batch
+    write I/O is O(touched partitions), not O(tier).  Size `n_parts`
+    so a typical late batch touches a small fraction of partitions.
 
     This is the third streaming-tier strategy, complementary to the
     watermarked append-only tiers above: those finalize each bucket once
@@ -349,19 +360,43 @@ def incremental_tier_fold(
                 "redelivered data; start a fresh table_root or restore "
                 "the original checkpoint.")
         okey = F.col(okey_col) if okey_col else None
+        pb = F.pmod(F.xxhash64(
+            *[F.col(c).cast("string") for c in series_cols]),
+            F.lit(n_parts))
         delta = rollup_mod.rollup_state(
             batch_df, tier, series_cols=series_cols,
-            ts_col=ts_col, val_col=val_col, okey=okey)
+            ts_col=ts_col, val_col=val_col, okey=okey
+        ).withColumn("_pb", pb)
+        touched = sorted(
+            r["_pb"] for r in delta.select("_pb").distinct().collect())
+        version = f"v{batch_id}"
+        out_dir = os.path.join(table_root, version)
         if cur is not None:
-            state = spark.read.parquet(
-                os.path.join(table_root, cur["version"]))
+            prev_dir = os.path.join(table_root, cur["version"])
+            # _pb is a physical partition column — this filter prunes
+            # to the touched directories, never scanning the rest
+            state = spark.read.parquet(prev_dir).where(
+                F.col("_pb").isin(touched))
             merged = rollup_mod.merge_tier_states(
                 state, delta, series_cols=series_cols)
         else:
+            prev_dir = None
             merged = delta
-        version = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(table_root, version))
+        merged.withColumn("_pb", pb).write.mode("overwrite") \
+            .partitionBy("_pb").parquet(out_dir)
+        if prev_dir is not None:
+            # carry untouched partitions forward as hardlinks
+            touched_dirs = {f"_pb={t}" for t in touched}
+            for d in os.listdir(prev_dir):
+                if not d.startswith("_pb=") or d in touched_dirs:
+                    continue
+                src = os.path.join(prev_dir, d)
+                dst = os.path.join(out_dir, d)
+                os.makedirs(dst, exist_ok=True)
+                for fn in os.listdir(src):
+                    fp = os.path.join(src, fn)
+                    if os.path.isfile(fp):
+                        os.link(fp, os.path.join(dst, fn))
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version, "batch_id": batch_id}, f)
@@ -380,8 +415,10 @@ def incremental_tier_fold(
 
 def read_tier_snapshot(spark: SparkSession, table_root: str) -> DataFrame:
     """Read the last committed tier snapshot (the `_LATEST` pointer's
-    version directory) as a mergeable state frame; compose with
-    plans.rollup.finalize_state for the serving shape.
+    version directory) as a mergeable state frame (plus the `_pb`
+    series-hash partition column); compose with
+    plans.rollup.finalize_state for the serving shape (it projects the
+    partition column away).
 
     The frame is LAZY over the version directory, and the maintenance
     fold garbage-collects versions beyond `keep_versions` after each
