@@ -1,8 +1,11 @@
 """spark-submit entry point for incremental tier maintenance.
 
-Continuously (or catch-up-style with --available-now) folds a stream of
-point rows into a mergeable 1m-tier table that absorbs arbitrarily late
-data (streaming/ingest.incremental_tier_fold): each micro-batch
+Catch-up style: each invocation drains everything currently available
+from the input (availableNow trigger) and stops — schedule it
+repeatedly, or swap the trigger in run_tier_maintenance for a
+continuous service.  Folds a stream of point rows into a mergeable
+tier table that absorbs arbitrarily late data
+(streaming/ingest.incremental_tier_fold): each micro-batch
 re-aggregates only the (series, bucket) groups it names, commits a new
 snapshot version, and atomically advances the `_LATEST` pointer — the
 at-least-once foreachBatch becomes exactly-once on the table, and a
@@ -61,11 +64,14 @@ def main() -> None:
         args.table, args.checkpoint,
         tier=args.tier, okey_col=args.okey_col,
         keep_versions=args.keep_versions, n_parts=args.n_parts)
-    snap = ingest.read_tier_snapshot(spark, args.table)
+    try:
+        rows = ingest.read_tier_snapshot(spark, args.table).count()
+    except FileNotFoundError:
+        rows = 0  # no batch has ever committed (fresh table, no input)
     print(json.dumps({
         "table": args.table,
         "tier": args.tier,
-        "rows": snap.count(),
+        "rows": rows,
     }))
 
 

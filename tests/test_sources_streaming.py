@@ -576,3 +576,37 @@ def test_incremental_fold_writes_only_touched_partitions(spark, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     for c in want.columns:
         assert (got[c] == want[c]).all(), c
+
+
+def test_incremental_fold_layout_guard(spark, tmp_path):
+    """Re-folding with a different n_parts (or an old-format pointer
+    missing the layout) re-buckets series and would double-count — the
+    fold refuses loudly instead."""
+    import json
+
+    import pytest as _pytest
+
+    in_dir = str(tmp_path / "in")
+    tbl = str(tmp_path / "tier")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    os.makedirs(tbl)
+    pts = spark.range(0, 60).select(
+        F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+        F.lit("s0").alias("source"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 7).alias("ts"),
+        (F.col("id") % 10).cast("double").alias("value"))
+    pts.write.mode("append").parquet(in_dir)
+    ingest.run_tier_maintenance(
+        ingest.stream_points(spark, in_dir), tbl, ckpt, n_parts=16)
+    with open(f"{tbl}/_LATEST") as f:
+        before = json.load(f)
+    assert before["n_parts"] == 16
+    bad = ingest.incremental_tier_fold(spark, tbl, n_parts=8)
+    with _pytest.raises(RuntimeError, match="layout mismatch"):
+        bad(pts, before["batch_id"] + 1)
+    # an empty batch never burns a version or moves the pointer
+    ok = ingest.incremental_tier_fold(spark, tbl, n_parts=16)
+    ok(pts.where("value > 1e9"), before["batch_id"] + 1)
+    with open(f"{tbl}/_LATEST") as f:
+        assert json.load(f) == before

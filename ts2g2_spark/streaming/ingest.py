@@ -359,6 +359,16 @@ def incremental_tier_fold(
                 "deleted or repointed).  Folding would double-count "
                 "redelivered data; start a fresh table_root or restore "
                 "the original checkpoint.")
+        layout = {"n_parts": n_parts, "series_cols": list(series_cols)}
+        if cur is not None and {k: cur.get(k) for k in layout} != layout:
+            raise RuntimeError(
+                f"incremental_tier_fold: table layout mismatch — the "
+                f"table was written with "
+                f"{ {k: cur.get(k) for k in layout} } but this fold "
+                f"was configured with {layout}.  The series-hash "
+                "partitioning is part of the table format (a different "
+                "n_parts re-buckets series and would double-count); "
+                "re-materialize into a fresh table_root to change it.")
         okey = F.col(okey_col) if okey_col else None
         pb = F.pmod(F.xxhash64(
             *[F.col(c).cast("string") for c in series_cols]),
@@ -367,23 +377,32 @@ def incremental_tier_fold(
             batch_df, tier, series_cols=series_cols,
             ts_col=ts_col, val_col=val_col, okey=okey
         ).withColumn("_pb", pb)
-        touched = sorted(
-            r["_pb"] for r in delta.select("_pb").distinct().collect())
-        version = f"v{batch_id}"
-        out_dir = os.path.join(table_root, version)
-        if cur is not None:
-            prev_dir = os.path.join(table_root, cur["version"])
-            # _pb is a physical partition column — this filter prunes
-            # to the touched directories, never scanning the rest
-            state = spark.read.parquet(prev_dir).where(
-                F.col("_pb").isin(touched))
-            merged = rollup_mod.merge_tier_states(
-                state, delta, series_cols=series_cols)
-        else:
-            prev_dir = None
-            merged = delta
-        merged.withColumn("_pb", pb).write.mode("overwrite") \
-            .partitionBy("_pb").parquet(out_dir)
+        # persisted: the touched-partition collect below and the
+        # merge/write plan both consume the delta aggregation
+        delta.persist()
+        try:
+            touched = sorted(
+                r["_pb"] for r in delta.select("_pb").distinct().collect())
+            if not touched:
+                return  # empty batch: nothing to fold, no version burned
+            version = f"v{batch_id}"
+            out_dir = os.path.join(table_root, version)
+            if cur is not None:
+                prev_dir = os.path.join(table_root, cur["version"])
+                # _pb is a physical partition column — this filter
+                # prunes to the touched directories, never scanning
+                # the rest
+                state = spark.read.parquet(prev_dir).where(
+                    F.col("_pb").isin(touched))
+                merged = rollup_mod.merge_tier_states(
+                    state, delta, series_cols=series_cols)
+            else:
+                prev_dir = None
+                merged = delta
+            merged.withColumn("_pb", pb).write.mode("overwrite") \
+                .partitionBy("_pb").parquet(out_dir)
+        finally:
+            delta.unpersist()
         if prev_dir is not None:
             # carry untouched partitions forward as hardlinks
             touched_dirs = {f"_pb={t}" for t in touched}
@@ -399,7 +418,8 @@ def incremental_tier_fold(
                         os.link(fp, os.path.join(dst, fn))
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "batch_id": batch_id}, f)
+            json.dump({"version": version, "batch_id": batch_id,
+                       **layout}, f)
         os.replace(tmp, ptr)  # atomic snapshot commit
         live = {version} | ({cur["version"]} if cur else set())
         versions = sorted(
