@@ -3790,6 +3790,38 @@ from (
 """
 
 
+def q_dominant_period(spark, sf_dir):
+    """Dominant seasonality period per user: argmax of the periodogram
+    over the 12/24/96 candidate grid, tie-broken to the SMALLEST
+    period on the 6dp-rounded power (ranking rounded values is what
+    makes the pick engine-independent); `seasonal` flags power above
+    the 0.1 noise floor."""
+    from pyspark.sql.window import Window
+
+    pg = q_periodogram(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("power").desc(), F.col("period").asc())
+    return (
+        pg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("period").alias("best_period"),
+                "power", (F.col("power") > 0.1).alias("seasonal"))
+    )
+
+
+DOMINANT_PERIOD_SQL = f"""
+with pg as ({PERIODOGRAM_SQL}),
+r as (
+  select user_id, period, power,
+         row_number() over (partition by user_id
+                            order by power desc, period asc) as rn
+  from pg
+)
+select user_id, period as best_period, power, power > 0.1 as seasonal
+from r where rn = 1
+"""
+
+
 # --------------------------------------------- corpus-health statistics
 def q_vocab_stats(spark, sf_dir):
     """Per-source Zipf/Heaps vocabulary report over the normalized word
@@ -5396,6 +5428,7 @@ _RAW_QUERIES = {
         "burst_hourly": q_burst_hourly,
         "source_cap_25": q_source_cap_25,
         "seasonal_strength_24": q_seasonal_strength_24,
+        "dominant_period": q_dominant_period,
     }
 
 
@@ -5531,5 +5564,6 @@ def oracle_sql() -> dict[str, str]:
         "burst_hourly": BURST_SQL,
         "source_cap_25": SOURCE_CAP_SQL,
         "seasonal_strength_24": SEASONAL_STRENGTH_SQL,
+        "dominant_period": DOMINANT_PERIOD_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }
