@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from ts2g2_spark.plans import rollup as R
@@ -610,3 +611,70 @@ def test_incremental_fold_layout_guard(spark, tmp_path):
     ok(pts.where("value > 1e9"), before["batch_id"] + 1)
     with open(f"{tbl}/_LATEST") as f:
         assert json.load(f) == before
+
+
+def test_streaming_threshold_alerts_matches_batch(spark, tmp_path):
+    """Out-of-order delivery across micro-batches: the stateful
+    operator buffers per-series events, finalizes the prefix behind
+    the watermark in (ts, event_id) order, and the emitted transition
+    stream equals the batch hysteresis operator exactly (once a
+    sentinel advances the watermark past all real data)."""
+    import numpy as np
+    import pandas as pd
+
+    from ts2g2_spark.operators.metrics import threshold_alerts
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    rng = np.random.default_rng(23)
+    n = 600
+    base = 1704067200
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 3000, n), unit="s"),
+        "user_id": rng.integers(0, 4, n).astype(np.int64),
+        "event_type": "t",
+        "value": rng.normal(70, 25, n).round(1),
+        "props": "",
+    })
+    # three shuffled slices -> heavy cross-batch reordering (all within
+    # the 1h watermark), then a far-future sentinel to flush
+    order = rng.permutation(n)
+    slices = np.array_split(order, 3)
+    batches = [pdf.iloc[ix] for ix in slices]
+    # watermark advances AFTER the batch that carries the new max event
+    # time, so flushing needs two sentinel drains: the first moves the
+    # watermark past all real data, the second's processing finalizes it
+    def sentinel(eid, t_off):
+        return pd.DataFrame({
+            "event_id": [eid], "ts": pd.to_datetime([base + t_off],
+                                                    unit="s"),
+            "user_id": [999], "event_type": ["t"], "value": [0.0],
+            "props": [""],
+        })
+    for b in [*batches, sentinel(10**6, 10**6),
+              sentinel(10**6 + 1, 10**6 + 7200)]:
+        spark.createDataFrame(b).write.mode("append").parquet(in_dir)
+        ingest.run_available_now(
+            ingest.streaming_threshold_alerts(
+                ingest.stream_events(spark, in_dir), upper=90.0,
+                lower=55.0),
+            out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).where("user_id != 999").toPandas()
+    want = threshold_alerts(
+        spark.createDataFrame(pdf), upper=90.0, lower=55.0,
+        order_col="event_id").toPandas()
+    keys = ["user_id", "ts"]
+    for df in (got, want):
+        df.sort_values(keys, inplace=True, ignore_index=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in ("user_id", "ts", "value", "event"):
+        assert (got[c] == want[c]).all(), c
+    with pytest.raises(ValueError, match="lower <= upper"):
+        ingest.streaming_threshold_alerts(
+            ingest.stream_events(spark, in_dir), upper=1.0, lower=2.0)

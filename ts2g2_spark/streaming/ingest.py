@@ -473,6 +473,115 @@ def run_tier_maintenance(
     q.awaitTermination()
 
 
+_ALERT_STATE_SCHEMA = (
+    "ts_us array<long>, okey array<long>, vals array<double>, st int"
+)
+_ALERT_OUT_SCHEMA = (
+    "user_id bigint, ts timestamp, value double, event string"
+)
+
+
+def streaming_threshold_alerts(
+    events: DataFrame,
+    upper: float,
+    lower: float | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators.metrics.threshold_alerts: hysteresis
+    alerting (raise at >= upper, clear at <= lower) as an
+    applyInPandasWithState operator that processes events in EVENT-TIME
+    order even though batches deliver them out of order.
+
+    Mechanics: per-series state buffers (ts, event_id, value) triples;
+    on every batch the prefix strictly BEHIND the current watermark is
+    finalized — sorted by (ts, event_id) and run through the same
+    running state machine as the batch operator — and only its
+    transition rows are emitted (append semantics, exactly once); the
+    suffix stays buffered because an earlier event could still arrive.
+    State size is O(arrival rate x watermark delay) per series, the
+    same bound as the watermarked window tiers.
+
+    The emitted transition stream equals the batch operator's output
+    over every prefix the watermark has passed (pinned by test).
+    Finalization lags the watermark like any append-mode streaming
+    aggregate: the tail beyond (max event time - delay) emits only
+    after later data advances the watermark."""
+    if lower is None:
+        lower = upper
+    if lower > upper:
+        raise ValueError(
+            f"streaming_threshold_alerts: need lower <= upper, got "
+            f"{lower=} {upper=}")
+    from collections.abc import Iterator as _It
+
+    lo, hi = float(lower), float(upper)
+
+    def fn(key, pdfs: "_It[pd.DataFrame]",
+           state: GroupState) -> "_It[pd.DataFrame]":
+        import numpy as np
+
+        if state.exists:
+            b_ts, b_ok, b_v, st = state.get
+            b_ts, b_ok, b_v = list(b_ts), list(b_ok), list(b_v)
+        else:
+            b_ts, b_ok, b_v, st = [], [], [], 0
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                b_ts.extend(
+                    (pdf["ts"].astype("int64") // 1000).tolist())
+                b_ok.extend(pdf["event_id"].astype("int64").tolist())
+                b_v.extend(pdf["value"].astype("float64").tolist())
+        w_ms = state.getCurrentWatermarkMs()
+        ts_a = np.asarray(b_ts, dtype=np.int64)
+        ok_a = np.asarray(b_ok, dtype=np.int64)
+        v_a = np.asarray(b_v, dtype=np.float64)
+        fin = ts_a < w_ms * 1000
+        out_rows = None
+        if fin.any():
+            order = np.lexsort((ok_a[fin], ts_a[fin]))
+            fts = ts_a[fin][order]
+            fv = v_a[fin][order]
+            events_out = []
+            for t, v in zip(fts, fv):
+                mk = 1 if v >= hi else (0 if v <= lo else None)
+                if mk is not None and mk != st:
+                    events_out.append(
+                        (t, v, "raise" if mk == 1 else "clear"))
+                    st = mk
+            if events_out:
+                out_rows = pd.DataFrame({
+                    "user_id": key[0],
+                    "ts": pd.to_datetime(
+                        [t for t, _, _ in events_out], unit="us"),
+                    "value": [v for _, v, _ in events_out],
+                    "event": [e for _, _, e in events_out],
+                })
+        keep = ~fin
+        state.update((
+            ts_a[keep].tolist(), ok_a[keep].tolist(),
+            v_a[keep].tolist(), int(st),
+        ))
+        if keep.any():
+            # groups only re-enter on THEIR OWN new data unless a
+            # timeout wakes them: arm an event-time timeout just past
+            # the watermark so buffered events finalize as it advances
+            state.setTimeoutTimestamp(w_ms + 1)
+        if out_rows is not None:
+            yield out_rows
+        return
+        yield  # pragma: no cover — generator on the empty path
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _ALERT_OUT_SCHEMA, _ALERT_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 def streaming_histogram_1m(
     points: DataFrame,
     lo: float,
