@@ -5165,6 +5165,30 @@ def q_betweenness_hvg(spark, sf_dir):
         "node", "betweenness")
 
 
+def q_degree_exponent_hvg(spark, sf_dir):
+    """Clauset MLE power-law exponent of each user's HVG degree
+    distribution — the visibility-graph chaos/noise discriminator
+    (i.i.d. series have exponential-tail HVGs with rate ln(3/2)).
+    One aggregate over the shared degree frame."""
+    from ts2g2_spark.operators import graphmetrics, graphs
+
+    edges = graphs.visibility_edges(
+        _event_series(spark, sf_dir), kind="horizontal")
+    return graphmetrics.degree_exponent(edges).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "n_nodes", "dmin", "alpha")
+
+
+DEGREE_EXPONENT_SQL = f"""
+{_HVG_METRIC_CTES}
+select user_id, count(*)::BIGINT as n_nodes,
+       min(degree) as dmin,
+       round(1.0 + count(*) / (sum(ln(degree))
+             - count(*) * ln(min(degree) - 0.5)), 6) + 0.0 as alpha
+from deg group by user_id
+"""
+
+
 GRAPH_MIXING_SQL = f"""
 {_HVG_METRIC_CTES},
 tri as materialized (
@@ -5429,6 +5453,7 @@ _RAW_QUERIES = {
         "source_cap_25": q_source_cap_25,
         "seasonal_strength_24": q_seasonal_strength_24,
         "dominant_period": q_dominant_period,
+        "degree_exponent_hvg": q_degree_exponent_hvg,
     }
 
 
@@ -5565,5 +5590,6 @@ def oracle_sql() -> dict[str, str]:
         "source_cap_25": SOURCE_CAP_SQL,
         "seasonal_strength_24": SEASONAL_STRENGTH_SQL,
         "dominant_period": DOMINANT_PERIOD_SQL,
+        "degree_exponent_hvg": DEGREE_EXPONENT_SQL,
         "sax_motifs_w4": SAX_MOTIFS_SQL,
     }

@@ -159,3 +159,38 @@ def test_pagerank_close_to_converged_fixpoint(spark, edge_df):
         ref = _pagerank_model(g, iters=200, d=0.85, dp=15)
         for node, exp in ref.items():
             assert got[(key, node)] == pytest.approx(exp, abs=2e-3)
+
+
+def test_degree_exponent_matches_bruteforce(spark):
+    """Clauset MLE from the relational degree frame equals the direct
+    numpy computation per graph; an i.i.d.-noise HVG's exponent lands
+    in the literature's exponential-tail regime (alpha well above the
+    ~3.3 of ln(3/2)-rate tails is not expected — sanity-band only)."""
+    import numpy as np
+    import pandas as pd
+
+    from ts2g2_spark.operators import graphmetrics, graphs
+
+    rng = np.random.default_rng(29)
+    series = {
+        "noise": rng.normal(size=400).tolist(),
+        "ramp": np.arange(60.0).tolist(),
+        "tiny": [2.0, 1.0],
+    }
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"series_key": list(series), "values": list(series.values())}))
+    edges = graphs.visibility_edges(sdf, kind="horizontal")
+    got = {r.series_key: r for r in
+           graphmetrics.degree_exponent(edges).collect()}
+    degs = graphmetrics.degrees(edges).toPandas()
+    for key in series:
+        d = degs[degs.series_key == key]["degree"].to_numpy(float)
+        alpha = 1.0 + len(d) / (np.log(d).sum()
+                                - len(d) * np.log(d.min() - 0.5))
+        r = got[key]
+        assert r.n_nodes == len(d)
+        assert r.dmin == d.min()
+        assert r.alpha == pytest.approx(round(alpha, 6), abs=2e-6), key
+    # 2-node graph: both degrees 1 -> alpha = 1 + 2/(2*ln2)
+    assert got["tiny"].alpha == pytest.approx(
+        1.0 + 2.0 / (2.0 * np.log(2.0)), abs=2e-6)

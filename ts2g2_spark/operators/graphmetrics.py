@@ -218,6 +218,36 @@ def graph_mixing(edges: DataFrame, round_dp: int = 6) -> DataFrame:
     )
 
 
+def degree_exponent(edges: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Power-law exponent of each series graph's degree distribution —
+    the visibility-graph literature's one-number chaos/noise
+    discriminator (an i.i.d. series' HVG has exponential degree tails
+    with rate ln(3/2); correlated/chaotic series deviate): the Clauset
+    et al. continuous-MLE estimator
+
+        alpha = 1 + n / (sum ln d_i - n * ln(d_min - 0.5))
+
+    over the per-node degrees, with d_min the series' smallest degree.
+    The denominator is strictly positive (d_i >= d_min > d_min - 0.5),
+    so no degenerate division exists.  Rounded to `round_dp`: the ln
+    sum accumulates in engine order, the rounded value is the contract
+    (the acf/corr discipline).
+
+    Output: (series_key, n_nodes, dmin, alpha).  Purely relational —
+    one aggregate over the shared `degrees` frame, no kernel twin
+    needed (the per-series result is a scalar of that frame)."""
+    d = degrees(edges)
+    n = F.count(F.lit(1))
+    return d.groupBy("series_key").agg(
+        n.cast("long").alias("n_nodes"),
+        F.min("degree").alias("dmin"),
+        (F.round(
+            1.0 + n / (F.sum(F.log("degree"))
+                       - n * F.log(F.min("degree") - 0.5)),
+            round_dp) + F.lit(0.0)).alias("alpha"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 8,
