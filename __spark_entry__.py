@@ -5189,6 +5189,23 @@ from deg group by user_id
 """
 
 
+def q_path_metrics_hvg(spark, sf_dir):
+    """Diameter / radius / average shortest path length per HVG series
+    graph (fused all-pairs-BFS kernel).  ROWS-ONLY by design like
+    betweenness: shortest paths have no ANSI-SQL twin; networkx parity
+    pins correctness.  Same 1-in-5 deterministic series sample —
+    O(n*m) per series."""
+    from ts2g2_spark.operators import graphmetrics
+
+    series = _event_series(spark, sf_dir).where(
+        F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
+    return graphmetrics.path_metrics_from_series(
+        series, kind="horizontal"
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "n_nodes", "diameter", "radius", "avg_spl", "connected")
+
+
 GRAPH_MIXING_SQL = f"""
 {_HVG_METRIC_CTES},
 tri as materialized (
@@ -5454,6 +5471,7 @@ _RAW_QUERIES = {
         "seasonal_strength_24": q_seasonal_strength_24,
         "dominant_period": q_dominant_period,
         "degree_exponent_hvg": q_degree_exponent_hvg,
+        "path_metrics_hvg": q_path_metrics_hvg,
     }
 
 

@@ -319,3 +319,40 @@ def test_betweenness_path_graph_exact(spark):
     nodes, bc = graph_betweenness_kernel(e)
     assert nodes.tolist() == [0, 1, 2, 3]
     assert bc.tolist() == [0.0, round(2 / 3, 9), round(2 / 3, 9), 0.0]
+
+
+# ------------------------------------------------------- path metrics
+
+def test_path_metrics_match_networkx(spark, series_df):
+    from ts2g2_spark.operators.graphmetrics import path_metrics_from_series
+    from ts2g2_spark.operators.kernels import visibility_graph
+
+    got = {r.series_key: r for r in path_metrics_from_series(
+        series_df, kind="horizontal").collect()}
+    for key, vals in SERIES.items():
+        e, _ = visibility_graph(np.asarray(vals, float),
+                                kind="horizontal")
+        if len(e) == 0:
+            assert key not in got
+            continue
+        g = nx.Graph()
+        g.add_edges_from(e.tolist())
+        r = got[key]
+        assert r.connected  # HVGs: adjacent points always see each other
+        assert r.n_nodes == g.number_of_nodes()
+        assert r.diameter == nx.diameter(g), key
+        assert r.radius == nx.radius(g), key
+        assert r.avg_spl == pytest.approx(
+            nx.average_shortest_path_length(g), abs=1e-12), key
+
+
+def test_path_metrics_disconnected_reachable_pairs():
+    """Two disjoint edges: per-component eccentricities, average over
+    reachable ordered pairs only, connected=False."""
+    from ts2g2_spark.operators.kernels import graph_path_metrics_kernel
+
+    e = np.array([[0, 1], [5, 6]])
+    m = graph_path_metrics_kernel(e)
+    assert m == {"n_nodes": 4, "diameter": 1, "radius": 1,
+                 "avg_spl": 1.0, "connected": False}
+    assert graph_path_metrics_kernel(np.empty((0, 2), int)) is None

@@ -472,6 +472,31 @@ def betweenness_from_series(
     )
 
 
+def path_metrics_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0,
+):
+    """Fused visibility_edges(kind) |> shortest-path summary
+    (diameter, radius, average shortest path length), map-only.
+    Kernel-only like betweenness — all-pairs BFS has no ANSI-SQL twin;
+    parity pins against networkx."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        m = kernels.graph_path_metrics_kernel(e)
+        if m is None:
+            return None
+        return pd.DataFrame([{"series_key": key, **m}])
+
+    return _fused(
+        series_df, build,
+        "series_key string, n_nodes long, diameter long, radius long,"
+        " avg_spl double, connected boolean",
+    )
+
+
 def pagerank_from_series(
     series_df,
     kind: str = "horizontal",

@@ -679,6 +679,94 @@ def graph_mixing_kernel(
     return assort, trans
 
 
+def _csr_gather(ia: np.ndarray, ib: np.ndarray, n: int):
+    """Build a both-orientations CSR adjacency and return a
+    frontier-gather closure: gather(frontier) -> flat (u, v) adjacency
+    pairs with u in frontier.  Shared by the BFS-based kernels
+    (betweenness, path metrics)."""
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, ia + 1, 1)
+    np.add.at(indptr, ib + 1, 1)
+    indptr = np.cumsum(indptr)
+    indices = np.empty(2 * len(ia), dtype=np.int64)
+    fill = indptr[:-1].copy()
+    for u, v in zip(ia, ib):
+        indices[fill[u]] = v
+        fill[u] += 1
+        indices[fill[v]] = u
+        fill[v] += 1
+
+    def gather(frontier):
+        starts = indptr[frontier]
+        lens = indptr[frontier + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 2
+        u_rep = np.repeat(frontier, lens)
+        base = np.repeat(starts, lens)
+        local = np.arange(total) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        return u_rep, indices[base + local]
+
+    return gather
+
+
+def graph_path_metrics_kernel(edges: np.ndarray) -> dict | None:
+    """Shortest-path summary of one small undirected graph:
+    {n_nodes, diameter, radius, avg_spl, connected} — the visibility-
+    graph literature's path-length features (average shortest path
+    length separates series classes; HVGs are always connected since
+    adjacent points see each other).
+
+    BFS from every source with the shared frontier-vectorized CSR
+    gather; all quantities are exact integers or one exact-integer
+    ratio (sum of distances / ordered reachable pairs), so the result
+    is engine-independent with no rounding contract needed (avg_spl
+    emitted at full double precision of one division).  On a
+    DISCONNECTED graph, eccentricities and the average are over
+    REACHABLE pairs only and `connected` is False.  O(n*m) per graph —
+    per-series segment regime."""
+    a, b, nodes, _deg = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        return None
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    gather = _csr_gather(ia, ib, n)
+    total_sum = 0
+    total_pairs = 0
+    ecc = np.zeros(n, dtype=np.int64)
+    connected = True
+    for s in range(n):
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[s] = 0
+        frontier = np.array([s], dtype=np.int64)
+        depth = 0
+        while True:
+            _u, v_all = gather(frontier)
+            fresh = np.unique(v_all[dist[v_all] == -1]) \
+                if len(v_all) else v_all
+            if len(fresh) == 0:
+                break
+            depth += 1
+            dist[fresh] = depth
+            frontier = fresh
+        reach = dist >= 0
+        if not reach.all():
+            connected = False
+        ecc[s] = depth
+        total_sum += int(dist[reach].sum())
+        total_pairs += int(reach.sum()) - 1
+    avg = float(total_sum) / total_pairs if total_pairs > 0 else None
+    return {
+        "n_nodes": n,
+        "diameter": int(ecc.max()),
+        "radius": int(ecc.min()),
+        "avg_spl": avg,
+        "connected": bool(connected),
+    }
+
+
 def graph_betweenness_kernel(
     edges: np.ndarray, normalized: bool = True, round_dp: int = 9,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -699,31 +787,7 @@ def graph_betweenness_kernel(
         return nodes, np.empty(0)
     ia = np.searchsorted(nodes, a)
     ib = np.searchsorted(nodes, b)
-    # CSR adjacency over both orientations
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, ia + 1, 1)
-    np.add.at(indptr, ib + 1, 1)
-    indptr = np.cumsum(indptr)
-    indices = np.empty(2 * len(ia), dtype=np.int64)
-    fill = indptr[:-1].copy()
-    for u, v in zip(ia, ib):
-        indices[fill[u]] = v
-        fill[u] += 1
-        indices[fill[v]] = u
-        fill[v] += 1
-
-    def _gather(frontier):
-        """All (u, v) adjacency pairs with u in frontier, flat."""
-        starts = indptr[frontier]
-        lens = indptr[frontier + 1] - starts
-        total = int(lens.sum())
-        if total == 0:
-            return (np.empty(0, np.int64),) * 2
-        u_rep = np.repeat(frontier, lens)
-        base = np.repeat(starts, lens)
-        local = np.arange(total) - np.repeat(
-            np.cumsum(lens) - lens, lens)
-        return u_rep, indices[base + local]
+    _gather = _csr_gather(ia, ib, n)
 
     bc = np.zeros(n, dtype=np.float64)
     for s in range(n):
