@@ -2373,10 +2373,14 @@ c as (
   from e group by 1, 2, 3
 ),
 r as (
-  select ai, bi, lag, round(coalesce(r, 0.0), 6) + 0.0 as w,
+  -- floor(x*1e6 + 0.5)/1e6 matches the engine's quantize_ieee (the
+  -- cross-engine recurrence/ranking quantizer), not DuckDB round()
+  select ai, bi, lag,
+         floor(coalesce(r, 0.0) * 1e6 + 0.5) / 1e6 + 0.0 as w,
          row_number() over (
            partition by ai, bi
-           order by abs(round(coalesce(r, 0.0), 6)) desc, lag asc) as rn
+           order by abs(floor(coalesce(r, 0.0) * 1e6 + 0.5) / 1e6) desc,
+                    lag asc) as rn
   from c where m >= 3
 )
 select ai as src, bi as dst, lag::INT as lag,
@@ -3009,6 +3013,7 @@ ENTROPY_SQL = r"""
 with w as (
   select doc_id, regexp_split_to_array(trim(text), '\s+') ws
   from documents
+  where regexp_matches(text, '\S')
 ),
 g as (
   select doc_id, wi, count(*) cnt

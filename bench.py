@@ -1,9 +1,17 @@
 """Benchmark runner.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "sf": ..., "rollup_points_per_sec": ...}
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (the driver keeps only the last ~2000 stdout chars, so the
+FINAL line must be a compact self-contained JSON summary — round-3's single
+~4KB line was truncated to unparseable):
+  line 1: full JSON with the complete per-query timing map (also persisted
+          to bench_full.json next to this script for offline diffing)
+  line 2 (FINAL): compact summary {"metric", "value", "unit", "sf", "cpus",
+          "n_queries", "rollup_points_per_sec", "rollup_points",
+          "queries": <fixed small headline subset>, ...} — guaranteed to
+          fit in the driver's tail capture.
 
 Every query is forced through the noop sink (full materialization of all
 columns — count() would let Catalyst prune work).  The north-rule headline
@@ -25,6 +33,16 @@ sys.path.insert(0, REPO)
 # every contract query is benched; the explicit sort keeps run order (and
 # therefore warm-cache effects) stable across rounds
 BENCH_QUERIES = None  # resolved to sorted(queries()) at runtime
+
+# fixed subset echoed in the compact FINAL summary line (one per major
+# family; the full map is on stdout line 1 and in bench_full.json)
+HEADLINE_QUERIES = [
+    "rollup_1m", "tokens_rollup_1m", "rollup_tiers_up", "gapfill_1h",
+    "serve_range_stitched", "hvg_edges", "nvg_edges", "opg_edges_w3",
+    "qg_edges_q4", "link_correlation", "dedup_exact",
+    "minhash_lsh_candidates", "simhash_near", "ann_cosine_top5",
+    "corpus_clean", "rollup_tiers_tokens",
+]
 
 
 def _force(df) -> None:
@@ -74,11 +92,12 @@ def main() -> None:
     rollup_dt = time.time() - t0
     pps = n_points / rollup_dt
 
+    all_queries = {**times, "rollup_tiers_tokens": round(rollup_dt, 3)}
     out = {
         "metric": "headline-queries wall sec (sf parquet) + rollup tiers",
         "value": round(total + rollup_dt, 3),
         "unit": "sec",
-        "queries": {**times, "rollup_tiers_tokens": round(rollup_dt, 3)},
+        "queries": all_queries,
         "sf": sf,
         "rollup_points_per_sec": int(pps),
         "rollup_points": int(n_points),
@@ -94,7 +113,33 @@ def main() -> None:
                         "warmup_query (plan-cold, session-warm); "
                         "warmup_query itself is timed fully warm"),
     }
-    print(json.dumps(out))
+    # full detail: stdout line 1 (may scroll out of the driver's tail) and
+    # a file next to this script, for offline per-query diffing
+    full_line = json.dumps(out)
+    print(full_line)
+    try:
+        with open(os.path.join(REPO, "bench_full.json"), "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line 1 still has the detail
+    # compact FINAL line — must fit in the driver's ~2000-char tail capture
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(all_queries),
+        "rollup_points_per_sec": out["rollup_points_per_sec"],
+        "rollup_points": out["rollup_points"],
+        "warmup_query": out["warmup_query"],
+        "queries": {q: all_queries[q] for q in HEADLINE_QUERIES
+                    if q in all_queries},
+        "full_map": "stdout line 1 + bench_full.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1500, f"summary line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -420,8 +420,9 @@ def test_tfidf_top_terms_matches_python_model(spark):
 def test_entropy_signals_match_python_model(spark):
     """Word entropy / TTR / max-word share vs a literal collections.Counter
     model, including degenerate docs (all-same word -> 0 bits, all-distinct
-    -> log2(n) bits, empty text -> the [''] singleton the \\s+ split
-    yields)."""
+    -> log2(n) bits, empty/whitespace-only text -> all-zero defaults: the
+    \\s+ split would yield a [''] singleton, so such docs are pre-filtered
+    and fall through the left-join coalesce)."""
     import collections
     import math
 
@@ -435,6 +436,7 @@ def test_entropy_signals_match_python_model(spark):
         3: "the cat sat on the mat",
         4: "",
         5: "solo",
+        6: "  \t \n ",
     }
     pdf = pd.DataFrame(
         {"doc_id": list(docs), "text": list(docs.values())}
@@ -443,12 +445,18 @@ def test_entropy_signals_match_python_model(spark):
         r["doc_id"]: r
         for r in entropy_signals(spark.createDataFrame(pdf)).collect()
     }
+    assert set(got) == set(docs)  # empty docs kept as rows, not dropped
     for did, text in docs.items():
-        ws = text.strip().split() or [""]  # split('') -> [''] in-engine
+        r = got[did]
+        ws = text.strip().split()
+        if not ws:  # empty/whitespace-only: coalesced zero defaults
+            assert (r["n_words"], r["n_types"]) == (0, 0)
+            assert (r["ttr"], r["word_entropy"], r["max_word_frac"]) \
+                == (0.0, 0.0, 0.0)
+            continue
         c = collections.Counter(ws)
         n = len(ws)
         ent = -sum(v / n * math.log2(v / n) for v in c.values())
-        r = got[did]
         assert r["n_words"] == n
         assert r["n_types"] == len(c)
         assert r["ttr"] == round(len(c) / n, 6)

@@ -470,6 +470,8 @@ def link_cross_correlation(
     lags = list(range(-max_lag, max_lag + 1))
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
@@ -484,7 +486,11 @@ def link_cross_correlation(
                         continue
                     with np.errstate(invalid="ignore", divide="ignore"):
                         c = np.corrcoef(a[t0:t1], b[t0 + lag:t1 + lag])[0, 1]
-                    w = 0.0 if np.isnan(c) else float(np.round(c, round_dp))
+                    # quantize_ieee, not np.round: half-to-even vs the
+                    # cross-engine floor(x*1e{dp}+0.5) contract would rank
+                    # an exact-.5-boundary r differently from the oracle
+                    w = (0.0 if np.isnan(c)
+                         else float(quantize_ieee(c, round_dp)))
                     w += 0.0  # canonicalize -0.0
                     key = (-abs(w), lag)
                     if best is None or key < best[:2]:

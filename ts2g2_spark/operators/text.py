@@ -232,7 +232,13 @@ def entropy_signals(docs: DataFrame,
     all-same-word entropy can hit) so any SQL engine replays them."""
     import math
 
-    staged = _staged_words(docs, text_col)
+    # whitespace-only docs would split to empty-string tokens
+    # (n_words>=1, ttr>0) — filter them here so they fall through to
+    # the coalesced zero defaults below, like chunk_documents/build_vocab.
+    # rlike('\\S'), not length(trim())>0: trim strips only ' ' (a
+    # tab/newline-only doc would slip through)
+    staged = _staged_words(docs.where(F.col(text_col).rlike(r"\S")),
+                           text_col)
     g = (
         staged.select("doc_id", F.explode("_ws").alias("w"))
         .groupBy("doc_id", "w")

@@ -399,6 +399,12 @@ def incremental_tier_fold(
             else:
                 prev_dir = None
                 merged = delta
+            # a crash between this write / the hardlink carry and the
+            # _LATEST commit leaves a partial version dir; under
+            # partitionOverwriteMode=dynamic mode('overwrite') would NOT
+            # wipe it and the redelivered hardlink carry would hit
+            # FileExistsError — always start redelivery from a clean dir
+            shutil.rmtree(out_dir, ignore_errors=True)
             merged.withColumn("_pb", pb).write.mode("overwrite") \
                 .partitionBy("_pb").parquet(out_dir)
         finally:
@@ -477,7 +483,7 @@ _ALERT_STATE_SCHEMA = (
     "ts_us array<long>, okey array<long>, vals array<double>, st int"
 )
 _ALERT_OUT_SCHEMA = (
-    "user_id bigint, ts timestamp, value double, event string"
+    "user_id bigint, ts_us bigint, value double, event string"
 )
 
 
@@ -529,8 +535,11 @@ def streaming_threshold_alerts(
             for pdf in pdfs:
                 if not len(pdf):
                     continue
-                b_ts.extend(
-                    (pdf["ts"].astype("int64") // 1000).tolist())
+                # ts_us is projected relationally (unix_micros) before the
+                # groupBy: Arrow hands kernels session-LOCAL naive
+                # datetimes, so comparing pdf['ts'] against the engine's
+                # UTC watermark would shift under a non-UTC session tz
+                b_ts.extend(pdf["ts_us"].astype("int64").tolist())
                 b_ok.extend(pdf["event_id"].astype("int64").tolist())
                 b_v.extend(pdf["value"].astype("float64").tolist())
         w_ms = state.getCurrentWatermarkMs()
@@ -551,10 +560,11 @@ def streaming_threshold_alerts(
                         (t, v, "raise" if mk == 1 else "clear"))
                     st = mk
             if events_out:
+                # emit the long and convert relationally below — a naive
+                # pandas datetime would be re-read as session-local
                 out_rows = pd.DataFrame({
                     "user_id": key[0],
-                    "ts": pd.to_datetime(
-                        [t for t, _, _ in events_out], unit="us"),
+                    "ts_us": [t for t, _, _ in events_out],
                     "value": [v for _, v, _ in events_out],
                     "event": [e for _, _, e in events_out],
                 })
@@ -575,10 +585,15 @@ def streaming_threshold_alerts(
 
     return (
         events.withWatermark("ts", watermark)
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, _ALERT_OUT_SCHEMA, _ALERT_STATE_SCHEMA, "append",
             GroupStateTimeout.EventTimeTimeout)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "value", "event")
     )
 
 
