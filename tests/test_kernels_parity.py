@@ -286,3 +286,78 @@ def test_proximity_knn_stable_matches_reference_when_untied():
     e_st, w_st = kernels.proximity_knn_edges(y, 5, tie_order="stable")
     assert {tuple(t) for t in e_ref.tolist()} == \
         {tuple(t) for t in e_st.tolist()}
+
+
+# ---------------------------------------------------------------------------
+# r4: output-sensitive visibility kernels vs literal-predicate brute force
+# (the reference-fixture tests above cap at n=120 and only exercise the
+# dense NVG path; these pin the sparse-table HVG enumeration and the
+# n > _NVG_DENSE_N early-stop NVG path against brute force)
+# ---------------------------------------------------------------------------
+
+def _brute_hvg(y, limit=0):
+    n = len(y)
+    return {(i, j) for i in range(n) for j in range(i + 2, n)
+            if not np.any(y[i + limit + 1: j] > max(y[i], y[j]))}
+
+
+def _brute_nvg(y, limit=0):
+    out = set()
+    n = len(y)
+    for i in range(n):
+        for j in range(i + 2, n):
+            y1, y2 = float(y[i]), float(y[j])
+            slope = (y2 - y1) / (j - i)
+            offset = y2 - slope * j
+            ks = np.arange(i + limit + 1, j, dtype=np.float64)
+            if not (len(ks) and np.any(y[i + limit + 1: j]
+                                       > slope * ks + offset)):
+                out.add((i, j))
+    return out
+
+
+@pytest.mark.parametrize("limit", [0, 1, 2, 5])
+@pytest.mark.parametrize("case", ["noise", "quantized", "sorted",
+                                  "reverse", "flat", "plateau"])
+def test_visibility_kernels_vs_brute_force(case, limit):
+    r = np.random.default_rng(11)
+    y = {
+        "noise": r.normal(size=97),
+        "quantized": r.integers(0, 4, size=97).astype(float),
+        "sorted": np.sort(r.normal(size=60)),
+        "reverse": np.sort(r.normal(size=60))[::-1].copy(),
+        "flat": np.ones(40),
+        "plateau": np.concatenate(
+            [np.full(12, 5.0), r.normal(size=12), np.full(12, 5.0)]),
+    }[case]
+    got_h = {tuple(e) for e in kernels.hvg_edges(y, limit).tolist()}
+    assert got_h == _brute_hvg(y, limit), ("hvg", case, limit)
+    got_n = {tuple(e) for e in kernels.nvg_edges(y, limit).tolist()}
+    assert got_n == _brute_nvg(y, limit), ("nvg", case, limit)
+
+
+@pytest.mark.parametrize("limit", [0, 2])
+def test_nvg_early_stop_path_matches_dense(limit):
+    """The n > _NVG_DENSE_N chunked early-stop path must emit the same
+    edge set as the dense whole-series scan (same predicate, different
+    physical strategy) — including across a monotone stretch where the
+    suffix-max stop condition is never provable."""
+    r = np.random.default_rng(5)
+    y = np.concatenate([r.normal(size=500),
+                        np.sort(r.normal(size=300)) * 10.0,
+                        r.normal(size=500)])
+    dense = {tuple(e) for e in kernels._nvg_dense(y, limit).tolist()}
+    fast = {tuple(e) for e in kernels._nvg_early_stop(y, limit).tolist()}
+    assert fast == dense
+    assert len(dense) > len(y)  # sanity: non-trivial edge count
+
+
+def test_hvg_first_greater_walk():
+    """The sparse-table walk returns the FIRST strict violator at or
+    after each start (or n), including ties-with-target and start >= n."""
+    y = np.array([1.0, 3.0, 3.0, 2.0, 5.0, 0.0])
+    T = kernels._range_max_table(y)
+    starts = np.array([0, 1, 2, 4, 9])
+    targets = np.array([3.0, 2.0, 5.0, -1.0, 0.0])
+    got = kernels._first_greater(T, starts, targets, len(y))
+    assert got.tolist() == [4, 1, 6, 4, 6]

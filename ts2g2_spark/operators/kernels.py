@@ -30,6 +30,14 @@ _BOUNDARY_RTOL = 1e-9
 # Visibility graphs  (ref: to_graph/strategies.py:479-546, 581-695, 698-751)
 # ---------------------------------------------------------------------------
 
+#: segments up to this length take the dense whole-series NVG path (one
+#: 2-D numpy pass per segment, ~8n^2 bytes of scratch); longer segments
+#: take the per-anchor early-stop path, which is output-sensitive for
+#: stationary series (each anchor's scan halts once the running obstructor
+#: slope provably clears the suffix maximum).
+_NVG_DENSE_N = 1024
+
+
 def nvg_edges(y: np.ndarray, limit: int = 0) -> np.ndarray:
     """Natural visibility graph extra edges (beyond the path graph).
 
@@ -41,43 +49,111 @@ def nvg_edges(y: np.ndarray, limit: int = 0) -> np.ndarray:
     so all pairs with x2-x1 <= limit+1 are unconditionally visible.
 
     Fast path: visible(i,j) iff max_{k in window}(slope(i,k)) <= slope(i,j)
-    (mathematically equivalent; prefix max per anchor => O(n^2) total).
-    Pairs within a relative tolerance of the max are re-decided with the
-    reference-literal expression so boundary bits match exactly.
+    (mathematically equivalent).  Two physical strategies share that
+    predicate and the boundary-recheck contract (pairs within a relative
+    tolerance of the max are re-decided with the reference-literal
+    expression so boundary bits match exactly):
+
+    - n <= _NVG_DENSE_N: one whole-series 2-D scan (slope matrix +
+      exclusive row-wise running max) — no per-anchor Python loop, which
+      dominates at the short segment lengths produced by typical
+      segmentation (r4 rewrite; was a per-anchor loop).
+    - n > _NVG_DENSE_N: per-anchor scan in geometrically growing chunks
+      with a suffix-max EARLY STOP: once the running obstructor slope m
+      satisfies m > max(suffix_max - y_i, 0)/(j - i) by a 1e-6 relative
+      guard (1000x the recheck band), no later j can be visible or land
+      in the recheck band, so the anchor's scan halts.  Expected cost is
+      O(visible extent) per anchor on stationary series; worst case
+      O(n^2) only when the output itself is Theta(n^2) (e.g. convex
+      series, where every pair is an edge).
 
     Returns int64 array (m, 2) of (src, dst) with src < dst, excluding the
     path-graph edges (j == i+1), which the caller always includes.
     """
     n = len(y)
-    out: list[tuple[int, int]] = []
     if n < 3:
         return np.empty((0, 2), dtype=np.int64)
     y = np.asarray(y, dtype=np.float64)
+    if n <= _NVG_DENSE_N:
+        return _nvg_dense(y, limit)
+    return _nvg_early_stop(y, limit)
+
+
+def _nvg_dense(y: np.ndarray, limit: int) -> np.ndarray:
+    """Whole-series NVG scan: same comparisons as the per-anchor loop
+    (row i of the matrices IS that anchor's slope/prefix-max scan), one
+    numpy pass for all anchors."""
+    n = len(y)
+    idx = np.arange(n, dtype=np.int64)
+    dist = idx[None, :] - idx[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = (y[None, :] - y[:, None]) / dist
+    obstr = np.where(dist >= limit + 1, S, -np.inf)
+    # M[i, j] = max over obstructors k strictly before j (exclusive
+    # row-wise prefix max; lower triangle is -inf so it never leaks in)
+    M = np.full((n, n), -np.inf)
+    np.maximum.accumulate(obstr[:, :-1], axis=1, out=M[:, 1:])
+    cand = dist >= 2  # path edges handled by the caller
+    tol = _BOUNDARY_RTOL * (np.abs(M) + np.abs(S) + 1.0)
+    visible = M < S - tol
+    boundary = cand & ~visible & (M <= S + tol)
+    for i, j in zip(*np.nonzero(boundary)):
+        visible[i, j] = not _nvg_obstructed_ref(y, int(i), int(j), limit)
+    ii, jj = np.nonzero(cand & visible)
+    if not len(ii):
+        return np.empty((0, 2), dtype=np.int64)
+    return np.stack([ii, jj], axis=1).astype(np.int64)
+
+
+def _nvg_early_stop(y: np.ndarray, limit: int) -> np.ndarray:
+    """Per-anchor NVG scan for long segments: geometrically growing
+    chunks + the suffix-max early stop (see nvg_edges docstring).
+
+    Safety of the stop: every obstructor/candidate slope from j0 onward
+    is <= slope_ub = max(smax[j0] - y_i, 0)/(j0 - i) (positive numerators
+    shrink with distance; non-positive slopes are < m > 0 outright), so
+    the running max M stays exactly m and M - slope > guard keeps every
+    skipped pair outside both the visible test and the recheck band."""
+    n = len(y)
+    smax = np.maximum.accumulate(y[::-1])[::-1]  # smax[j] = max(y[j:])
+    out: list[np.ndarray] = []
     for i in range(n - 2):
-        js = np.arange(i + 1, n)
-        slopes = (y[i + 1:] - y[i]) / (js - i)
-        # prefix max of slopes over permissible obstructors k >= i+limit+1
-        obstr = slopes.copy()
-        if limit > 0:
-            obstr[: min(limit, len(obstr))] = -np.inf
-        # M[t] = max over obstructors strictly before j = i+1+t
-        M = np.empty_like(obstr)
-        M[0] = -np.inf
-        np.maximum.accumulate(obstr[:-1], out=M[1:])
-        cand = js >= i + 2  # skip path edge (handled by caller)
-        tol = _BOUNDARY_RTOL * (np.abs(M) + np.abs(slopes) + 1.0)
-        visible = M < slopes - tol
-        boundary = cand & ~visible & (M <= slopes + tol)
-        for t in np.nonzero(boundary)[0]:
-            j = i + 1 + t
-            visible[t] = not _nvg_obstructed_ref(y, i, j, limit)
-        sel = np.nonzero(cand & visible)[0]
-        out.extend((i, i + 1 + int(t)) for t in sel)
-    return (
-        np.array(out, dtype=np.int64)
-        if out
-        else np.empty((0, 2), dtype=np.int64)
-    )
+        m = -np.inf
+        j0, chunk = i + 1, 64
+        while j0 < n:
+            j1 = min(n, j0 + chunk)
+            js = np.arange(j0, j1)
+            slopes = (y[j0:j1] - y[i]) / (js - i)
+            obstr = np.where(js - i >= limit + 1, slopes, -np.inf)
+            M = np.empty_like(obstr)
+            M[0] = m
+            if len(obstr) > 1:
+                np.maximum.accumulate(obstr[:-1], out=M[1:])
+                np.maximum(M[1:], m, out=M[1:])
+            cand = js >= i + 2
+            tol = _BOUNDARY_RTOL * (np.abs(M) + np.abs(slopes) + 1.0)
+            visible = M < slopes - tol
+            boundary = cand & ~visible & (M <= slopes + tol)
+            for t in np.nonzero(boundary)[0]:
+                visible[t] = not _nvg_obstructed_ref(y, i, int(j0 + t),
+                                                     limit)
+            sel = np.nonzero(cand & visible)[0]
+            if len(sel):
+                e = np.empty((len(sel), 2), dtype=np.int64)
+                e[:, 0] = i
+                e[:, 1] = j0 + sel
+                out.append(e)
+            if len(obstr):
+                m = max(m, float(obstr.max()))
+            j0, chunk = j1, min(chunk * 4, 65536)
+            if j0 < n and m > 0.0:
+                slope_ub = max(smax[j0] - y[i], 0.0) / (j0 - i)
+                guard = 1e-6 * (abs(m) + abs(slope_ub) + 1.0)
+                if m > slope_ub + guard:
+                    break
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.concatenate(out)
 
 
 def _nvg_obstructed_ref(y: np.ndarray, x1: int, x2: int, limit: int) -> bool:
@@ -92,38 +168,102 @@ def _nvg_obstructed_ref(y: np.ndarray, x1: int, x2: int, limit: int) -> bool:
     return bool(np.any(y[x1 + limit + 1: x2] > slope * ks + offset))
 
 
+def _range_max_table(y: np.ndarray) -> list[np.ndarray]:
+    """Sparse range-max table: T[l][k] = max(y[k : k + 2**l])."""
+    n = len(y)
+    T = [y]
+    level = 1
+    while (1 << level) <= n:
+        prev = T[-1]
+        half = 1 << (level - 1)
+        T.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+        level += 1
+    return T
+
+
+def _first_greater(T: list[np.ndarray], starts: np.ndarray,
+                   targets: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized sparse-table walk: for each query, the first index
+    k >= starts[q] with y[k] > targets[q] (strict), else n.
+
+    One pass from the highest level down: a 2**l block starting at the
+    cursor is skipped iff its max <= target.  The cursor then advances by
+    exactly the binary decomposition of (first violator - start), so a
+    single attempt per level suffices.  Comparisons are plain float64
+    max/compare — bit-identical to the reference's strict-> predicate."""
+    cur = np.minimum(starts, n).astype(np.int64)
+    for level in range(len(T) - 1, -1, -1):
+        width = 1 << level
+        can = cur + width <= n
+        block_max = T[level][np.where(can, cur, 0)]
+        cur = cur + np.where(can & (block_max <= targets), width, 0)
+    return cur
+
+
+def _ragged_offsets(cnt: np.ndarray) -> np.ndarray:
+    """[0..cnt[0]), [0..cnt[1]), ... concatenated (int64)."""
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(cnt)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - cnt, cnt)
+
+
 def hvg_edges(y: np.ndarray, limit: int = 0) -> np.ndarray:
     """Horizontal visibility graph extra edges (beyond the path graph).
 
     Reference predicate (to_graph/strategies.py:687-692): obstructed iff any
-    intermediate (skipping the first ``limit``) has  y > max(y1, y2)
-    (strict).  max/compare are exact in float64, so the prefix-max scan is
-    bit-identical with no recheck needed.
+    intermediate (skipping the first ``limit`` after the left endpoint) has
+    y > max(y1, y2) (strict).  max/compare are exact in float64, so no
+    boundary recheck is needed.
+
+    Output-sensitive enumeration, O(n log n + E) per segment (r4 rewrite;
+    was an O(n^2) per-anchor prefix-max loop).  A pair (i, j) is visible
+    iff max(y[i+limit+1 : j]) <= max(y_i, y_j), which splits by which
+    endpoint dominates:
+
+    - case A (interior max <= y_j): holds iff the LAST k < j with
+      y_k > y_j sits at or before i+limit, i.e. i >= prev_greater(j) -
+      limit — a contiguous i-run per j.
+    - case B (interior max <= y_i): holds iff the FIRST k >= i+limit+1
+      with y_k > y_i sits at or after j, i.e. j <= next_greater_lim(i) —
+      a contiguous j-run per i.
+
+    Every visible pair is in A or B (its larger endpoint's case), every
+    A/B pair is visible, and both runs enumerate with repeat/arange; the
+    A-union-B overlap dedups through one np.unique on i*n+j keys (which
+    also yields the (src, dst)-lexicographic output order).  prev/next
+    greater indices come from the vectorized sparse-table walk, so there
+    is no per-anchor Python loop.  E itself is Theta(n^2) on monotone
+    runs (under this predicate every pair in a run is visible), so
+    output-sensitive is the optimal shape.
     """
     n = len(y)
-    out: list[tuple[int, int]] = []
     if n < 3:
         return np.empty((0, 2), dtype=np.int64)
     y = np.asarray(y, dtype=np.float64)
-    for i in range(n - 2):
-        seg = y[i + 1:]
-        obstr = seg.copy()
-        if limit > 0:
-            obstr[: min(limit, len(obstr))] = -np.inf
-        M = np.empty_like(obstr)
-        M[0] = -np.inf
-        np.maximum.accumulate(obstr[:-1], out=M[1:])
-        js = np.arange(i + 1, n)
-        visible = (js >= i + 2) & (M <= np.maximum(y[i], seg))
-        sel = np.nonzero(visible)[0]
-        out.extend((i, i + 1 + int(t)) for t in sel)
-        # early exit: once the running max exceeds every future max(y1,y2)
-        # we could stop, but numpy scan is already O(n) per anchor.
-    return (
-        np.array(out, dtype=np.int64)
-        if out
-        else np.empty((0, 2), dtype=np.int64)
-    )
+    T = _range_max_table(y)
+    idx = np.arange(n, dtype=np.int64)
+    # case B: first violator k >= i+limit+1 with y_k > y_i
+    nxt = _first_greater(T, idx + limit + 1, y, n)
+    jmax = np.minimum(nxt, n - 1)
+    cnt_b = np.maximum(jmax - idx - 1, 0)
+    src_b = np.repeat(idx, cnt_b)
+    dst_b = src_b + 2 + _ragged_offsets(cnt_b)
+    # case A: last violator k < j with y_k > y_j, via the reversed array
+    z = y[::-1]
+    Tz = _range_max_table(z)
+    nxt_z = _first_greater(Tz, (n - 1 - idx) + 1, z[n - 1 - idx], n)
+    prev = n - 1 - nxt_z  # nxt_z == n -> -1 (no violator)
+    imin = np.maximum(prev - limit, 0)
+    cnt_a = np.maximum((idx - 2) - imin + 1, 0)
+    dst_a = np.repeat(idx, cnt_a)
+    src_a = np.repeat(imin, cnt_a) + _ragged_offsets(cnt_a)
+    key = np.concatenate([src_b * n + dst_b, src_a * n + dst_a])
+    if not len(key):
+        return np.empty((0, 2), dtype=np.int64)
+    key = np.unique(key)
+    return np.stack([key // n, key % n], axis=1).astype(np.int64)
 
 
 def visibility_graph(
