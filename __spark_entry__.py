@@ -1917,17 +1917,110 @@ def q_generate_sequences(spark, sf_dir):
 
 
 def q_link_dtw(spark, sf_dir):
-    """L8 DTW linking of per-user daily-sum series (no SQL oracle: O(n m)
-    DP; rows-only).  DP parity is pinned in tests/test_linking.py."""
+    """L8 DTW linking of per-user daily-sum series.  Oracled since r4:
+    the O(n m) DP replays in DuckDB as a single recursive CTE in
+    row-major cell order carrying a sliding window of the last m+2 cell
+    values, so every cell applies the IDENTICAL float64 ops in the
+    IDENTICAL order as the numpy kernel ((a-b)*(a-b) + least(diag, up,
+    left)); the backtrack replays as a second recursive CTE over the
+    materialized cell table with the same diag/up/left first-minimum
+    preference.  Daily sums are quantized with the IEEE floor formula on
+    BOTH sides (the recurrence-input rule) so engine-vs-oracle sum drift
+    cannot seed divergent paths.  DP parity vs the reference recurrence
+    is pinned in tests/test_linking.py."""
     from ts2g2_spark.operators import graphs, linking
 
     ev = _events(spark, sf_dir).where(F.col("user_id") < 6)
     daily = ev.groupBy(
         F.col("user_id"), F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum("value").alias("v"))
+    ).agg((F.floor(F.sum("value") * 1e6 + 0.5) / 1e6).alias("v"))
     series = graphs.series_from_points(
         daily, "user_id", ts_col="day", val_col="v")
     return linking.link_dtw(series).select("src", "dst")
+
+
+LINK_DTW_SQL = """
+with recursive
+daily as materialized (
+  select user_id, date_trunc('day', ts) as day,
+         floor(sum(value) * 1e6 + 0.5) / 1e6 as v
+  from events where user_id < 6 group by 1, 2
+),
+ser as materialized (
+  select user_id, list(v order by day) as vals, count(*)::BIGINT as len
+  from daily group by 1
+),
+pr as materialized (
+  select a.user_id as ka, b.user_id as kb, a.vals as s1, b.vals as s2,
+         a.len as n, b.len as m
+  from ser a join ser b on a.user_id < b.user_id
+),
+-- forward DP over the (n+1) x (m+1) grid (row 0 and column 0 are the
+-- infinity boundary; D[0][0] = 0) in row-major cell order
+-- u = i*(m+1) + j.  win holds cells u-m-1 .. u, so for the NEXT cell
+-- diag = win[1], up = win[2], left = win[m+2] -- the same three
+-- candidates, combined with the same float64 +/least, as the kernel.
+dp as (
+  select ka, kb, m, n, s1, s2, m::BIGINT as u, 'infinity'::DOUBLE as v,
+         ['infinity'::DOUBLE, 0.0::DOUBLE] ||
+           list_transform(generate_series(1, m::INT),
+                          x -> 'infinity'::DOUBLE) as win
+  from pr
+  union all
+  select ka, kb, m, n, s1, s2, u + 1 as u,
+         case when (u + 1) % (m + 1) = 0 then 'infinity'::DOUBLE
+              else (s1[((u + 1) // (m + 1))::INT]
+                    - s2[((u + 1) % (m + 1))::INT])
+                   * (s1[((u + 1) // (m + 1))::INT]
+                      - s2[((u + 1) % (m + 1))::INT])
+                   + least(win[1], win[2], win[m + 2])
+         end as v,
+         win[2:] || [case when (u + 1) % (m + 1) = 0
+                          then 'infinity'::DOUBLE
+                          else (s1[((u + 1) // (m + 1))::INT]
+                                - s2[((u + 1) % (m + 1))::INT])
+                               * (s1[((u + 1) // (m + 1))::INT]
+                                  - s2[((u + 1) % (m + 1))::INT])
+                               + least(win[1], win[2], win[m + 2])
+                     end] as win
+  from dp where u < (n + 1) * (m + 1) - 1
+),
+dm as materialized (
+  -- all grid cells: recursion rows (u >= m) plus the rest of row 0
+  select ka, kb, (u // (m + 1))::BIGINT as i, (u % (m + 1))::BIGINT as j,
+         v
+  from dp
+  union all
+  select ka, kb, 0 as i, j,
+         case when j = 0 then 0.0 else 'infinity'::DOUBLE end as v
+  from (select ka, kb, unnest(generate_series(0, m::INT - 1)) as j
+        from pr)
+),
+-- backtrack from (n, m): first minimum in (diag, up, left) order,
+-- mirroring the kernel's min() over that candidate tuple
+bk as (
+  select ka, kb, n as i, m as j from pr
+  union all
+  select bk.ka, bk.kb,
+         case when d.v <= u_.v and d.v <= l.v then bk.i - 1
+              when u_.v <= l.v then bk.i - 1
+              else bk.i end as i,
+         case when d.v <= u_.v and d.v <= l.v then bk.j - 1
+              when u_.v <= l.v then bk.j
+              else bk.j - 1 end as j
+  from bk
+  join dm d  on d.ka = bk.ka and d.kb = bk.kb
+            and d.i = bk.i - 1 and d.j = bk.j - 1
+  join dm u_ on u_.ka = bk.ka and u_.kb = bk.kb
+            and u_.i = bk.i - 1 and u_.j = bk.j
+  join dm l  on l.ka = bk.ka and l.kb = bk.kb
+            and l.i = bk.i and l.j = bk.j - 1
+  where bk.i > 1 or bk.j > 1
+)
+select ka::VARCHAR || ':' || (i - 1)::VARCHAR as src,
+       kb::VARCHAR || ':' || (j - 1)::VARCHAR as dst
+from bk
+"""
 
 
 # ------------------------------------------- proximity networks (G11-G15)
@@ -5366,7 +5459,7 @@ _RAW_QUERIES = {
         "manual_edge": q_manual_edge,
         "combine_nodes": q_combine_nodes,
         "combine_subgraphs": q_combine_subgraphs,
-        "link_dtw": q_link_dtw,  # rows-only: O(nm) DP
+        "link_dtw": q_link_dtw,  # oracled r4: recursive-CTE DP replay
         # -- analytics E1/E4 + generation R2-R5 ------------------ 4
         "embedding_rank": q_embedding_rank,
         "kendall_tau_fast": q_kendall_tau_fast,
@@ -5544,9 +5637,12 @@ def oracle_sql() -> dict[str, str]:
         # ordinal/sequences variants): no SQL oracle (seeded stochastic
         # walks) -> rows-only checks; bit-parity vs the seeded reference
         # pinned in tests/test_generate.py.
-        # link_dtw / eigencentrality_hvg / media_features: no SQL oracle
-        # (DP / eigensolver / binary decode) -> rows-only checks; parity
+        # eigencentrality_hvg / media_features: no SQL oracle
+        # (eigensolver / binary decode) -> rows-only checks; parity
         # pinned by the reference-oracle pytest suites.
+        # link_dtw graduated to a full oracle in r4 (recursive-CTE DP
+        # replay, see LINK_DTW_SQL).
+        "link_dtw": LINK_DTW_SQL,
         "ann_cosine_top5": ANN_SQL,
         "emb_cosine_dup": EMB_COSINE_DUP_SQL,
         "embedding_norms": NORM_SQL,

@@ -89,14 +89,15 @@ def test_driver_prefix_ordering_contract():
     """The driver's correctness harness samples a 50-query PREFIX of
     queries() (CORRECTNESS_r02 checked exactly the first 50).  Pin the
     ordering contract: every prefix entry is either SQL-oracled or one
-    of the three declared rows-only representatives, so a future
+    of the two declared rows-only representatives (link_dtw graduated
+    to a full recursive-CTE DP-replay oracle in r4), so a future
     reorder/addition can't silently push an oracled family rep out of
     the driver's sample."""
     qs = list(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     prefix = qs[:50]
     rows_only = [q for q in prefix if q not in oracles]
-    assert set(rows_only) == {"link_dtw", "eigencentrality_hvg",
+    assert set(rows_only) == {"eigencentrality_hvg",
                               "generate_walks"}, rows_only
     # every oracle key must correspond to a real query
     assert oracles <= set(qs)
