@@ -3550,6 +3550,61 @@ def q_duplicated_spans(spark, sf_dir):
         positions_frame=pos)
 
 
+def q_line_dedup(spark, sf_dir):
+    """MassiveText/CCNet-style line-level boilerplate removal
+    (dedup.line_dedup, r4): strip every line appearing in more than
+    max_df=2 distinct documents, keep the document rows with cleaned
+    text + (n_lines, n_removed) stats.  The synthetic corpus has no
+    newlines, so the query synthesizes a deterministic line structure
+    first — consecutive 8-word windows joined with newlines — which the
+    oracle replays with the same slicing; at sf0.01 that yields 17
+    cross-document hot lines (df >= 3).  Projection barriers keep the
+    split out of the per-chunk slice expressions (the CollapseProject
+    HOF trap)."""
+    from ts2g2_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim("text"), r"\s+")
+    staged = docs.select("doc_id", words.alias("_ws"),
+                         F.rand(0).alias("_b1"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), ((F.size("_ws") - 1) / 8).cast("int")),
+        lambda g: F.array_join(F.slice("_ws", g * 8 + 1, 8), " "))
+    lined = staged.select(
+        "doc_id", F.array_join(chunks, "\n").alias("text"),
+        F.rand(0).alias("_b2"))
+    return dedup.line_dedup(lined.select("doc_id", "text"), max_df=2)
+
+
+LINE_DEDUP_SQL = r"""
+with w as materialized (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') ws
+  from documents
+),
+l as materialized (
+  select doc_id, g, array_to_string(ws[g*8+1 : g*8+8], ' ') as line
+  from w, lateral (
+    select unnest(generate_series(0, (len(ws) - 1) // 8)) as g) t
+),
+hot as (
+  select lower(trim(line)) as k
+  from l where trim(line) != ''
+  group by 1 having count(distinct doc_id) > 2
+),
+f as (
+  select l.doc_id, l.g, l.line,
+         (h.k is not null and trim(l.line) != '') as rm
+  from l left join hot h on lower(trim(l.line)) = h.k
+)
+select doc_id,
+       coalesce(string_agg(case when not rm then line end,
+                           chr(10) order by g), '') as text,
+       count(*)::BIGINT as n_lines,
+       sum(rm::INT)::BIGINT as n_removed
+from f group by doc_id
+"""
+
+
 def _duplicated_spans_sql(n_words: int = 10, min_count: int = 2) -> str:
     # n_words=10 shifts a 60-bit h64 up to 9 bits: Spark's shiftleft wraps
     # mod 2^64, DuckDB's BIGINT << raises on overflow.  The shingle hash
@@ -5519,6 +5574,7 @@ _RAW_QUERIES = {
         "lm_perplexity": q_lm_perplexity,
         "tfidf_top_terms": q_tfidf_top_terms,
         "duplicated_spans": q_duplicated_spans,
+        "line_dedup": q_line_dedup,
         "m4_1h": q_m4_1h,
         "rolling_zscore": q_rolling_zscore,
         "sax_w8_a4": q_sax_w8_a4,
@@ -5663,6 +5719,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),
+        "line_dedup": LINE_DEDUP_SQL,
         "m4_1h": M4_SQL,
         "rolling_zscore": ZSCORE_SQL,
         "sax_w8_a4": SAX_SQL,

@@ -336,3 +336,63 @@ def test_duplicated_spans_md5_matches_xxhash(spark):
     b = {tuple(r) for r in dedup.duplicated_spans(
         docs, n_words=10, word_hash="md5").collect()}
     assert a == b and a
+
+
+def test_line_dedup_strips_cross_doc_boilerplate(spark):
+    """Lines in more than max_df distinct docs are stripped everywhere
+    (case-insensitively), all occurrences, while in-document repetition
+    alone never marks a line hot; blanks are kept as structure; docs
+    losing every line stay as rows with empty text."""
+    import pandas as pd
+
+    from ts2g2_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "COOKIE BANNER\nreal one\nfooter",   # banner df=4, footer df=3
+            "cookie banner\nreal two\nfooter",
+            "Cookie Banner \nunique\nfooter",
+            "self\nself\nself\nself",      # in-doc repeats: never hot
+            "cookie banner",               # all boilerplate -> empty
+        ],
+    }))
+    # max_df=3: only the 4-doc banner is hot; the 3-doc footer survives
+    got = {r["doc_id"]: r for r in line_dedup(docs, max_df=3).collect()}
+    assert len(got) == 5  # every doc kept as a row
+    assert got[1]["text"] == "real one\nfooter"
+    assert got[2]["text"] == "real two\nfooter"
+    assert got[3]["text"] == "unique\nfooter"
+    assert got[4]["text"] == "self\nself\nself\nself"
+    assert got[5]["text"] == ""
+    assert (got[5]["n_lines"], got[5]["n_removed"]) == (1, 1)
+    # max_df=2 also strips the 3-doc footer
+    got2 = {r["doc_id"]: r for r in line_dedup(docs, max_df=2).collect()}
+    assert got2[1]["text"] == "real one"
+    assert got2[4]["text"] == "self\nself\nself\nself"
+    assert got2[1]["n_removed"] == 2
+
+
+def test_line_dedup_blanks_and_shuffled_hot_join(spark):
+    """Whitespace-only lines are never counted or stripped even when
+    universal; broadcast_hot=False (the pathological-hot-set fallback)
+    gives identical results; empty docs survive as one blank line."""
+    import pandas as pd
+    import pytest as _pt
+
+    from ts2g2_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a\n \nkeep me", "b\n \nkeep me", ""],
+    }))
+    for bc in (True, False):
+        got = {r["doc_id"]: r
+               for r in line_dedup(docs, max_df=1,
+                                   broadcast_hot=bc).collect()}
+        assert got[1]["text"] == "a\n "
+        assert got[2]["text"] == "b\n "
+        assert got[3]["text"] == ""
+        assert (got[3]["n_lines"], got[3]["n_removed"]) == (1, 0)
+    with _pt.raises(ValueError, match="max_df"):
+        line_dedup(docs, max_df=0)

@@ -773,3 +773,77 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_df: int = 1,
+    delimiter: str = "\n",
+    joiner: str = "\n",
+    normalize: bool = True,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """MassiveText/CCNet-style line-level dedup: strip every line whose
+    normalized form appears in MORE than ``max_df`` distinct documents
+    (cross-document boilerplate: headers, footers, cookie banners,
+    navigation).  The most common real-pipeline cleaning step between
+    exact dedup (whole doc) and duplicated_spans (substring runs).
+
+    Returns one row per input document: (doc_id, <text_col> cleaned,
+    n_lines, n_removed).  Documents whose every line is boilerplate stay
+    as rows with empty text — droppable downstream, never silently lost.
+
+    Semantics: lines split on the ``delimiter`` REGEX, rebuilt with the
+    ``joiner`` string; the DF count is over DISTINCT documents per
+    normalized line (lower+trim when ``normalize``), so in-document
+    repetition alone never marks a line hot; removal then strips ALL
+    occurrences of hot lines; whitespace-only lines are never counted or
+    stripped (they are structure, not boilerplate).
+
+    Scale shape (100 TB): three equi-keyed exchanges — the distinct
+    (hash, doc) pre-aggregation (map-side partial first, so a
+    million-fold repeated banner contributes one row per doc to the
+    shuffle), the DF count keyed on the 60-bit line hash, and the
+    rebuild keyed on doc_id carrying the corpus text once.  The hot set is bounded by
+    total_lines / max_df and is usually tiny (true boilerplate), so it
+    broadcasts; pass broadcast_hot=False to force a shuffled join when
+    a pathological corpus makes it large.  The projection barrier keeps
+    Catalyst from inlining the split regex per line (the
+    InferFiltersFromGenerate / CollapseProject HOF trap)."""
+    if max_df < 1:
+        raise ValueError(f"line_dedup: max_df must be >= 1, got {max_df}")
+    other = [c for c in docs.columns if c != text_col]
+    staged = docs.select(
+        *other, F.split(text_col, delimiter).alias("_ls"),
+        F.rand(0).alias("_b1"))
+    lines = staged.select(
+        *other, F.posexplode("_ls").alias("_pos", "_line"))
+    norm = F.lower(F.trim("_line")) if normalize else F.col("_line")
+    lines = lines.withColumn("_h", h64(norm)).withColumn(
+        "_blank", F.trim("_line") == "")
+    # DF per normalized line over distinct docs: two-level partial agg
+    hot = (
+        lines.where(~F.col("_blank"))
+        .select("doc_id", "_h").distinct()
+        .groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("_h", F.lit(True).alias("_hot"))
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    flagged = lines.join(hot, "_h", "left").withColumn(
+        "_rm", F.coalesce("_hot", F.lit(False)) & ~F.col("_blank"))
+    kept = F.array_sort(
+        F.collect_list(F.when(~F.col("_rm"),
+                              F.struct("_pos", F.col("_line")))))
+    return (
+        flagged.groupBy(*other)
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda s: s["_line"]), joiner
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_rm").cast("int")).alias("n_removed"),
+        )
+    )
