@@ -1637,6 +1637,56 @@ where list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup composite (similarity.semantic_dedup, r4): md5-seeded
+    centroids (h64 order — ANSI-replayable), no Lloyd pass (so no float
+    mean accumulation order enters the result), nearest-list assignment,
+    then the per-cluster eps-ball min-id keep rule at cosine >= 0.4
+    (eps = 0.6, the emb_cosine_dup threshold).  The oracle replays
+    seeding via the md5-prefix hash, assignment via
+    (list_distance, list_id) first-minimum rank, and the keep rule via
+    the same intra-cluster join."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    return similarity.semantic_dedup(
+        emb, eps=0.6, n_lists=8, seed_hash="md5", lloyd=False)
+
+
+SEMANTIC_DEDUP_SQL = """
+with e as materialized (
+  select vec_id, embedding::DOUBLE[] v from embeddings
+),
+seeds as materialized (
+  select v as c, row_number() over (
+      order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+               as bigint), vec_id
+    ) - 1 as list_id
+  from e
+  order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+           as bigint), vec_id
+  limit 8
+),
+asg as materialized (
+  select vec_id, v, list_id::INT as list_id from (
+    select e.vec_id, e.v, s.list_id,
+           row_number() over (
+             partition by e.vec_id
+             order by list_distance(e.v, s.c), s.list_id) as rn
+    from e cross join seeds s
+  ) where rn = 1
+),
+dup as (
+  select a.vec_id as id_b, min(b.vec_id) as dup_of
+  from asg a join asg b on a.list_id = b.list_id and b.vec_id < a.vec_id
+  where list_cosine_similarity(a.v, b.v) >= 0.4
+  group by 1
+)
+select a.vec_id, a.list_id, (d.dup_of is null) as keep, d.dup_of
+from asg a left join dup d on d.id_b = a.vec_id
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     sq = F.aggregate(
@@ -5575,6 +5625,7 @@ _RAW_QUERIES = {
         "tfidf_top_terms": q_tfidf_top_terms,
         "duplicated_spans": q_duplicated_spans,
         "line_dedup": q_line_dedup,
+        "semantic_dedup": q_semantic_dedup,
         "m4_1h": q_m4_1h,
         "rolling_zscore": q_rolling_zscore,
         "sax_w8_a4": q_sax_w8_a4,
@@ -5720,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),
         "line_dedup": LINE_DEDUP_SQL,
+        "semantic_dedup": SEMANTIC_DEDUP_SQL,
         "m4_1h": M4_SQL,
         "rolling_zscore": ZSCORE_SQL,
         "sax_w8_a4": SAX_SQL,

@@ -110,3 +110,63 @@ def test_lsh_candidate_pairs_empty_sigs(spark):
 
     empty = spark.createDataFrame([], "doc_id long, sig array<long>")
     assert dedup.lsh_candidate_pairs(empty, bands=8).collect() == []
+
+
+def test_semantic_dedup_planted_near_dups(spark):
+    """A planted eps-ball (three near-identical vectors) keeps only its
+    minimum id; distinct vectors all survive; the keep rule is local
+    (every dropped vector names its smallest qualifying neighbor)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    rows = []
+    for vid in (1, 2, 3):  # near-identical ball
+        rows.append((vid, (base + rng.normal(scale=1e-3, size=8)).tolist()))
+    for vid in (10, 11, 12, 13):  # well-separated singletons
+        rows.append((vid, rng.normal(size=8).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, eps=0.2, n_lists=2).collect()}
+    assert len(got) == 7
+    assert got[1]["keep"] and got[1]["dup_of"] is None
+    assert not got[2]["keep"] and got[2]["dup_of"] == 1
+    assert not got[3]["keep"] and got[3]["dup_of"] in (1, 2)
+    for vid in (10, 11, 12, 13):
+        assert got[vid]["keep"], vid
+
+
+def test_semantic_dedup_deterministic_and_md5_mode(emb):
+    """Same input -> identical output across runs for both seeding
+    hashes; md5+no-Lloyd (the oracle mode) dedups a corpus with known
+    near-dup pairs (emb_cosine_dup finds pairs at 0.4)."""
+    a = sorted(map(tuple, similarity.semantic_dedup(
+        emb, eps=0.6, n_lists=8).collect()))
+    b = sorted(map(tuple, similarity.semantic_dedup(
+        emb, eps=0.6, n_lists=8).collect()))
+    assert a == b
+    m = similarity.semantic_dedup(emb, eps=0.6, n_lists=8,
+                                  seed_hash="md5", lloyd=False)
+    rows = m.collect()
+    assert len(rows) == emb.count()  # one verdict per vector
+    dropped = [r for r in rows if not r["keep"]]
+    assert dropped, "corpus with cosine>=0.4 pairs must drop something"
+    for r in dropped:
+        assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+
+
+def test_semantic_dedup_edges(spark, emb):
+    import pandas as pd
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="eps"):
+        similarity.semantic_dedup(emb, eps=0.0)
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>")
+    assert similarity.semantic_dedup(empty).count() == 0
+    one = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [7], "embedding": [[1.0, 0.0]]}))
+    got = similarity.semantic_dedup(one, eps=0.5, n_lists=4).collect()
+    assert len(got) == 1 and got[0]["keep"]

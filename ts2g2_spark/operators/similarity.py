@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -471,3 +472,95 @@ def _ivf_lloyd_partials(df: DataFrame, cents: np.ndarray,
 def _probe_lists(df: DataFrame, cents: np.ndarray, nprobe: int,
                  id_col: str, vec_col: str) -> DataFrame:
     return _ivf_distances(df, cents, id_col, vec_col, nprobe=nprobe)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    eps: float = 0.6,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_hash: str = "xxhash64",
+    lloyd: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster drop
+    every vector that has a SMALLER-id neighbor with cosine >= 1 - eps
+    (the deterministic keep-one-per-eps-ball rule: the minimum id in a
+    ball survives).  Output one row per input vector:
+    (id, list_id, keep boolean, dup_of = smallest qualifying neighbor,
+    NULL when kept).
+
+    Composite of the IVF machinery: hash-seeded centroids (optionally
+    one Lloyd refinement, same kernel as ivf_topk) + the nearest-list
+    assignment kernel; the eps-ball scan is then an intra-cluster
+    equi-join on list_id — the SemDeDup trade replaces the corpus-wide
+    all-pairs scan with per-cluster blocks, O(sum of cluster sizes
+    squared) ~ n^2 / n_lists for balanced lists.  Size n_lists ~
+    sqrt(n)..n/1000 at scale; a pathologically hot cluster is visible as
+    join skew and splits by raising n_lists (re-cluster), the same
+    lever the paper uses.
+
+    The keep rule is LOCAL (pairwise), not transitive: in a chain
+    a~b~c with a<b<c and no a~c edge, b and c are both dropped with
+    dup_of=a and dup_of=b respectively.  For component-resolution
+    semantics feed the qualifying pairs to dedup.connected_components
+    instead.
+
+    seed_hash="md5" uses the 60-bit md5 hash (h64) for seeding so an
+    ANSI oracle replays centroid choice bit-for-bit (the contract-query
+    mode, paired with lloyd=False so no float mean accumulation order
+    enters the result); the xxhash64 default is the cheaper JVM path.
+
+    Eager API (like ivf_topk): the source projection is cached across
+    the seed collect + assignment + pair scan, and the O(n)-row result
+    is localCheckpoint'd before the cache releases — ONE source scan."""
+    from ts2g2_spark.functions.hashing import h64
+
+    if not 0.0 < eps < 2.0:
+        raise ValueError(f"semantic_dedup: need 0 < eps < 2, got {eps}")
+    src = emb.select(id_col, vec_col).cache()
+    try:
+        ids = F.col(id_col).cast("string")
+        horder = (F.xxhash64(ids) if seed_hash == "xxhash64"
+                  else h64(ids))
+        seed_rows = src.orderBy(horder).limit(n_lists).collect()
+        if not seed_rows:
+            return src.sparkSession.createDataFrame([], StructType([
+                StructField(id_col, src.schema[id_col].dataType),
+                StructField("list_id", IntegerType()),
+                StructField("keep", BooleanType()),
+                StructField("dup_of", src.schema[id_col].dataType),
+            ]))
+        cents = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+        if lloyd:
+            partials = _ivf_lloyd_partials(src, cents, vec_col).collect()
+            n_acc = np.zeros(len(cents))
+            s_acc = np.zeros_like(cents)
+            for r in partials:
+                n_acc[r["list_id"]] += r["n"]
+                s_acc[r["list_id"]] += np.asarray(r["s"])
+            nz = n_acc > 0
+            cents[nz] = s_acc[nz] / n_acc[nz, None]
+        assigned = _assign_lists(src, cents, id_col, vec_col)
+        a = assigned.select(F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("va"), "list_id")
+        b = assigned.select(F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("vb"), "list_id")
+        cos = _dot(F.col("va"), F.col("vb")) / (
+            _norm(F.col("va")) * _norm(F.col("vb")))
+        rm = (
+            a.join(b, "list_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cos >= F.lit(1.0 - eps))
+            .groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+        )
+        out = (
+            assigned.select(id_col, "list_id")
+            .join(rm, F.col(id_col) == F.col("id_b"), "left")
+            .select(id_col, "list_id",
+                    F.col("dup_of").isNull().alias("keep"), "dup_of")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        src.unpersist()
