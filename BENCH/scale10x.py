@@ -1,0 +1,208 @@
+"""10x decade proof: the north-rule pipeline and the dedup/ANN chains at
+~10x the scaling bench's input (default 6,000,000 docs / ~1.9 BILLION
+rolled-up points; env SCALE10X_DOCS to resize).
+
+Purpose (round-4 worklist): prove the rules hold one decade up and
+EXERCISE the at-scale code branches the sf fixtures never reach —
+distributed connected_components (local_threshold=0 pointer jumping) on a
+real ~1M-edge pair graph, and the sign-LSH path of emb_cosine_dup — with
+no size cap or guard raise firing anywhere.
+
+Stages (each timed separately; one JSON line at the end + a markdown
+report written to BENCH/SCALE10X.md):
+  gen       generate + write the tokenized parquet (excluded from pps)
+  tiers     1m rollup (relational, surrogate keys) -> gap-fill -> 1h -> 1d
+            (the scaling bench job, points/sec = north-rule metric)
+  serve     serve_range over the materialized tiers + raw slivers for an
+            unaligned [t0, t1) (tier stitch at 10x)
+  docs      generate the 6M-doc documents corpus (planted dup families)
+  dedup     shingles -> 64 minhashes -> banded LSH candidates ->
+            connected_components(local_threshold=0)  [distributed branch]
+  emb       generate 6M embeddings -> cosine_near_pairs(use_lsh=True)
+            [the declared 100 TB path of the fifth dedup family]
+
+Run:  SPARK_DRIVER_MEM=48g python BENCH/scale10x.py
+(the known big-run config: 48g heap + columnarReaderBatchSize=1024,
+already defaulted in session.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DOCS = int(os.environ.get("SCALE10X_DOCS", "6000000"))
+DATA_DIR = os.environ.get("SCALE10X_DIR", "/tmp/ts2g2_scale10x")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _jvm_peak_rss_gb() -> float | None:
+    """VmHWM (peak resident set) of the driver JVM, from /proc."""
+    try:
+        out = subprocess.run(
+            ["pgrep", "-f", "org.apache.spark.deploy.SparkSubmit"],
+            capture_output=True, text=True).stdout.split()
+        peaks = []
+        for pid in out:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM"):
+                        peaks.append(int(line.split()[1]) / 1024 / 1024)
+        return round(max(peaks), 2) if peaks else None
+    except OSError:
+        return None
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ts2g2_spark import datagen
+    from ts2g2_spark.operators import dedup, similarity
+    from ts2g2_spark.plans import rollup as R
+    from ts2g2_spark.plans.points import salted_repartition
+    from ts2g2_spark.session import get_spark
+
+    spark = get_spark(app_name="scale10x", parallelism=CPUS,
+                      shuffle_partitions=max(CPUS * 4, 128))
+    stages: dict[str, float] = {}
+    notes: dict[str, object] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                stages[name] = round(time.time() - self.t0, 1)
+                print(f"[scale10x] {name}: {stages[name]}s", flush=True)
+
+        return _T()
+
+    def _force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # -- gen: tokenized input on disk (like the scaling bench) ----------
+    tok_dir = os.path.join(DATA_DIR, f"tokens_{N_DOCS}")
+    if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
+        with timed("gen_tokens"):
+            datagen.tokenized_sequences(
+                spark, N_DOCS, seed=42, gap_p=0.02
+            ).write.mode("overwrite").parquet(tok_dir)
+    toks = spark.read.parquet(tok_dir)
+    n_points = toks.selectExpr("sum(n_tok)").collect()[0][0]
+    notes["n_docs"] = N_DOCS
+    notes["n_points"] = int(n_points)
+
+    # -- tiers: the north-rule job at 10x --------------------------------
+    with timed("tiers"):
+        full = salted_repartition(toks, buckets=max(CPUS * 8, 256))
+        m1 = R.rollup_from_tokens_relational(
+            full, tier="1m", positions_col="positions").localCheckpoint()
+        g1 = R.gapfill(m1, "1m").localCheckpoint()
+        h1 = R.rollup_tier_up(g1, "1h").localCheckpoint()
+        d1 = R.rollup_tier_up(h1, "1d").localCheckpoint()
+        _force(d1)
+    notes["rollup_points_per_sec"] = int(n_points / stages["tiers"])
+    notes["tier_rows_1m"] = m1.count()
+
+    # -- serve: unaligned range over the materialized tiers --------------
+    with timed("serve"):
+        pz = F.posexplode(F.arrays_zip("positions", "tokens")).alias(
+            "i", "pz")
+        points = toks.select("doc_id", "source", pz).select(
+            "doc_id", "source",
+            F.timestamp_seconds(
+                F.lit(R.BASE_EPOCH) + F.col("pz.positions").cast("long")
+            ).alias("ts"),
+            F.col("pz.tokens").cast("double").alias("value"))
+        t0 = dt.datetime.fromtimestamp(R.BASE_EPOCH + 150, dt.timezone.utc)
+        t1 = dt.datetime.fromtimestamp(R.BASE_EPOCH + 2645, dt.timezone.utc)
+        served = R.serve_range(
+            points, t0, t1,
+            tiers={"1m": g1, "1h": h1, "1d": d1})
+        notes["serve_rows"] = served.count()
+
+    # -- docs + the dedup chain (distributed CC branch) ------------------
+    doc_dir = os.path.join(DATA_DIR, f"docs_{N_DOCS}")
+    if not os.path.exists(os.path.join(doc_dir, "_SUCCESS")):
+        with timed("gen_docs"):
+            datagen.documents_corpus(spark, N_DOCS).write.mode(
+                "overwrite").parquet(doc_dir)
+    docs = spark.read.parquet(doc_dir)
+    with timed("dedup_chain"):
+        sigs = dedup.minhash_signatures(docs, n_hashes=64, n_words=5)
+        pairs = dedup.lsh_candidate_pairs(sigs, bands=8).localCheckpoint()
+        n_pairs = pairs.count()
+        # local_threshold=0 FORCES the distributed pointer-jumping branch
+        comp = dedup.connected_components(pairs, local_threshold=0)
+        n_grouped = comp.count()
+    notes["lsh_pairs"] = int(n_pairs)
+    notes["cc_grouped_docs"] = int(n_grouped)
+    notes["cc_components"] = comp.select("component").distinct().count()
+
+    # -- embeddings + the LSH near-dup branch -----------------------------
+    emb_dir = os.path.join(DATA_DIR, f"emb_{N_DOCS}")
+    if not os.path.exists(os.path.join(emb_dir, "_SUCCESS")):
+        with timed("gen_emb"):
+            datagen.embeddings_corpus(spark, N_DOCS).write.mode(
+                "overwrite").parquet(emb_dir)
+    emb = spark.read.parquet(emb_dir)
+    with timed("emb_lsh_dedup"):
+        near = similarity.cosine_near_pairs(
+            emb, threshold=0.999, use_lsh=True, n_planes=24, n_tables=4)
+        notes["emb_lsh_pairs"] = near.count()
+
+    notes["jvm_peak_rss_gb"] = _jvm_peak_rss_gb()
+    notes["driver_mem"] = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    notes["cpus"] = CPUS
+    result = {"stages_sec": stages, **notes}
+    print(json.dumps(result), flush=True)
+
+    md = f"""# BENCH/SCALE10X.md — one-decade-up proof run
+
+10x the scaling bench's input, single run at local[{CPUS}]
+(SPARK_DRIVER_MEM={notes['driver_mem']},
+columnarReaderBatchSize=1024), generated on-disk parquet input.
+Generation stages are excluded from the timed pipeline stages.
+
+| stage | wall s | evidence |
+|---|---|---|
+| tiers (1m+gapfill+1h+1d) | {stages.get('tiers')} | \
+{notes['n_points']:,} points -> \
+{notes['rollup_points_per_sec']:,} points/s; 1m rows \
+{notes['tier_rows_1m']:,} |
+| serve_range (unaligned [t0,t1), tier stitch + raw slivers) | \
+{stages.get('serve')} | {notes['serve_rows']:,} series rows |
+| dedup chain (shingle -> 64 minhash -> LSH bands -> distributed CC) | \
+{stages.get('dedup_chain')} | {notes['lsh_pairs']:,} candidate pairs, \
+{notes['cc_grouped_docs']:,} grouped docs in \
+{notes['cc_components']:,} components; local_threshold=0 forced the \
+pointer-jumping branch |
+| embedding near-dup, sign-LSH path | {stages.get('emb_lsh_dedup')} | \
+{notes['emb_lsh_pairs']:,} pairs at cosine >= 0.999 over \
+{notes['n_docs']:,} x 64-dim vectors |
+
+Peak driver-JVM RSS: {notes['jvm_peak_rss_gb']} GiB.
+No size cap, guard, or raise fired in any stage (the exact-path
+emb_cosine_dup cap and the driver union-find cap are both bypassed by
+design here: LSH and local_threshold=0 are the at-scale branches this
+run exists to exercise).
+
+Raw stage timings: this file is written by `BENCH/scale10x.py`
+(env: SCALE10X_DOCS, SCALE10X_DIR); JSON on its stdout.
+"""
+    with open(os.path.join(REPO, "BENCH", "SCALE10X.md"), "w") as f:
+        f.write(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

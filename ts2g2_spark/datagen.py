@@ -86,3 +86,120 @@ def tokenized_sequences(
                 yield _gen_batch(pdf["id"].to_numpy(), seed, gap_p)
 
     return base.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Scale-proof corpora: synthetic documents / embeddings with PLANTED
+# near-duplicate families, for exercising the dedup chain and the ANN/LSH
+# branches at sizes the sf parquet fixtures never reach.  Same determinism
+# contract as tokenized_sequences: one PCG64 stream per id, so any subset
+# regenerates identically under any partitioning.
+# ---------------------------------------------------------------------------
+
+_DOC_WORDS = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "the a line sort window order data column join small customer query "
+    "big group stream code plan disk cache node shard page scale read "
+    "write tier rollup gap fill token count bucket serve state fold"
+).split()
+
+#: family layout: ids are grouped in blocks of _FAMILY_GROUP; the first
+#: k = round(dup_frac * group) members of each block are near-copies of
+#: the block's base content (member 0 IS the base; members 1..k-1 carry
+#: two seeded word edits / 1e-3 noise), the rest are independent.
+_FAMILY_GROUP = 20
+
+
+def documents_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 7,
+    dup_frac: float = 0.15,
+    words_per_doc: int = 48,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic word-salad corpus (doc_id:long, text, source) with
+    planted near-duplicate families (two-word edits within a family —
+    high n-gram Jaccard, non-identical), sized for dedup-chain scale
+    runs."""
+    k_dups = int(round(dup_frac * _FAMILY_GROUP))
+    parts = num_partitions or max(
+        spark.sparkContext.defaultParallelism, n_docs // 20000 or 1)
+    base = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = np.array(_DOC_WORDS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for i in pdf["id"].tolist():
+                g, m = divmod(int(i), _FAMILY_GROUP)
+                if m < k_dups:
+                    rng = np.random.default_rng(
+                        np.random.SeedSequence([seed, g, 777]))
+                    words = rng.choice(vocab, size=words_per_doc)
+                    if m > 0:
+                        r2 = np.random.default_rng(
+                            np.random.SeedSequence([seed, g, m]))
+                        idx = r2.integers(0, words_per_doc, size=2)
+                        words[idx] = vocab[
+                            r2.integers(0, len(vocab), size=2)]
+                else:
+                    rng = np.random.default_rng(
+                        np.random.SeedSequence([seed, int(i)]))
+                    words = rng.choice(vocab, size=words_per_doc)
+                rows.append({
+                    "doc_id": int(i),
+                    "text": " ".join(words.tolist()),
+                    "source": f"src_{int(i) % 16:02d}",
+                })
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen, schema="doc_id long, text string, source string")
+
+
+def embeddings_corpus(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    seed: int = 11,
+    dup_frac: float = 0.15,
+    noise: float = 1e-3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic embedding corpus (vec_id:long, embedding:array<double>)
+    with planted near-duplicate families (cosine ~ 1 - O(noise^2) within
+    a family), for ANN/semantic-dedup scale runs."""
+    k_dups = int(round(dup_frac * _FAMILY_GROUP))
+    parts = num_partitions or max(
+        spark.sparkContext.defaultParallelism, n_vecs // 50000 or 1)
+    base = spark.range(0, n_vecs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            vecs = np.empty((len(ids), dim))
+            for t, i in enumerate(ids.tolist()):
+                g, m = divmod(int(i), _FAMILY_GROUP)
+                if m < k_dups:
+                    rng = np.random.default_rng(
+                        np.random.SeedSequence([seed, g, 777]))
+                    v = rng.normal(size=dim)
+                    if m > 0:
+                        r2 = np.random.default_rng(
+                            np.random.SeedSequence([seed, g, m]))
+                        v = v + r2.normal(scale=noise, size=dim)
+                else:
+                    rng = np.random.default_rng(
+                        np.random.SeedSequence([seed, int(i)]))
+                    v = rng.normal(size=dim)
+                vecs[t] = v
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": list(vecs)})
+
+    return base.mapInPandas(
+        gen, schema="vec_id long, embedding array<double>")

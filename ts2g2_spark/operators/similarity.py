@@ -226,6 +226,19 @@ def cosine_near_pairs(
         + exact rerank on candidates only: sub-quadratic, memory-bounded,
         NO driver materialization at all; recall < 1 by design (bounded
         in tests); THE 100 TB path.
+
+    LSH sizing: expected bucket occupancy is n / 2^n_planes per table and
+    the intra-bucket join is quadratic in it, so n_planes MUST grow with
+    the corpus (~log2(n / target_bucket_size)); for a high threshold each
+    extra plane costs little recall (collision prob per plane =
+    1 - angle/pi ~ 1 for near-dups) while halving bucket size — at 6M
+    vectors, n_planes=24 / n_tables=4 keeps buckets O(1) (measured in
+    BENCH/SCALE10X.md).  The rerank is a vectorized Arrow kernel (einsum
+    over the candidate batch — the r4 fix; the previous per-pair
+    interpreted JVM fold was ~25x slower), and cross-table duplicate
+    candidates are dropped AFTER the threshold filter so the dedup
+    exchange carries only surviving near-dup pairs, never the full
+    candidate stream with its vector payloads.
     """
     if use_lsh:
         b = _lsh_bucketed(corpus, id_col, vec_col, n_planes, n_tables)
@@ -233,19 +246,35 @@ def cosine_near_pairs(
                      F.col("_n").alias("na"), "bucket")
         c = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
                      F.col("_n").alias("nb"), "bucket")
-        cand = (
-            a.join(c, "bucket")
-            .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        return (
-            cand.select(
-                "id_a", "id_b",
-                (_dot(F.col("va"), F.col("vb"))
-                 / (F.col("na") * F.col("nb"))).alias("cosine"),
-            )
-            .where(F.col("cosine") >= threshold)
-        )
+        cand = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+        id_t = corpus.schema[id_col].dataType
+        pair_schema = StructType([
+            StructField("id_a", id_t),
+            StructField("id_b", id_t),
+            StructField("cosine", DoubleType()),
+        ])
+
+        def rerank(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+            for p in batches:
+                if not len(p):
+                    continue
+                A = np.stack(p["va"].to_numpy())
+                B = np.stack(p["vb"].to_numpy())
+                cos = np.einsum("ij,ij->i", A, B) / (
+                    p["na"].to_numpy() * p["nb"].to_numpy())
+                keep = cos >= threshold
+                if keep.any():
+                    yield pd.DataFrame({
+                        "id_a": p["id_a"].to_numpy()[keep],
+                        "id_b": p["id_b"].to_numpy()[keep],
+                        "cosine": cos[keep],
+                    })
+
+        # same pair from multiple tables scores identically (same float
+        # expression), so the post-filter distinct is value-stable
+        return cand.mapInPandas(rerank, pair_schema).dropDuplicates(
+            ["id_a", "id_b"])
 
     src = corpus.select(
         F.col(id_col).alias("_id"),
