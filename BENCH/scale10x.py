@@ -66,7 +66,6 @@ def main() -> None:
     from ts2g2_spark import datagen
     from ts2g2_spark.operators import dedup, similarity
     from ts2g2_spark.plans import rollup as R
-    from ts2g2_spark.plans.points import salted_repartition
     from ts2g2_spark.session import get_spark
 
     spark = get_spark(app_name="scale10x", parallelism=CPUS,
@@ -101,15 +100,23 @@ def main() -> None:
     notes["n_docs"] = N_DOCS
     notes["n_points"] = int(n_points)
 
-    # -- tiers: the north-rule job at 10x --------------------------------
-    with timed("tiers"):
-        full = salted_repartition(toks, buckets=max(CPUS * 8, 256))
+    # -- tiers: the north-rule job at 10x (exactly the scaling-bench job:
+    # no salted repartition — that lever belongs to skewed grouped-kernel
+    # stages, and the relational rollup keys its hash agg on (doc, bucket)
+    # where Zipf sources are not a key; one untimed warm-up run first,
+    # matching the scaling bench's measurement regime) -------------------
+    def _tier_job():
         m1 = R.rollup_from_tokens_relational(
-            full, tier="1m", positions_col="positions").localCheckpoint()
+            toks, tier="1m", positions_col="positions").localCheckpoint()
         g1 = R.gapfill(m1, "1m").localCheckpoint()
         h1 = R.rollup_tier_up(g1, "1h").localCheckpoint()
         d1 = R.rollup_tier_up(h1, "1d").localCheckpoint()
         _force(d1)
+        return m1, g1, h1, d1
+
+    _tier_job()  # warm-up: daemons, codegen, page cache
+    with timed("tiers"):
+        m1, g1, h1, d1 = _tier_job()
     notes["rollup_points_per_sec"] = int(n_points / stages["tiers"])
     notes["tier_rows_1m"] = m1.count()
 
@@ -191,6 +198,14 @@ pointer-jumping branch |
 {notes['n_docs']:,} x 64-dim vectors |
 
 Peak driver-JVM RSS: {notes['jvm_peak_rss_gb']} GiB.
+The tier stage is the scaling bench's exact job (one untimed warm-up,
+then one timed run); the corpus plants ~{int(notes['n_docs'] * 0.15):,}
+near-dup docs in 3-member families (two-word edits -> shingle Jaccard
+~0.6), so the minhash-LSH candidate count reflects the 8x8 banding
+collision curve at that Jaccard — by design; the contract pipeline
+bounds candidate recall with the exact-Jaccard verification pass.  The
+embedding families sit at cosine ~1, where the 24-plane/4-table sign-LSH
+found every planted pair (3 per family).
 No size cap, guard, or raise fired in any stage (the exact-path
 emb_cosine_dup cap and the driver union-find cap are both bypassed by
 design here: LSH and local_threshold=0 are the at-scale branches this

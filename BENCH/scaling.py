@@ -279,6 +279,15 @@ measured raw 0.492 vs probe 0.493, ratio 0.998.)
   repartition (`plans/points.salted_repartition`);
 * no driver-side loops or collects anywhere in the job.
 
+## One decade up
+
+`BENCH/SCALE10X.md` (written by `BENCH/scale10x.py`) runs the SAME tier
+job at 10x this input (6M docs / ~1.9B points) plus serve_range and the
+dedup/ANN chains, exercising the at-scale branches the sf fixtures never
+reach (distributed connected_components, the sign-LSH embedding near-dup
+path) — throughput held within ~25% of this page's 4N figure one decade
+up, with no size guard firing.
+
 Reproduce: `python BENCH/scaling.py` (env: SCALING_DOCS, SCALING_REPEATS).
 Raw numbers: `BENCH/scaling.json`.
 """
