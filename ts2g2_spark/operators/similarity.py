@@ -571,13 +571,19 @@ def semantic_dedup(
                 s_acc[r["list_id"]] += np.asarray(r["s"])
             nz = n_acc > 0
             cents[nz] = s_acc[nz] / n_acc[nz, None]
-        assigned = _assign_lists(src, cents, id_col, vec_col)
+        # norms precomputed once per vector (identical float expression
+        # to inlining _norm per pair, so the oracle contract is
+        # unchanged; saves 2/3 of the per-pair fold work)
+        assigned = _assign_lists(src, cents, id_col, vec_col).withColumn(
+            "_nrm", _norm(F.col(vec_col)))
         a = assigned.select(F.col(id_col).alias("id_a"),
-                            F.col(vec_col).alias("va"), "list_id")
+                            F.col(vec_col).alias("va"),
+                            F.col("_nrm").alias("na"), "list_id")
         b = assigned.select(F.col(id_col).alias("id_b"),
-                            F.col(vec_col).alias("vb"), "list_id")
+                            F.col(vec_col).alias("vb"),
+                            F.col("_nrm").alias("nb"), "list_id")
         cos = _dot(F.col("va"), F.col("vb")) / (
-            _norm(F.col("va")) * _norm(F.col("vb")))
+            F.col("na") * F.col("nb"))
         rm = (
             a.join(b, "list_id")
             .where(F.col("id_a") < F.col("id_b"))
