@@ -3179,6 +3179,56 @@ from documents d left join s using (doc_id)
 """
 
 
+def q_logodds_quality(spark, sf_dir):
+    """CCNet/fastText-style corpus quality scoring (text.logodds_score,
+    r4): NB log-odds weights learned relationally from the corpus itself
+    — target class = sources src0-src4 (the "trusted" set), score = mean
+    Laplace-smoothed per-word log-odds over each doc's word occurrences.
+    Word-salad sources share one vocabulary, so scores hover near zero —
+    the oracle pins the full weight arithmetic; discrimination behavior
+    is pinned on a constructed corpus in tests/test_text_quality.py."""
+    from ts2g2_spark.operators import text as text_ops
+
+    docs = _docs(spark, sf_dir)
+    return text_ops.logodds_score(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+
+
+LOGODDS_SQL = r"""
+with w as materialized (
+  select doc_id, source in ('src0','src1','src2','src3','src4') as is_t,
+         unnest(regexp_split_to_array(trim(text), '\s+')) as w
+  from documents
+  where regexp_matches(text, '\S')
+),
+cnt as materialized (
+  select w, sum(is_t::BIGINT) as nt, sum((not is_t)::BIGINT) as nr
+  from w group by 1
+),
+tot as (
+  select sum(nt)::BIGINT as tt, sum(nr)::BIGINT as tr,
+         count(*)::BIGINT as v
+  from cnt
+),
+wt as (
+  select c.w,
+         ln((c.nt + 1.0) / (t.tt + 1.0 * t.v))
+           - ln((c.nr + 1.0) / (t.tr + 1.0 * t.v)) as wt
+  from cnt c cross join tot t
+),
+s as (
+  select w.doc_id, count(*)::BIGINT as n_words,
+         round(sum(wt.wt) / count(*), 6) + 0.0 as score
+  from w join wt on wt.w = w.w
+  group by 1
+)
+select d.doc_id,
+       coalesce(s.n_words, 0) as n_words,
+       coalesce(s.score, 0.0) as score
+from documents d left join s using (doc_id)
+"""
+
+
 def q_pii_counts(spark, sf_dir):
     """PII-shaped span census (emails/URLs/IPv4/phones/long digit runs).
     All-zero on this synthetic corpus by construction — the oracle pins
@@ -5613,6 +5663,7 @@ _RAW_QUERIES = {
         "entropy_signals": q_entropy_signals,
         "link_xcorr": q_link_xcorr,
         "pii_counts": q_pii_counts,
+        "logodds_quality": q_logodds_quality,
         "top_2grams": q_top_2grams,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
@@ -5760,6 +5811,7 @@ def oracle_sql() -> dict[str, str]:
         "entropy_signals": ENTROPY_SQL,
         "link_xcorr": LINK_XCORR_SQL,
         "pii_counts": _pii_sql(),
+        "logodds_quality": LOGODDS_SQL,
         "top_2grams": TOP_2GRAMS_SQL,
         "contamination": CONTAMINATION_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,

@@ -465,3 +465,54 @@ def test_entropy_signals_match_python_model(spark):
     assert got[1]["word_entropy"] == 0.0  # canonical +0.0, not -0.0
     assert math.copysign(1.0, got[1]["word_entropy"]) == 1.0
     assert got[2]["word_entropy"] == 3.0
+
+
+def test_logodds_score_matches_python_model(spark):
+    """NB log-odds quality scorer vs a literal collections.Counter model:
+    target-class docs score positive, off-class negative, shared words
+    contribute ~0; empty docs keep zero defaults; an all-target corpus
+    still runs (rest counts all zero -> smoothing only)."""
+    import collections
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ts2g2_spark.operators.text import logodds_score
+
+    docs = {
+        1: ("hq", "good clean prose here"),
+        2: ("hq", "good clean text prose"),
+        3: ("lq", "spam junk words junk"),
+        4: ("lq", "spam junk spam junk"),
+        5: ("lq", ""),
+    }
+    pdf = pd.DataFrame(
+        [(k, lab, t) for k, (lab, t) in docs.items()],
+        columns=["doc_id", "label", "text"])
+    got = {r["doc_id"]: r for r in logodds_score(
+        spark.createDataFrame(pdf), F.col("label") == "hq").collect()}
+    tgt = [w for _, (lab, t) in docs.items() if lab == "hq"
+           for w in t.split()]
+    rest = [w for _, (lab, t) in docs.items() if lab == "lq"
+            for w in t.split()]
+    ct, cr = collections.Counter(tgt), collections.Counter(rest)
+    vocab = len(set(tgt) | set(rest))
+    tt, tr, a = len(tgt), len(rest), 1.0
+
+    def wt(w):
+        return (math.log((ct[w] + a) / (tt + a * vocab))
+                - math.log((cr[w] + a) / (tr + a * vocab)))
+
+    for did, (lab, t) in docs.items():
+        ws = t.split()
+        if not ws:
+            assert (got[did]["n_words"], got[did]["score"]) == (0, 0.0)
+            continue
+        exp = round(sum(wt(w) for w in ws) / len(ws), 6)
+        assert got[did]["n_words"] == len(ws)
+        assert got[did]["score"] == pytest.approx(exp, abs=1e-9), did
+        assert (got[did]["score"] > 0) == (lab == "hq"), did
+    # degenerate: every doc in the target class -> runs, finite scores
+    allt = logodds_score(spark.createDataFrame(pdf), F.lit(True)).collect()
+    assert all(r["score"] == r["score"] for r in allt)  # no NaN

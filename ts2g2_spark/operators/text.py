@@ -596,3 +596,68 @@ def dict_encode(
         .select(*key_cols, "n_tokens",
                 F.transform("_pairs", lambda x: x["_id"]).alias("ids"))
     )
+
+
+def logodds_score(
+    docs: DataFrame,
+    target,
+    text_col: str = "text",
+    alpha: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet/fastText-style corpus quality scoring with a NB log-odds
+    model learned from the corpus itself: per-word Laplace-smoothed
+    log-odds between the ``target`` subcorpus (a boolean Column
+    predicate over the doc frame — e.g. a trusted source set) and the
+    rest, doc score = mean log-odds over the doc's word OCCURRENCES.
+    Positive scores read "looks like the target class" — the standard
+    quality-filter signal scored entirely relationally (no model file,
+    deterministic, any SQL engine replays it).
+
+    weight(w) = ln((n_t(w)+a) / (T_t+a*V)) - ln((n_r(w)+a) / (T_r+a*V))
+    with class occurrence counts n, class totals T, vocab size V and
+    Laplace alpha.  Output: (doc_id, n_words, score) for every input
+    doc; empty/whitespace-only docs keep n_words=0, score=0.0.
+
+    Scale shape: the exploded word stream feeds a (word x class) count
+    aggregate (one equi-keyed exchange, partial agg) whose result is
+    the weights table; scoring equi-joins words to weights on the word
+    key (the weights side is vocab-sized — usually broadcastable, but
+    the join stays a plain equi-join so AQE picks the strategy and a
+    10^8-word web vocab still works), then one per-doc aggregate.  Sum
+    rounds to `round_dp` (the float-sum association grid, same recipe
+    as tf-idf / the bigram LM)."""
+    staged = _staged_words(
+        docs.where(F.col(text_col).rlike(r"\S"))
+        .withColumn("_is_t", target), text_col)
+    words = staged.select(
+        "doc_id", F.col("_is_t").alias("is_t"),
+        F.explode("_ws").alias("w"))
+    cnt = (
+        words.groupBy("w")
+        .agg(F.sum(F.col("is_t").cast("long")).alias("nt"),
+             F.sum((~F.col("is_t")).cast("long")).alias("nr"))
+    )
+    tot = cnt.agg(
+        F.sum("nt").alias("tt"), F.sum("nr").alias("tr"),
+        F.count(F.lit(1)).alias("v")).withColumn("_k", F.lit(1))
+    weights = cnt.withColumn("_k", F.lit(1)).join(
+        F.broadcast(tot), "_k").select(
+        "w",
+        (F.log((F.col("nt") + F.lit(alpha))
+               / (F.col("tt") + F.lit(alpha) * F.col("v")))
+         - F.log((F.col("nr") + F.lit(alpha))
+                 / (F.col("tr") + F.lit(alpha) * F.col("v"))))
+        .alias("wt"))
+    scored = (
+        words.join(weights, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             (F.round(F.sum("wt") / F.count(F.lit(1)), round_dp)
+              + F.lit(0.0)).alias("score"))
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+    )
