@@ -71,6 +71,7 @@ def main() -> None:
     spark = get_spark(app_name="scale10x", parallelism=CPUS,
                       shuffle_partitions=max(CPUS * 4, 128))
     stages: dict[str, float] = {}
+    raw: dict[str, float] = {}
     notes: dict[str, object] = {}
 
     def timed(name):
@@ -80,7 +81,12 @@ def main() -> None:
                 return self
 
             def __exit__(self, *a):
-                stages[name] = round(time.time() - self.t0, 1)
+                # keep the unrounded time too: throughput division by the
+                # 1-dp rounded value would ZeroDivision on a sub-0.05s
+                # smoke run (SCALE10X_DOCS resizing makes that reachable)
+                self.elapsed = time.time() - self.t0
+                raw[name] = self.elapsed
+                stages[name] = round(self.elapsed, 1)
                 print(f"[scale10x] {name}: {stages[name]}s", flush=True)
 
         return _T()
@@ -117,7 +123,7 @@ def main() -> None:
     _tier_job()  # warm-up: daemons, codegen, page cache
     with timed("tiers"):
         m1, g1, h1, d1 = _tier_job()
-    notes["rollup_points_per_sec"] = int(n_points / stages["tiers"])
+    notes["rollup_points_per_sec"] = int(n_points / raw["tiers"])
     notes["tier_rows_1m"] = m1.count()
 
     # -- serve: unaligned range over the materialized tiers --------------

@@ -1643,9 +1643,10 @@ def q_semantic_dedup(spark, sf_dir):
     mean accumulation order enters the result), nearest-list assignment,
     then the per-cluster eps-ball min-id keep rule at cosine >= 0.4
     (eps = 0.6, the emb_cosine_dup threshold).  The oracle replays
-    seeding via the md5-prefix hash, assignment via
-    (list_distance, list_id) first-minimum rank, and the keep rule via
-    the same intra-cluster join."""
+    seeding via the md5-prefix hash, assignment via a
+    (squared-distance-sum, list_id) first-minimum rank — the same
+    direct sum((v-c)^2) the engine kernel computes in md5 mode — and
+    the keep rule via the same intra-cluster join."""
     from ts2g2_spark.operators import similarity
 
     emb = _emb(spark, sf_dir)
@@ -1668,11 +1669,17 @@ seeds as materialized (
   limit 8
 ),
 asg as materialized (
+  -- rank on the SQUARED distance sum (the engine kernel's direct form):
+  -- list_distance's sqrt can collapse two distinct d^2 into equal
+  -- doubles and flip the (dist, list_id) tiebreak vs the engine argmin
   select vec_id, v, list_id::INT as list_id from (
     select e.vec_id, e.v, s.list_id,
            row_number() over (
              partition by e.vec_id
-             order by list_distance(e.v, s.c), s.list_id) as rn
+             order by list_sum(list_transform(
+               generate_series(1, len(e.v)),
+               i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
+               s.list_id) as rn
     from e cross join seeds s
   ) where rn = 1
 ),
@@ -3686,15 +3693,24 @@ l as materialized (
   from w, lateral (
     select unnest(generate_series(0, (len(ws) - 1) // 8)) as g) t
 ),
+lh as materialized (
+  -- replay the engine's 60-bit h64 line key (md5 prefix) so a hash
+  -- collision strips the same lines in both engines, like the span
+  -- oracle's md5-derived word hashes
+  select doc_id, g, line,
+         cast(concat('0x', substr(md5(lower(trim(line))), 1, 15))
+              as bigint) as k,
+         trim(line) = '' as blank
+  from l
+),
 hot as (
-  select lower(trim(line)) as k
-  from l where trim(line) != ''
+  select k from lh where not blank
   group by 1 having count(distinct doc_id) > 2
 ),
 f as (
-  select l.doc_id, l.g, l.line,
-         (h.k is not null and trim(l.line) != '') as rm
-  from l left join hot h on lower(trim(l.line)) = h.k
+  select lh.doc_id, lh.g, lh.line,
+         (h.k is not null and not lh.blank) as rm
+  from lh left join hot h using (k)
 )
 select doc_id,
        coalesce(string_agg(case when not rm then line end,

@@ -137,8 +137,16 @@ def main() -> None:
                     if q in all_queries},
         "full_map": "stdout line 1 + bench_full.json",
     }
+    # shrink rather than assert: dying here would burn the whole run and
+    # leave NO compact final line in the driver's ~2000-char tail — the
+    # exact failure mode this summary exists to prevent.  Drop headline
+    # query entries (full map is on line 1 + bench_full.json anyway)
+    # until the line fits.
     line = json.dumps(summary)
-    assert len(line) < 1500, f"summary line too long ({len(line)} chars)"
+    while len(line) >= 1500 and summary["queries"]:
+        summary["queries"].popitem()
+        summary["queries_truncated"] = True
+        line = json.dumps(summary)
     print(line)
 
 

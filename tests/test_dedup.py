@@ -396,3 +396,19 @@ def test_line_dedup_blanks_and_shuffled_hot_join(spark):
         assert (got[3]["n_lines"], got[3]["n_removed"]) == (1, 0)
     with _pt.raises(ValueError, match="max_df"):
         line_dedup(docs, max_df=0)
+
+
+def test_line_dedup_null_text_doc_survives(spark):
+    """split(NULL) is NULL and posexplode(NULL) yields zero rows — a
+    NULL-text doc must still come back as a row (coalesced to empty),
+    per the one-row-per-document contract."""
+    import pandas as pd
+
+    from ts2g2_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hot\nkeep", None]}))
+    got = {r["doc_id"]: r for r in line_dedup(docs, max_df=1).collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["text"] == ""
+    assert (got[2]["n_lines"], got[2]["n_removed"]) == (1, 0)

@@ -516,3 +516,34 @@ def test_logodds_score_matches_python_model(spark):
     # degenerate: every doc in the target class -> runs, finite scores
     allt = logodds_score(spark.createDataFrame(pdf), F.lit(True)).collect()
     assert all(r["score"] == r["score"] for r in allt)  # no NaN
+
+
+# ------------------------------------------------------- RE2 \s alignment
+
+def test_vertical_tab_tokenizes_re2_style(spark):
+    """Engine tokenizers use the explicit [ \\t\\n\\f\\r] class (RE2's
+    \\s), never Java's \\s which also eats \\x0B: a \\x0B-bearing doc
+    must tokenize exactly as every DuckDB oracle would."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a\x0bb c", "\x0b", " \t\n "],
+    }))
+    tc = {r["doc_id"]: r for r in
+          text_ops.token_counts(docs).collect()}
+    # "a\x0bb" is ONE whitespace token under RE2 (\x0B is ink)
+    assert tc[1]["n_ws_tokens"] == 2
+    assert tc[2]["n_ws_tokens"] == 1
+
+    ent = {r["doc_id"]: r for r in
+           text_ops.entropy_signals(docs).collect()}
+    # \x0B-only doc passes the has-ink filter (RE2 \S matches it) ...
+    assert ent[2]["n_words"] == 1
+    # ... while a true-whitespace-only doc falls to the zero defaults
+    assert ent[3]["n_words"] == 0 and ent[3]["ttr"] == 0.0
+
+    lo = {r["doc_id"]: r for r in text_ops.logodds_score(
+        docs, text_ops.F.col("doc_id") == 1).collect()}
+    assert lo[2]["n_words"] == 1
+    assert lo[3]["n_words"] == 0 and lo[3]["score"] == 0.0

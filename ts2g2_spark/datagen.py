@@ -142,9 +142,21 @@ def documents_corpus(
                     if m > 0:
                         r2 = np.random.default_rng(
                             np.random.SeedSequence([seed, g, m]))
-                        idx = r2.integers(0, words_per_doc, size=2)
-                        words[idx] = vocab[
-                            r2.integers(0, len(vocab), size=2)]
+                        # distinct positions + replacements that differ
+                        # from the original word, so every family member
+                        # really is a NEAR-dup (a degenerate zero-edit
+                        # member would be an exact dup and collide in
+                        # every minhash band, skewing the banding-curve
+                        # numbers the scale run reports)
+                        idx = r2.choice(words_per_doc, size=2,
+                                        replace=False)
+                        for j in idx:
+                            w = words[j]
+                            while True:
+                                nw = vocab[r2.integers(0, len(vocab))]
+                                if nw != w:
+                                    break
+                            words[j] = nw
                 else:
                     rng = np.random.default_rng(
                         np.random.SeedSequence([seed, int(i)]))

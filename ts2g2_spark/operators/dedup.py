@@ -814,8 +814,13 @@ def line_dedup(
     if max_df < 1:
         raise ValueError(f"line_dedup: max_df must be >= 1, got {max_df}")
     other = [c for c in docs.columns if c != text_col]
+    # coalesce NULL text to '': split(NULL) is NULL and posexplode(NULL)
+    # yields zero rows — the doc would vanish from the output, breaking
+    # the one-row-per-document contract
     staged = docs.select(
-        *other, F.split(text_col, delimiter).alias("_ls"),
+        *other,
+        F.split(F.coalesce(F.col(text_col), F.lit("")),
+                delimiter).alias("_ls"),
         F.rand(0).alias("_b1"))
     lines = staged.select(
         *other, F.posexplode("_ls").alias("_pos", "_line"))

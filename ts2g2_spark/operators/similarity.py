@@ -430,15 +430,29 @@ def ivf_seed_plan(corpus: DataFrame, n_lists: int = 16,
 
 
 def _ivf_distances(df: DataFrame, cents: np.ndarray, id_col: str,
-                   vec_col: str, nprobe: int | None) -> DataFrame:
+                   vec_col: str, nprobe: int | None,
+                   form: str = "expanded") -> DataFrame:
     """Centroid assignment/probing as ONE numpy kernel per Arrow batch
     (||b-c||^2 = |b|^2 - 2 b.c + |c|^2 via a single matmul) — the
     interpreted per-centroid HOF expressions this replaces evaluated
     n_lists x dim higher-order ops per row.  Tie behavior matches the
     HOF version: argmin takes the first minimum; the probe argsort is
-    stable on (distance, index)."""
+    stable on (distance, index).
+
+    form="direct" computes sum((b-c)^2) per centroid instead (k
+    vectorized passes, no matmul): the expanded form cancels
+    catastrophically (~1e-13 relative) for near-equidistant centroids,
+    so oracle-replayable consumers (semantic_dedup's contract mode,
+    whose DuckDB twin ranks the same squared sum) use direct, where the
+    residual cross-engine gap is summation-order ulps only."""
     C = np.asarray(cents, dtype=np.float64)
     c2 = (C * C).sum(axis=1)
+
+    def _d2(B: np.ndarray) -> np.ndarray:
+        if form == "direct":
+            return np.stack(
+                [((B - c) ** 2).sum(axis=1) for c in C], axis=1)
+        return (B * B).sum(axis=1)[:, None] - 2.0 * (B @ C.T) + c2[None, :]
     extra = (StructField("list_id", IntegerType()) if nprobe is None
              else StructField("probe_lists", ArrayType(IntegerType())))
     out_schema = StructType([
@@ -452,7 +466,7 @@ def _ivf_distances(df: DataFrame, cents: np.ndarray, id_col: str,
             if not len(pdf):
                 continue
             B = np.stack(pdf[vec_col].to_numpy())
-            d2 = (B * B).sum(axis=1)[:, None] - 2.0 * (B @ C.T) + c2[None, :]
+            d2 = _d2(B)
             out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
             if nprobe is None:
                 out["list_id"] = d2.argmin(axis=1).astype(np.int32)
@@ -468,8 +482,9 @@ def _ivf_distances(df: DataFrame, cents: np.ndarray, id_col: str,
 
 
 def _assign_lists(df: DataFrame, cents: np.ndarray, id_col: str,
-                  vec_col: str) -> DataFrame:
-    return _ivf_distances(df, cents, id_col, vec_col, nprobe=None)
+                  vec_col: str, form: str = "expanded") -> DataFrame:
+    return _ivf_distances(df, cents, id_col, vec_col, nprobe=None,
+                          form=form)
 
 
 def _ivf_lloyd_partials(df: DataFrame, cents: np.ndarray,
@@ -536,10 +551,18 @@ def semantic_dedup(
     semantics feed the qualifying pairs to dedup.connected_components
     instead.
 
-    seed_hash="md5" uses the 60-bit md5 hash (h64) for seeding so an
-    ANSI oracle replays centroid choice bit-for-bit (the contract-query
-    mode, paired with lloyd=False so no float mean accumulation order
-    enters the result); the xxhash64 default is the cheaper JVM path.
+    seed_hash="md5" uses the 60-bit md5 hash (h64, (hash, id)-ordered)
+    for seeding so an ANSI oracle replays centroid CHOICE bit-for-bit
+    (the contract-query mode, paired with lloyd=False so no float mean
+    accumulation order enters the result), and assignment switches to
+    the direct sum((v-c)^2) distance form — the same squared sum the
+    DuckDB twin ranks, so no expanded-form cancellation enters the
+    argmin.  Assignment is still not formally bit-pinned: numpy's
+    pairwise summation vs a sequential SQL fold can differ in the last
+    ulp, so a vector equidistant to two centroids to ~1e-16 relative
+    could assign differently (the same class of residual as any
+    cross-engine float fold; no such near-tie exists in the contract
+    corpus).  The xxhash64 default is the cheaper JVM path.
 
     Eager API (like ivf_topk): the source projection is cached across
     the seed collect + assignment + pair scan, and the O(n)-row result
@@ -553,7 +576,10 @@ def semantic_dedup(
         ids = F.col(id_col).cast("string")
         horder = (F.xxhash64(ids) if seed_hash == "xxhash64"
                   else h64(ids))
-        seed_rows = src.orderBy(horder).limit(n_lists).collect()
+        # id tiebreak pins seed choice under hash collisions, matching
+        # the oracle's "order by hash, vec_id"
+        seed_rows = (src.orderBy(horder, F.col(id_col))
+                     .limit(n_lists).collect())
         if not seed_rows:
             return src.sparkSession.createDataFrame([], StructType([
                 StructField(id_col, src.schema[id_col].dataType),
@@ -574,8 +600,10 @@ def semantic_dedup(
         # norms precomputed once per vector (identical float expression
         # to inlining _norm per pair, so the oracle contract is
         # unchanged; saves 2/3 of the per-pair fold work)
-        assigned = _assign_lists(src, cents, id_col, vec_col).withColumn(
-            "_nrm", _norm(F.col(vec_col)))
+        assigned = _assign_lists(
+            src, cents, id_col, vec_col,
+            form="direct" if seed_hash == "md5" else "expanded",
+        ).withColumn("_nrm", _norm(F.col(vec_col)))
         a = assigned.select(F.col(id_col).alias("id_a"),
                             F.col(vec_col).alias("va"),
                             F.col("_nrm").alias("na"), "list_id")

@@ -12,6 +12,15 @@ from pyspark.sql import functions as F
 
 from ts2g2_spark.functions.hashing import normalize_text
 
+# Whitespace as the EXPLICIT class [ \t\n\f\r] — RE2's ``\s`` — never
+# Java's ``\s``/``\S`` (which additionally matches vertical tab \x0B):
+# every DuckDB oracle runs RE2, so a \x0B-bearing doc would otherwise
+# tokenize (and filter) differently engine vs oracle.  Same contract as
+# hashing.normalize_text.
+_WS = " \t\n\f\r"
+_SPLIT_WS = f"[{_WS}]+"
+_HAS_INK = f"[^{_WS}]"  # RE2-\S equivalent: doc has a non-ws char
+
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "that", "with"],
@@ -36,10 +45,10 @@ def token_count_columns(text_col: str = "text") -> dict[str, Column]:
     them directly so the plan stays a single pass instead of join
     re-expansions per derived frame)."""
     t = F.col(text_col)
-    ws = F.size(F.split(F.trim(t), r"\s+"))
+    ws = F.size(F.split(F.trim(t), _SPLIT_WS))
     bpe = F.size(
         F.regexp_extract_all(
-            t, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), F.lit(1))
+            t, F.lit(rf"([A-Za-z]+|[0-9]|[^A-Za-z0-9{_WS}])"), F.lit(1))
     )
     return {
         "n_ws_tokens": ws.cast("long"),
@@ -61,10 +70,10 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     """Quality-feature column builders (see token_count_columns note)."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    words = F.split(F.trim(t), r"\s+")
+    words = F.split(F.trim(t), _SPLIT_WS)
     n_words = F.size(words)
     n_punct = F.size(
-        F.regexp_extract_all(t, F.lit(r"([^\w\s])"), F.lit(1)))
+        F.regexp_extract_all(t, F.lit(rf"([^\w{_WS}])"), F.lit(1)))
     n_upper = F.size(F.regexp_extract_all(t, F.lit(r"([A-Z])"), F.lit(1)))
     n_stop = _word_matches(t, LANG_MARKERS["en"])
     return {
@@ -123,7 +132,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _words(text_col: str) -> Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.split(F.trim(F.col(text_col)), _SPLIT_WS)
 
 
 def _gram_array(words: Column, n: int) -> Column:
@@ -235,9 +244,9 @@ def entropy_signals(docs: DataFrame,
     # whitespace-only docs would split to empty-string tokens
     # (n_words>=1, ttr>0) — filter them here so they fall through to
     # the coalesced zero defaults below, like chunk_documents/build_vocab.
-    # rlike('\\S'), not length(trim())>0: trim strips only ' ' (a
+    # rlike(_HAS_INK), not length(trim())>0: trim strips only ' ' (a
     # tab/newline-only doc would slip through)
-    staged = _staged_words(docs.where(F.col(text_col).rlike(r"\S")),
+    staged = _staged_words(docs.where(F.col(text_col).rlike(_HAS_INK)),
                            text_col)
     g = (
         staged.select("doc_id", F.explode("_ws").alias("w"))
@@ -628,7 +637,7 @@ def logodds_score(
     rounds to `round_dp` (the float-sum association grid, same recipe
     as tf-idf / the bigram LM)."""
     staged = _staged_words(
-        docs.where(F.col(text_col).rlike(r"\S"))
+        docs.where(F.col(text_col).rlike(_HAS_INK))
         .withColumn("_is_t", target), text_col)
     words = staged.select(
         "doc_id", F.col("_is_t").alias("is_t"),
@@ -640,9 +649,8 @@ def logodds_score(
     )
     tot = cnt.agg(
         F.sum("nt").alias("tt"), F.sum("nr").alias("tr"),
-        F.count(F.lit(1)).alias("v")).withColumn("_k", F.lit(1))
-    weights = cnt.withColumn("_k", F.lit(1)).join(
-        F.broadcast(tot), "_k").select(
+        F.count(F.lit(1)).alias("v"))
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
         "w",
         (F.log((F.col("nt") + F.lit(alpha))
                / (F.col("tt") + F.lit(alpha) * F.col("v")))
