@@ -3683,6 +3683,134 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup(lined.select("doc_id", "text"), max_df=2)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (text.gopher_quality, r4; Rae et
+    al. 2021 §A1.1): the seven repetition-independent filters as one
+    map-only projection.  The synthetic corpus has no newlines, bullets,
+    ellipses, '#' symbols, or English stopwords, so the query first
+    builds a deterministic doc_id-keyed structure the oracle replays
+    exactly: 8-word lines (the line_dedup slicing), '- ' bullets on
+    (doc_id+g)%5==0 lines (ALL lines when doc_id%17==0, failing the
+    bullet rule), '...' suffixes on (doc_id+g)%7==0 lines, a stopword
+    prefix on doc_id%3 in {0,1} (two hits vs one), and twelve ' #'
+    tokens on doc_id%9==0 docs (failing symbol/alpha rules on short
+    docs).  Every rule has both passing and failing docs at sf0.01."""
+    from ts2g2_spark.operators import text as T
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim("text"), r"[ \t\n\f\r]+")
+    staged = docs.select("doc_id", words.alias("_ws"),
+                         F.rand(0).alias("_b1"))
+    did = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), ((F.size("_ws") - 1) / 8).cast("int")),
+        lambda g: F.concat(
+            F.when(((did + g) % 5 == 0) | (did % 17 == 0), F.lit("- "))
+            .otherwise(F.lit("")),
+            F.array_join(F.slice("_ws", g * 8 + 1, 8), " "),
+            F.when((did + g) % 7 == 0, F.lit("..."))
+            .otherwise(F.lit(""))))
+    body = F.array_join(lines, "\n")
+    prefixed = (
+        F.when(did % 3 == 0, F.concat(F.lit("the and of to "), body))
+        .when(did % 3 == 1, F.concat(F.lit("the "), body))
+        .otherwise(body))
+    final = F.concat(
+        prefixed,
+        F.when(did % 9 == 0, F.lit(" #" * 12)).otherwise(F.lit("")))
+    lined = staged.select("doc_id", final.alias("text"),
+                          F.rand(0).alias("_b2"))
+    return T.gopher_quality(lined.select("doc_id", "text"))
+
+
+GOPHER_QUALITY_SQL = r"""
+with w as materialized (
+  select doc_id, regexp_split_to_array(trim(text), '[ \t\n\f\r]+') ws
+  from documents
+),
+l as materialized (
+  select doc_id, g,
+    (case when (doc_id + g) % 5 = 0 or doc_id % 17 = 0
+          then '- ' else '' end)
+    || array_to_string(ws[g*8+1 : g*8+8], ' ')
+    || (case when (doc_id + g) % 7 = 0 then '...' else '' end) as line
+  from w, lateral (
+    select unnest(generate_series(0, (len(ws) - 1) // 8)) as g) t
+),
+d as materialized (
+  select doc_id,
+    (case when doc_id % 3 = 0 then 'the and of to '
+          when doc_id % 3 = 1 then 'the ' else '' end)
+    || string_agg(line, chr(10) order by g)
+    || (case when doc_id % 9 = 0
+             then ' # # # # # # # # # # # #' else '' end) as text
+  from l group by doc_id
+),
+f as (
+  select doc_id, text,
+    regexp_split_to_array(trim(text), '[ \t\n\f\r]+') ws,
+    string_split(text, chr(10)) ls,
+    length(regexp_replace(text, '[ \t\n\f\r]+', '', 'g')) nonws,
+    length(text) - length(replace(text, '#', '')) hash_cnt,
+    (length(text) - length(replace(text, '...', ''))) // 3
+      + (length(text) - length(replace(text, '…', ''))) ell_cnt
+  from d
+),
+m as (
+  select doc_id,
+    cast(case when regexp_matches(text, '[^ \t\n\f\r]')
+              then len(ws) else 0 end as bigint) n_words,
+    cast(len(ls) as bigint) n_lines,
+    cast(nonws as bigint) nonws,
+    cast(hash_cnt as bigint) hash_cnt,
+    cast(ell_cnt as bigint) ell_cnt,
+    cast(len(list_filter(ls,
+        x -> regexp_matches(x, '^[ \t]*[-*•‣▪]'))) as bigint) bullet_cnt,
+    cast(len(list_filter(ls,
+        x -> rtrim(x) like '%...' or rtrim(x) like '%…'))
+      as bigint) ell_line_cnt,
+    cast(len(list_filter(ws,
+        x -> regexp_matches(x, '[A-Za-z]'))) as bigint) alpha_cnt,
+    (list_contains(lw, 'the')::INT + list_contains(lw, 'be')::INT
+     + list_contains(lw, 'to')::INT + list_contains(lw, 'of')::INT
+     + list_contains(lw, 'and')::INT + list_contains(lw, 'that')::INT
+     + list_contains(lw, 'have')::INT
+     + list_contains(lw, 'with')::INT) stop_hits
+  from (select *, list_transform(ws, x -> lower(x)) lw from f)
+),
+r as (
+  select doc_id, n_words, n_lines,
+    (n_words >= 50 and n_words <= 100000) as pass_word_count,
+    (n_words > 0
+     and nonws / greatest(n_words, 1) >= cast(3.0 as double)
+     and nonws / greatest(n_words, 1) <= cast(10.0 as double))
+      as pass_mean_word_len,
+    (n_words > 0
+     and hash_cnt <= cast(0.1 as double) * n_words
+     and ell_cnt <= cast(0.1 as double) * n_words) as pass_symbol_ratio,
+    (bullet_cnt < cast(0.9 as double) * n_lines) as pass_bullet_lines,
+    (ell_line_cnt < cast(0.3 as double) * n_lines)
+      as pass_ellipsis_lines,
+    (n_words > 0 and alpha_cnt >= cast(0.8 as double) * n_words)
+      as pass_alpha_words,
+    (n_words > 0 and stop_hits >= 2) as pass_stop_words
+  from m
+)
+select doc_id, n_words, n_lines,
+  pass_word_count, pass_mean_word_len, pass_symbol_ratio,
+  pass_bullet_lines, pass_ellipsis_lines, pass_alpha_words,
+  pass_stop_words,
+  ((not pass_word_count)::INT + (not pass_mean_word_len)::INT
+   + (not pass_symbol_ratio)::INT + (not pass_bullet_lines)::INT
+   + (not pass_ellipsis_lines)::INT + (not pass_alpha_words)::INT
+   + (not pass_stop_words)::INT) as n_rules_failed,
+  (pass_word_count and pass_mean_word_len and pass_symbol_ratio
+   and pass_bullet_lines and pass_ellipsis_lines and pass_alpha_words
+   and pass_stop_words) as keep
+from r
+"""
+
+
 LINE_DEDUP_SQL = r"""
 with w as materialized (
   select doc_id, regexp_split_to_array(trim(text), '\s+') ws
@@ -5692,6 +5820,7 @@ _RAW_QUERIES = {
         "tfidf_top_terms": q_tfidf_top_terms,
         "duplicated_spans": q_duplicated_spans,
         "line_dedup": q_line_dedup,
+        "gopher_quality": q_gopher_quality,
         "semantic_dedup": q_semantic_dedup,
         "m4_1h": q_m4_1h,
         "rolling_zscore": q_rolling_zscore,
@@ -5839,6 +5968,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),
         "line_dedup": LINE_DEDUP_SQL,
+        "gopher_quality": GOPHER_QUALITY_SQL,
         "semantic_dedup": SEMANTIC_DEDUP_SQL,
         "m4_1h": M4_SQL,
         "rolling_zscore": ZSCORE_SQL,

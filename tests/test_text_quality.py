@@ -547,3 +547,48 @@ def test_vertical_tab_tokenizes_re2_style(spark):
         docs, text_ops.F.col("doc_id") == 1).collect()}
     assert lo[2]["n_words"] == 1
     assert lo[3]["n_words"] == 0 and lo[3]["score"] == 0.0
+
+
+def test_gopher_quality_rules(spark):
+    import pandas as pd
+    from ts2g2_spark.operators import text as text_ops
+
+    good = " ".join(
+        ["the", "be", "to", "of"] + [f"alpha{i}" for i in range(60)])
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "text": [
+            good,                                    # passes all 7
+            "short words only the be",               # < 50 words
+            good + " " + "# " * 20,                  # hash ratio > 0.1
+            "\n".join(["- the be item"] * 10),       # 100% bullet lines
+            "\n".join(["the be trailing..."] * 10),  # 100% ellipsis ends
+            good.replace("alpha", "####"),           # alpha frac < 0.8
+            " ".join([f"w{i}" for i in range(60)]),  # no stopwords
+            "   \t\n ",                              # whitespace-only
+        ],
+    }))
+    rows = {r["doc_id"]: r for r in
+            text_ops.gopher_quality(docs).collect()}
+    assert rows[1]["keep"] and rows[1]["n_rules_failed"] == 0
+    assert not rows[2]["pass_word_count"] and not rows[2]["keep"]
+    assert not rows[3]["pass_symbol_ratio"]
+    assert not rows[4]["pass_bullet_lines"]
+    assert not rows[5]["pass_ellipsis_lines"]
+    assert not rows[6]["pass_alpha_words"]
+    assert not rows[7]["pass_stop_words"]
+    # whitespace-only: every word-based rule is defined FALSE
+    r8 = rows[8]
+    assert r8["n_words"] == 0 and not r8["keep"]
+    assert not r8["pass_word_count"] and not r8["pass_mean_word_len"]
+    assert not r8["pass_alpha_words"] and not r8["pass_stop_words"]
+    # mean-word-length bounds: 60 one-char words fail the lower bound
+    ones = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": [" ".join(["a"] * 60)]}))
+    r = text_ops.gopher_quality(ones).collect()[0]
+    assert not r["pass_mean_word_len"] and r["pass_word_count"]
+    # ellipsis U+2026 counts for both the symbol and line-end rules
+    ell = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["the be word…\n" * 3 + "the be word…"]}))
+    r = text_ops.gopher_quality(ell).collect()[0]
+    assert not r["pass_ellipsis_lines"] and not r["pass_symbol_ratio"]

@@ -669,3 +669,131 @@ def logodds_score(
         F.coalesce("n_words", F.lit(0)).alias("n_words"),
         F.coalesce("score", F.lit(0.0)).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models", §A1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Bullet glyphs the line-start rule recognizes (the paper's bullet set plus
+# the plain ASCII markers real corpora use).
+_BULLET_CLASS = r"^[ \t]*[-*•‣▪]"
+
+
+def gopher_columns(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stop_words: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> dict[str, Column]:
+    """Column builders for the seven Gopher document-quality rules.
+
+    DETERMINISM CONTRACT: every count is an integer computed from
+    RE2-safe string ops (the `_WS` class, literal `replace`), and every
+    ratio comparison is a single IEEE-double multiply/divide of those
+    integers against a double literal — bit-identical in any IEEE
+    engine, so a SQL oracle casting its literals to DOUBLE reproduces
+    each boolean exactly.  Word-based rules are defined FALSE on docs
+    with zero words (the word-count rule already fails them).
+
+    The seven rules (pass = keep):
+      1. word count in [min_words, max_words]
+      2. mean word length in [min_mean_word_len, max_mean_word_len]
+         (mean = non-whitespace chars / words)
+      3. '#'-to-word ratio <= max_symbol_word_ratio AND ellipsis
+         ('...' or U+2026) to-word ratio <= max_symbol_word_ratio
+      4. fraction of lines starting with a bullet < max_bullet_line_frac
+      5. fraction of lines ending with an ellipsis
+         < max_ellipsis_line_frac
+      6. fraction of words containing an alphabetic char
+         >= min_alpha_word_frac
+      7. at least min_stop_hits DISTINCT stop_words present as exact
+         lowercase whitespace-tokens (punctuation-attached words do not
+         count — a documented simplification of the paper's tokenizer)
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), _SPLIT_WS)
+    n_words = F.when(t.rlike(_HAS_INK), F.size(words)) \
+        .otherwise(F.lit(0)).cast("long")
+    has_words = n_words > 0
+    nonws = F.length(F.regexp_replace(t, _SPLIT_WS, "")).cast("long")
+    hash_cnt = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+                ).cast("long")
+    ell_cnt = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_cnt = F.size(
+        F.filter(lines, lambda x: x.rlike(_BULLET_CLASS))).cast("long")
+    ell_line_cnt = F.size(F.filter(
+        lines,
+        lambda x: F.rtrim(x).endswith("...")
+        | F.rtrim(x).endswith("…"))).cast("long")
+    alpha_cnt = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    lw = F.transform(words, F.lower)
+    stop_hits = None
+    for w in stop_words:
+        hit = F.array_contains(lw, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    dbl = F.lit  # double literals; SQL oracles must cast theirs to DOUBLE
+    flags = {
+        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+        # greatest(n_words, 1): ANSI mode evaluates the division even
+        # when the has_words guard is false — a zero-word doc must not
+        # raise DIVIDE_BY_ZERO (the flag is already forced false).
+        "pass_mean_word_len": has_words
+        & (nonws / F.greatest(n_words, F.lit(1))
+           >= dbl(float(min_mean_word_len)))
+        & (nonws / F.greatest(n_words, F.lit(1))
+           <= dbl(float(max_mean_word_len))),
+        "pass_symbol_ratio": has_words
+        & (hash_cnt <= dbl(float(max_symbol_word_ratio)) * n_words)
+        & (ell_cnt <= dbl(float(max_symbol_word_ratio)) * n_words),
+        "pass_bullet_lines":
+            bullet_cnt < dbl(float(max_bullet_line_frac)) * n_lines,
+        "pass_ellipsis_lines":
+            ell_line_cnt < dbl(float(max_ellipsis_line_frac)) * n_lines,
+        "pass_alpha_words": has_words
+        & (alpha_cnt >= dbl(float(min_alpha_word_frac)) * n_words),
+        "pass_stop_words": has_words & (stop_hits >= F.lit(min_stop_hits)),
+    }
+    n_failed = None
+    for c in flags.values():
+        miss = (~c).cast("int")
+        n_failed = miss if n_failed is None else n_failed + miss
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        **flags,
+        "n_rules_failed": n_failed,
+        "keep": n_failed == 0,
+    }
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   **kwargs) -> DataFrame:
+    """Gopher-rules document filter (Rae et al. 2021 §A1.1): the seven
+    repetition-independent quality rules as one map-only Catalyst
+    projection — (doc_id, n_words, n_lines, seven pass_* booleans,
+    n_rules_failed, keep).  Pair with `repetition_signals` for the
+    paper's repetition rules.
+
+    Scale shape: zero exchanges — a single whole-stage-codegen'd
+    projection over the scan; filters on `keep` push down to the
+    parquet scan's row-group pruning like any other predicate.
+    """
+    cols = gopher_columns(text_col, **kwargs)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()])
