@@ -4721,6 +4721,59 @@ from gs30 g join gs6h h
 """
 
 
+def q_state_durations(spark, sf_dir):
+    """Duration-in-state aggregation (temporal.state_durations, r4; the
+    TimescaleDB-toolkit state_agg analog): label each event low/mid/high
+    on value thresholds (15, 70 ~ the corpus quartiles), merge
+    consecutive same-state observations into intervals per user, report
+    interval count, total/longest dwell (integer microseconds) and the
+    first entry per user x state.  Pure integer arithmetic — the oracle
+    replays the same lead/lag/running-sum windows."""
+    from ts2g2_spark.operators.temporal import state_durations
+
+    return state_durations(_events(spark, sf_dir), low=15.0, high=70.0,
+                           order_col="event_id")
+
+
+STATE_DURATIONS_SQL = """
+with s as (
+  select user_id, event_id, epoch_us(ts) as us,
+         case when value < cast(15.0 as double) then 'low'
+              when value >= cast(70.0 as double) then 'high'
+              else 'mid' end as state
+  from events
+),
+m as (
+  select user_id, event_id, us, state,
+         coalesce(lead(us) over wo, us) as nxt,
+         case when lag(state) over wo is null
+                or lag(state) over wo <> state
+              then 1 else 0 end as chg
+  from s
+  window wo as (partition by user_id order by us, event_id)
+),
+i as (
+  select user_id, us, state, nxt,
+         sum(chg) over (partition by user_id order by us, event_id
+                        rows between unbounded preceding
+                        and current row) as seg
+  from m
+),
+g as (
+  select user_id, seg, min(state) as state,
+         min(us) as enter_us,
+         max(nxt) - min(us) as dur_us
+  from i group by 1, 2
+)
+select user_id, state,
+       count(*)::BIGINT as n_intervals,
+       sum(dur_us)::BIGINT as total_us,
+       max(dur_us)::BIGINT as longest_us,
+       make_timestamp(min(enter_us)) as first_enter
+from g group by 1, 2
+"""
+
+
 def q_twa_1h(spark, sf_dir):
     """Time-weighted hourly average per user (trapezoidal integral over
     covered spans; singleton/coincident buckets fall back to the plain
@@ -5846,6 +5899,7 @@ _RAW_QUERIES = {
         "hampel_3": q_hampel_3,
         "interval_join_sessions": q_interval_join_sessions,
         "twa_1h": q_twa_1h,
+        "state_durations": q_state_durations,
         "counter_rate_1h": q_counter_rate_1h,
         "sax_motifs_w4": q_sax_motifs_w4,
         "serve_range_stitched": q_serve_range_stitched,
@@ -5993,6 +6047,7 @@ def oracle_sql() -> dict[str, str]:
         "hampel_3": HAMPEL_SQL,
         "interval_join_sessions": INTERVAL_JOIN_SQL,
         "twa_1h": TWA_SQL,
+        "state_durations": STATE_DURATIONS_SQL,
         "counter_rate_1h": COUNTER_RATE_SQL,
         "serve_range_stitched": SERVE_RANGE_SQL,
         "distinct_users_1h": DISTINCT_USERS_SQL,

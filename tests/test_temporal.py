@@ -253,3 +253,67 @@ def test_interval_join_plan_is_equi_join(spark):
     plan = interval_join(l, r, ["k"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_state_durations_islands(spark):
+    from ts2g2_spark.operators.temporal import state_durations
+
+    # one user: low(0s) low(10s) high(25s) low(30s) -> islands
+    # low[0,25) = 25s, high[25,30) = 5s, low[30,30) = 0s (series end)
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "event_id": [1, 2, 3, 4],
+        "ts": [_ts(0), _ts(10), _ts(25), _ts(30)],
+        "value": [1.0, 2.0, 99.0, 3.0],
+    })
+    out = state_durations(spark.createDataFrame(pdf), low=15.0,
+                          high=70.0, order_col="event_id")
+    rows = {r["state"]: r for r in out.collect()}
+    assert rows["low"]["n_intervals"] == 2
+    assert rows["low"]["total_us"] == 25_000_000
+    assert rows["low"]["longest_us"] == 25_000_000
+    assert rows["low"]["first_enter"] == _ts(0)
+    assert rows["high"]["n_intervals"] == 1
+    assert rows["high"]["total_us"] == 5_000_000
+    assert rows["high"]["first_enter"] == _ts(25)
+
+
+def test_state_durations_tiebreaker_and_state_col(spark):
+    from ts2g2_spark.operators.temporal import state_durations
+
+    # duplicate timestamps: event_id breaks the tie -> b,a at t0 then
+    # a at t10 gives islands b[0,0) a[0,10) a[10,10)-merged = a x1
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "event_id": [2, 1, 3],
+        "ts": [_ts(0), _ts(0), _ts(10)],
+        "st": ["a", "b", "a"],
+    })
+    out = state_durations(spark.createDataFrame(pdf), state_col="st",
+                          order_col="event_id")
+    rows = {r["state"]: r for r in out.collect()}
+    assert rows["b"]["n_intervals"] == 1 and rows["b"]["total_us"] == 0
+    assert rows["a"]["n_intervals"] == 1
+    assert rows["a"]["total_us"] == 10_000_000
+
+    with pytest.raises(ValueError, match="state_col or both"):
+        state_durations(spark.createDataFrame(pdf), low=1.0)
+
+
+def test_state_durations_empty_and_single(spark):
+    from ts2g2_spark.operators.temporal import state_durations
+
+    pdf = pd.DataFrame({
+        "user_id": [1], "event_id": [1], "ts": [_ts(0)],
+        "value": [50.0]})
+    df = spark.createDataFrame(pdf)
+    out = state_durations(df, low=15.0, high=70.0,
+                          order_col="event_id").collect()
+    assert len(out) == 1 and out[0]["state"] == "mid"
+    assert out[0]["total_us"] == 0 and out[0]["n_intervals"] == 1
+    assert state_durations(df.limit(0), low=1.0, high=2.0,
+                           order_col="event_id").count() == 0

@@ -210,3 +210,88 @@ def interval_join(
     overlap = (F.col(LS) <= F.col(RE)) & (F.col(RS) <= F.col(LE))
     owner = F.col(B) == F.floor(F.greatest(F.col(LS), F.col(RS)) / bus)
     return joined.where(overlap & owner).select(*key_cols, *lcols, *r_out)
+
+
+def state_durations(
+    points: DataFrame,
+    state_col: str | None = None,
+    low: float | None = None,
+    high: float | None = None,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Duration-in-state aggregation (the TimescaleDB-toolkit
+    `state_agg`/`compact_state_agg` analog): label each observation with
+    a state, merge consecutive same-state observations into intervals
+    (gaps-and-islands), and report per series x state the interval
+    count, total and longest dwell time, and first entry.
+
+    States come from `state_col` if given, else from (low, high)
+    thresholds on `val_col`: value < low -> 'low', value >= high ->
+    'high', else 'mid'.  A state holds from its point's timestamp until
+    the NEXT observation's timestamp (step-function semantics, like
+    state_agg); the last observation of a series contributes zero dwell
+    — there is no evidence past it.
+
+    DETERMINISM CONTRACT: all arithmetic is integer microseconds
+    (unix_micros) — no floats anywhere, so a SQL oracle replaying the
+    same lag/lead/running-sum windows matches hash-exactly.  Within-
+    series ordering is (ts, order_col); pass `order_col` (e.g. an event
+    id) when one series can carry duplicate timestamps, otherwise the
+    island boundaries are tie-ambiguous in ANY engine.
+
+    Output: series cols + state, n_intervals, total_us, longest_us,
+    first_enter (timestamp of the first transition into the state).
+
+    Scale shape: ONE shuffle on the series key feeds both ordered
+    windows (lead + running sum share the partitioning), then two
+    partial-agg'd hash aggregations (series x island, series x state)
+    reuse the same hash-partitioning — no further exchange of the big
+    side.  State is O(1) per window frame; nothing is collected.
+    """
+    if state_col is None and (low is None or high is None):
+        raise ValueError(
+            "state_durations: pass state_col or both low and high")
+    scols = [F.col(c) for c in series_cols]
+    order = [F.col("_us")] + (
+        [F.col(order_col)] if order_col is not None else [])
+    w = Window.partitionBy(*scols).orderBy(*order)
+    if state_col is not None:
+        state = F.col(state_col)
+    else:
+        v = F.col(val_col)
+        state = (F.when(v < F.lit(float(low)), F.lit("low"))
+                 .when(v >= F.lit(float(high)), F.lit("high"))
+                 .otherwise(F.lit("mid")))
+    staged = points.select(
+        *scols,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        *([F.col(order_col)] if order_col is not None else []),
+        state.alias("_state"))
+    marked = staged.select(
+        *scols, "_us", "_state",
+        *([F.col(order_col)] if order_col is not None else []),
+        F.coalesce(F.lead("_us", 1).over(w), F.col("_us")).alias("_nxt"),
+        F.when(F.lag("_state", 1).over(w).isNull()
+               | (F.lag("_state", 1).over(w) != F.col("_state")),
+               F.lit(1)).otherwise(F.lit(0)).alias("_chg"))
+    # explicit ROWS frame: the default RANGE frame would merge peer rows
+    # at duplicate timestamps into one running-sum value
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = marked.select(
+        *scols, "_us", "_state", "_nxt",
+        F.sum("_chg").over(wrows).alias("_seg"))
+    segs = islands.groupBy(*scols, "_seg").agg(
+        F.first("_state").alias("state"),
+        F.min("_us").alias("_enter_us"),
+        (F.max("_nxt") - F.min("_us")).alias("_dur_us"))
+    return segs.groupBy(*scols, "state").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_dur_us").alias("total_us"),
+        F.max("_dur_us").alias("longest_us"),
+        # cast back to NTZ: inputs are parquet TIMESTAMP_NTZ, and under
+        # the pinned-UTC session contract the wall-clock is the instant
+        F.timestamp_micros(F.min("_enter_us")).cast("timestamp_ntz")
+        .alias("first_enter"))
