@@ -4110,6 +4110,21 @@ from r where rk = 1
 """
 
 
+def q_matrix_profile_m16(spark, sf_dir):
+    """Matrix profile per user series (seriesstats.matrix_profile, r4;
+    STOMP-family, m=16): nearest non-trivial-neighbor z-normalized
+    distance + neighbor position per subsequence — motif/discord
+    discovery over the event series.  ROWS-ONLY BY DESIGN: the pairwise
+    dot products run through BLAS pairwise-reduction summation, which no
+    left-fold SQL replay reproduces bit-for-bit (same class as the
+    eigensolver); correctness is pinned by brute-force numpy parity
+    tests (tests/test_seriesstats.py) instead."""
+    from ts2g2_spark.operators.seriesstats import matrix_profile
+
+    return matrix_profile(_events(spark, sf_dir), m=16,
+                          order_col="event_id")
+
+
 def q_series_profile(spark, sf_dir):
     """Per-user descriptive profile: moments, exact continuous
     percentiles (percentile_cont semantics in both engines), and Tukey
@@ -5881,6 +5896,7 @@ _RAW_QUERIES = {
         "acf_4": q_acf_4,
         "cusum_changepoint": q_cusum_changepoint,
         "series_profile": q_series_profile,
+        "matrix_profile_m16": q_matrix_profile_m16,
         "periodogram": q_periodogram,
         "vocab_stats": q_vocab_stats,
         "source_divergence": q_source_divergence,

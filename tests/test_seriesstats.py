@@ -571,3 +571,81 @@ def test_decompose_strength_classifies_signals(spark):
         assert got[u].seasonal_strength == pytest.approx(fs, abs=2e-6)
         assert got[u].trend_strength == pytest.approx(ft, abs=2e-6)
         assert got[u].n_rows == len(g)
+
+
+def _mp_brute(x, m, excl):
+    """Brute-force z-normalized matrix profile (loops, stumpy rules)."""
+    n = len(x)
+    p = n - m + 1
+    out = []
+    for i in range(p):
+        a = x[i:i + m]
+        sa = a.std()
+        best, bj = None, None
+        for j in range(p):
+            if abs(i - j) <= excl:
+                continue
+            b = x[j:j + m]
+            sb = b.std()
+            if sa <= 1e-12 and sb <= 1e-12:
+                d = 0.0
+            elif sa <= 1e-12 or sb <= 1e-12:
+                d = math.sqrt(m)
+            else:
+                za = (a - a.mean()) / sa
+                zb = (b - b.mean()) / sb
+                d = float(np.sqrt(((za - zb) ** 2).sum()))
+            if best is None or d < best - 1e-9:
+                best, bj = d, j
+        out.append((i, bj, best))
+    return out
+
+
+def test_matrix_profile_matches_bruteforce(spark):
+    from ts2g2_spark.operators.seriesstats import matrix_profile
+
+    rng = np.random.default_rng(7)
+    base = np.sin(np.arange(60) / 3.0)
+    x = base + rng.normal(0, 0.1, 60)
+    x[20:28] = x[2:10]  # planted motif pair
+    pdf = pd.DataFrame({
+        "user_id": [1] * 60,
+        "event_id": np.arange(60),
+        "ts": pd.date_range("2024-01-01", periods=60, freq="h"),
+        "value": x,
+    })
+    m = 8
+    got = {r["pos"]: r for r in matrix_profile(
+        spark.createDataFrame(pdf), m=m,
+        order_col="event_id").collect()}
+    excl = max(1, m // 4)
+    for i, bj, best in _mp_brute(x, m, excl):
+        assert got[i]["dist"] == pytest.approx(best, abs=1e-6), i
+    # the planted pair is each other's nearest neighbor
+    assert got[2]["nn_pos"] == 20 and got[20]["nn_pos"] == 2
+    assert got[2]["dist"] < 0.1 * math.sqrt(m)
+
+
+def test_matrix_profile_constants_and_edges(spark):
+    from ts2g2_spark.operators.seriesstats import matrix_profile
+
+    # constant series: all-constant subsequences -> dist 0 everywhere
+    pdf = pd.DataFrame({
+        "user_id": [1] * 20,
+        "event_id": np.arange(20),
+        "ts": pd.date_range("2024-01-01", periods=20, freq="h"),
+        "value": [5.0] * 20,
+    })
+    rows = matrix_profile(spark.createDataFrame(pdf), m=4,
+                          order_col="event_id").collect()
+    assert len(rows) == 17 and all(r["dist"] == 0.0 for r in rows)
+    # series shorter than m + exclusion yields no rows, not an error
+    short = spark.createDataFrame(pdf.head(4))
+    assert matrix_profile(short, m=4, order_col="event_id").count() == 0
+    with pytest.raises(ValueError, match="m must be"):
+        matrix_profile(None, m=2)
+    # the quadratic guard raises loudly inside the kernel
+    with pytest.raises(Exception, match="max_subsequences"):
+        matrix_profile(spark.createDataFrame(pdf), m=4,
+                       order_col="event_id",
+                       max_subsequences=5).count()

@@ -901,3 +901,143 @@ def decompose_strength(
         F.when(F.col("_vt") > 0, strength(F.col("_vt")))
          .alias("trend_strength"),
     )
+
+
+def matrix_profile(
+    points: DataFrame,
+    m: int,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    exclusion: int | None = None,
+    round_dp: int = 9,
+    max_subsequences: int = 1_000_000,
+) -> DataFrame:
+    """Matrix profile per series (STOMP-family, Yeh et al. 2016): for
+    every length-`m` subsequence, the z-normalized Euclidean distance to
+    its nearest NON-TRIVIAL neighbor (|i - j| > exclusion, default
+    max(1, m // 4) — the standard trivial-match zone), and that
+    neighbor's position.  Low distances mark motifs, high distances
+    discords — the canonical all-pairs similarity summary of a series.
+
+    Semantics (the stumpy conventions): population sigma; two
+    near-constant subsequences (sigma <= 1e-12) are distance 0; one
+    constant vs one varying is sqrt(m); dist = sqrt(max(d2, 0)) guards
+    the 2m(1 - rho) form against negative round-off.  Ties in the
+    nearest neighbor resolve to the SMALLEST j (np.argmin) — pinned by
+    tests so reruns and partitionings agree.
+
+    No SQL oracle by design: the pairwise dot products run through BLAS
+    (pairwise-reduction summation order), which no left-fold SQL replay
+    can reproduce bit-for-bit — same class as the eigensolver; declared
+    rows-only, with brute-force numpy parity tests instead.
+
+    Scale shape: one collect_list shuffle on the series key, then a
+    map-only Arrow kernel.  The O(n^2) distance matrix exists only
+    transiently inside the kernel, CHUNKED to <= 2048 rows at a time
+    (memory O(2048 * n), not O(n^2)); one series must fit in one task
+    (the theil_sen retention-bounded contract).  Series longer than
+    `max_subsequences` raise loudly rather than running a silent
+    multi-hour quadratic — raise the cap deliberately if you mean it.
+
+    Output: series cols + pos, nn_pos, dist — one row per subsequence.
+    """
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    if m < 3:
+        raise ValueError(f"matrix_profile: m must be >= 3, got {m}")
+    excl = max(1, m // 4) if exclusion is None else int(exclusion)
+    if excl < 1:
+        raise ValueError("matrix_profile: exclusion must be >= 1")
+    scols = [F.col(c) for c in series_cols]
+    okey = [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us")]
+    if order_col is not None:
+        okey.append(F.col(order_col))
+    staged = points.select(
+        *scols, *okey, F.col(val_col).cast("double").alias("_v"))
+    sort_struct = F.struct(
+        *(["_us"] + ([order_col] if order_col is not None else [])
+          + ["_v"]))
+    grouped = staged.groupBy(*scols).agg(
+        F.sort_array(F.collect_list(sort_struct)).alias("_s")
+    ).select(*scols, F.col("_s._v").alias("_vs"))
+    key_fields = [grouped.schema[c] for c in series_cols]
+    out_schema = StructType(key_fields + [
+        StructField("pos", ArrayType(LongType())),
+        StructField("nn_pos", ArrayType(LongType())),
+        StructField("dist", ArrayType(DoubleType())),
+    ])
+    names = list(series_cols)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
+        for pdf in batches:
+            rows = []
+            for k in range(len(pdf)):
+                x = np.asarray(pdf["_vs"].iat[k], dtype=np.float64)
+                n = len(x)
+                p = n - m + 1  # number of subsequences
+                if p < 2 or p <= excl:
+                    continue
+                if p > max_subsequences:
+                    raise ValueError(
+                        f"matrix_profile: series has {p} subsequences "
+                        f"(> max_subsequences={max_subsequences}); the "
+                        f"profile is O(n^2) per series — raise the cap "
+                        f"explicitly if this is intended")
+                idx = np.arange(p)[:, None] + np.arange(m)[None, :]
+                W = x[idx]
+                mu = W.mean(axis=1)
+                sig = W.std(axis=1)
+                const = sig <= 1e-12
+                nn = np.empty(p, dtype=np.int64)
+                nd = np.empty(p, dtype=np.float64)
+                pos_all = np.arange(p)
+                for lo in range(0, p, 2048):
+                    hi = min(lo + 2048, p)
+                    G = W[lo:hi] @ W.T
+                    blk = slice(lo, hi)
+                    with np.errstate(invalid="ignore",
+                                     divide="ignore"):
+                        rho = ((G - m * mu[blk, None] * mu[None, :])
+                               / (m * sig[blk, None] * sig[None, :]))
+                    d2 = 2.0 * m * (1.0 - rho)
+                    cb = const[blk]
+                    # constant-vs-constant -> 0; constant-vs-varying
+                    # -> sqrt(m) (stumpy convention)
+                    both = cb[:, None] & const[None, :]
+                    one = cb[:, None] ^ const[None, :]
+                    d2 = np.where(both, 0.0, d2)
+                    d2 = np.where(one, float(m), d2)
+                    # trivial-match exclusion zone
+                    tri = np.abs(pos_all[blk, None]
+                                 - pos_all[None, :]) <= excl
+                    d2 = np.where(tri, np.inf, d2)
+                    j = np.argmin(d2, axis=1)
+                    nn[blk] = j
+                    nd[blk] = np.sqrt(
+                        np.maximum(d2[np.arange(hi - lo), j], 0.0))
+                nd = np.array([float(quantize_ieee(v, round_dp))
+                               for v in nd])
+                rows.append((*[pdf[c].iat[k] for c in names],
+                             pos_all.astype(np.int64), nn, nd))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[*names, "pos", "nn_pos", "dist"])
+
+    arrays = grouped.mapInPandas(kern, schema=out_schema)
+    exploded = arrays.select(
+        *scols, F.arrays_zip("pos", "nn_pos", "dist").alias("_z")
+    ).select(*scols, F.explode("_z").alias("_e"))
+    return exploded.select(
+        *scols,
+        F.col("_e.pos").alias("pos"),
+        F.col("_e.nn_pos").alias("nn_pos"),
+        F.col("_e.dist").alias("dist"),
+    )
