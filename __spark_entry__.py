@@ -3186,6 +3186,67 @@ from documents d left join s using (doc_id)
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (text.dsir_weights, r4; Xie et al. 2023):
+    hashed unigram+bigram models, target = sources src0-src3 vs the raw
+    corpus, per-doc log importance ratio.  gram_hash="md5" is the
+    oracle-portable path (xxhash64 is the production default); the
+    oracle replays the bucket hash, both Laplace-smoothed models, and
+    the per-doc sum on the shared 6-decimal float-sum grid."""
+    from ts2g2_spark.operators import text as text_ops
+
+    docs = _docs(spark, sf_dir)
+    return text_ops.dsir_weights(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3"),
+        gram_hash="md5")
+
+
+DSIR_WEIGHTS_SQL = r"""
+with w as materialized (
+  select doc_id,
+         source in ('src0','src1','src2','src3') as is_t,
+         regexp_split_to_array(trim(text), '[ \t\n\f\r]+') ws
+  from documents
+  where regexp_matches(text, '[^ \t\n\f\r]')
+),
+g as materialized (
+  select doc_id, is_t, unnest(
+    ws || coalesce(list_transform(generate_series(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i+1]),
+                   [])) as g
+  from w
+),
+f as materialized (
+  select doc_id, is_t,
+         cast(concat('0x', substr(md5(g), 1, 15)) as bigint) % 16384
+           as b
+  from g
+),
+c as (
+  select b, sum(is_t::INT)::BIGINT ct, count(*)::BIGINT cr
+  from f group by 1
+),
+t as (select sum(ct) tt, sum(cr) tr from c),
+wt as (
+  select b,
+    ln((ct + cast(1.0 as double))
+       / (tt + cast(1.0 as double) * 16384))
+    - ln((cr + cast(1.0 as double))
+         / (tr + cast(1.0 as double) * 16384)) as wt
+  from c, t
+),
+s as (
+  select f.doc_id, count(*)::BIGINT n_feats,
+         round(sum(wt), 6) + cast(0.0 as double) as logw
+  from f join wt using (b) group by 1
+)
+select d.doc_id,
+       coalesce(s.n_feats, 0)::BIGINT as n_feats,
+       coalesce(s.logw, cast(0.0 as double)) as logw
+from documents d left join s using (doc_id)
+"""
+
+
 def q_logodds_quality(spark, sf_dir):
     """CCNet/fastText-style corpus quality scoring (text.logodds_score,
     r4): NB log-odds weights learned relationally from the corpus itself
@@ -5876,6 +5937,7 @@ _RAW_QUERIES = {
         "link_xcorr": q_link_xcorr,
         "pii_counts": q_pii_counts,
         "logodds_quality": q_logodds_quality,
+        "dsir_weights": q_dsir_weights,
         "top_2grams": q_top_2grams,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
@@ -6027,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
         "link_xcorr": LINK_XCORR_SQL,
         "pii_counts": _pii_sql(),
         "logodds_quality": LOGODDS_SQL,
+        "dsir_weights": DSIR_WEIGHTS_SQL,
         "top_2grams": TOP_2GRAMS_SQL,
         "contamination": CONTAMINATION_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,

@@ -592,3 +592,33 @@ def test_gopher_quality_rules(spark):
         "doc_id": [1], "text": ["the be word…\n" * 3 + "the be word…"]}))
     r = text_ops.gopher_quality(ell).collect()[0]
     assert not r["pass_ellipsis_lines"] and not r["pass_symbol_ratio"]
+
+
+def test_dsir_weights_discriminate(spark):
+    import pandas as pd
+    from ts2g2_spark.operators import text as text_ops
+
+    # target docs speak "aa bb cc", raw background speaks "xx yy zz";
+    # a held-out target-like doc must score ABOVE a background-like one
+    target_like = "aa bb cc aa bb cc aa bb"
+    backg_like = "xx yy zz xx yy zz xx yy"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "source": ["t", "t", "t", "r", "r", "r", "r"],
+        "text": [target_like, target_like, "aa cc bb aa cc",
+                 backg_like, backg_like, "zz xx yy zz",
+                 "   "],  # whitespace-only -> zero defaults
+    }))
+    for gram_hash in ("xxhash64", "md5"):
+        rows = {r["doc_id"]: r for r in text_ops.dsir_weights(
+            docs, text_ops.F.col("source") == "t",
+            gram_hash=gram_hash).collect()}
+        assert rows[1]["logw"] > rows[4]["logw"]
+        assert rows[3]["logw"] > 0 > rows[6]["logw"]
+        assert rows[7]["n_feats"] == 0 and rows[7]["logw"] == 0.0
+        assert len(rows) == 7  # every input doc survives the left join
+        # unigrams + bigrams: 8 words -> 8 + 7 features
+        assert rows[1]["n_feats"] == 15
+    with pytest.raises(ValueError, match="gram_hash"):
+        text_ops.dsir_weights(docs, text_ops.F.lit(True),
+                              gram_hash="sha1")

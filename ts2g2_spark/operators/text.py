@@ -797,3 +797,83 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     cols = gopher_columns(text_col, **kwargs)
     return docs.select(
         "doc_id", *[c.alias(name) for name, c in cols.items()])
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target,
+    text_col: str = "text",
+    n_buckets: int = 16384,
+    alpha: float = 1.0,
+    round_dp: int = 6,
+    gram_hash: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    via Importance Resampling"): hashed-n-gram bag-of-features unigram
+    models for the `target` subcorpus (a boolean Column predicate) vs
+    the RAW corpus (all docs — DSIR's raw distribution includes the
+    target), doc log-importance = sum over the doc's gram OCCURRENCES of
+    ln p_target(bucket) - ln p_raw(bucket).  High logw = "looks like
+    the target distribution"; feed the ranked output to per_key_cap /
+    split samplers for the resampling step.
+
+    Features: unigrams + bigrams hashed into `n_buckets` buckets
+    (pmod of the gram hash) — the fixed feature space is what makes the
+    two models comparable and the smoothing denominator a constant:
+    p(b) = (count_b + alpha) / (total + alpha * n_buckets).
+
+    gram_hash: "xxhash64" (default — JVM intrinsic, the hot path) or
+    "md5" (the h64 prefix — bit-replayable in any SQL oracle, same
+    convention as dedup's word_hash).
+
+    Output: (doc_id, n_feats, logw) for every input doc; empty docs
+    keep n_feats=0, logw=0.0.  logw rounds to `round_dp` (the float-sum
+    association grid, same recipe as logodds_score) and +0.0
+    canonicalizes the -0.0 a negative sum rounding to zero would leave.
+
+    Scale shape: identical to logodds_score — one (bucket x class)
+    partial-agg'd exchange builds the model (at most `n_buckets` rows —
+    always broadcastable, by construction), a broadcast equi-join scores
+    the gram stream map-side, one per-doc aggregate.  The gram arrays
+    build behind the _staged_words projection barrier (the
+    CollapseProject HOF trap)."""
+    from ts2g2_spark.functions.hashing import h64
+
+    if gram_hash == "xxhash64":
+        hfn = F.xxhash64
+    elif gram_hash == "md5":
+        hfn = h64
+    else:
+        raise ValueError(f"dsir_weights: gram_hash must be xxhash64|md5,"
+                         f" got {gram_hash}")
+    live = docs.where(F.col(text_col).rlike(_HAS_INK)) \
+        .withColumn("_is_t", target)
+    staged = _staged_words(live, text_col)
+    grams = staged.select(
+        "doc_id", F.col("_is_t").alias("is_t"),
+        F.explode(F.concat(F.col("_ws"), _gram_array(F.col("_ws"), 2)))
+        .alias("g"))
+    feats = grams.select(
+        "doc_id", "is_t",
+        F.pmod(hfn(F.col("g")), F.lit(n_buckets)).alias("b"))
+    cnt = feats.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.count(F.lit(1)).alias("cr"))
+    tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    a, bn = float(alpha), n_buckets
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (F.log((F.col("ct") + F.lit(a)) / (F.col("tt") + F.lit(a) * bn))
+         - F.log((F.col("cr") + F.lit(a))
+                 / (F.col("tr") + F.lit(a) * bn))).alias("wt"))
+    scored = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"),
+             (F.round(F.sum("wt"), round_dp) + F.lit(0.0)).alias("logw"))
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
+    )
