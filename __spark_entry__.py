@@ -5670,6 +5670,71 @@ def q_graph_mixing_hvg(spark, sf_dir):
         "assortativity", "transitivity")
 
 
+def q_kcore_hvg(spark, sf_dir):
+    """k-core decomposition per HVG node (graphmetrics.kcore_from_series
+    + kernels.graph_kcore_kernel, r4): core number = the largest k whose
+    k-core contains the node.  The simultaneous-peel schedule is pure
+    integer arithmetic, so a recursive-CTE oracle replays it verbatim
+    (phase k removes ALL active nodes with active-degree < k at once;
+    removed at phase k -> core k-1).  Runs on the first-120-point prefix
+    of each series: peel ROUNDS are O(series length) on path-like HVG
+    stretches, so the prefix keeps the oracle's recursion depth bounded
+    while exercising the identical kernel at every sf (the betweenness
+    sampling precedent)."""
+    from ts2g2_spark.operators import graphmetrics
+
+    series = _event_series(spark, sf_dir).select(
+        "series_key", F.slice("values", 1, 120).alias("values"))
+    return graphmetrics.kcore_from_series(
+        series, kind="horizontal"
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "node", "core")
+
+
+KCORE_HVG_SQL = f"""
+with recursive {_PTS_CTE},
+p as (select * from pts where pos < 120),
+hvg as materialized (
+  select a.user_id, a.pos as src, b.pos as dst
+  from p a join p b on a.user_id = b.user_id and b.pos > a.pos
+  where not exists (
+    select 1 from p m
+    where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+      and m.v > greatest(a.v, b.v))
+),
+adj as materialized (
+  select user_id, src as node, dst as nb from hvg
+  union all
+  select user_id, dst as node, src as nb from hvg
+),
+peel as (
+  select user_id, node, 1 as k, false as done, 0::BIGINT as core
+  from (select distinct user_id, node from adj)
+  union all
+  (
+    with cur as (select user_id, node, k from peel where not done),
+    d as (
+      select c.user_id, c.node, c.k, count(c2.node)::BIGINT as deg_a
+      from cur c
+      left join adj e on e.user_id = c.user_id and e.node = c.node
+      left join cur c2 on c2.user_id = e.user_id and c2.node = e.nb
+      group by 1, 2, 3
+    ),
+    flag as (select user_id, bool_or(deg_a < k) as any_weak
+             from d group by 1)
+    select d.user_id, d.node,
+           case when f.any_weak then d.k else d.k + 1 end as k,
+           (f.any_weak and d.deg_a < d.k) as done,
+           (case when f.any_weak and d.deg_a < d.k
+                 then d.k - 1 else 0 end)::BIGINT as core
+    from d join flag f using (user_id)
+  )
+)
+select user_id, node, core from peel where done
+"""
+
+
 def q_betweenness_hvg(spark, sf_dir):
     """Brandes betweenness centrality per HVG node (fused map-only
     kernel, frontier-vectorized BFS).  ROWS-ONLY by design: per-source
@@ -5969,6 +6034,7 @@ _RAW_QUERIES = {
         # round-3 session-4 additions (oracled; below the prefix)
         "graph_summary_hvg": q_graph_summary_hvg,
         "clustering_hvg": q_clustering_hvg,
+        "kcore_hvg": q_kcore_hvg,
         "pagerank_hvg": q_pagerank_hvg,
         "seasonal_decompose_24": q_seasonal_decompose_24,
         "session_stats_6h": q_session_stats_6h,
@@ -6118,6 +6184,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": COHORT_SQL,
         "graph_summary_hvg": GRAPH_SUMMARY_SQL,
         "clustering_hvg": CLUSTERING_SQL,
+        "kcore_hvg": KCORE_HVG_SQL,
         "pagerank_hvg": PAGERANK_SQL,
         "seasonal_decompose_24": SEASONAL_DECOMP_SQL,
         "session_stats_6h": SESSION_STATS_SQL,

@@ -356,3 +356,42 @@ def test_path_metrics_disconnected_reachable_pairs():
     assert m == {"n_nodes": 4, "diameter": 1, "radius": 1,
                  "avg_spl": 1.0, "connected": False}
     assert graph_path_metrics_kernel(np.empty((0, 2), int)) is None
+
+
+def test_kcore_matches_networkx(spark, series_df):
+    """Simultaneous-peel core numbers == nx.core_number for every
+    series graph — exact integers, no tolerance."""
+    from ts2g2_spark.operators.graphmetrics import kcore_from_series
+    from ts2g2_spark.operators.kernels import visibility_graph
+
+    got = kcore_from_series(series_df, kind="horizontal").toPandas()
+    for key, vals in SERIES.items():
+        e, _ = visibility_graph(np.asarray(vals, float), kind="horizontal")
+        sub = got[got.series_key == key].set_index("node")["core"]
+        if len(e) == 0:
+            assert sub.empty
+            continue
+        g = nx.Graph()
+        g.add_edges_from(e.tolist())
+        want = nx.core_number(g)
+        assert sub.to_dict() == want, key
+
+
+def test_kcore_kernel_random_graphs():
+    """Kernel vs networkx on random (non-visibility) graphs, including
+    self-loops and duplicate edges the canonicalizer must drop."""
+    from ts2g2_spark.operators.kernels import graph_kcore_kernel
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(4, 80))
+        m = int(rng.integers(3, n * 3))
+        e = rng.integers(0, n, size=(m, 2))
+        g = nx.Graph()
+        g.add_edges_from(t for t in map(tuple, e.tolist()) if t[0] != t[1])
+        nodes, core = graph_kcore_kernel(e)
+        want = nx.core_number(g)
+        assert dict(zip(nodes.tolist(), core.tolist())) == want, trial
+    # empty edge set
+    nodes, core = graph_kcore_kernel(np.empty((0, 2), dtype=np.int64))
+    assert len(nodes) == 0 and len(core) == 0

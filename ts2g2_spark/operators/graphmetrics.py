@@ -497,6 +497,31 @@ def path_metrics_from_series(
     )
 
 
+def kcore_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0,
+):
+    """Fused visibility_edges(kind) |> k-core decomposition, map-only:
+    (series_key, node, core) with core = the node's core number.  Pure
+    integer peel (kernels.graph_kcore_kernel) — deterministic and
+    SQL-replayable, parity-pinned against networkx core_number."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        nodes, core = kernels.graph_kcore_kernel(e)
+        if len(nodes) == 0:
+            return None
+        return pd.DataFrame(
+            {"series_key": key, "node": nodes, "core": core})
+
+    return _fused(
+        series_df, build,
+        "series_key string, node long, core long",
+    )
+
+
 def pagerank_from_series(
     series_df,
     kind: str = "horizontal",

@@ -907,6 +907,48 @@ def graph_path_metrics_kernel(edges: np.ndarray) -> dict | None:
     }
 
 
+def graph_kcore_kernel(
+    edges: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core number per node of one small undirected graph (the k-core
+    decomposition): (nodes, core) with core[i] = the largest k such
+    that node i belongs to the k-core (max subgraph of min degree k).
+
+    Simultaneous-peel phases, the parallel-friendly formulation an SQL
+    recursion can replay verbatim: at phase k, repeatedly remove ALL
+    active nodes with active-degree < k at once (a node removed during
+    phase k has core number k-1); when none qualify, k advances.  Pure
+    integer arithmetic on a deterministic schedule — engine-independent
+    with no rounding contract, like the path-metrics kernel.
+    """
+    a, b, nodes, degree = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    deg = degree.copy()
+    core = np.zeros(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    k = 1
+    while active.any():
+        weak = active & (deg < k)
+        if not weak.any():
+            k += 1
+            continue
+        core[weak] = k - 1
+        active[weak] = False
+        # decrement survivors adjacent to this round's removals;
+        # removed-removed edges decrement nothing (dst inactive)
+        sel = weak[src] & active[dst]
+        if sel.any():
+            np.subtract.at(deg, dst[sel], 1)
+    return nodes, core
+
+
 def graph_betweenness_kernel(
     edges: np.ndarray, normalized: bool = True, round_dp: int = 9,
 ) -> tuple[np.ndarray, np.ndarray]:
