@@ -4850,6 +4850,39 @@ from g group by 1, 2
 """
 
 
+def q_winsorized_1h(spark, sf_dir):
+    """Winsorized hourly mean per user (metrics.winsorized_mean, r4):
+    values clamped to the bucket's exact [p10, p90] before averaging —
+    the robust tier mean.  Exact-percentile interpolation parity with
+    quantile_cont is the rollup_1m_quantiles precedent; the mean rides
+    the 6-decimal float-sum grid."""
+    from ts2g2_spark.operators.metrics import winsorized_mean
+
+    return winsorized_mean(_events(spark, sf_dir), bucket="hour")
+
+
+WINSORIZED_1H_SQL = """
+with b as (
+  select user_id, date_trunc('hour', ts) as bucket_ts, value as v
+  from events
+),
+q as (
+  select user_id, bucket_ts,
+         quantile_cont(v, 0.1) as lo, quantile_cont(v, 0.9) as hi
+  from b group by 1, 2
+)
+select b.user_id, b.bucket_ts,
+       count(*)::BIGINT as n,
+       sum((b.v < q.lo or b.v > q.hi)::INT)::BIGINT as n_clamped,
+       round(min(q.lo), 6) as p_lo,
+       round(max(q.hi), 6) as p_hi,
+       round(avg(least(greatest(b.v, q.lo), q.hi)), 6)
+         + cast(0.0 as double) as wmean
+from b join q using (user_id, bucket_ts)
+group by 1, 2
+"""
+
+
 def q_twa_1h(spark, sf_dir):
     """Time-weighted hourly average per user (trapezoidal integral over
     covered spans; singleton/coincident buckets fall back to the plain
@@ -6043,6 +6076,7 @@ _RAW_QUERIES = {
         "hampel_3": q_hampel_3,
         "interval_join_sessions": q_interval_join_sessions,
         "twa_1h": q_twa_1h,
+        "winsorized_1h": q_winsorized_1h,
         "state_durations": q_state_durations,
         "counter_rate_1h": q_counter_rate_1h,
         "sax_motifs_w4": q_sax_motifs_w4,
@@ -6193,6 +6227,7 @@ def oracle_sql() -> dict[str, str]:
         "hampel_3": HAMPEL_SQL,
         "interval_join_sessions": INTERVAL_JOIN_SQL,
         "twa_1h": TWA_SQL,
+        "winsorized_1h": WINSORIZED_1H_SQL,
         "state_durations": STATE_DURATIONS_SQL,
         "counter_rate_1h": COUNTER_RATE_SQL,
         "serve_range_stitched": SERVE_RANGE_SQL,

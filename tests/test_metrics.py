@@ -461,3 +461,34 @@ def test_psi_drift_detects_shift_and_validates(spark):
         psi_drift(spark.createDataFrame(pdf), 0.0, 100.0, 0)
     with pytest.raises(ValueError, match="lo < hi"):
         psi_drift(spark.createDataFrame(pdf), 5.0, 5.0, 4)
+
+
+def test_winsorized_mean_hand_case(spark):
+    import pandas as pd
+    import datetime as dt
+    import numpy as np
+    import pytest
+    from ts2g2_spark.operators.metrics import winsorized_mean
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # one outlier in one bucket
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5,
+        "ts": [base + dt.timedelta(minutes=i) for i in range(5)],
+        "value": vals,
+    })
+    r = winsorized_mean(spark.createDataFrame(pdf),
+                        bucket="hour").collect()[0]
+    lo, hi = np.quantile(vals, 0.1), np.quantile(vals, 0.9)
+    want = float(np.mean(np.clip(vals, lo, hi)))
+    assert r["n"] == 5 and r["n_clamped"] == 2
+    assert r["p_lo"] == pytest.approx(lo, abs=1e-6)
+    assert r["p_hi"] == pytest.approx(hi, abs=1e-6)
+    assert r["wmean"] == pytest.approx(want, abs=1e-6)
+    # no outliers, wide clamp -> plain mean, nothing clamped
+    r2 = winsorized_mean(spark.createDataFrame(pdf), bucket="hour",
+                         lower=0.0, upper=1.0).collect()[0]
+    assert r2["n_clamped"] == 0
+    assert r2["wmean"] == pytest.approx(np.mean(vals), abs=1e-6)
+    with pytest.raises(ValueError, match="lower"):
+        winsorized_mean(None, lower=0.9, upper=0.1)

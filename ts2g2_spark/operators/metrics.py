@@ -489,3 +489,62 @@ def threshold_alerts(
                 F.when(F.col("_st") == 1, F.lit("raise"))
                  .otherwise(F.lit("clear")).alias("event"))
     )
+
+
+def winsorized_mean(
+    points: DataFrame,
+    bucket: str = "hour",
+    lower: float = 0.1,
+    upper: float = 0.9,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Winsorized bucket mean (the robust tier mean): clamp each value
+    to its bucket's exact [lower, upper] percentiles, then average —
+    outliers pull the clamp edges, never the mean.  Pair with the plain
+    rollup tiers when sensors spike.
+
+    DETERMINISM: exact linear-interpolation percentile (the same
+    estimator as DuckDB quantile_cont — the rollup_1m_quantiles
+    precedent), clamp via least/greatest, mean rounded to `round_dp`
+    (the float-sum association grid) and +0.0 canonicalized.
+    n_clamped counts STRICT excursions (values equal to an edge are
+    untouched by the clamp and not counted).
+
+    Output: series cols + bucket_ts, n, n_clamped, p_lo, p_hi, wmean.
+
+    Scale shape: the percentile window and the final aggregate share
+    ONE hash-partitioning on (series, bucket) — a sort-based window
+    pass then a partial-agg'd refinement, no join back.  Exact
+    percentiles hold one bucket's values per group (buckets are
+    minutes/hours — small); at sketch scale swap approx_percentile,
+    same plan shape."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"winsorized_mean: need 0 <= lower < upper <= 1, got "
+            f"({lower}, {upper})")
+    scols = [F.col(c) for c in series_cols]
+    b = points.select(
+        *scols,
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        F.col(val_col).cast("double").alias("_v"))
+    w = Window.partitionBy(*series_cols, "bucket_ts")
+    lo = F.percentile("_v", F.lit(float(lower))).over(w)
+    hi = F.percentile("_v", F.lit(float(upper))).over(w)
+    staged = b.select(
+        *series_cols, "bucket_ts", "_v",
+        lo.alias("_lo"), hi.alias("_hi"))
+    clamped = F.least(F.greatest(F.col("_v"), F.col("_lo")),
+                      F.col("_hi"))
+    out_of = (F.col("_v") < F.col("_lo")) | (F.col("_v") > F.col("_hi"))
+    return staged.groupBy(*series_cols, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(out_of.cast("int")).cast("long").alias("n_clamped"),
+        F.round(F.min("_lo"), round_dp).alias("p_lo"),
+        F.round(F.max("_hi"), round_dp).alias("p_hi"),
+        (F.round(F.avg(clamped), round_dp) + F.lit(0.0)).alias("wmean"),
+    )
