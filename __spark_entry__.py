@@ -3186,6 +3186,52 @@ from documents d left join s using (doc_id)
 """
 
 
+def q_collocations_top20(spark, sf_dir):
+    """Top-20 PMI collocations over adjacent word pairs
+    (text.collocations, r4; Church & Hanks 1990).  PMI is one ln of a
+    fixed-shape double product of integer counts, rounded to 6dp, and
+    the top-k ranks on the ROUNDED value with a (w1, w2) tie-break —
+    the engine-independent-argmax recipe (dominant_period precedent)."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.collocations(_docs(spark, sf_dir), k=20,
+                                 min_count=3)
+
+
+COLLOCATIONS_SQL = r"""
+with w as materialized (
+  select regexp_split_to_array(trim(text), '[ \t\n\f\r]+') ws
+  from documents
+  where regexp_matches(text, '[^ \t\n\f\r]')
+),
+pairs as materialized (
+  select ws[i] as w1, ws[i + 1] as w2
+  from w, lateral (
+    select unnest(generate_series(1, len(ws) - 1)) as i) t
+),
+uni as (
+  select u as w, count(*)::BIGINT c
+  from (select unnest(ws) u from w) group by 1
+),
+bi as (
+  select w1, w2, count(*)::BIGINT c_ab from pairs group by 1, 2
+),
+tot as (
+  select (select sum(c) from uni) nu, (select sum(c_ab) from bi) nb
+)
+select w1, w2, c_ab as pair_count,
+       round(ln((c_ab::DOUBLE * nu * nu) / (nb::DOUBLE * c_a * c_b)),
+             6) as pmi
+from bi
+join (select w as w1, c as c_a from uni) using (w1)
+join (select w as w2, c as c_b from uni) using (w2)
+cross join tot
+where c_ab >= 3
+order by pmi desc, w1, w2
+limit 20
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (text.dsir_weights, r4; Xie et al. 2023):
     hashed unigram+bigram models, target = sources src0-src3 vs the raw
@@ -6036,6 +6082,7 @@ _RAW_QUERIES = {
         "pii_counts": q_pii_counts,
         "logodds_quality": q_logodds_quality,
         "dsir_weights": q_dsir_weights,
+        "collocations_top20": q_collocations_top20,
         "top_2grams": q_top_2grams,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
@@ -6190,6 +6237,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_counts": _pii_sql(),
         "logodds_quality": LOGODDS_SQL,
         "dsir_weights": DSIR_WEIGHTS_SQL,
+        "collocations_top20": COLLOCATIONS_SQL,
         "top_2grams": TOP_2GRAMS_SQL,
         "contamination": CONTAMINATION_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,

@@ -622,3 +622,34 @@ def test_dsir_weights_discriminate(spark):
     with pytest.raises(ValueError, match="gram_hash"):
         text_ops.dsir_weights(docs, text_ops.F.lit(True),
                               gram_hash="sha1")
+
+
+def test_collocations_pmi(spark):
+    import math
+    import pandas as pd
+    from ts2g2_spark.operators import text as text_ops
+
+    # "new york" always adjacent; filler words independent
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["new york is big", "new york has parks",
+                 "big parks is has", "new york is has big parks"],
+    }))
+    rows = text_ops.collocations(docs, k=5, min_count=2).collect()
+    assert rows[0]["w1"] == "new" and rows[0]["w2"] == "york"
+    # hand-check the PMI value: ln((c_ab*nu*nu)/(nb*c_a*c_b))
+    txts = ["new york is big", "new york has parks",
+            "big parks is has", "new york is has big parks"]
+    words = [w for t in txts for w in t.split()]
+    bigrams = [b for t in txts
+               for b in zip(t.split(), t.split()[1:])]
+    c_ab = bigrams.count(("new", "york"))
+    want = math.log((c_ab * len(words) * len(words))
+                    / (len(bigrams) * words.count("new")
+                       * words.count("york")))
+    assert rows[0]["pmi"] == round(want, 6)
+    assert rows[0]["pair_count"] == 3
+    # min_count filters singletons; one-word docs contribute no pairs
+    one = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["hello"]}))
+    assert text_ops.collocations(one, min_count=1).count() == 0

@@ -877,3 +877,64 @@ def dsir_weights(
         F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
         F.coalesce("logw", F.lit(0.0)).alias("logw"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k word-pair collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) over adjacent word pairs,
+    the classic collocation extractor (Church & Hanks 1990).  Pairs
+    with bigram count < `min_count` are dropped (PMI's low-frequency
+    pathology).
+
+    DETERMINISM: the ratio is ONE ln of a fixed-shape double product of
+    integer counts — ln((c_ab * nu * nu) / (nb * c_a * c_b)) — so any
+    IEEE engine computes the identical double; the output rounds to
+    `round_dp` and ranks on the ROUNDED value with an (w1, w2)
+    tie-break, so the top-k set is engine-independent.
+
+    Output: (w1, w2, pair_count, pmi), the k highest-PMI pairs.
+
+    Scale shape: two partial-agg'd count aggregates (bigram key, word
+    key), two equi-joins of the bigram counts to the word counts (the
+    word-count side is vocab-sized; AQE broadcasts when it fits), one
+    crossJoin of the 1-row totals, and a final
+    TakeOrderedAndProject — no global sort materializes."""
+    staged = _staged_words(
+        docs.where(F.col(text_col).rlike(_HAS_INK)), text_col)
+    pairs = staged.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("_ws", 1, F.size("_ws") - 1).alias("w1"),
+                F.slice("_ws", 2, F.size("_ws") - 1).alias("w2"))
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    uni = staged.select(F.explode("_ws").alias("w")) \
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_ab"))
+    tot = uni.agg(F.sum("c").alias("nu")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("nb")))
+    scored = (
+        bi.where(F.col("c_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("c", "c_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+                 .withColumnRenamed("c", "c_b"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("c_ab").alias("pair_count"),
+            F.round(
+                F.log((F.col("c_ab").cast("double") * F.col("nu")
+                       * F.col("nu"))
+                      / (F.col("nb").cast("double") * F.col("c_a")
+                         * F.col("c_b"))),
+                round_dp).alias("pmi"))
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2").limit(k)
