@@ -5395,6 +5395,93 @@ from f
 """
 
 
+def q_holt_winters_24(spark, sf_dir):
+    """Holt-Winters additive seasonal forecast (period 24, horizon 12;
+    metrics.holt_winters_forecast, r4).  The oracle replays the triple
+    recurrence as a recursive CTE whose rows CARRY the rolling m-slot
+    seasonal LIST (the DTW sliding-window-list technique): s_old is
+    always slist[1], each step appends the new seasonal — identical
+    float ops in identical order, every state quantized with the IEEE
+    floor formula on both sides.  Users with < 48 hourly buckets are
+    skipped (the documented 2*period init requirement)."""
+    from ts2g2_spark.operators.metrics import holt_winters_forecast
+
+    return holt_winters_forecast(_events(spark, sf_dir), period=24,
+                                 alpha=0.3, beta=0.1, gamma=0.2,
+                                 horizon=12)
+
+
+def _holt_winters_sql(m: int = 24, alpha: float = 0.3, beta: float = 0.1,
+                      gamma: float = 0.2, horizon: int = 12) -> str:
+    a, bb, g = repr(alpha), repr(beta), repr(gamma)
+    ia, ib, ig = repr(1.0 - alpha), repr(1.0 - beta), repr(1.0 - gamma)
+
+    def q9(expr: str) -> str:
+        return f"floor(({expr}) * 1e9 + 0.5) / 1e9"
+
+    l_new = q9(f"{a}*(o.y - hw.s[1]) + {ia}*(hw.l + hw.b)")
+    return f"""
+with recursive mm as (
+  select user_id, date_trunc('hour', ts) as bucket_ts,
+         round(avg(value), 6) as y
+  from events group by 1, 2
+),
+o as (
+  select user_id, y,
+         row_number() over (partition by user_id order by bucket_ts)
+           as t,
+         count(*) over (partition by user_id) as n,
+         max(bucket_ts) over (partition by user_id) as last_ts
+  from mm
+),
+blocks as (
+  select user_id, any_value(n) as n, any_value(last_ts) as last_ts,
+         (list(y order by t))[1 : {m}] as b1,
+         (list(y order by t))[{m + 1} : {2 * m}] as b2
+  from o
+  group by user_id
+  having any_value(n) >= {2 * m}
+),
+seed as (
+  select user_id, n, last_ts,
+         {q9(f"list_reduce(b1, (x, v) -> {q9('x + v')}) / {m}")}
+           as mean1,
+         {q9(f"list_reduce(b2, (x, v) -> {q9('x + v')}) / {m}")}
+           as mean2,
+         b1
+  from blocks
+),
+hw as (
+  select user_id, {m} as t, n, last_ts,
+         mean1 as l,
+         {q9(f"(mean2 - mean1) / {m}")} as b,
+         list_transform(b1, v -> {q9("v - mean1")}) as s
+  from seed
+  union all
+  select hw.user_id, hw.t + 1, hw.n, hw.last_ts,
+         {l_new} as l,
+         {q9(f"{bb}*(({l_new}) - hw.l) + {ib}*hw.b")} as b,
+         hw.s[2:] || [{q9(f"{g}*(o.y - ({l_new})) + {ig}*hw.s[1]")}]
+           as s
+  from hw join o on o.user_id = hw.user_id and o.t = hw.t + 1
+),
+f as (
+  select user_id, last_ts, l, b, s,
+         unnest(generate_series(1, {horizon})) as step
+  from hw where t = n
+)
+select user_id,
+       last_ts + step * interval 1 hour as bucket_ts,
+       step::BIGINT as step,
+       floor((l + step * b + s[((step - 1) % {m}) + 1]) * 1e6 + 0.5)
+         / 1e6 + 0.0 as yhat,
+       l + 0.0 as level,
+       b + 0.0 as trend,
+       s[((step - 1) % {m}) + 1] + 0.0 as seasonal
+from f
+"""
+
+
 def q_anomaly_stl_24(spark, sf_dir):
     """Seasonality-aware anomalies: seasonal_decompose(24) residuals
     z-scored per user, |z| > 3 flagged — composed entirely from the
@@ -6140,6 +6227,7 @@ _RAW_QUERIES = {
         "heartbeat_gaps": q_heartbeat_gaps,
         "tier_refresh_late": q_tier_refresh_late,
         "holt_forecast_12": q_holt_forecast_12,
+        "holt_winters_24": q_holt_winters_24,
         "theil_sen_trend": q_theil_sen_trend,
         "graph_mixing_hvg": q_graph_mixing_hvg,
         "mann_kendall": q_mann_kendall,
@@ -6291,6 +6379,7 @@ def oracle_sql() -> dict[str, str]:
         "heartbeat_gaps": HEARTBEAT_SQL,
         "tier_refresh_late": _rollup_sql(60),
         "holt_forecast_12": _holt_sql(),
+        "holt_winters_24": _holt_winters_sql(),
         "theil_sen_trend": THEIL_SEN_SQL,
         "graph_mixing_hvg": GRAPH_MIXING_SQL,
         "mann_kendall": MANN_KENDALL_SQL,

@@ -492,3 +492,83 @@ def test_winsorized_mean_hand_case(spark):
     assert r2["wmean"] == pytest.approx(np.mean(vals), abs=1e-6)
     with pytest.raises(ValueError, match="lower"):
         winsorized_mean(None, lower=0.9, upper=0.1)
+
+
+def _hw_model(y, m, alpha, beta, gamma):
+    """The documented holt_winters contract, scalar reference."""
+    import numpy as np
+    from ts2g2_spark.operators.kernels import quantize_ieee
+
+    def q(x):
+        return quantize_ieee(x, 9)
+
+    acc1 = 0.0
+    acc2 = 0.0
+    for i in range(m):
+        acc1 = float(q(acc1 + y[i]))
+        acc2 = float(q(acc2 + y[m + i]))
+    mean1, mean2 = float(q(acc1 / m)), float(q(acc2 / m))
+    lvl, trd = mean1, float(q((mean2 - mean1) / m))
+    s = [float(q(v - mean1)) for v in y[:m]]
+    for t in range(m, len(y)):
+        s_old = s[t % m]
+        l_new = float(q(alpha * (y[t] - s_old) + (1 - alpha) * (lvl + trd)))
+        t_new = float(q(beta * (l_new - lvl) + (1 - beta) * trd))
+        s[t % m] = float(q(gamma * (y[t] - l_new) + (1 - gamma) * s_old))
+        lvl, trd = l_new, t_new
+    rolled = [s[(len(y) + j) % m] for j in range(m)]
+    return lvl, trd, rolled
+
+
+def test_holt_winters_matches_scalar_model(spark):
+    import datetime as dt
+    import math
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from ts2g2_spark.operators.metrics import holt_winters_forecast
+
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(13)
+    m = 6
+    rows = []
+    for u in (1, 2):
+        n = 40 if u == 1 else 11  # user 2: < 2*m buckets -> skipped
+        for i in range(n):
+            v = (10 + 0.2 * i + 3 * math.sin(2 * math.pi * i / m)
+                 + rng.normal(0, 0.2))
+            rows.append((u, base + dt.timedelta(hours=i), round(v, 2)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    got = holt_winters_forecast(
+        spark.createDataFrame(pdf), period=m, alpha=0.3, beta=0.1,
+        gamma=0.2, horizon=8).collect()
+    assert {r["user_id"] for r in got} == {1}  # user 2 skipped
+    y = [round(v, 6) for v in
+         pdf[pdf.user_id == 1].sort_values("ts")["value"]]
+    lvl, trd, s = _hw_model(y, m, 0.3, 0.1, 0.2)
+    by_step = {r["step"]: r for r in got if r["user_id"] == 1}
+    assert len(by_step) == 8
+    for h in range(1, 9):
+        r = by_step[h]
+        assert r["level"] == lvl and r["trend"] == trd
+        assert r["seasonal"] == s[(h - 1) % m]
+        want = math.floor((lvl + h * trd + s[(h - 1) % m]) * 1e6
+                          + 0.5) / 1e6
+        assert r["yhat"] == want, h
+        assert r["bucket_ts"] == base + dt.timedelta(hours=39 + h)
+    # a pure seasonal+trend series forecasts its own continuation
+    clean = pd.DataFrame(
+        [(1, base + dt.timedelta(hours=i),
+          5.0 + 0.5 * i + [0, 2, -2][i % 3]) for i in range(36)],
+        columns=["user_id", "ts", "value"])
+    fc = {r["step"]: r["yhat"] for r in holt_winters_forecast(
+        spark.createDataFrame(clean), period=3, alpha=0.5, beta=0.1,
+        gamma=0.3, horizon=3).collect()}
+    for h in (1, 2, 3):
+        i = 36 + h - 1
+        truth = 5.0 + 0.5 * i + [0, 2, -2][i % 3]
+        assert fc[h] == pytest.approx(truth, abs=0.5), h
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_forecast(None, period=1)
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters_forecast(None, gamma=0.0)

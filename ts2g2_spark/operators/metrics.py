@@ -548,3 +548,170 @@ def winsorized_mean(
         F.round(F.max("_hi"), round_dp).alias("p_hi"),
         (F.round(F.avg(clamped), round_dp) + F.lit(0.0)).alias("wmean"),
     )
+
+
+def holt_winters_forecast(
+    points: DataFrame,
+    period: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 12,
+    bucket: str = "hour",
+    bucket_s: int | None = None,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    state_dp: int = 9,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecast per series (triple
+    exponential smoothing) — the step up from `holt_forecast` when the
+    series carries a period-`period` cycle:
+
+        l_t = alpha*(y_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(y_t - l_t) + (1-gamma)*s_{t-m}
+        yhat_{T+h} = l_T + h*b_T + s_{T-m+1+((h-1) mod m)}
+
+    (the new-level s update).  INIT CONTRACT (documented — inits vary
+    across texts): over the first two whole periods, mean1/mean2 are
+    per-block means computed as a LEFT FOLD with every partial sum
+    quantized, l_m = mean1, b_m = quant((mean2 - mean1)/m), and
+    s_i = quant(y_i - mean1) for i = 1..m; the recurrence then runs
+    t = m+1..n over OBSERVED buckets.  Series with fewer than 2*period
+    buckets are skipped.
+
+    DETERMINISM: the holt_forecast discipline — bucket means rounded to
+    `out_dp` first, every state update (and every init partial sum)
+    quantized with floor(x*10^dp + 0.5)/10^dp — so a recursive-CTE SQL
+    oracle carrying the rolling m-slot seasonal LIST replays the
+    trajectory bit-for-bit (the DTW sliding-window-list technique).
+
+    Scale shape: one hash agg to bucket means, one collect_list shuffle
+    on the series key, then a map-only Arrow kernel whose time loop is
+    vectorized ACROSS series (one numpy step per bucket index, rolling
+    (n_series, m) seasonal buffer); the horizon expands relationally
+    from the O(|series|) state frame.
+
+    Output: series cols + bucket_ts (future), step, yhat, level, trend,
+    seasonal (the seasonal component applied at that step)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType,
+                                   TimestampType)
+
+    if not (0.0 < alpha <= 1.0 and 0.0 < beta <= 1.0
+            and 0.0 < gamma <= 1.0):
+        raise ValueError(
+            f"holt_winters_forecast: need 0 < alpha, beta, gamma <= 1, "
+            f"got {alpha=} {beta=} {gamma=}")
+    if period < 2:
+        raise ValueError(
+            f"holt_winters_forecast: need period >= 2, got {period=}")
+    if horizon < 1:
+        raise ValueError(
+            f"holt_winters_forecast: need horizon >= 1, got {horizon=}")
+    known = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    if bucket in known:
+        if bucket_s is None:
+            bucket_s = known[bucket]
+        elif bucket_s != known[bucket]:
+            raise ValueError(
+                f"holt_winters_forecast: bucket_s={bucket_s} "
+                f"contradicts bucket='{bucket}' ({known[bucket]}s)")
+    elif bucket_s is None:
+        raise ValueError(
+            f"holt_winters_forecast: pass bucket_s for non-fixed-length "
+            f"bucket '{bucket}'")
+    from ts2g2_spark.operators.seriesstats import bucket_means
+
+    scols = [F.col(c) for c in series_cols]
+    means = bucket_means(points, bucket, series_cols, ts_col, val_col,
+                         dp=out_dp)
+    grouped = means.groupBy(*scols).agg(
+        F.sort_array(F.collect_list(F.struct("bucket_ts", "y"))).alias("_s")
+    ).select(*scols, F.col("_s.y").alias("_ys"),
+             F.element_at(F.col("_s.bucket_ts"), -1).alias("last_ts"))
+    key_fields = [grouped.schema[c] for c in series_cols]
+    out_schema = StructType(key_fields + [
+        StructField("last_ts", TimestampType()),
+        StructField("n", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("seasonals", ArrayType(DoubleType())),
+    ])
+    m = period
+    ia, ib, ig = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    names = list(series_cols)
+
+    def kern(batches):
+        import numpy as np
+
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
+        def quant(x):
+            return quantize_ieee(x, state_dp)
+
+        for pdf in batches:
+            lens = pdf["_ys"].map(len).to_numpy()
+            sub = pdf.loc[lens >= 2 * m]
+            if sub.empty:
+                continue
+            lens = lens[lens >= 2 * m]
+            t_max = int(lens.max())
+            y = np.full((len(sub), t_max), np.nan)
+            for i, v in enumerate(sub["_ys"]):
+                y[i, : len(v)] = v
+            acc1 = np.zeros(len(sub))
+            acc2 = np.zeros(len(sub))
+            for i in range(m):
+                acc1 = quant(acc1 + y[:, i])
+                acc2 = quant(acc2 + y[:, m + i])
+            mean1 = quant(acc1 / m)
+            mean2 = quant(acc2 / m)
+            lvl = mean1.copy()
+            trd = quant((mean2 - mean1) / m)
+            s = quant(y[:, :m] - mean1[:, None])  # slot i = s_{i+1}
+            for t in range(m, t_max):
+                act = t < lens
+                slot = t % m
+                s_old = s[:, slot]
+                y_t = y[:, t]
+                l_new = quant(alpha * (y_t - s_old) + ia * (lvl + trd))
+                t_new = quant(beta * (l_new - lvl) + ib * trd)
+                s_new = quant(gamma * (y_t - l_new) + ig * s_old)
+                lvl = np.where(act, l_new, lvl)
+                trd = np.where(act, t_new, trd)
+                s[:, slot] = np.where(act, s_new, s_old)
+            out = sub[[*names, "last_ts"]].copy()
+            out["n"] = lens
+            out["level"] = lvl
+            out["trend"] = trd
+            # roll the buffer so element j (0-based) = s_{n-m+1+j}:
+            # slot (n % m) holds the OLDEST live seasonal s_{n-m+1}
+            rolled = [np.roll(s[i], -int(lens[i]) % m).tolist()
+                      for i in range(len(sub))]
+            out["seasonals"] = rolled
+            yield out
+
+    state = grouped.mapInPandas(kern, schema=out_schema)
+    step = F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("step")
+    out_scale = 10.0 ** out_dp
+    seas = F.element_at(
+        F.col("seasonals"),
+        (F.pmod(F.col("step") - 1, F.lit(m)) + 1).cast("int"))
+    raw = F.col("level") + F.col("step") * F.col("trend") + seas
+    return state.select(
+        *scols, "last_ts", "level", "trend", "seasonals", step
+    ).select(
+        *scols,
+        (F.col("last_ts")
+         + F.expr(f"interval {bucket_s} second") * F.col("step")
+         ).alias("bucket_ts"),
+        F.col("step").cast("long").alias("step"),
+        (F.floor(raw * out_scale + F.lit(0.5)) / F.lit(out_scale)
+         + F.lit(0.0)).alias("yhat"),
+        (F.col("level") + F.lit(0.0)).alias("level"),
+        (F.col("trend") + F.lit(0.0)).alias("trend"),
+        (seas + F.lit(0.0)).alias("seasonal"),
+    )
