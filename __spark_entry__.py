@@ -3658,6 +3658,80 @@ select * from interp
 """
 
 
+def q_gapfill_1m_locf(spark, sf_dir):
+    """Last-observation-carried-forward gap-fill of the per-user 1m tier
+    via plans.rollup.gapfill(fill='locf') — the TimescaleDB
+    ``locf()``-style resample.  Interior gaps get cnt=0, gapfilled=true,
+    and every value column carried from the most recent real bucket by
+    ONE ignorenulls window over the unioned (tier + gap-spine) frame.
+    Carried values are the tier's own rounded aggregates, so both
+    engines carry bit-identical doubles.  Scoped to users 0-2 for the
+    same spine-size reason as gapfill_1m_linear."""
+    from ts2g2_spark.plans import rollup
+
+    tier = _rollup_events(spark, sf_dir, 60).where(
+        F.col("user_id") < 3
+    ).select(
+        "user_id", "bucket_ts",
+        F.col("cnt"), F.col("sum_val").alias("sum"),
+        F.col("min_val").alias("min"), F.col("max_val").alias("max"),
+        F.col("first_val").alias("first"), F.col("last_val").alias("last"),
+        F.lit(False).alias("gapfilled"),
+    )
+    out = rollup.gapfill(tier, "1m", series_cols=["user_id"],
+                         fill="locf")
+    return out.select(
+        "user_id", "bucket_ts", "cnt",
+        F.col("sum").alias("sum_val"), F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"), F.col("first").alias("first_val"),
+        F.col("last").alias("last_val"), "gapfilled",
+    )
+
+
+GAPFILL_LOCF_SQL = f"""
+with m1 as (
+  select user_id,
+         date_trunc('minute', ts) as bucket_ts,
+         count(*) as cnt,
+         round(sum(value), 6) as sum_val,
+         min(value) as min_val,
+         max(value) as max_val,
+         arg_min(value, {_OKEY_SQL}) as first_val,
+         arg_max(value, {_OKEY_SQL}) as last_val
+  from events where user_id < 3 group by 1, 2
+), led as (
+  select user_id, bucket_ts,
+         lead(bucket_ts) over (partition by user_id
+                               order by bucket_ts) as nxt
+  from m1
+), gaps as (
+  select user_id,
+         unnest(generate_series(bucket_ts + interval 1 minute,
+                                nxt - interval 1 minute,
+                                interval 1 minute)) as bucket_ts
+  from led where nxt > bucket_ts + interval 1 minute
+), unioned as (
+  select user_id, bucket_ts, cnt, sum_val, min_val, max_val,
+         first_val, last_val, false as gapfilled from m1
+  union all
+  select user_id, bucket_ts, cast(0 as bigint) as cnt,
+         null as sum_val, null as min_val, null as max_val,
+         null as first_val, null as last_val, true as gapfilled
+  from gaps
+)
+select user_id, bucket_ts, cnt,
+       last_value(sum_val ignore nulls) over w as sum_val,
+       last_value(min_val ignore nulls) over w as min_val,
+       last_value(max_val ignore nulls) over w as max_val,
+       last_value(first_val ignore nulls) over w as first_val,
+       last_value(last_val ignore nulls) over w as last_val,
+       gapfilled
+from unioned
+window w as (partition by user_id order by bucket_ts
+             rows between unbounded preceding and current row)
+"""
+
+
 # ------------------------------------------------- corpus LM / tf-idf
 def q_lm_perplexity(spark, sf_dir):
     """Corpus-trained add-1 bigram LM score per document (CCNet-style
@@ -6240,6 +6314,7 @@ _RAW_QUERIES = {
         "dominant_period": q_dominant_period,
         "degree_exponent_hvg": q_degree_exponent_hvg,
         "path_metrics_hvg": q_path_metrics_hvg,
+        "gapfill_1m_locf": q_gapfill_1m_locf,
     }
 
 
@@ -6333,6 +6408,7 @@ def oracle_sql() -> dict[str, str]:
         "datamix_apply": DATAMIX_APPLY_SQL,
         "asof_enrich": ASOF_ENRICH_SQL,
         "gapfill_1m_linear": GAPFILL_LINEAR_SQL,
+        "gapfill_1m_locf": GAPFILL_LOCF_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

@@ -228,6 +228,31 @@ def test_gapfill_linear_interpolates_endpoints(spark):
     assert not pd.isna(out[out.doc_id == "b"]["sum"]).any()
 
 
+def test_gapfill_locf_carries_previous_bucket(spark):
+    """fill='locf': every interior gap bucket repeats the most recent
+    REAL bucket's values exactly (TimescaleDB locf semantics); a later
+    real bucket resets the carried value."""
+    import datetime as dt
+
+    TS = dt.datetime
+    tier = spark.createDataFrame(
+        [("a", TS(2024, 1, 1, 0, 0), 2, 10.0, 1.0, 9.0, 1.0, 9.0, False),
+         ("a", TS(2024, 1, 1, 0, 3), 1, 50.0, 50.0, 50.0, 50.0, 50.0,
+          False),
+         ("a", TS(2024, 1, 1, 0, 5), 1, 60.0, 60.0, 60.0, 60.0, 60.0,
+          False)],
+        "doc_id string, bucket_ts timestamp, cnt long, sum double, "
+        "min double, max double, first double, last double, "
+        "gapfilled boolean")
+    out = rollup_mod.gapfill(
+        tier, "1m", series_cols=["doc_id"], fill="locf"
+    ).toPandas().sort_values("bucket_ts", ignore_index=True)
+    assert list(out.gapfilled) == [False, True, True, False, True, False]
+    assert list(out["sum"]) == [10.0, 10.0, 10.0, 50.0, 50.0, 60.0]
+    assert list(out["min"]) == [1.0, 1.0, 1.0, 50.0, 50.0, 60.0]
+    assert list(out.cnt) == [2, 0, 0, 1, 0, 1]
+
+
 def test_gapfill_linear_matches_locf_on_real_rows(spark, gappy_df):
     """linear and locf agree on every NON-gap row and emit the same
     bucket spine; only interpolated interior values differ."""
