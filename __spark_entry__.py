@@ -3820,6 +3820,87 @@ where rank <= 5
 """
 
 
+_BM25_TERMS = ["dup", "hash", "window"]
+
+
+def q_bm25_top10(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval (text.bm25_topk, r4) for the fixed
+    query bag ('dup', 'hash', 'window') — 'dup' is the corpus's rare
+    planted-duplicate marker (df≈25/500 at sf0.01), so its high idf
+    dominates and the ranking genuinely exercises the idf term, not
+    just tf.  Every float is engine-reproducible by construction
+    (integer tf/df/dl, one-division avgdl, fixed-order term fold,
+    rank on the rounded score); the oracle embeds the same constants
+    via repr() so both engines parse identical doubles."""
+    from ts2g2_spark.operators import text as text_ops
+
+    return text_ops.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+def _bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75, dp: int = 6) -> str:
+    """DuckDB twin of text.bm25_topk: the SAME normalization, the SAME
+    operand order in every float expression (left-fold over the term
+    list, explicit parens), constants embedded via repr() so both
+    engines evaluate identical doubles before the shared rounding."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n         ".join(
+        f"sum(case when term = '{t}' then 1 else 0 end) as tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"coalesce(sum(case when term = '{t}' then 1 end), 0) as df{i}"
+        for i, t in enumerate(terms))
+    norm = f"(({1.0!r} - {b!r}) + ({b!r} * (cast(dl as double) / avgdl)))"
+    parts = []
+    for i in range(len(terms)):
+        idf = (f"ln({1.0!r} + ((cast(n_docs as double) - df{i}) + {0.5!r})"
+               f" / (df{i} + {0.5!r}))")
+        parts.append(f"(({idf} * cast(tf{i} as double)) * {k1 + 1.0!r}"
+                     f" / (cast(tf{i} as double) + {k1!r} * {norm}))")
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    hits = " + ".join(f"cast(tf{i} > 0 as int)" for i in range(len(terms)))
+    return rf"""
+with w as (
+  select doc_id,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x != '') as ws
+  from documents
+), lens as (
+  select doc_id, len(ws) as dl from w
+), s as (
+  select doc_id, term
+  from (select doc_id, unnest(ws) as term from w)
+  where term in ({tlist})
+), tf as (
+  select doc_id,
+         {tf_cols}
+  from s group by doc_id
+), dfs as (
+  select {df_cols}
+  from (select distinct doc_id, term from s)
+), n as (select count(*) as n_docs from documents),
+sd as (select cast(sum(dl) as double) / (select n_docs from n) as avgdl
+       from lens),
+scored as (
+  select tf.doc_id, lens.dl,
+         {hits} as n_hit_terms,
+         round({score}, {dp}) as score
+  from tf join lens using (doc_id) cross join dfs cross join n cross join sd
+)
+select doc_id, dl, n_hit_terms, score,
+       row_number() over (order by score desc, doc_id asc) as rank
+from scored
+order by score desc, doc_id asc
+limit {k}
+"""
+
+
+BM25_SQL = _bm25_sql(_BM25_TERMS)
+
+
 def q_duplicated_spans(spark, sf_dir):
     """Exact-substring-style duplicate span detection (the relational
     form of suffix-array substring dedup): maximal word spans covered by
@@ -6315,6 +6396,7 @@ _RAW_QUERIES = {
         "degree_exponent_hvg": q_degree_exponent_hvg,
         "path_metrics_hvg": q_path_metrics_hvg,
         "gapfill_1m_locf": q_gapfill_1m_locf,
+        "bm25_top10": q_bm25_top10,
     }
 
 
@@ -6409,6 +6491,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_enrich": ASOF_ENRICH_SQL,
         "gapfill_1m_linear": GAPFILL_LINEAR_SQL,
         "gapfill_1m_locf": GAPFILL_LOCF_SQL,
+        "bm25_top10": BM25_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

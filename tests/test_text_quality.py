@@ -653,3 +653,62 @@ def test_collocations_pmi(spark):
     one = spark.createDataFrame(pd.DataFrame(
         {"doc_id": [1], "text": ["hello"]}))
     assert text_ops.collocations(one, min_count=1).count() == 0
+
+
+def test_bm25_topk_matches_formula(spark):
+    """bm25_topk == the hand-evaluated Okapi formula (Lucene idf) on a
+    tiny corpus; rank deterministic, non-matching docs absent."""
+    import math
+    import pandas as pd
+
+    txts = {
+        1: "cat dog cat",          # tf(cat)=2, dl=3
+        2: "cat fish fish fish",   # tf(cat)=1, dl=4
+        3: "bird bird bird",       # no query terms
+        4: "dog dog cat cat cat dog dog",  # dl=7
+    }
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(txts), "text": list(txts.values())}))
+    out = text_ops.bm25_topk(docs, ["cat", "dog"], k=10).toPandas()
+    assert list(out.doc_id) != [] and 3 not in set(out.doc_id)
+    n, k1, b = 4, 1.2, 0.75
+    dls = {d: len(t.split()) for d, t in txts.items()}
+    avgdl = sum(dls.values()) / n
+    dfq = {"cat": 3, "dog": 2}
+
+    def score(d):
+        s = 0.0
+        for t in ("cat", "dog"):
+            tf = txts[d].split().count(t)
+            idf = math.log(1.0 + ((n - dfq[t]) + 0.5) / (dfq[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * ((1.0 - b) + b * (dls[d] / avgdl)))
+        return round(s, 6)
+
+    got = dict(zip(out.doc_id, out.score))
+    for d in (1, 2, 4):
+        assert got[d] == pytest.approx(score(d), abs=2e-6), d
+    # rank = rounded score desc, doc_id asc; all ranks contiguous
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    assert list(out.score) == sorted(out.score, reverse=True)
+    # n_hit_terms counts distinct matched query terms
+    assert dict(zip(out.doc_id, out.n_hit_terms))[2] == 1
+
+
+def test_bm25_topk_edges(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["a b c", "b c d"]}))
+    # term absent from the corpus: no contribution, no error
+    out = text_ops.bm25_topk(docs, ["zzz", "b"], k=5).toPandas()
+    assert len(out) == 2 and (out.n_hit_terms == 1).all()
+    # k truncates; ties break by doc_id asc
+    out1 = text_ops.bm25_topk(docs, ["b"], k=1).toPandas()
+    assert len(out1) == 1 and out1.doc_id[0] == 1
+    # duplicate query terms deduped (no double counting)
+    a = text_ops.bm25_topk(docs, ["b", "b"], k=5).toPandas()
+    bq = text_ops.bm25_topk(docs, ["b"], k=5).toPandas()
+    assert list(a.score) == list(bq.score)
+    with pytest.raises(ValueError):
+        text_ops.bm25_topk(docs, [])

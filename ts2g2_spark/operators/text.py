@@ -451,6 +451,91 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame, query_terms: list[str], k: int = 10,
+    k1: float = 1.2, b: float = 0.75, round_dp: int = 6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a fixed bag of query
+    terms (the Lucene/Elasticsearch scoring formula):
+
+        idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(d) = sum_t idf(t) * tf_td*(k1+1)
+                              / (tf_td + k1*(1 - b + b*dl_d/avgdl))
+
+    Returns (id, dl, n_hit_terms, score, rank) for the top-k matching
+    documents; rank is deterministic (round(score, round_dp) desc, id
+    asc) and every float is engine-reproducible: tf/df/dl are exact
+    integers, avgdl is an exact integer sum divided once, the per-term
+    scores are added in the listed query_terms order (a fixed
+    left-fold, not an agg), and ranking happens on the ROUNDED score so
+    a last-ulp ln() difference between libms cannot flip row_number.
+
+    Scale shape: the exploded word stream is filtered to the (tiny)
+    query-term literal list BEFORE any aggregation, so the per-doc tf
+    aggregate only sees matching rows; dl is a partial-aggregated
+    map-side count; corpus stats (N, df per term, sum dl) are one-row
+    broadcast frames; the tail is an ordered limit
+    (TakeOrderedAndProject) — nothing downstream of the scan is
+    corpus-sized, and no executor holds more than k scored rows."""
+    from pyspark.sql.window import Window
+
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    staged = docs.select(
+        F.col(id_col).alias("_id"), _norm_words(text_col).alias("_ws"),
+        F.rand(0).alias("_bar"))
+    lens = staged.select("_id", F.size("_ws").alias("dl"))
+    stream = staged.select("_id", F.explode("_ws").alias("term")).where(
+        F.col("term").isin(terms))
+    tf = stream.groupBy("_id").agg(*[
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+        for i, t in enumerate(terms)])
+    dfs = stream.select("_id", "term").distinct().agg(*[
+        F.coalesce(F.sum(F.when(F.col("term") == t, 1)), F.lit(0))
+        .alias(f"_df{i}") for i, t in enumerate(terms)])
+    stats = docs.agg(F.count(F.lit(1)).alias("_n"))
+    sumdl = lens.agg(F.sum("dl").alias("_sumdl"))
+    scored = (
+        tf.join(lens, "_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(sumdl))
+    )
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (
+        F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf_i = F.col(f"_tf{i}").cast("double")
+        idf_i = F.log(
+            F.lit(1.0)
+            + (F.col("_n").cast("double") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5)))
+        s_i = idf_i * tf_i * F.lit(k1 + 1.0) / (tf_i + F.lit(k1) * norm)
+        score = s_i if score is None else score + s_i
+    n_hit = None
+    for i in range(len(terms)):
+        h_i = (F.col(f"_tf{i}") > 0).cast("int")
+        n_hit = h_i if n_hit is None else n_hit + h_i
+    return (
+        scored.select(
+            F.col("_id").alias(id_col), "dl",
+            n_hit.alias("n_hit_terms"),
+            F.round(score, round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col, "dl", "n_hit_terms", "score",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc(id_col))
+            ).alias("rank"),
+        )
+    )
+
+
 def top_ngrams(docs: DataFrame, n_words: int = 2, k: int = 20,
                text_col: str = "text") -> DataFrame:
     """Corpus-level top-k word n-grams: (gram, cnt), deterministic order
