@@ -3901,6 +3901,73 @@ limit {k}
 BM25_SQL = _bm25_sql(_BM25_TERMS)
 
 
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (corpusstats.heaps_law, r4):
+    V(n) = K * n^beta over cumulative (token, distinct-word) counts in
+    doc_id order, via a two-pass distributed prefix sum (bucketed
+    within-partition cumsums + broadcast bucket offsets — no global
+    window) and a closed-form OLS on ln V ~ ln n.  The synthetic corpus
+    has a closed ~40-word vocabulary, so beta lands near 0 with high r2
+    early saturation — the 'templated corpus' signature the signal is
+    designed to flag."""
+    from ts2g2_spark.operators import corpusstats
+
+    return corpusstats.heaps_law(_docs(spark, sf_dir))
+
+
+HEAPS_SQL = r"""
+with w as (
+  select doc_id,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x != '') as ws
+  from documents
+), toks as (
+  select doc_id, len(ws) as toks from w
+), firsts as (
+  select first_doc as doc_id, count(*) as nw
+  from (select term, min(doc_id) as first_doc
+        from (select doc_id, unnest(ws) as term from w) group by term)
+  group by first_doc
+), curve as (
+  select doc_id,
+         sum(toks.toks) over wo as cum_tokens,
+         sum(coalesce(firsts.nw, 0)) over wo as cum_vocab
+  from toks left join firsts using (doc_id)
+  window wo as (order by doc_id
+                rows between unbounded preceding and current row)
+), pts as (
+  select ln(cast(cum_tokens as double)) as x,
+         ln(cast(cum_vocab as double)) as y,
+         cum_tokens, cum_vocab
+  from curve where cum_tokens > 0
+), sums as (
+  select count(*) as m, sum(x) as sx, sum(y) as sy,
+         sum(x * y) as sxy, sum(x * x) as sxx, sum(y * y) as syy,
+         count(distinct cum_tokens) as nx,
+         max(cum_tokens) as n_tokens, max(cum_vocab) as vocab
+  from pts
+), n as (select count(*) as n_docs from documents)
+select n_docs, n_tokens, vocab,
+       (case when nx >= 2 then
+          round(exp((sy - ((cast(m as double) * sxy - sx * sy)
+                           / (cast(m as double) * sxx - sx * sx)) * sx)
+                    / cast(m as double)), 6) end + 0.0) as heaps_k,
+       (case when nx >= 2 then
+          round((cast(m as double) * sxy - sx * sy)
+                / (cast(m as double) * sxx - sx * sx), 6) end
+        + 0.0) as heaps_beta,
+       (case when nx >= 2
+                  and (cast(m as double) * syy - sy * sy) > 0 then
+          round(((cast(m as double) * sxy - sx * sy)
+                 * (cast(m as double) * sxy - sx * sy))
+                / ((cast(m as double) * sxx - sx * sx)
+                   * (cast(m as double) * syy - sy * sy)), 6) end
+        + 0.0) as r2
+from sums cross join n
+"""
+
+
 def q_duplicated_spans(spark, sf_dir):
     """Exact-substring-style duplicate span detection (the relational
     form of suffix-array substring dedup): maximal word spans covered by
@@ -6397,6 +6464,7 @@ _RAW_QUERIES = {
         "path_metrics_hvg": q_path_metrics_hvg,
         "gapfill_1m_locf": q_gapfill_1m_locf,
         "bm25_top10": q_bm25_top10,
+        "heaps_law": q_heaps_law,
     }
 
 
@@ -6492,6 +6560,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_1m_linear": GAPFILL_LINEAR_SQL,
         "gapfill_1m_locf": GAPFILL_LOCF_SQL,
         "bm25_top10": BM25_SQL,
+        "heaps_law": HEAPS_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

@@ -160,3 +160,70 @@ def test_source_divergence_matches_python_model(spark):
     one = pdf[pdf["source"] == "mix"]
     z = source_divergence(spark.createDataFrame(one)).collect()
     assert all(r["kl_bits"] == 0.0 for r in z)
+
+
+def test_heaps_law_matches_numpy_reference(spark):
+    """heaps_law == a straight numpy replay of the same pipeline
+    (cumulative tokens/vocab in doc order, ln-ln OLS)."""
+    from ts2g2_spark.operators.corpusstats import heaps_law
+
+    rng = np.random.default_rng(11)
+    # open-ended vocabulary: doc i introduces new words w_{i*3..}
+    docs = []
+    for i in range(40):
+        ws = [f"w{j}" for j in rng.integers(0, 3 * (i + 1), size=20)]
+        docs.append((i, " ".join(ws)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    out = heaps_law(spark.createDataFrame(pdf)).collect()[0]
+
+    seen, ct, xs, ys = set(), 0, [], []
+    for _, r in pdf.sort_values("doc_id").iterrows():
+        toks = r.text.split()
+        ct += len(toks)
+        seen |= set(toks)
+        if ct > 0:
+            xs.append(math.log(ct))
+            ys.append(math.log(len(seen)))
+    x, y = np.array(xs), np.array(ys)
+    m = len(x)
+    beta = ((m * (x * y).sum() - x.sum() * y.sum())
+            / (m * (x * x).sum() - x.sum() ** 2))
+    k = math.exp((y.sum() - beta * x.sum()) / m)
+    assert out["n_docs"] == 40 and out["n_tokens"] == 800
+    assert out["vocab"] == len(seen)
+    assert out["heaps_beta"] == pytest.approx(beta, abs=2e-6)
+    assert out["heaps_k"] == pytest.approx(k, abs=2e-6)
+    assert 0.0 < out["heaps_beta"] < 1.0 and out["r2"] > 0.9
+
+
+def test_heaps_law_bucket_invariance_and_edges(spark):
+    """The two-pass prefix sum is exact: any n_buckets gives identical
+    output; empty/degenerate corpora yield NULL fits, not errors."""
+    from ts2g2_spark.operators.corpusstats import heaps_law
+
+    pdf = pd.DataFrame({
+        "doc_id": range(12),
+        "text": [f"a b w{i} w{i} x{i // 2}" for i in range(12)],
+    })
+    sdf = spark.createDataFrame(pdf)
+    rows = [heaps_law(sdf, n_buckets=nb).collect()[0]
+            for nb in (1, 3, 256)]
+    assert rows[0] == rows[1] == rows[2]
+
+    # empty corpus: one row, NULL fit
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = heaps_law(empty).collect()[0]
+    assert r["heaps_beta"] is None and r["n_docs"] == 0
+
+    # single doc: one prefix point -> nx < 2 -> NULL fit, counts real
+    one = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5], "text": ["a b a"]}))
+    r1 = heaps_law(one).collect()[0]
+    assert r1["n_tokens"] == 3 and r1["vocab"] == 2
+    assert r1["heaps_beta"] is None
+
+    # all-empty texts: curve filtered to nothing -> NULL fit
+    blank = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["", "  "]}))
+    rb = heaps_law(blank).collect()[0]
+    assert rb["heaps_beta"] is None and rb["n_docs"] == 2

@@ -182,3 +182,114 @@ def source_divergence(
             ).alias("kl_bits"),
         )
     )
+
+
+def heaps_law(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) = K * n^beta, where n
+    is the cumulative token count and V the cumulative distinct-word
+    count over documents in ascending ``id_col`` order (the
+    deterministic corpus order).  Returns ONE row
+    (n_docs, n_tokens, vocab, heaps_k, heaps_beta, r2), rounded;
+    beta ~ 0.4-0.6 for natural text, near 0 for closed templated
+    vocabularies — a corpus-health signal alongside zipf_slope.
+
+    Scale shape — no global window anywhere: the growth curve needs a
+    corpus-order prefix sum, computed as the classic TWO-PASS
+    distributed scan over one doc-sized frame:
+
+      1. per-doc partials: (doc, toks, new_words) where new_words
+         counts the words whose FIRST document (min id) is this doc —
+         one (word -> min id) aggregate, never a per-prefix distinct;
+      2. range-bucket by id percentile (ntile over the doc frame is
+         avoided too: bucket = dense integer from a percentile-free
+         uniform split of the id domain), cumsum WITHIN each bucket
+         partition, then add each bucket's broadcast offset (the
+         exclusive prefix over <= n_buckets partial sums).
+
+    The OLS fit of ln V on ln n runs over closed-form sums (one
+    partial-aggregated pass); prefix rows before the first token
+    (cum_tokens = 0) are excluded from the fit.  NULL fit columns when
+    fewer than two distinct ln(n) values exist."""
+    if n_buckets < 1:
+        raise ValueError("heaps_law: n_buckets must be >= 1")
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _norm_words(text_col).alias("_ws"),
+        F.rand(0).alias("_bar"))
+    per_doc = staged.select("_id", F.explode_outer("_ws").alias("word"))
+    toks = per_doc.groupBy("_id").agg(
+        F.sum(F.when(F.col("word").isNotNull(), 1).otherwise(0))
+        .alias("toks"))
+    firsts = (
+        per_doc.where(F.col("word").isNotNull())
+        .groupBy("word").agg(F.min("_id").alias("_id"))
+        .groupBy("_id").agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    per = toks.join(firsts, "_id", "left").select(
+        "_id", "toks", F.coalesce("new_words", F.lit(0)).alias("nw"))
+    # range buckets from the id domain (one tiny agg, broadcast)
+    dom = per.agg(F.min("_id").alias("lo"), F.max("_id").alias("hi"))
+    per = per.crossJoin(F.broadcast(dom)).withColumn(
+        "_b",
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.col("_id") - F.col("lo")) * n_buckets
+             / (F.col("hi") - F.col("lo") + 1)).cast("long")),
+    )
+    wb = (Window.partitionBy("_b").orderBy("_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    within = per.select(
+        "_id", "_b",
+        F.sum("toks").over(wb).alias("ct_in"),
+        F.sum("nw").over(wb).alias("cv_in"))
+    btot = per.groupBy("_b").agg(
+        F.sum("toks").alias("bt"), F.sum("nw").alias("bv"))
+    woff = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1)  # <= n_buckets rows: safe window
+    offs = btot.select(
+        "_b",
+        F.coalesce(F.sum("bt").over(woff), F.lit(0)).alias("ot"),
+        F.coalesce(F.sum("bv").over(woff), F.lit(0)).alias("ov"))
+    curve = (
+        within.join(F.broadcast(offs), "_b")
+        .select(
+            "_id",
+            (F.col("ct_in") + F.col("ot")).alias("cum_tokens"),
+            (F.col("cv_in") + F.col("ov")).alias("cum_vocab"))
+        .where(F.col("cum_tokens") > 0)
+    )
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    sums = curve.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.countDistinct(F.col("cum_tokens")).alias("nx"),
+        F.max("cum_tokens").alias("n_tokens"),
+        F.max("cum_vocab").alias("vocab"),
+        F.count(F.lit(1)).alias("n_prefix"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    m = F.col("m").cast("double")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = cov / varx
+    intercept = (F.col("sy") - beta * F.col("sx")) / m
+    r2 = (cov * cov) / (varx * vary)
+    ok = F.col("nx") >= 2
+    return sums.crossJoin(F.broadcast(n_docs)).select(
+        "n_docs", "n_tokens", "vocab",
+        (F.when(ok, F.round(F.exp(intercept), round_dp))
+         + F.lit(0.0)).alias("heaps_k"),
+        (F.when(ok, F.round(beta, round_dp)) + F.lit(0.0))
+        .alias("heaps_beta"),
+        (F.when(ok & (vary > 0), F.round(r2, round_dp)) + F.lit(0.0))
+        .alias("r2"),
+    )
