@@ -1250,6 +1250,49 @@ select n as doc_id, min(m) as component from reach group by n
 """
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.select_survivors, r4):
+    the survivor step after pair->group resolution — per duplicate
+    group keep the longest member (the classic 'most complete copy'
+    rule; ties -> lowest doc_id), flag the rest for removal.  Groups
+    come from the same jaccard>=0.5 pipeline as dedup_components;
+    quality here is doc length, but the operator takes any per-doc
+    quality frame (gopher score, LM perplexity...).  Ranking on the
+    rounded quality keeps the survivor pick engine-independent."""
+    from ts2g2_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n_words=3, threshold=0.5).select("doc_a", "doc_b")
+    comp = dedup.connected_components(pairs)
+    quality = docs.select("doc_id", F.length("text").alias("quality"))
+    return dedup.select_survivors(comp, quality)
+
+
+_SURV_TAIL = r"""
+, comp as (
+  select n as doc_id, min(m) as component from reach group by n
+), q as (
+  select c.doc_id, c.component,
+         round(cast(length(d.text) as double), 6) as quality
+  from comp c join documents d using (doc_id)
+)
+select doc_id, component, quality,
+       count(*) over (partition by component) as n_members,
+       (row_number() over (partition by component
+                           order by quality desc, doc_id asc) = 1)
+       as keep
+from q
+"""
+
+DEDUP_SURVIVORS_SQL = (
+    DEDUP_COMPONENTS_SQL.rsplit(
+        "select n as doc_id, min(m) as component from reach group by n",
+        1)[0].rstrip()
+    + _SURV_TAIL
+)
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash(64) + LSH(8 bands) candidate pairs, verified by exact
     Jaccard >= 0.5 on candidates only.  Uses the PORTABLE word hash (h64 =
@@ -6465,6 +6508,7 @@ _RAW_QUERIES = {
         "gapfill_1m_locf": q_gapfill_1m_locf,
         "bm25_top10": q_bm25_top10,
         "heaps_law": q_heaps_law,
+        "dedup_survivors": q_dedup_survivors,
     }
 
 
@@ -6561,6 +6605,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_1m_locf": GAPFILL_LOCF_SQL,
         "bm25_top10": BM25_SQL,
         "heaps_law": HEAPS_SQL,
+        "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

@@ -412,3 +412,31 @@ def test_line_dedup_null_text_doc_survives(spark):
     assert set(got) == {1, 2}
     assert got[2]["text"] == ""
     assert (got[2]["n_lines"], got[2]["n_removed"]) == (1, 0)
+
+
+def test_select_survivors_keeps_best_quality(spark):
+    """Per component: exactly one keep=true, it has the max (rounded)
+    quality, ties break to the lowest id; n_members counts the group."""
+    import pandas as pd
+    from ts2g2_spark.operators.dedup import select_survivors
+
+    comp = spark.createDataFrame(pd.DataFrame({
+        "doc_id":    [1, 2, 3, 7, 8],
+        "component": [1, 1, 1, 7, 7]}))
+    quality = spark.createDataFrame(pd.DataFrame({
+        "doc_id":  [1, 2, 3, 7, 8],
+        "quality": [5.0, 9.0, 9.0, 3.0, 3.0]}))
+    out = (select_survivors(comp, quality).toPandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(out.keep) == [False, True, False, True, False]
+    assert list(out.n_members) == [3, 3, 3, 2, 2]
+    # sub-rounding quality difference does NOT flip the survivor
+    q2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "quality": [1.0, 1.0 + 4e-7]}))
+    c2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "component": [1, 1]}))
+    o2 = select_survivors(c2, q2).toPandas().sort_values("doc_id")
+    assert list(o2.keep) == [True, False]  # rounds equal -> min id wins
+    # empty components frame -> empty result
+    ec = spark.createDataFrame([], "doc_id long, component long")
+    assert select_survivors(ec, quality).count() == 0

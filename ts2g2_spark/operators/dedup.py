@@ -852,3 +852,39 @@ def line_dedup(
             F.sum(F.col("_rm").cast("int")).alias("n_removed"),
         )
     )
+
+
+def select_survivors(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    quality_col: str = "quality",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Quality-aware canonical selection — the survivor step between
+    `connected_components` and the actual drop: per duplicate group keep
+    the HIGHEST-quality member (ties -> lowest id), flag the rest for
+    removal.  Returns (id, component, quality, n_members, keep).
+
+    Ranking is on the ROUNDED quality (the repo's cross-engine ranking
+    contract) so a last-ulp score difference cannot flip the survivor
+    between engines.  Scale shape: one equi-join on the id (components
+    is only the docs that ARE in a duplicate group — a vanishing
+    fraction of a healthy corpus) and one window partitioned by
+    component (group-sized partitions, never corpus-sized); quality can
+    be any per-doc frame (length, gopher score, LM perplexity...)."""
+    from pyspark.sql.window import Window
+
+    q = F.round(F.col(quality_col).cast("double"), round_dp)
+    joined = components.join(
+        quality.select(F.col(id_col), q.alias("_q")), id_col)
+    wc = Window.partitionBy(comp_col)
+    rk = Window.partitionBy(comp_col).orderBy(
+        F.desc("_q"), F.asc(id_col))
+    return joined.select(
+        id_col, comp_col,
+        F.col("_q").alias(quality_col),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+        (F.row_number().over(rk) == 1).alias("keep"),
+    )
