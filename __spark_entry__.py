@@ -3944,6 +3944,57 @@ limit {k}
 BM25_SQL = _bm25_sql(_BM25_TERMS)
 
 
+def q_slo_burn_alerts(spark, sf_dir):
+    """Multi-window SLO error-budget burn alert (metrics.slo_burn_rate,
+    r4; SRE-workbook 5m+1h/14.4x page rule) over the events stream,
+    is_error = event_type='error' (~20% base rate, so burn vs a 99% SLO
+    hovers around 20x and the short window genuinely toggles the alert
+    both ways).  Exact integer window counts; the only doubles are two
+    divisions by the once-computed budget literal (repr-embedded in the
+    oracle) and the rounded-burn >= factor comparison."""
+    from ts2g2_spark.operators import metrics
+
+    ev = _events(spark, sf_dir).select(
+        "ts", (F.col("event_type") == "error").alias("is_error"))
+    return metrics.slo_burn_rate(ev)
+
+
+def _slo_sql(slo: float = 0.99, factor: float = 14.4, short_s: int = 300,
+             long_s: int = 3600, grid_s: int = 60, dp: int = 6) -> str:
+    budget = 1.0 - slo
+    return f"""
+with per as (
+  select date_trunc('minute', ts) as bucket_ts,
+         count(*) as n,
+         sum(case when event_type = 'error' then 1 else 0 end) as err
+  from events group by 1
+), w as (
+  select bucket_ts,
+         sum(err) over ws as err_short, sum(n) over ws as total_short,
+         sum(err) over wl as err_long, sum(n) over wl as total_long
+  from (select *, epoch(bucket_ts) as ep from per)
+  window ws as (order by ep range between {short_s - grid_s} preceding
+                and current row),
+         wl as (order by ep range between {long_s - grid_s} preceding
+                and current row)
+)
+select bucket_ts, err_short, total_short,
+       round((cast(err_short as double) / cast(total_short as double))
+             / {budget!r}, {dp}) as burn_short,
+       err_long, total_long,
+       round((cast(err_long as double) / cast(total_long as double))
+             / {budget!r}, {dp}) as burn_long,
+       (round((cast(err_short as double) / cast(total_short as double))
+              / {budget!r}, {dp}) >= {factor!r}
+        and round((cast(err_long as double) / cast(total_long as double))
+                  / {budget!r}, {dp}) >= {factor!r}) as alert
+from w
+"""
+
+
+SLO_BURN_SQL = _slo_sql()
+
+
 def q_heaps_law(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit (corpusstats.heaps_law, r4):
     V(n) = K * n^beta over cumulative (token, distinct-word) counts in
@@ -6509,6 +6560,7 @@ _RAW_QUERIES = {
         "bm25_top10": q_bm25_top10,
         "heaps_law": q_heaps_law,
         "dedup_survivors": q_dedup_survivors,
+        "slo_burn_alerts": q_slo_burn_alerts,
     }
 
 
@@ -6606,6 +6658,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": BM25_SQL,
         "heaps_law": HEAPS_SQL,
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
+        "slo_burn_alerts": SLO_BURN_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

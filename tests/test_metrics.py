@@ -572,3 +572,56 @@ def test_holt_winters_matches_scalar_model(spark):
         holt_winters_forecast(None, period=1)
     with pytest.raises(ValueError, match="gamma"):
         holt_winters_forecast(None, gamma=0.0)
+
+
+def test_slo_burn_rate_windows_and_alert(spark):
+    """Hand-built minute stream: burn rates = exact trailing-window
+    ratios / budget; alert needs BOTH windows over the factor; gaps in
+    the grid do not break the trailing RANGE windows."""
+    import datetime as dt
+    import pandas as pd
+    from ts2g2_spark.operators.metrics import slo_burn_rate
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # minutes 0,1,2: healthy (1 evt/min, no errors)
+    for m in range(3):
+        rows.append((T0 + dt.timedelta(minutes=m, seconds=5), False))
+    # minutes 3,4: full outage (2 evts/min, all errors)
+    for m in (3, 4):
+        for s in (1, 31):
+            rows.append((T0 + dt.timedelta(minutes=m, seconds=s), True))
+    # minute 10 (after a gap): healthy again
+    rows.append((T0 + dt.timedelta(minutes=10), False))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "is_error"]))
+    out = (slo_burn_rate(ev, slo=0.9, short_s=120, long_s=300,
+                         factor=5.0)
+           .toPandas().sort_values("bucket_ts", ignore_index=True))
+    budget = 1.0 - 0.9
+    # minute 4: short window = minutes 3-4 -> 4/4 errors
+    m4 = out.iloc[4]
+    assert m4.err_short == 4 and m4.total_short == 4
+    assert m4.burn_short == round((4 / 4) / budget, 6) == 10.0
+    # long window at minute 4 = minutes 0-4 -> 4 errors of 7 events
+    assert m4.err_long == 4 and m4.total_long == 7
+    assert bool(m4.alert) == bool(m4.burn_short >= 5.0
+                                  and m4.burn_long >= 5.0)
+    assert bool(m4.alert) is True
+    # minute 3: short = minutes 2-3 -> 2/3; long = 0-3 -> 2/5
+    m3 = out.iloc[3]
+    assert (m3.err_short, m3.total_short) == (2, 3)
+    assert (m3.err_long, m3.total_long) == (2, 5)
+    # healthy head: burn 0, no alert
+    assert not out.iloc[0].alert and out.iloc[0].burn_short == 0.0
+    # minute 10: both trailing windows reach back across the gap but
+    # past the outage (range is on epoch, not row offsets)
+    m10 = out.iloc[5]
+    assert (m10.err_short, m10.total_short) == (0, 1)
+    assert (m10.err_long, m10.total_long) == (0, 1)
+    assert not m10.alert
+
+    with pytest.raises(ValueError):
+        slo_burn_rate(ev, slo=1.5)
+    with pytest.raises(ValueError):
+        slo_burn_rate(ev, short_s=3600, long_s=300)

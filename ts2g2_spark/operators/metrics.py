@@ -715,3 +715,79 @@ def holt_winters_forecast(
         (F.col("trend") + F.lit(0.0)).alias("trend"),
         (seas + F.lit(0.0)).alias("seasonal"),
     )
+
+
+def slo_burn_rate(
+    events: DataFrame,
+    error_col: str = "is_error",
+    slo: float = 0.99,
+    short_s: int = 300,
+    long_s: int = 3600,
+    factor: float = 14.4,
+    grid: str = "minute",
+    grid_s: int = 60,
+    ts_col: str = "ts",
+    series_cols: list[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-window SLO error-budget burn rate (the Google SRE workbook
+    alert): at every occupied grid bucket, burn(w) = error_rate over the
+    trailing window w divided by the budget (1 - slo); the alert fires
+    when BOTH the short and the long window burn at >= `factor` — the
+    long window proves sustained damage, the short window drops the
+    alert as soon as the bleeding stops.
+
+    Determinism: window sums are exact integer counts, the budget is one
+    double computed once (embed the same repr() literal in an oracle),
+    and the alert compares the ROUNDED burn rates so a boundary landing
+    within rounding distance of `factor` cannot disagree across engines.
+
+    Scale shape: the raw stream collapses to one row per (series, grid
+    bucket) in a fully-parallel partial aggregate; the trailing RANGE
+    windows then run over that bounded frame (rows = covered minutes,
+    not events — a year is ~526k rows per series regardless of input
+    size).  Buckets with no events produce no evaluation row (the
+    trailing windows still see the true counts on either side of the
+    gap because RANGE is on the epoch, not on row offsets).
+
+    Output: series cols + bucket_ts, err_short, total_short, burn_short,
+    err_long, total_long, burn_long, alert."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 < slo < 1.0:
+        raise ValueError("slo_burn_rate: slo must be in (0, 1)")
+    if short_s % grid_s or long_s % grid_s or short_s > long_s:
+        raise ValueError("slo_burn_rate: windows must be grid multiples "
+                         "with short <= long")
+    budget = 1.0 - slo
+    scols = [F.col(c) for c in series_cols]
+    per = (
+        events.select(
+            *scols,
+            F.date_trunc(grid, F.col(ts_col)).alias("bucket_ts"),
+            F.col(error_col).cast("int").alias("_e"))
+        .groupBy(*series_cols, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_e").alias("_err"))
+        .withColumn("_ep", F.unix_timestamp("bucket_ts"))
+    )
+    def trailing(win_s):
+        return (Window.partitionBy(*series_cols).orderBy("_ep")
+                .rangeBetween(-(win_s - grid_s), 0))
+    ws, wl = trailing(short_s), trailing(long_s)
+    err_s, tot_s = F.sum("_err").over(ws), F.sum("_n").over(ws)
+    err_l, tot_l = F.sum("_err").over(wl), F.sum("_n").over(wl)
+    burn_s = F.round(
+        (err_s.cast("double") / tot_s.cast("double")) / F.lit(budget),
+        round_dp)
+    burn_l = F.round(
+        (err_l.cast("double") / tot_l.cast("double")) / F.lit(budget),
+        round_dp)
+    return per.select(
+        *series_cols, "bucket_ts",
+        err_s.alias("err_short"), tot_s.alias("total_short"),
+        burn_s.alias("burn_short"),
+        err_l.alias("err_long"), tot_l.alias("total_long"),
+        burn_l.alias("burn_long"),
+        ((burn_s >= F.lit(factor)) & (burn_l >= F.lit(factor)))
+        .alias("alert"),
+    )
