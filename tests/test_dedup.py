@@ -440,3 +440,14 @@ def test_select_survivors_keeps_best_quality(spark):
     # empty components frame -> empty result
     ec = spark.createDataFrame([], "doc_id long, component long")
     assert select_survivors(ec, quality).count() == 0
+    # member missing from the quality frame: kept in the output with
+    # NULL quality, ranked last, still counted in n_members
+    c3 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3], "component": [1, 1, 1]}))
+    q3 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "quality": [5.0, 9.0]}))
+    o3 = (select_survivors(c3, q3).toPandas()
+          .sort_values("doc_id", ignore_index=True))
+    assert list(o3.keep) == [False, True, False]
+    assert list(o3.n_members) == [3, 3, 3]
+    assert pd.isna(o3.quality[2])

@@ -649,3 +649,36 @@ def test_matrix_profile_constants_and_edges(spark):
         matrix_profile(spark.createDataFrame(pdf), m=4,
                        order_col="event_id",
                        max_subsequences=5).count()
+
+
+def test_matrix_profile_exclusion_zone_no_neighbor(spark):
+    """A subsequence with no candidate outside the exclusion zone gets
+    nn_pos=-1, dist=inf (stumpy convention) — never a bogus index 0."""
+    from ts2g2_spark.operators.seriesstats import matrix_profile
+
+    # m=4, excl=1, n=5 -> p=2 and |i-j|=1 <= excl for the only pair
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5,
+        "event_id": np.arange(5),
+        "ts": pd.date_range("2024-01-01", periods=5, freq="h"),
+        "value": [1.0, 5.0, 2.0, 8.0, 3.0],
+    })
+    rows = matrix_profile(spark.createDataFrame(pdf), m=4,
+                          order_col="event_id").collect()
+    assert len(rows) == 2
+    assert all(r["nn_pos"] == -1 and math.isinf(r["dist"])
+               for r in rows)
+    # interior edge rows of a longer series with a wide exclusion zone
+    pdf2 = pd.DataFrame({
+        "user_id": [1] * 22,
+        "event_id": np.arange(22),
+        "ts": pd.date_range("2024-01-01", periods=22, freq="h"),
+        "value": np.sin(np.arange(22)).tolist(),
+    })
+    got = {r["pos"]: r for r in matrix_profile(
+        spark.createDataFrame(pdf2), m=16, exclusion=4,
+        order_col="event_id").collect()}
+    # p=7; pos=3 has all |3-j|<=4 -> no neighbor
+    assert got[3]["nn_pos"] == -1 and math.isinf(got[3]["dist"])
+    # pos=0 can still reach j in {5,6}
+    assert got[0]["nn_pos"] in (5, 6) and math.isfinite(got[0]["dist"])

@@ -237,10 +237,14 @@ def heaps_law(
     dom = per.agg(F.min("_id").alias("lo"), F.max("_id").alias("hi"))
     per = per.crossJoin(F.broadcast(dom)).withColumn(
         "_b",
+        # ratio in double: (id - lo) * n_buckets can overflow long for
+        # snowflake-style 64-bit id domains; floor of a monotone double
+        # ratio keeps bucket order aligned with id order either way
         F.least(
             F.lit(n_buckets - 1),
-            ((F.col("_id") - F.col("lo")) * n_buckets
-             / (F.col("hi") - F.col("lo") + 1)).cast("long")),
+            ((F.col("_id") - F.col("lo")).cast("double") * n_buckets
+             / (F.col("hi") - F.col("lo") + 1).cast("double"))
+            .cast("long")),
     )
     wb = (Window.partitionBy("_b").orderBy("_id")
           .rowsBetween(Window.unboundedPreceding, 0))
@@ -273,8 +277,7 @@ def heaps_law(
         F.sum(y * y).alias("syy"),
         F.countDistinct(F.col("cum_tokens")).alias("nx"),
         F.max("cum_tokens").alias("n_tokens"),
-        F.max("cum_vocab").alias("vocab"),
-        F.count(F.lit(1)).alias("n_prefix"))
+        F.max("cum_vocab").alias("vocab"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     m = F.col("m").cast("double")
     varx = m * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -869,19 +869,24 @@ def select_survivors(
 
     Ranking is on the ROUNDED quality (the repo's cross-engine ranking
     contract) so a last-ulp score difference cannot flip the survivor
-    between engines.  Scale shape: one equi-join on the id (components
-    is only the docs that ARE in a duplicate group — a vanishing
-    fraction of a healthy corpus) and one window partitioned by
-    component (group-sized partitions, never corpus-sized); quality can
-    be any per-doc frame (length, gopher score, LM perplexity...)."""
+    between engines.  The join is LEFT on components: a group member
+    missing from the quality frame (filtered corpus, partial scoring)
+    keeps its row with NULL quality and ranks LAST — it can never win,
+    but it is still flagged for removal and still counted in
+    n_members, so 'drop where keep=false' removes it.  Scale shape:
+    one equi-join on the id (components is only the docs that ARE in a
+    duplicate group — a vanishing fraction of a healthy corpus) and one
+    window partitioned by component (group-sized partitions, never
+    corpus-sized); quality can be any per-doc frame (length, gopher
+    score, LM perplexity...)."""
     from pyspark.sql.window import Window
 
     q = F.round(F.col(quality_col).cast("double"), round_dp)
     joined = components.join(
-        quality.select(F.col(id_col), q.alias("_q")), id_col)
+        quality.select(F.col(id_col), q.alias("_q")), id_col, "left")
     wc = Window.partitionBy(comp_col)
     rk = Window.partitionBy(comp_col).orderBy(
-        F.desc("_q"), F.asc(id_col))
+        F.desc_nulls_last("_q"), F.asc(id_col))
     return joined.select(
         id_col, comp_col,
         F.col("_q").alias(quality_col),

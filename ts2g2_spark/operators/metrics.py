@@ -756,6 +756,12 @@ def slo_burn_rate(
 
     if not 0.0 < slo < 1.0:
         raise ValueError("slo_burn_rate: slo must be in (0, 1)")
+    _grid_seconds = {"minute": 60, "hour": 3600, "day": 86400}
+    if grid in _grid_seconds and _grid_seconds[grid] != grid_s:
+        raise ValueError(
+            f"slo_burn_rate: grid='{grid}' is {_grid_seconds[grid]}s "
+            f"but grid_s={grid_s} — the RANGE windows would be sized "
+            f"for the wrong bucket spacing")
     if short_s % grid_s or long_s % grid_s or short_s > long_s:
         raise ValueError("slo_burn_rate: windows must be grid multiples "
                          "with short <= long")

@@ -287,6 +287,32 @@ def ewma(
     )
 
 
+def _collect_raw_series(points, series_cols, ts_col, val_col, order_col):
+    """Shared collect-to-Arrow scaffolding for raw-point series kernels:
+    one collect_list shuffle on the series key, sorted by the
+    (unix_micros ts [, order_col], value) struct — the repo's canonical
+    series order contract.  Returns (grouped, key_fields) where grouped
+    has the series cols plus `_uss` (unix_micros array) and `_vs`
+    (double array).  Timestamps travel as unix_micros longs because
+    Arrow hands kernels session-LOCAL naive datetimes; kernels that
+    need instants must use `_uss`, and consumers rebuild timestamps
+    relationally (timestamp_micros) on the way out."""
+    scols = [F.col(c) for c in series_cols]
+    okey = [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us")]
+    if order_col is not None:
+        okey.append(F.col(order_col))
+    staged = points.select(
+        *scols, *okey, F.col(val_col).cast("double").alias("_v"))
+    sort_struct = F.struct(
+        *(["_us"] + ([order_col] if order_col is not None else [])
+          + ["_v"]))
+    grouped = staged.groupBy(*scols).agg(
+        F.sort_array(F.collect_list(sort_struct)).alias("_s")
+    ).select(*scols, F.col("_s._us").alias("_uss"),
+             F.col("_s._v").alias("_vs"))
+    return grouped, [grouped.schema[c] for c in series_cols]
+
+
 def _ewma_kernel(points, weights, prefix, series_cols, ts_col, val_col,
                  order_col, round_dp):
     """The impl="kernel" strategy of `ewma`: per-series Arrow batches,
@@ -302,19 +328,8 @@ def _ewma_kernel(points, weights, prefix, series_cols, ts_col, val_col,
                                    LongType, StructField, StructType)
 
     scols = [F.col(c) for c in series_cols]
-    okey = [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us")]
-    if order_col is not None:
-        okey.append(F.col(order_col))
-    staged = points.select(
-        *scols, *okey, F.col(val_col).cast("double").alias("_v"))
-    sort_struct = F.struct(
-        *(["_us"] + ([order_col] if order_col is not None else [])
-          + ["_v"]))
-    grouped = staged.groupBy(*scols).agg(
-        F.sort_array(F.collect_list(sort_struct)).alias("_s")
-    ).select(*scols, F.col("_s._us").alias("_uss"),
-             F.col("_s._v").alias("_vs"))
-    key_fields = [grouped.schema[c] for c in series_cols]
+    grouped, key_fields = _collect_raw_series(
+        points, series_cols, ts_col, val_col, order_col)
     out_schema = StructType(key_fields + [
         # int32 pos: bit-parity with the window impl's row_number()
         StructField("pos", ArrayType(IntegerType())),
@@ -920,6 +935,9 @@ def matrix_profile(
     max(1, m // 4) — the standard trivial-match zone), and that
     neighbor's position.  Low distances mark motifs, high distances
     discords — the canonical all-pairs similarity summary of a series.
+    A subsequence whose every candidate neighbor falls inside the
+    exclusion zone (short series, p <= 2*exclusion + 1 edge rows)
+    reports nn_pos = -1, dist = Infinity (the stumpy convention).
 
     Semantics (the stumpy conventions): population sigma; two
     near-constant subsequences (sigma <= 1e-12) are distance 0; one
@@ -952,18 +970,9 @@ def matrix_profile(
     if excl < 1:
         raise ValueError("matrix_profile: exclusion must be >= 1")
     scols = [F.col(c) for c in series_cols]
-    okey = [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us")]
-    if order_col is not None:
-        okey.append(F.col(order_col))
-    staged = points.select(
-        *scols, *okey, F.col(val_col).cast("double").alias("_v"))
-    sort_struct = F.struct(
-        *(["_us"] + ([order_col] if order_col is not None else [])
-          + ["_v"]))
-    grouped = staged.groupBy(*scols).agg(
-        F.sort_array(F.collect_list(sort_struct)).alias("_s")
-    ).select(*scols, F.col("_s._v").alias("_vs"))
-    key_fields = [grouped.schema[c] for c in series_cols]
+    grouped, key_fields = _collect_raw_series(
+        points, series_cols, ts_col, val_col, order_col)
+    grouped = grouped.drop("_uss")
     out_schema = StructType(key_fields + [
         StructField("pos", ArrayType(LongType())),
         StructField("nn_pos", ArrayType(LongType())),
@@ -983,7 +992,7 @@ def matrix_profile(
                 x = np.asarray(pdf["_vs"].iat[k], dtype=np.float64)
                 n = len(x)
                 p = n - m + 1  # number of subsequences
-                if p < 2 or p <= excl:
+                if p < 2:
                     continue
                 if p > max_subsequences:
                     raise ValueError(
@@ -1023,8 +1032,12 @@ def matrix_profile(
                     nn[blk] = j
                     nd[blk] = np.sqrt(
                         np.maximum(d2[np.arange(hi - lo), j], 0.0))
-                nd = np.array([float(quantize_ieee(v, round_dp))
-                               for v in nd])
+                # no non-trivial neighbor at all (every candidate sits
+                # inside the exclusion zone): nn = -1, dist = inf —
+                # the stumpy convention, not the argmin's index 0
+                nn[np.isinf(nd)] = -1
+                nd = np.asarray(quantize_ieee(nd, round_dp),
+                                dtype=np.float64)
                 rows.append((*[pdf[c].iat[k] for c in names],
                              pos_all.astype(np.int64), nn, nd))
             if rows:
