@@ -3944,6 +3944,76 @@ limit {k}
 BM25_SQL = _bm25_sql(_BM25_TERMS)
 
 
+def q_ar2_forecast_12(spark, sf_dir):
+    """AR(2) Yule-Walker forecast, 12 hourly steps per user
+    (metrics.ar2_forecast, r4) — the autoregressive member of the
+    forecast family next to seasonal-naive, Holt and Holt-Winters.
+    Inputs are the shared fixed-decimal bucket means; phi estimation is
+    plain relational sums (cross-engine drift ~1e-13, absorbed by the
+    6dp rounding, the lm_perplexity precedent) and the horizon
+    recurrence is UNROLLED so the oracle evaluates the same operand
+    tree — no recursive CTE needed."""
+    from ts2g2_spark.operators import metrics
+
+    return metrics.ar2_forecast(_events(spark, sf_dir), horizon=12)
+
+
+def _ar2_sql(horizon: int = 12, dp: int = 6) -> str:
+    steps, prev1, prev2 = [], "dn", "dn1"
+    for h in range(1, horizon + 1):
+        steps.append(f"(p1 * {prev1} + p2 * {prev2}) as f{h}")
+        prev2, prev1 = prev1, f"f{h}"
+    chain = ""
+    src = "ph2"
+    for h in range(1, horizon + 1):
+        chain += f", s{h} as (select *, {steps[h-1]} from {src})"
+        src = f"s{h}"
+    flist = ", ".join(f"f{h}" for h in range(1, horizon + 1))
+    return f"""
+with m as (
+  select user_id, date_trunc('hour', ts) as bucket_ts,
+         round(avg(value), 6) as y
+  from events group by 1, 2
+), mm as (
+  select user_id, sum(y) / count(*) as ybar, count(*) as n
+  from m group by 1
+), d as (
+  select m.user_id, ybar, n, (y - ybar) as d,
+         row_number() over (partition by m.user_id
+                            order by bucket_ts desc) as rk,
+         lag(y - ybar, 1) over wo as d1,
+         lag(y - ybar, 2) over wo as d2
+  from m join mm using (user_id)
+  window wo as (partition by m.user_id order by bucket_ts)
+), stats as (
+  select user_id, any_value(ybar) as ybar, any_value(n) as n,
+         sum(d * d) as c0, sum(d * d1) as c1, sum(d * d2) as c2,
+         max(case when rk = 1 then d end) as dn,
+         max(case when rk = 2 then d end) as dn1
+  from d group by 1 having any_value(n) >= 3
+), ph as (
+  select user_id, ybar, dn, dn1,
+         case when c0 != 0 then c1 / c0 else 0.0 end as r1,
+         case when c0 != 0 then c2 / c0 else 0.0 end as r2
+  from stats
+), ph2 as (
+  select user_id, ybar, dn, dn1,
+         case when (1.0 - r1 * r1) != 0
+              then r1 * (1.0 - r2) / (1.0 - r1 * r1) else r1 end as p1,
+         case when (1.0 - r1 * r1) != 0
+              then (r2 - r1 * r1) / (1.0 - r1 * r1) else 0.0 end as p2
+  from ph
+){chain}
+select user_id, generate_subscripts([{flist}], 1) as h,
+       round(p1, {dp}) as phi1, round(p2, {dp}) as phi2,
+       round(ybar + unnest([{flist}]), {dp}) as forecast
+from {src}
+"""
+
+
+AR2_SQL = _ar2_sql()
+
+
 def q_slo_burn_alerts(spark, sf_dir):
     """Multi-window SLO error-budget burn alert (metrics.slo_burn_rate,
     r4; SRE-workbook 5m+1h/14.4x page rule) over the events stream,
@@ -6561,6 +6631,7 @@ _RAW_QUERIES = {
         "heaps_law": q_heaps_law,
         "dedup_survivors": q_dedup_survivors,
         "slo_burn_alerts": q_slo_burn_alerts,
+        "ar2_forecast_12": q_ar2_forecast_12,
     }
 
 
@@ -6659,6 +6730,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law": HEAPS_SQL,
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "slo_burn_alerts": SLO_BURN_SQL,
+        "ar2_forecast_12": AR2_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

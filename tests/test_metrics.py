@@ -625,3 +625,65 @@ def test_slo_burn_rate_windows_and_alert(spark):
         slo_burn_rate(ev, slo=1.5)
     with pytest.raises(ValueError):
         slo_burn_rate(ev, short_s=3600, long_s=300)
+
+
+def test_ar2_forecast_matches_numpy(spark):
+    """ar2_forecast == a numpy Yule-Walker replay on hourly means; the
+    fitted phis recover a planted AR(2) signal's dynamics."""
+    import numpy as np
+    import pandas as pd
+    from ts2g2_spark.operators.metrics import ar2_forecast
+
+    rng = np.random.default_rng(3)
+    n = 200
+    y = np.zeros(n)
+    for t in range(2, n):  # planted AR(2): phi = (0.6, -0.3)
+        y[t] = 0.6 * y[t-1] - 0.3 * y[t-2] + rng.normal(0, 0.5)
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+        "value": y,
+    })
+    out = (ar2_forecast(spark.createDataFrame(pdf), horizon=4)
+           .toPandas().sort_values("h", ignore_index=True))
+    yb = np.round(y, 6)  # bucket means = the rounded points (1/bucket)
+    ybar = yb.sum() / n
+    d = yb - ybar
+    c0 = (d * d).sum()
+    c1 = (d[1:] * d[:-1]).sum()
+    c2 = (d[2:] * d[:-2]).sum()
+    r1, r2 = c1 / c0, c2 / c0
+    p1 = r1 * (1 - r2) / (1 - r1 * r1)
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert out.phi1[0] == pytest.approx(p1, abs=2e-6)
+    assert out.phi2[0] == pytest.approx(p2, abs=2e-6)
+    assert abs(p1 - 0.6) < 0.15 and abs(p2 + 0.3) < 0.15
+    f_prev2, f_prev1, want = d[-2], d[-1], []
+    for _ in range(4):
+        f = p1 * f_prev1 + p2 * f_prev2
+        want.append(ybar + f)
+        f_prev2, f_prev1 = f_prev1, f
+    assert list(out.h) == [1, 2, 3, 4]
+    for k in range(4):
+        assert out.forecast[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_ar2_forecast_edges(spark):
+    import pandas as pd
+    from ts2g2_spark.operators.metrics import ar2_forecast
+
+    # constant series: flat ybar forecast, phi = 0
+    pdf = pd.DataFrame({
+        "user_id": [1] * 10,
+        "ts": pd.date_range("2024-01-01", periods=10, freq="h"),
+        "value": [7.5] * 10,
+    })
+    out = ar2_forecast(spark.createDataFrame(pdf), horizon=3).toPandas()
+    assert len(out) == 3
+    assert (out.forecast == 7.5).all()
+    assert (out.phi1 == 0.0).all() and (out.phi2 == 0.0).all()
+    # fewer than 3 buckets: no rows
+    short = spark.createDataFrame(pdf.head(2))
+    assert ar2_forecast(short).count() == 0
+    with pytest.raises(ValueError):
+        ar2_forecast(spark.createDataFrame(pdf), horizon=0)

@@ -797,3 +797,101 @@ def slo_burn_rate(
         ((burn_s >= F.lit(factor)) & (burn_l >= F.lit(factor)))
         .alias("alert"),
     )
+
+
+def ar2_forecast(
+    points: DataFrame,
+    horizon: int = 12,
+    bucket: str = "hour",
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    round_dp: int = 6,
+) -> DataFrame:
+    """AR(2) forecast per series via Yule-Walker estimation — the
+    autoregressive member of the forecast family (seasonal-naive, Holt,
+    Holt-Winters live alongside).  Over the fixed-decimal bucket means
+    y_1..y_n (positional order over OCCUPIED buckets, the ACF
+    convention for gaps):
+
+        r_k  = c_k / c_0,  c_k = sum (y_i - ybar)(y_{i+k} - ybar)
+        phi1 = r1 (1 - r2) / (1 - r1^2)
+        phi2 = (r2 - r1^2) / (1 - r1^2)
+        f_h  = phi1 f_{h-1} + phi2 f_{h-2}   (seeded by the last two
+               demeaned observations), forecast_h = ybar + f_h
+
+    Degenerate cases (both engines identically): constant series
+    (c0 = 0) -> phi1 = phi2 = 0, flat ybar forecast; |r1| = 1
+    (singular normal equations) -> AR(1) fallback phi1 = r1, phi2 = 0;
+    series with fewer than 3 buckets produce no rows.
+
+    Output: series cols + h (1..horizon), phi1, phi2, forecast — all
+    rounded.  Cross-engine determinism: the inputs are bucket_means'
+    fixed decimals, every aggregate is a plain sum whose cross-engine
+    drift (~1e-13 relative) is far below the output rounding, and the
+    horizon recurrence is UNROLLED into a fixed expression chain (h
+    doubles per step), so an ANSI-SQL twin evaluates the same operand
+    tree.
+
+    Scale shape: two window passes + two hash aggregates, all keyed on
+    the series — no global ordering, no kernel, no join bigger than
+    series x 1."""
+    from pyspark.sql.window import Window
+
+    from ts2g2_spark.operators.seriesstats import bucket_means
+
+    if horizon < 1:
+        raise ValueError("ar2_forecast: horizon must be >= 1")
+    scols = list(series_cols)
+    b = bucket_means(points, bucket, scols, ts_col, val_col)
+    m = b.groupBy(*scols).agg(
+        (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
+        F.count(F.lit(1)).alias("n"))
+    wo = Window.partitionBy(*scols).orderBy("bucket_ts")
+    wd = Window.partitionBy(*scols).orderBy(F.desc("bucket_ts"))
+    d = (
+        b.join(m, scols)
+        .select(
+            *scols, "ybar", "n",
+            (F.col("y") - F.col("ybar")).alias("d"),
+            F.row_number().over(wd).alias("_rk"),
+            F.lag(F.col("y") - F.col("ybar"), 1).over(wo).alias("_d1"),
+            F.lag(F.col("y") - F.col("ybar"), 2).over(wo).alias("_d2"),
+        )
+    )
+    stats = d.groupBy(*scols).agg(
+        F.first("ybar").alias("ybar"),
+        F.first("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("c0"),
+        F.sum(F.col("d") * F.col("_d1")).alias("c1"),
+        F.sum(F.col("d") * F.col("_d2")).alias("c2"),
+        F.max(F.when(F.col("_rk") == 1, F.col("d"))).alias("dn"),
+        F.max(F.when(F.col("_rk") == 2, F.col("d"))).alias("dn1"),
+    ).where(F.col("n") >= 3)
+    r1 = F.when(F.col("c0") != 0, F.col("c1") / F.col("c0")) \
+          .otherwise(F.lit(0.0))
+    r2 = F.when(F.col("c0") != 0, F.col("c2") / F.col("c0")) \
+          .otherwise(F.lit(0.0))
+    den = F.lit(1.0) - r1 * r1
+    phi1 = F.when(den != 0, r1 * (F.lit(1.0) - r2) / den).otherwise(r1)
+    phi2 = F.when(den != 0, (r2 - r1 * r1) / den).otherwise(F.lit(0.0))
+    ph = stats.select(
+        *scols, "ybar",
+        phi1.alias("_p1"), phi2.alias("_p2"),
+        F.col("dn").alias("_f1seed"), F.col("dn1").alias("_f2seed"))
+    prev1, prev2 = F.col("_f1seed"), F.col("_f2seed")
+    fs = []
+    for _ in range(horizon):
+        f = F.col("_p1") * prev1 + F.col("_p2") * prev2
+        fs.append(f)
+        prev2, prev1 = prev1, f
+    out = ph.select(
+        *scols,
+        F.round("_p1", round_dp).alias("phi1"),
+        F.round("_p2", round_dp).alias("phi2"),
+        F.posexplode(F.array(*[
+            F.round(F.col("ybar") + f, round_dp) for f in fs])),
+    )
+    return out.select(
+        *scols, (F.col("pos") + 1).alias("h"), "phi1", "phi2",
+        F.col("col").alias("forecast"))
