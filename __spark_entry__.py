@@ -4014,6 +4014,64 @@ from {src}
 AR2_SQL = _ar2_sql()
 
 
+def q_ks_drift(spark, sf_dir):
+    """Day-over-day two-sample Kolmogorov-Smirnov drift per event_type
+    (metrics.ks_drift, r4) — the binning-free sibling of psi_drift.
+    The D statistic is an exact integer max over the merged value
+    spine divided once; the 5% critical value is one correctly-rounded
+    sqrt — every compared double is bit-reproducible, so the drift
+    flag never disagrees across engines."""
+    from ts2g2_spark.operators.metrics import ks_drift
+
+    return ks_drift(_events(spark, sf_dir))
+
+
+KS_DRIFT_SQL = """
+with vals as (
+  select event_type, date_trunc('day', ts) as day, value as val,
+         count(*) as cnt
+  from events group by 1, 2, 3
+), totals as (
+  select event_type, day, sum(cnt) as n from vals group by 1, 2
+), merged as (
+  select event_type, day, val, sum(cp) as cp, sum(cq) as cq
+  from (
+    select event_type, day, val, cnt as cp, 0 as cq from vals
+    union all
+    select event_type, day + interval 1 day, val, 0, cnt from vals
+  ) group by 1, 2, 3
+), cum as (
+  select event_type, day,
+         sum(cp) over w as cum_p, sum(cq) over w as cum_q
+  from merged
+  window w as (partition by event_type, day order by val
+               rows between unbounded preceding and current row)
+), stat as (
+  select c.event_type, c.day,
+         any_value(tp.n) as n_today, any_value(tq.n) as n_prev,
+         max(abs(cum_p * tq.n - cum_q * tp.n)) as num
+  from cum c
+  join totals tp on c.event_type = tp.event_type and c.day = tp.day
+  join totals tq on c.event_type = tq.event_type
+                and c.day = tq.day + interval 1 day
+  group by 1, 2
+)
+select event_type, day, n_today, n_prev,
+       round(cast(num as double)
+             / (cast(n_today as double) * cast(n_prev as double)), 6)
+       as ks_d,
+       round(1.358 * sqrt(cast(n_today + n_prev as double)
+                          / (cast(n_today as double)
+                             * cast(n_prev as double))), 6) as crit,
+       (cast(num as double)
+        / (cast(n_today as double) * cast(n_prev as double))
+        > 1.358 * sqrt(cast(n_today + n_prev as double)
+                       / (cast(n_today as double)
+                          * cast(n_prev as double)))) as drift
+from stat
+"""
+
+
 def q_slo_burn_alerts(spark, sf_dir):
     """Multi-window SLO error-budget burn alert (metrics.slo_burn_rate,
     r4; SRE-workbook 5m+1h/14.4x page rule) over the events stream,
@@ -6632,6 +6690,7 @@ _RAW_QUERIES = {
         "dedup_survivors": q_dedup_survivors,
         "slo_burn_alerts": q_slo_burn_alerts,
         "ar2_forecast_12": q_ar2_forecast_12,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -6731,6 +6790,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "slo_burn_alerts": SLO_BURN_SQL,
         "ar2_forecast_12": AR2_SQL,
+        "ks_drift": KS_DRIFT_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

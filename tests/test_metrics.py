@@ -687,3 +687,56 @@ def test_ar2_forecast_edges(spark):
     assert ar2_forecast(short).count() == 0
     with pytest.raises(ValueError):
         ar2_forecast(spark.createDataFrame(pdf), horizon=0)
+
+
+def test_ks_drift_matches_scipy_formula(spark):
+    """ks_d == the exact two-sample KS statistic (numpy replay); a
+    planted distribution shift flags drift, a stable pair does not."""
+    import numpy as np
+    import pandas as pd
+    from ts2g2_spark.operators.metrics import ks_drift
+
+    rng = np.random.default_rng(0)  # seed with clear margins on both
+    d1 = rng.normal(0, 1, 400)      # day 1
+    d2 = rng.normal(0, 1, 350)      # day 2: same dist -> no drift
+    d3 = rng.normal(2, 1, 300)      # day 3: shifted -> drift
+    rows = []
+    for day, data in ((1, d1), (2, d2), (3, d3)):
+        for i, x in enumerate(data):
+            rows.append(("a", dt.datetime(2024, 1, day, i % 24), x))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    out = {r["day"].day: r for r in ks_drift(
+        spark.createDataFrame(pdf)).collect()}
+    assert set(out) == {2, 3}
+
+    def ks(a, b):
+        allv = np.sort(np.unique(np.concatenate([a, b])))
+        fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        return np.abs(fa - fb).max()
+
+    assert out[2]["ks_d"] == pytest.approx(ks(d2, d1), abs=2e-6)
+    assert out[3]["ks_d"] == pytest.approx(ks(d3, d2), abs=2e-6)
+    assert not out[2]["drift"] and out[3]["drift"]
+    assert out[2]["n_today"] == 350 and out[2]["n_prev"] == 400
+    # crit = 1.358 * sqrt((np+nq)/(np*nq))
+    want = 1.358 * np.sqrt((350 + 400) / (350.0 * 400.0))
+    assert out[2]["crit"] == pytest.approx(want, abs=2e-6)
+
+
+def test_ks_drift_edges(spark):
+    import pandas as pd
+    from ts2g2_spark.operators.metrics import ks_drift
+
+    # identical days -> D = 0; a lone day (no previous) emits nothing
+    pdf = pd.DataFrame({
+        "event_type": ["a"] * 4 + ["b"] * 2,
+        "ts": [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 5),
+               dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 5),
+               dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 3)],
+        "value": [1.0, 2.0, 1.0, 2.0, 9.0, 9.0],
+    })
+    rows = ks_drift(spark.createDataFrame(pdf)).collect()
+    assert len(rows) == 1
+    assert rows[0]["event_type"] == "a" and rows[0]["ks_d"] == 0.0
+    assert not rows[0]["drift"]

@@ -895,3 +895,77 @@ def ar2_forecast(
     return out.select(
         *scols, (F.col("pos") + 1).alias("h"), "phi1", "phi2",
         F.col("col").alias("forecast"))
+
+
+def ks_drift(
+    points: DataFrame,
+    series_cols: list[str] = ("event_type",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    c_alpha: float = 1.358,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per series between
+    consecutive DAYS — the nonparametric sibling of `psi_drift` (no
+    binning grid to choose):
+
+        D = max over v of |F_today(v) - F_prev(v)|
+
+    computed EXACTLY in integers: D = max|cum_p*n_q - cum_q*n_p| /
+    (n_p*n_q), where the cumulative counts run over the merged distinct
+    value spine of the two days.  `drift` flags D above the large-sample
+    critical value c_alpha * sqrt((n_p + n_q) / (n_p * n_q)) (1.358 =
+    alpha 0.05) — both sides of the comparison are bit-reproducible
+    across engines (integer max, one exact division, one
+    correctly-rounded sqrt), so no p-value series expansion is needed.
+    Output rows exist only for days whose previous day has data.
+
+    Output: series cols + day, n_today, n_prev, ks_d, crit, drift.
+
+    Scale shape: one hash agg to (series, day, DISTINCT value) counts —
+    the exchange carries distinct values, never points — one tagged
+    union self-alignment on day+1 (no join of point-sized frames), one
+    window ordered by value within (series, day-pair) partitions, and a
+    final group-sized max.  Integer products bound: cum*n per (series,
+    day) pair must stay under 2^63 (~3e9 points/series/day)."""
+    from pyspark.sql.window import Window
+
+    scols = list(series_cols)
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    v = F.col(val_col).cast("double").alias("val")
+    vals = points.select(*scols, day, v).groupBy(
+        *scols, "day", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vals.groupBy(*scols, "day").agg(F.sum("cnt").alias("n"))
+    nxt_day = (F.col("day") + F.expr("interval 1 day")).alias("day")
+    today = vals.select(*scols, "day", "val",
+                        F.col("cnt").alias("cp"), F.lit(0).alias("cq"))
+    prev = vals.select(*scols, nxt_day, "val",
+                       F.lit(0).alias("cp"), F.col("cnt").alias("cq"))
+    merged = today.unionByName(prev).groupBy(*scols, "day", "val").agg(
+        F.sum("cp").alias("cp"), F.sum("cq").alias("cq"))
+    w = (Window.partitionBy(*scols, "day").orderBy("val")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = merged.select(
+        *scols, "day",
+        F.sum("cp").over(w).alias("cum_p"),
+        F.sum("cq").over(w).alias("cum_q"))
+    n_today = totals.select(*scols, "day", F.col("n").alias("n_p"))
+    n_prev = totals.select(
+        *scols, nxt_day, F.col("n").alias("n_q"))
+    joined = cum.join(n_today, [*scols, "day"]) \
+                .join(n_prev, [*scols, "day"])
+    stat = joined.groupBy(*scols, "day").agg(
+        F.first("n_p").alias("n_today"),
+        F.first("n_q").alias("n_prev"),
+        F.max(F.abs(F.col("cum_p") * F.col("n_q")
+                    - F.col("cum_q") * F.col("n_p"))).alias("_num"))
+    den = F.col("n_today").cast("double") * F.col("n_prev").cast("double")
+    d = F.col("_num").cast("double") / den
+    crit = F.lit(c_alpha) * F.sqrt(
+        (F.col("n_today") + F.col("n_prev")).cast("double") / den)
+    return stat.select(
+        *scols, "day", "n_today", "n_prev",
+        F.round(d, round_dp).alias("ks_d"),
+        F.round(crit, round_dp).alias("crit"),
+        (d > crit).alias("drift"),
+    )
