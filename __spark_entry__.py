@@ -4400,6 +4400,76 @@ from f group by doc_id
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level boilerplate removal (r4): the same
+    dedup.line_dedup machinery at PARAGRAPH granularity —
+    delimiter/joiner '\\n\\n' — proving the splitter is
+    structure-agnostic: each synthesized paragraph is two 8-word lines
+    joined by a SINGLE newline (which must NOT split), paragraphs
+    joined by blank lines (which must).  Hot threshold max_df=1 strips
+    any paragraph shared by 2+ documents (the planted near-dup
+    families).  The oracle replays the identical slicing and the
+    60-bit md5-prefix paragraph keys."""
+    from ts2g2_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim("text"), r"\s+")
+    staged = docs.select("doc_id", words.alias("_ws"),
+                         F.rand(0).alias("_b1"))
+    paras = F.transform(
+        F.sequence(F.lit(0), ((F.size("_ws") - 1) / 16).cast("int")),
+        lambda g: F.concat(
+            F.array_join(F.slice("_ws", g * 16 + 1, 8), " "),
+            F.lit("\n"),
+            F.array_join(F.slice("_ws", g * 16 + 9, 8), " ")))
+    pdocs = staged.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text"),
+        F.rand(0).alias("_b2"))
+    return dedup.line_dedup(pdocs.select("doc_id", "text"), max_df=1,
+                            delimiter=r"\n\n", joiner="\n\n")
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+with w as materialized (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') ws
+  from documents
+),
+l as materialized (
+  -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+  -- array_join of an empty slice is ''
+  select doc_id, g,
+         coalesce(array_to_string(ws[g*16+1 : g*16+8], ' '), '')
+         || chr(10)
+         || coalesce(array_to_string(ws[g*16+9 : g*16+16], ' '), '')
+         as line
+  from w, lateral (
+    select unnest(generate_series(0, (len(ws) - 1) // 16)) as g) t
+),
+lh as materialized (
+  select doc_id, g, line,
+         cast(concat('0x', substr(md5(lower(trim(line))), 1, 15))
+              as bigint) as k,
+         trim(line) = '' as blank
+  from l
+),
+hot as (
+  select k from lh where not blank
+  group by 1 having count(distinct doc_id) > 1
+),
+f as (
+  select lh.doc_id, lh.g, lh.line,
+         (h.k is not null and not lh.blank) as rm
+  from lh left join hot h using (k)
+)
+select doc_id,
+       coalesce(string_agg(case when not rm then line end,
+                           chr(10) || chr(10) order by g), '') as text,
+       count(*)::BIGINT as n_lines,
+       sum(rm::INT)::BIGINT as n_removed
+from f group by doc_id
+"""
+
+
 def _duplicated_spans_sql(n_words: int = 10, min_count: int = 2) -> str:
     # n_words=10 shifts a 60-bit h64 up to 9 bits: Spark's shiftleft wraps
     # mod 2^64, DuckDB's BIGINT << raises on overflow.  The shingle hash
@@ -6691,6 +6761,7 @@ _RAW_QUERIES = {
         "slo_burn_alerts": q_slo_burn_alerts,
         "ar2_forecast_12": q_ar2_forecast_12,
         "ks_drift": q_ks_drift,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -6791,6 +6862,7 @@ def oracle_sql() -> dict[str, str]:
         "slo_burn_alerts": SLO_BURN_SQL,
         "ar2_forecast_12": AR2_SQL,
         "ks_drift": KS_DRIFT_SQL,
+        "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

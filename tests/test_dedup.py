@@ -451,3 +451,27 @@ def test_select_survivors_keeps_best_quality(spark):
     assert list(o3.keep) == [False, True, False]
     assert list(o3.n_members) == [3, 3, 3]
     assert pd.isna(o3.quality[2])
+
+
+def test_line_dedup_paragraph_delimiter(spark):
+    """delimiter='\\n\\n' splits on blank lines ONLY: single newlines
+    stay inside paragraphs, hot paragraphs strip whole, joiner
+    rebuilds the blank-line structure."""
+    import pandas as pd
+    from ts2g2_spark.operators.dedup import line_dedup
+
+    boiler = "shared header line\nsecond shared line"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [boiler + "\n\nunique one\nbody", boiler + "\n\nother",
+                 "standalone\ndoc"],
+    }))
+    out = {r["doc_id"]: r for r in line_dedup(
+        docs, max_df=1, delimiter=r"\n\n", joiner="\n\n").collect()}
+    # the two-line boilerplate paragraph (df=2 > 1) strips as ONE unit
+    assert out[1]["text"] == "unique one\nbody"
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "other" and out[2]["n_removed"] == 1
+    # a single-newline doc is one paragraph under '\n\n' splitting
+    assert out[3]["n_lines"] == 1 and out[3]["n_removed"] == 0
+    assert out[3]["text"] == "standalone\ndoc"
