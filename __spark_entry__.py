@@ -4048,7 +4048,8 @@ with vals as (
                rows between unbounded preceding and current row)
 ), stat as (
   select c.event_type, c.day,
-         any_value(tp.n) as n_today, any_value(tq.n) as n_prev,
+         any_value(tp.n)::BIGINT as n_today,
+         any_value(tq.n)::BIGINT as n_prev,
          max(abs(cum_p * tq.n - cum_q * tp.n)) as num
   from cum c
   join totals tp on c.event_type = tp.event_type and c.day = tp.day
@@ -4106,10 +4107,11 @@ with per as (
          wl as (order by ep range between {long_s - grid_s} preceding
                 and current row)
 )
-select bucket_ts, err_short, total_short,
+select bucket_ts, err_short::BIGINT as err_short,
+       total_short::BIGINT as total_short,
        round((cast(err_short as double) / cast(total_short as double))
              / {budget!r}, {dp}) as burn_short,
-       err_long, total_long,
+       err_long::BIGINT as err_long, total_long::BIGINT as total_long,
        round((cast(err_long as double) / cast(total_long as double))
              / {budget!r}, {dp}) as burn_long,
        (round((cast(err_short as double) / cast(total_short as double))
@@ -4167,7 +4169,8 @@ with w as (
   select count(*) as m, sum(x) as sx, sum(y) as sy,
          sum(x * y) as sxy, sum(x * x) as sxx, sum(y * y) as syy,
          count(distinct cum_tokens) as nx,
-         max(cum_tokens) as n_tokens, max(cum_vocab) as vocab
+         max(cum_tokens)::BIGINT as n_tokens,
+         max(cum_vocab)::BIGINT as vocab
   from pts
 ), n as (select count(*) as n_docs from documents)
 select n_docs, n_tokens, vocab,
