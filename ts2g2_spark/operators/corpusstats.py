@@ -231,8 +231,13 @@ def heaps_law(
         .groupBy("word").agg(F.min("_id").alias("_id"))
         .groupBy("_id").agg(F.count(F.lit(1)).alias("new_words"))
     )
+    # cache the doc-sized partials frame: it feeds the id-domain agg,
+    # the bucketed cumsum AND the bucket totals — uncached, each
+    # consumer re-runs the corpus tokenize+explode (the lazy-reuse
+    # re-scan trap; 7 source scans observed, 2 after)
     per = toks.join(firsts, "_id", "left").select(
-        "_id", "toks", F.coalesce("new_words", F.lit(0)).alias("nw"))
+        "_id", "toks", F.coalesce("new_words", F.lit(0)).alias("nw")
+    ).cache()
     # range buckets from the id domain (one tiny agg, broadcast)
     dom = per.agg(F.min("_id").alias("lo"), F.max("_id").alias("hi"))
     per = per.crossJoin(F.broadcast(dom)).withColumn(

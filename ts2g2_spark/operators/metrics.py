@@ -843,7 +843,9 @@ def ar2_forecast(
     if horizon < 1:
         raise ValueError("ar2_forecast: horizon must be >= 1")
     scols = list(series_cols)
-    b = bucket_means(points, bucket, scols, ts_col, val_col)
+    # cached: the bucket-means frame feeds the per-series mean agg AND
+    # the demeaned join — uncached, both re-scan the raw points
+    b = bucket_means(points, bucket, scols, ts_col, val_col).cache()
     m = b.groupBy(*scols).agg(
         (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
         F.count(F.lit(1)).alias("n"))
@@ -933,8 +935,11 @@ def ks_drift(
     scols = list(series_cols)
     day = F.date_trunc("day", F.col(ts_col)).alias("day")
     v = F.col(val_col).cast("double").alias("val")
+    # cached: the distinct-value counts frame (bounded by distinct
+    # values, not points) feeds the today/prev union AND the totals —
+    # uncached, each consumer re-scans the raw points
     vals = points.select(*scols, day, v).groupBy(
-        *scols, "day", "val").agg(F.count(F.lit(1)).alias("cnt"))
+        *scols, "day", "val").agg(F.count(F.lit(1)).alias("cnt")).cache()
     totals = vals.groupBy(*scols, "day").agg(F.sum("cnt").alias("n"))
     nxt_day = (F.col("day") + F.expr("interval 1 day")).alias("day")
     today = vals.select(*scols, "day", "val",

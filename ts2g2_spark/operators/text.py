@@ -487,21 +487,25 @@ def bm25_topk(
         F.col(id_col).alias("_id"), _norm_words(text_col).alias("_ws"),
         F.rand(0).alias("_bar"))
     lens = staged.select("_id", F.size("_ws").alias("dl"))
+    # the filtered term stream is tiny (query-term matches only) and
+    # feeds two aggregates — cache it so the corpus tokenize+explode
+    # runs once, not per consumer (the lazy-reuse re-scan trap)
     stream = staged.select("_id", F.explode("_ws").alias("term")).where(
-        F.col("term").isin(terms))
+        F.col("term").isin(terms)).cache()
     tf = stream.groupBy("_id").agg(*[
         F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
         for i, t in enumerate(terms)])
     dfs = stream.select("_id", "term").distinct().agg(*[
         F.coalesce(F.sum(F.when(F.col("term") == t, 1)), F.lit(0))
         .alias(f"_df{i}") for i, t in enumerate(terms)])
-    stats = docs.agg(F.count(F.lit(1)).alias("_n"))
-    sumdl = lens.agg(F.sum("dl").alias("_sumdl"))
+    # N and sum(dl) in ONE pass over the doc-length frame (every doc has
+    # a lens row, so count(lens) == count(docs))
+    stats = lens.agg(F.count(F.lit(1)).alias("_n"),
+                     F.sum("dl").alias("_sumdl"))
     scored = (
         tf.join(lens, "_id")
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(dfs))
-        .crossJoin(F.broadcast(sumdl))
     )
     avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
     norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (
