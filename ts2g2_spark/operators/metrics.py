@@ -881,18 +881,26 @@ def ar2_forecast(
         *scols, "ybar",
         phi1.alias("_p1"), phi2.alias("_p2"),
         F.col("dn").alias("_f1seed"), F.col("dn1").alias("_f2seed"))
-    prev1, prev2 = F.col("_f1seed"), F.col("_f2seed")
-    fs = []
-    for _ in range(horizon):
-        f = F.col("_p1") * prev1 + F.col("_p2") * prev2
-        fs.append(f)
-        prev2, prev1 = prev1, f
-    out = ph.select(
+    # each step as a NAMED column in its own projection, with a rand()
+    # barrier so CollapseProject cannot inline step h-1's tree into
+    # step h: inlined, the expression grows Fibonacci-style and blows
+    # past janino's method limit (observed codegen fallback at h=12)
+    cur = ph
+    prev1, prev2 = "_f1seed", "_f2seed"
+    for h in range(1, horizon + 1):
+        cur = cur.select(
+            "*",
+            (F.col("_p1") * F.col(prev1)
+             + F.col("_p2") * F.col(prev2)).alias(f"_f{h}"),
+            F.rand(0).alias(f"_bar{h}"))
+        prev2, prev1 = prev1, f"_f{h}"
+    out = cur.select(
         *scols,
         F.round("_p1", round_dp).alias("phi1"),
         F.round("_p2", round_dp).alias("phi2"),
         F.posexplode(F.array(*[
-            F.round(F.col("ybar") + f, round_dp) for f in fs])),
+            F.round(F.col("ybar") + F.col(f"_f{h}"), round_dp)
+            for h in range(1, horizon + 1)])),
     )
     return out.select(
         *scols, (F.col("pos") + 1).alias("h"), "phi1", "phi2",
