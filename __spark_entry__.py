@@ -5508,12 +5508,16 @@ s as (
   select user_id, date_trunc('hour', ts) as bucket_ts,
          case when pv is null then null
               when value >= pv then value - pv
-              else value end as d
+              else value end as d,
+         case when pv is not null and value < pv then 1 else 0 end as r,
+         case when pv is not null and value != pv then 1 else 0 end as c
   from o
 )
 select user_id, bucket_ts, count(*)::BIGINT as n_points,
        round(coalesce(sum(d), 0), 6) as increase,
-       round(coalesce(sum(d), 0) / 3600.0, 9) as rate_per_s
+       round(coalesce(sum(d), 0) / 3600.0, 9) as rate_per_s,
+       sum(r)::BIGINT as n_resets,
+       sum(c)::BIGINT as n_changes
 from s group by 1, 2
 """
 

@@ -740,3 +740,22 @@ def test_ks_drift_edges(spark):
     assert len(rows) == 1
     assert rows[0]["event_type"] == "a" and rows[0]["ks_d"] == 0.0
     assert not rows[0]["drift"]
+
+
+def test_counter_rate_resets_and_changes_counts(spark):
+    """n_resets counts strict drops (PromQL resets()); n_changes counts
+    any value change (PromQL changes()); first samples count neither."""
+    from ts2g2_spark.operators.metrics import counter_rate
+
+    pdf = pd.DataFrame({
+        "user_id": [1] * 6,
+        "ts": [BASE + dt.timedelta(minutes=m)
+               for m in (0, 10, 20, 30, 40, 50)],
+        "value": [100.0, 150.0, 150.0, 30.0, 30.0, 45.0],
+        "event_id": np.arange(6, dtype=np.int64),
+    })
+    r = counter_rate(spark.createDataFrame(pdf),
+                     order_col="event_id").collect()[0]
+    assert r.n_resets == 1      # 150 -> 30
+    assert r.n_changes == 3     # 100->150, 150->30, 30->45
+    assert r.increase == 95.0   # 50 + 0 + 30 + 0 + 15

@@ -108,27 +108,36 @@ def counter_rate(
     convention that makes rates comparable across buckets with
     different sample counts.
 
-    Output: series cols + bucket_ts, n_points, increase, rate_per_s.
+    Output: series cols + bucket_ts, n_points, increase, rate_per_s,
+    n_resets (PromQL resets(): samples strictly below their
+    predecessor), n_changes (PromQL changes(): samples differing from
+    their predecessor) — both ride the same lag window, attributed to
+    the later sample's bucket like the deltas.
     """
     scols, wo, _ = _series_windows(series_cols, ts_col, order_col)
     v = F.col(val_col).cast("double")
     prev = F.lag(v).over(wo)
     delta = F.when(prev.isNull(), F.lit(None).cast("double")) \
              .when(v >= prev, v - prev).otherwise(v)
+    reset = F.when(prev.isNotNull() & (v < prev), 1).otherwise(0)
+    change = F.when(prev.isNotNull() & (v != prev), 1).otherwise(0)
     staged = points.select(
         *scols,
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
-        delta.alias("_d"),
+        delta.alias("_d"), reset.alias("_r"), change.alias("_c"),
     )
     return (
         staged.groupBy(*series_cols, "bucket_ts")
         .agg(F.count(F.lit(1)).alias("n_points"),
-             F.coalesce(F.sum("_d"), F.lit(0.0)).alias("_inc"))
+             F.coalesce(F.sum("_d"), F.lit(0.0)).alias("_inc"),
+             F.sum("_r").alias("n_resets"),
+             F.sum("_c").alias("n_changes"))
         .select(
             *series_cols, "bucket_ts", "n_points",
             F.round("_inc", round_dp).alias("increase"),
             F.round(F.col("_inc") / F.lit(float(bucket_s)),
                     round_dp + 3).alias("rate_per_s"),
+            "n_resets", "n_changes",
         )
     )
 
