@@ -444,7 +444,7 @@ def q_tokens_rollup_1m(spark, sf_dir):
     from ts2g2_spark.plans import rollup as rollup_mod
 
     docs = _docs(spark, sf_dir)
-    words = F.filter(F.split(F.trim("text"), r"\s+"),
+    words = F.filter(F.split(F.trim("text"), r"[ \t\n\f\r]+"),
                      lambda w: w != F.lit(""))
     toks = F.transform(words, lambda w: F.pmod(h64(w), F.lit(32003))
                        .cast("int"))
@@ -502,7 +502,7 @@ def q_tokens_refresh_late(spark, sf_dir):
     from ts2g2_spark.plans.points import explode_points
 
     docs = _docs(spark, sf_dir)
-    words = F.filter(F.split(F.trim("text"), r"\s+"),
+    words = F.filter(F.split(F.trim("text"), r"[ \t\n\f\r]+"),
                      lambda w: w != F.lit(""))
     toks = F.transform(words, lambda w: F.pmod(h64(w), F.lit(32003))
                        .cast("int"))
@@ -4225,7 +4225,7 @@ def q_line_dedup(spark, sf_dir):
     from ts2g2_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.split(F.trim("text"), r"[ \t\n\f\r]+")
     staged = docs.select("doc_id", words.alias("_ws"),
                          F.rand(0).alias("_b1"))
     chunks = F.transform(
@@ -4416,7 +4416,7 @@ def q_paragraph_dedup(spark, sf_dir):
     from ts2g2_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.split(F.trim("text"), r"[ \t\n\f\r]+")
     staged = docs.select("doc_id", words.alias("_ws"),
                          F.rand(0).alias("_b1"))
     paras = F.transform(
@@ -5692,7 +5692,7 @@ def q_top_tokens_1h(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    words = F.filter(F.split(F.trim("text"), r"\s+"),
+    words = F.filter(F.split(F.trim("text"), r"[ \t\n\f\r]+"),
                      lambda w: w != F.lit(""))
     off = F.pmod(h64(F.col("doc_id").cast("string")), F.lit(604800))
     pts = (

@@ -190,6 +190,7 @@ def heaps_law(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     round_dp: int = 6,
+    cache: bool = True,
 ) -> DataFrame:
     """Heaps'-law fit of vocabulary growth: V(n) = K * n^beta, where n
     is the cumulative token count and V the cumulative distinct-word
@@ -236,8 +237,11 @@ def heaps_law(
     # consumer re-runs the corpus tokenize+explode (the lazy-reuse
     # re-scan trap; 7 source scans observed, 2 after)
     per = toks.join(firsts, "_id", "left").select(
-        "_id", "toks", F.coalesce("new_words", F.lit(0)).alias("nw")
-    ).cache()
+        "_id", "toks", F.coalesce("new_words", F.lit(0)).alias("nw"))
+    if cache:
+        # doc-sized; pinned until unpersist — cache=False trades one
+        # extra tokenize scan per consumer for zero storage footprint
+        per = per.cache()
     # range buckets from the id domain (one tiny agg, broadcast)
     dom = per.agg(F.min("_id").alias("lo"), F.max("_id").alias("hi"))
     per = per.crossJoin(F.broadcast(dom)).withColumn(

@@ -816,6 +816,7 @@ def ar2_forecast(
     ts_col: str = "ts",
     val_col: str = "value",
     round_dp: int = 6,
+    cache: bool = True,
 ) -> DataFrame:
     """AR(2) forecast per series via Yule-Walker estimation — the
     autoregressive member of the forecast family (seasonal-naive, Holt,
@@ -852,9 +853,12 @@ def ar2_forecast(
     if horizon < 1:
         raise ValueError("ar2_forecast: horizon must be >= 1")
     scols = list(series_cols)
-    # cached: the bucket-means frame feeds the per-series mean agg AND
-    # the demeaned join — uncached, both re-scan the raw points
-    b = bucket_means(points, bucket, scols, ts_col, val_col).cache()
+    # the bucket-means frame feeds the per-series mean agg AND the
+    # demeaned join — uncached, both re-scan the raw points; pinned
+    # until unpersist, so cache=False is the long-lived-session escape
+    b = bucket_means(points, bucket, scols, ts_col, val_col)
+    if cache:
+        b = b.cache()
     m = b.groupBy(*scols).agg(
         (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
         F.count(F.lit(1)).alias("n"))
@@ -923,6 +927,7 @@ def ks_drift(
     val_col: str = "value",
     c_alpha: float = 1.358,
     round_dp: int = 6,
+    cache: bool = True,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift per series between
     consecutive DAYS — the nonparametric sibling of `psi_drift` (no
@@ -956,7 +961,13 @@ def ks_drift(
     # values, not points) feeds the today/prev union AND the totals —
     # uncached, each consumer re-scans the raw points
     vals = points.select(*scols, day, v).groupBy(
-        *scols, "day", "val").agg(F.count(F.lit(1)).alias("cnt")).cache()
+        *scols, "day", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    if cache:
+        # CAVEAT: for continuous high-cardinality values this frame is
+        # ~points-sized (one row per distinct value) — quantize the
+        # value column upstream or pass cache=False there; pinned until
+        # unpersist either way
+        vals = vals.cache()
     totals = vals.groupBy(*scols, "day").agg(F.sum("cnt").alias("n"))
     nxt_day = (F.col("day") + F.expr("interval 1 day")).alias("day")
     today = vals.select(*scols, "day", "val",

@@ -455,6 +455,7 @@ def bm25_topk(
     docs: DataFrame, query_terms: list[str], k: int = 10,
     k1: float = 1.2, b: float = 0.75, round_dp: int = 6,
     text_col: str = "text", id_col: str = "doc_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Okapi BM25 top-k document retrieval for a fixed bag of query
     terms (the Lucene/Elasticsearch scoring formula):
@@ -491,7 +492,12 @@ def bm25_topk(
     # feeds two aggregates — cache it so the corpus tokenize+explode
     # runs once, not per consumer (the lazy-reuse re-scan trap)
     stream = staged.select("_id", F.explode("_ws").alias("term")).where(
-        F.col("term").isin(terms)).cache()
+        F.col("term").isin(terms))
+    if cache:
+        # NOTE: pinned until unpersist/clearCache — pass cache=False in
+        # long-lived sessions that call this repeatedly (costs one extra
+        # corpus scan instead)
+        stream = stream.cache()
     tf = stream.groupBy("_id").agg(*[
         F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
         for i, t in enumerate(terms)])
