@@ -1737,6 +1737,88 @@ from asg a left join dup d on d.id_b = a.vec_id
 """
 
 
+def q_ivf_recall_top5(spark, sf_dir):
+    """ANN index-quality eval (similarity.recall_at_k over
+    ivf_cluster_topk vs exact cosine_topk, r4): per-query recall@5 of
+    the oracle-replayable IVF variant (md5-seeded centroids, no Lloyd,
+    nprobe=1 self-probe) against exact brute force for queries
+    vec_id < 50.  Unlike ann_lsh/ann_ivf (rows-only, approximate by
+    design), every stage here — seeding, assignment, both top-5 sets,
+    the intersection counts — is VALUE-verified against DuckDB; the
+    recall values themselves quantify the nprobe=1 trade."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"))
+    qids = emb.where(F.col("vec_id") < 50).select("vec_id")
+    approx = similarity.ivf_cluster_topk(emb, qids, k=5, n_lists=8)
+    exact = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50), k=5)
+    return similarity.recall_at_k(approx, exact)
+
+
+IVF_RECALL_SQL = """
+with e as materialized (
+  select vec_id, embedding::DOUBLE[] v from embeddings
+),
+seeds as materialized (
+  select v as c, row_number() over (
+      order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+               as bigint), vec_id
+    ) - 1 as list_id
+  from e
+  order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+           as bigint), vec_id
+  limit 8
+),
+asg as materialized (
+  select vec_id, v, list_id::INT as list_id from (
+    select e.vec_id, e.v, s.list_id,
+           row_number() over (
+             partition by e.vec_id
+             order by list_sum(list_transform(
+               generate_series(1, len(e.v)),
+               i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
+               s.list_id) as rn
+    from e cross join seeds s
+  ) where rn = 1
+),
+approx as (
+  select query_id, neighbor_id from (
+    select q.vec_id as query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by q.vec_id
+                              order by list_cosine_similarity(q.v, c.v)
+                                       desc, c.vec_id asc) as rank
+    from (select * from asg where vec_id < 50) q
+    join asg c using (list_id)
+    where c.vec_id != q.vec_id
+  ) where rank <= 5
+),
+exact as (
+  select query_id, neighbor_id from (
+    select q0.vec_id as query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by q0.vec_id
+                              order by list_cosine_similarity(q0.v, c.v)
+                                       desc, c.vec_id asc) as rank
+    from (select * from e where vec_id < 50) q0
+    cross join e c
+    where c.vec_id != q0.vec_id
+  ) where rank <= 5
+)
+select x.query_id, count(*)::BIGINT as n_exact,
+       coalesce(sum(case when a.neighbor_id is not null then 1 end), 0)
+         ::BIGINT as n_hits,
+       round(coalesce(sum(case when a.neighbor_id is not null then 1 end),
+                      0)::DOUBLE / count(*)::DOUBLE, 6) as recall
+from exact x
+left join approx a
+  on a.query_id = x.query_id and a.neighbor_id = x.neighbor_id
+group by 1
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     sq = F.aggregate(
@@ -6769,6 +6851,7 @@ _RAW_QUERIES = {
         "ar2_forecast_12": q_ar2_forecast_12,
         "ks_drift": q_ks_drift,
         "paragraph_dedup": q_paragraph_dedup,
+        "ivf_recall_top5": q_ivf_recall_top5,
     }
 
 
@@ -6870,6 +6953,7 @@ def oracle_sql() -> dict[str, str]:
         "ar2_forecast_12": AR2_SQL,
         "ks_drift": KS_DRIFT_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+        "ivf_recall_top5": IVF_RECALL_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

@@ -170,3 +170,53 @@ def test_semantic_dedup_edges(spark, emb):
         pd.DataFrame({"vec_id": [7], "embedding": [[1.0, 0.0]]}))
     got = similarity.semantic_dedup(one, eps=0.5, n_lists=4).collect()
     assert len(got) == 1 and got[0]["keep"]
+
+
+def test_recall_at_k_counts(spark):
+    """recall = |approx ∩ exact| / |exact| per query; missing approx
+    rows count as misses; queries absent from exact emit nothing."""
+    import pandas as pd
+    from ts2g2_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(pd.DataFrame({
+        "query_id":    [1, 1, 1, 2, 2],
+        "neighbor_id": [10, 11, 12, 20, 21]}))
+    approx = spark.createDataFrame(pd.DataFrame({
+        "query_id":    [1, 1, 1, 3],
+        "neighbor_id": [10, 12, 99, 30]}))
+    out = {r.query_id: r for r in recall_at_k(approx, exact).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_exact, out[1].n_hits) == (3, 2)
+    assert out[1].recall == round(2 / 3, 6)
+    assert (out[2].n_exact, out[2].n_hits, out[2].recall) == (2, 0, 0.0)
+
+
+def test_ivf_cluster_topk_self_probe_recall(spark):
+    """ivf_cluster_topk == brute force restricted to the query's own
+    list; exact-vs-exact recall is 1.0; clustered data gets high recall
+    at nprobe=1."""
+    import pandas as pd
+    from ts2g2_spark.operators.similarity import (
+        cosine_topk, ivf_cluster_topk, recall_at_k)
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    # two well-separated clusters -> same-cluster neighbors dominate
+    vecs = np.concatenate([
+        rng.normal(0, 0.05, (30, 8)) + np.r_[[1.0] + [0.0] * 7],
+        rng.normal(0, 0.05, (30, 8)) + np.r_[[0.0] * 7 + [1.0]],
+    ])
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(60), "embedding": list(map(list, vecs))}))
+    qids = emb.where("vec_id < 10").select("vec_id")
+    approx = ivf_cluster_topk(emb, qids, k=3, n_lists=2)
+    exact = cosine_topk(emb, emb.where("vec_id < 10"), k=3)
+    rec = recall_at_k(approx, exact).toPandas()
+    assert len(rec) == 10 and rec.recall.mean() > 0.9
+    # self-consistency: recall of exact against itself is 1.0
+    self_rec = recall_at_k(exact, exact).toPandas()
+    assert (self_rec.recall == 1.0).all()
+    # empty corpus: empty result, no error
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_cluster_topk(empty, qids, k=3).count() == 0

@@ -627,3 +627,105 @@ def semantic_dedup(
         return out.localCheckpoint(eager=True)
     finally:
         src.unpersist()
+
+
+def ivf_cluster_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-replayable IVF approximate top-k (the contract-mode ANN):
+    md5-seeded centroids (h64 order, NO Lloyd pass), direct-form
+    nearest-list assignment, and each query — a corpus member named in
+    `query_ids` — retrieves its top-k cosine neighbors from its OWN
+    list (nprobe=1).  The deliberately replayable twin of `ivf_topk`
+    (whose xxhash64 seeding + Lloyd means have no ANSI-SQL replay):
+    every choice here — seeding, assignment, scoring, ranking — is the
+    same machinery semantic_dedup's contract mode pins, so recall
+    against the exact `cosine_topk` can be VALUE-verified end to end.
+
+    (query_id, neighbor_id, cosine, rank) — rank by (cosine desc, id).
+
+    Eager API like ivf_topk/semantic_dedup: one cached source scan
+    (seed collect + assignment), O(queries x k) result checkpointed
+    before the cache releases."""
+    from ts2g2_spark.functions.hashing import h64
+
+    if k < 1 or n_lists < 1:
+        raise ValueError("ivf_cluster_topk: need k >= 1 and n_lists >= 1")
+    src = emb.select(id_col, vec_col).cache()
+    try:
+        seed_rows = (
+            src.orderBy(h64(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_lists).collect())
+        if not seed_rows:
+            return src.sparkSession.createDataFrame([], StructType([
+                StructField("query_id", src.schema[id_col].dataType),
+                StructField("neighbor_id", src.schema[id_col].dataType),
+                StructField("cosine", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]))
+        cents = np.array([list(r[1]) for r in seed_rows],
+                         dtype=np.float64)
+        assigned = _assign_lists(src, cents, id_col, vec_col,
+                                 form="direct").withColumn(
+            "_nrm", _norm(F.col(vec_col)))
+        q = assigned.join(
+            F.broadcast(query_ids.select(F.col(id_col))), id_col
+        ).select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qv"),
+                 F.col("_nrm").alias("qn"), "list_id")
+        c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cv"),
+                            F.col("_nrm").alias("cn"), "list_id")
+        scored = (
+            c.join(F.broadcast(q), "list_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "neighbor_id",
+                (_dot(F.col("qv"), F.col("cv"))
+                 / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id"))
+        res = scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k)
+        return res.localCheckpoint(eager=True)
+    finally:
+        src.unpersist()
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-query retrieval recall of an approximate ANN result against
+    exact ground truth — the standard index-quality eval.  Both inputs
+    are (query_id, neighbor_id, ...) top-k frames (e.g. ivf_cluster_topk
+    / lsh_bucket_topk vs cosine_topk).  Output per query:
+    (query_id, n_exact, n_hits, recall = n_hits / n_exact).  Queries
+    with an empty exact set produce no row (recall undefined).
+
+    Scale shape: one equi-join on (query_id, neighbor_id) — both sides
+    are O(queries x k) — and one per-query agg.  Exact integer counts,
+    one division, engine-exact."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id",
+                      F.lit(1).alias("_hit"))
+    per = (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"),
+             F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"))
+    )
+    return per.select(
+        "query_id", "n_exact", "n_hits",
+        F.round(F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double"), round_dp)
+        .alias("recall"),
+    )
