@@ -4096,6 +4096,26 @@ from {src}
 AR2_SQL = _ar2_sql()
 
 
+def q_pelt_daily(spark, sf_dir):
+    """PELT optimal multiple-changepoint segmentation per user over the
+    DAILY bucket means (seriesstats.pelt_changepoints, r4; Killick et
+    al. 2012, L2 mean-shift cost, penalty 2000 ≈ BIC-scale for these
+    variances — ~3 segments/series at sf0.001) — the exact-optimal
+    multi-break sibling of cusum_changepoint.  Rows-only by design: the
+    pruned DP's control flow is data-dependent (the matrix_profile /
+    eigensolver class); the kernel is pinned by an exhaustive-DP parity
+    test plus planted-shift recovery in tests/test_seriesstats.py."""
+    from ts2g2_spark.operators.seriesstats import (bucket_means,
+                                                   pelt_changepoints)
+
+    b = bucket_means(_events(spark, sf_dir), "day", ["user_id"],
+                     "ts", "value")
+    return pelt_changepoints(
+        b.select("user_id", F.col("bucket_ts").alias("ts"),
+                 F.col("y").alias("value")),
+        penalty=2000.0)
+
+
 def q_ks_drift(spark, sf_dir):
     """Day-over-day two-sample Kolmogorov-Smirnov drift per event_type
     (metrics.ks_drift, r4) — the binning-free sibling of psi_drift.
@@ -6852,6 +6872,7 @@ _RAW_QUERIES = {
         "ks_drift": q_ks_drift,
         "paragraph_dedup": q_paragraph_dedup,
         "ivf_recall_top5": q_ivf_recall_top5,
+        "pelt_daily": q_pelt_daily,
     }
 
 

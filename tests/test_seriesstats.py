@@ -682,3 +682,99 @@ def test_matrix_profile_exclusion_zone_no_neighbor(spark):
     assert got[3]["nn_pos"] == -1 and math.isinf(got[3]["dist"])
     # pos=0 can still reach j in {5,6}
     assert got[0]["nn_pos"] in (5, 6) and math.isfinite(got[0]["dist"])
+
+
+def _pelt_brute(y, beta, msz=2):
+    """Exhaustive O(n^2) optimal-partition DP (no pruning) — the
+    specification PELT must equal exactly."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    s1 = np.concatenate([[0.0], np.cumsum(y)])
+    s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def cost(s, t):
+        d = s1[t] - s1[s]
+        return (s2[t] - s2[s]) - d * d / (t - s)
+
+    INF = float("inf")
+    Fv = [INF] * (n + 1)
+    Fv[0] = -beta
+    prev = [0] * (n + 1)
+    for t in range(msz, n + 1):
+        for s in range(0, t - msz + 1):
+            if Fv[s] == INF:
+                continue
+            v = Fv[s] + cost(s, t) + beta
+            if v < Fv[t]:
+                Fv[t], prev[t] = v, s
+    bounds, t = [n], n
+    while t > 0:
+        t = prev[t]
+        bounds.append(t)
+    b = bounds[::-1]
+    return list(zip(b[:-1], b[1:]))
+
+
+def test_pelt_matches_exhaustive_dp(spark):
+    """PELT's pruned DP returns the identical optimal segmentation as
+    the exhaustive O(n^2) DP on random series with planted shifts."""
+    from ts2g2_spark.operators.seriesstats import pelt_changepoints
+
+    rng = np.random.default_rng(13)
+    frames = []
+    for u in range(6):
+        n = 80
+        y = rng.normal(0, 1, n)
+        # plant 0-2 mean shifts at random positions
+        for pos in sorted(rng.integers(10, n - 10, rng.integers(0, 3))):
+            y[pos:] += rng.choice([-4.0, 4.0])
+        frames.append(pd.DataFrame({
+            "user_id": u, "event_id": np.arange(n),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "value": y}))
+    pdf = pd.concat(frames, ignore_index=True)
+    beta = 8.0
+    got = pelt_changepoints(
+        spark.createDataFrame(pdf), penalty=beta,
+        order_col="event_id").toPandas()
+    for u, g in pdf.groupby("user_id"):
+        segs = [(r.start_pos, r.end_pos) for _, r in
+                got[got.user_id == u].sort_values("seg_id").iterrows()]
+        want = _pelt_brute(g.sort_values("event_id")["value"], beta)
+        assert segs == want, u
+
+
+def test_pelt_planted_shifts_and_edges(spark):
+    from ts2g2_spark.operators.seriesstats import pelt_changepoints
+
+    rng = np.random.default_rng(4)
+    y = np.concatenate([rng.normal(0, 0.3, 50),
+                        rng.normal(5, 0.3, 50),
+                        rng.normal(0, 0.3, 50)])
+    pdf = pd.DataFrame({
+        "user_id": 1, "event_id": np.arange(150),
+        "ts": pd.date_range("2024-01-01", periods=150, freq="h"),
+        "value": y})
+    sdf = spark.createDataFrame(pdf)
+    out = (pelt_changepoints(sdf, penalty=5.0, order_col="event_id")
+           .toPandas().sort_values("seg_id", ignore_index=True))
+    assert list(out.start_pos) == [0, 50, 100]
+    assert list(out.end_pos) == [50, 100, 150]
+    assert abs(out.seg_mean[1] - 5.0) < 0.2
+    # huge penalty -> one segment; mean == series mean
+    one = pelt_changepoints(sdf, penalty=1e9,
+                            order_col="event_id").toPandas()
+    assert len(one) == 1 and one.start_pos[0] == 0
+    assert one.end_pos[0] == 150
+    # constant series -> one zero-cost segment
+    cpdf = pdf.assign(value=3.0)
+    c = pelt_changepoints(spark.createDataFrame(cpdf), penalty=0.1,
+                          order_col="event_id").toPandas()
+    assert len(c) == 1 and c.seg_cost[0] == 0.0 and c.seg_mean[0] == 3.0
+    with pytest.raises(ValueError):
+        pelt_changepoints(sdf, penalty=0.0)
+    # series shorter than min_size: one fallback segment
+    short = spark.createDataFrame(pdf.head(1))
+    s = pelt_changepoints(short, penalty=1.0,
+                          order_col="event_id").toPandas()
+    assert len(s) == 1 and s.n_points[0] == 1

@@ -1054,3 +1054,152 @@ def matrix_profile(
         F.col("_e.nn_pos").alias("nn_pos"),
         F.col("_e.dist").alias("dist"),
     )
+
+
+def pelt_changepoints(
+    points: DataFrame,
+    penalty: float,
+    min_size: int = 2,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    round_dp: int = 6,
+    max_points: int = 200_000,
+) -> DataFrame:
+    """PELT optimal multiple-changepoint detection per series (Killick
+    et al. 2012) with the L2 / mean-shift cost — the exact-optimal
+    multi-break sibling of `cusum_changepoint` (single break, online):
+
+        F(t) = min_s [ F(s) + C(y_{s+1..t}) + penalty ],
+        C(seg) = sum (y - mean(seg))^2   (from prefix sums)
+
+    with PELT's candidate pruning (s drops out once
+    F(s) + C(s..t) > F(t)), so typical cost is O(n) per series against
+    the O(n^2) exhaustive DP — which it provably equals (pinned by the
+    brute-force parity test).  Ties in the DP argmin resolve to the
+    SMALLEST candidate (np.argmin), so segmentations are deterministic.
+
+    Returns one row per SEGMENT: series cols + seg_id (0-based),
+    start_pos, end_pos (exclusive), n_points, seg_mean, seg_cost — a
+    single-segment row means "no changepoint found at this penalty".
+    Pick penalty ~ 2 * sigma^2 * ln(n) (BIC) as a starting point.
+
+    No SQL oracle by design: the pruned DP's control flow is
+    data-dependent (same declared class as matrix_profile /
+    eigencentrality); correctness is pinned by exhaustive-DP parity and
+    planted-shift tests instead.
+
+    Scale shape: one collect_list shuffle on the series key
+    (_collect_raw_series), then a map-only Arrow kernel; one series per
+    task (the theil_sen retention-bounded contract), `max_points` guards
+    the worst-case quadratic loudly."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    if penalty <= 0:
+        raise ValueError("pelt_changepoints: penalty must be > 0")
+    if min_size < 1:
+        raise ValueError("pelt_changepoints: min_size must be >= 1")
+    scols = [F.col(c) for c in series_cols]
+    grouped, key_fields = _collect_raw_series(
+        points, series_cols, ts_col, val_col, order_col)
+    grouped = grouped.drop("_uss")
+    out_schema = StructType(key_fields + [
+        StructField("seg_id", ArrayType(LongType())),
+        StructField("start_pos", ArrayType(LongType())),
+        StructField("end_pos", ArrayType(LongType())),
+        StructField("n_points", ArrayType(LongType())),
+        StructField("seg_mean", ArrayType(DoubleType())),
+        StructField("seg_cost", ArrayType(DoubleType())),
+    ])
+    names = list(series_cols)
+    beta = float(penalty)
+    msz = int(min_size)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ts2g2_spark.operators.kernels import quantize_ieee
+
+        for pdf in batches:
+            rows = []
+            for k in range(len(pdf)):
+                y = np.asarray(pdf["_vs"].iat[k], dtype=np.float64)
+                n = len(y)
+                if n < 1:
+                    continue
+                if n > max_points:
+                    raise ValueError(
+                        f"pelt_changepoints: series has {n} points "
+                        f"(> max_points={max_points}) — worst case is "
+                        f"quadratic; raise the cap explicitly")
+                s1 = np.concatenate([[0.0], np.cumsum(y)])
+                s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+                def seg_cost(s, t):
+                    # vectorized over candidate array s (t scalar)
+                    ln = t - s
+                    d = s1[t] - s1[s]
+                    return (s2[t] - s2[s]) - d * d / ln
+
+                Fv = np.full(n + 1, np.inf)
+                Fv[0] = -beta
+                prev = np.zeros(n + 1, dtype=np.int64)
+                cand = np.array([0], dtype=np.int64)
+                for t in range(msz, n + 1):
+                    ok = cand[t - cand >= msz]
+                    if len(ok) == 0:
+                        cand = np.append(cand, t)
+                        continue
+                    tot = Fv[ok] + seg_cost(ok, t) + beta
+                    j = int(np.argmin(tot))
+                    Fv[t] = tot[j]
+                    prev[t] = ok[j]
+                    # PELT prune: s stays viable only while
+                    # F(s) + C(s,t) <= F(t)
+                    keep = Fv[cand] + np.where(
+                        t - cand >= 1, seg_cost(np.minimum(cand, t - 1), t),
+                        0.0) <= Fv[t]
+                    # never prune candidates too young to have been tried
+                    keep |= (t - cand) < msz
+                    cand = np.append(cand[keep], t)
+                # backtrack segment boundaries
+                bounds = [n]
+                t = n
+                while t > 0:
+                    t = int(prev[t])
+                    bounds.append(t)
+                bounds = bounds[::-1]
+                segs = list(zip(bounds[:-1], bounds[1:]))
+                st = np.array([a for a, _ in segs], dtype=np.int64)
+                en = np.array([b for _, b in segs], dtype=np.int64)
+                ln = en - st
+                mean = (s1[en] - s1[st]) / ln
+                cost = (s2[en] - s2[st]) - (s1[en] - s1[st]) ** 2 / ln
+                rows.append((
+                    *[pdf[c].iat[k] for c in names],
+                    np.arange(len(segs), dtype=np.int64), st, en, ln,
+                    np.asarray(quantize_ieee(mean, round_dp)),
+                    np.asarray(quantize_ieee(np.maximum(cost, 0.0),
+                                             round_dp)),
+                ))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    *names, "seg_id", "start_pos", "end_pos",
+                    "n_points", "seg_mean", "seg_cost"])
+
+    arrays = grouped.mapInPandas(kern, schema=out_schema)
+    z = F.arrays_zip("seg_id", "start_pos", "end_pos", "n_points",
+                     "seg_mean", "seg_cost")
+    exploded = arrays.select(*scols, F.explode(z).alias("_e"))
+    return exploded.select(
+        *scols,
+        F.col("_e.seg_id").alias("seg_id"),
+        F.col("_e.start_pos").alias("start_pos"),
+        F.col("_e.end_pos").alias("end_pos"),
+        F.col("_e.n_points").alias("n_points"),
+        F.col("_e.seg_mean").alias("seg_mean"),
+        F.col("_e.seg_cost").alias("seg_cost"),
+    )
