@@ -4096,6 +4096,46 @@ from {src}
 AR2_SQL = _ar2_sql()
 
 
+def q_rolling_p95_1h(spark, sf_dir):
+    """Trailing exact p95 per sample over a 1h RANGE window
+    (seriesstats.rolling_quantile, r4 — PromQL quantile_over_time with
+    the quantile_cont interpolation).  RANGE framing on unix_micros
+    keeps equal-timestamp peers in-frame on both engines; the
+    interpolation index and gathers are exact, rounded only at the
+    output."""
+    from ts2g2_spark.operators.seriesstats import rolling_quantile
+
+    return rolling_quantile(_events(spark, sf_dir), q=0.95,
+                            window_s=3600)
+
+
+ROLLING_P95_SQL = """
+with s as (
+  select user_id, ts, value, epoch_us(ts) as us
+  from events
+),
+win as (
+  select user_id, ts, value,
+         list_sort(list(value) over w) as arr
+  from s
+  window w as (partition by user_id order by us
+               range between 3600000000 preceding and current row)
+)
+select user_id, ts, value,
+       len(arr)::INT as n_window,
+       round(arr[cast(floor(0.95 * cast(len(arr) - 1 as double)) as int)
+                 + 1]
+             + (arr[least(cast(floor(0.95 * cast(len(arr) - 1 as double))
+                               as int) + 2, len(arr))]
+                - arr[cast(floor(0.95 * cast(len(arr) - 1 as double))
+                           as int) + 1])
+               * (0.95 * cast(len(arr) - 1 as double)
+                  - floor(0.95 * cast(len(arr) - 1 as double))), 6)
+         as quantile
+from win
+"""
+
+
 def q_pelt_daily(spark, sf_dir):
     """PELT optimal multiple-changepoint segmentation per user over the
     DAILY bucket means (seriesstats.pelt_changepoints, r4; Killick et
@@ -6873,6 +6913,7 @@ _RAW_QUERIES = {
         "paragraph_dedup": q_paragraph_dedup,
         "ivf_recall_top5": q_ivf_recall_top5,
         "pelt_daily": q_pelt_daily,
+        "rolling_p95_1h": q_rolling_p95_1h,
     }
 
 
@@ -6975,6 +7016,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": KS_DRIFT_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "ivf_recall_top5": IVF_RECALL_SQL,
+        "rolling_p95_1h": ROLLING_P95_SQL,
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "duplicated_spans": _duplicated_spans_sql(),

@@ -778,3 +778,35 @@ def test_pelt_planted_shifts_and_edges(spark):
     s = pelt_changepoints(short, penalty=1.0,
                           order_col="event_id").toPandas()
     assert len(s) == 1 and s.n_points[0] == 1
+
+
+def test_rolling_quantile_matches_numpy(spark):
+    """Trailing-window quantile == numpy linear interpolation over the
+    same RANGE window; points outside the window age out; equal-ts
+    peers are all in-frame."""
+    from ts2g2_spark.operators.seriesstats import rolling_quantile
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 00:20:00", 30.0),
+        (1, "2024-01-01 00:20:00", 20.0),   # equal-ts peer
+        (1, "2024-01-01 00:50:00", 40.0),
+        (1, "2024-01-01 01:30:00", 5.0),    # first two aged out
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    out = (rolling_quantile(spark.createDataFrame(pdf), q=0.5,
+                            window_s=3600)
+           .toPandas().sort_values(["ts", "value"], ignore_index=True))
+    wins = [[10.0], [10, 20, 30], [10, 20, 30], [10, 20, 30, 40],
+            [40, 5]]
+    # row order after sort: ts asc then value asc -> peer rows 1,2 are
+    # (20.0) then (30.0); windows identical for both peers
+    expect = [float(np.quantile(np.array(w, float), 0.5)) for w in
+              [[10.0], [10, 20, 30], [10, 20, 30], [10, 20, 30, 40],
+               [5, 40]]]
+    assert list(out.n_window) == [1, 3, 3, 4, 2]
+    for got, want in zip(out["quantile"], expect):
+        assert got == pytest.approx(want, abs=1e-6)
+    with pytest.raises(ValueError):
+        rolling_quantile(spark.createDataFrame(pdf), q=1.5)

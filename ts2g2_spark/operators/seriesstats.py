@@ -1203,3 +1203,59 @@ def pelt_changepoints(
         F.col("_e.seg_mean").alias("seg_mean"),
         F.col("_e.seg_cost").alias("seg_cost"),
     )
+
+
+def rolling_quantile(
+    points: DataFrame,
+    q: float = 0.95,
+    window_s: int = 3600,
+    series_cols: list[str] = ("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Trailing exact quantile per sample (PromQL quantile_over_time):
+    at every point, the linearly-interpolated q-quantile (the
+    quantile_cont / numpy-linear convention) of all values in the
+    trailing [t - window_s, t] RANGE window of the same series.
+
+    Deterministic across engines: the frame is RANGE-based on the
+    unix_micros epoch (equal-timestamp peers are all in-frame on any
+    engine), the interpolation index q*(n-1) is one double expression,
+    and the sorted-array gathers are exact — rounded to `round_dp` only
+    at the output.
+
+    Output: series cols + ts, value, n_window, quantile — one row per
+    input point.
+
+    Scale shape: ONE ordered window exchange on the series key.  Cost
+    is O(frame sort) per row (collect + sort inside the window
+    operator), fine for alerting-grade streams; for dense 10^12-point
+    tiers serve quantiles from the histogram tiers instead
+    (plans/rollup.histogram_quantiles — same answer, sketch cost)."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"rolling_quantile: need 0 <= q <= 1, got {q}")
+    if window_s < 1:
+        raise ValueError("rolling_quantile: window_s must be >= 1")
+    scols = [F.col(c) for c in series_cols]
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    staged = points.select(
+        *scols, F.col(ts_col), F.col(val_col).cast("double").alias("_v"),
+        us.alias("_us"))
+    wr = (Window.partitionBy(*scols).orderBy("_us")
+          .rangeBetween(-(window_s * 1_000_000), 0))
+    arr = F.sort_array(F.collect_list("_v").over(wr))
+    n = F.size(arr)
+    idx = F.lit(q) * (n - F.lit(1)).cast("double")
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    a_lo = F.element_at(arr, lo + 1)
+    a_hi = F.element_at(arr, F.least(lo + 2, n))
+    val = a_lo + (a_hi - a_lo) * frac
+    return staged.select(
+        *scols, F.col(ts_col), F.col("_v").alias("value"),
+        n.alias("n_window"),
+        F.round(val, round_dp).alias("quantile"),
+    )
