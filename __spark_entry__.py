@@ -4110,29 +4110,12 @@ def q_rolling_p95_1h(spark, sf_dir):
 
 
 ROLLING_P95_SQL = """
-with s as (
-  select user_id, ts, value, epoch_us(ts) as us
-  from events
-),
-win as (
-  select user_id, ts, value,
-         list_sort(list(value) over w) as arr
-  from s
-  window w as (partition by user_id order by us
-               range between 3600000000 preceding and current row)
-)
 select user_id, ts, value,
-       len(arr)::INT as n_window,
-       round(arr[cast(floor(0.95 * cast(len(arr) - 1 as double)) as int)
-                 + 1]
-             + (arr[least(cast(floor(0.95 * cast(len(arr) - 1 as double))
-                               as int) + 2, len(arr))]
-                - arr[cast(floor(0.95 * cast(len(arr) - 1 as double))
-                           as int) + 1])
-               * (0.95 * cast(len(arr) - 1 as double)
-                  - floor(0.95 * cast(len(arr) - 1 as double))), 6)
-         as quantile
-from win
+       count(value) over w as n_window,
+       round(quantile_cont(value, 0.95) over w, 6) as quantile
+from (select user_id, ts, value, epoch_us(ts) as us from events)
+window w as (partition by user_id order by us
+             range between 3600000000 preceding and current row)
 """
 
 

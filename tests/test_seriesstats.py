@@ -810,3 +810,28 @@ def test_rolling_quantile_matches_numpy(spark):
         assert got == pytest.approx(want, abs=1e-6)
     with pytest.raises(ValueError):
         rolling_quantile(spark.createDataFrame(pdf), q=1.5)
+
+
+def test_pelt_pruning_validity_delay():
+    """The undelayed textbook prune is UNSOUND for min_size >= 2 (a
+    candidate dominated only via a not-yet-valid changepoint must
+    survive min_size-1 more steps): the minimal counterexample plus a
+    cross-min_size fuzz against the exhaustive DP — no Spark needed
+    (module-level pure DP)."""
+    from ts2g2_spark.operators.seriesstats import _pelt_segments
+
+    # minimal counterexample: undelayed pruning drops s=0 at t=4 and
+    # returns [(0,2),(2,5)] (cost 11.667) instead of [(0,5)] (10.8)
+    got, _, _ = _pelt_segments([1, -1, -1, -2, 2], 1.0, 2)
+    assert got == _pelt_brute([1, -1, -1, -2, 2], 1.0, 2) == [(0, 5)]
+
+    rng = np.random.default_rng(99)
+    for msz in (1, 2, 3):
+        for _ in range(200):
+            n = int(rng.integers(msz, 24))
+            y = rng.normal(0, 1, n)
+            if rng.random() < 0.5 and n > 6:
+                y[int(rng.integers(2, n - 2)):] += rng.choice([-3.0, 3.0])
+            beta = float(rng.choice([0.5, 1.0, 4.0, 10.0]))
+            g, _, _ = _pelt_segments(y, beta, msz)
+            assert g == _pelt_brute(y, beta, msz), (msz, beta, list(y))

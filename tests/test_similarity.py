@@ -189,6 +189,13 @@ def test_recall_at_k_counts(spark):
     assert (out[1].n_exact, out[1].n_hits) == (3, 2)
     assert out[1].recall == round(2 / 3, 6)
     assert (out[2].n_exact, out[2].n_hits, out[2].recall) == (2, 0, 0.0)
+    # duplicate approx pairs (multi-table candidate frames) must not
+    # inflate n_exact via join fan-out
+    dup = spark.createDataFrame(pd.DataFrame({
+        "query_id":    [1, 1, 1, 1],
+        "neighbor_id": [10, 10, 10, 12]}))
+    d = {r.query_id: r for r in recall_at_k(dup, exact).collect()}
+    assert (d[1].n_exact, d[1].n_hits) == (3, 2)
 
 
 def test_ivf_cluster_topk_self_probe_recall(spark):

@@ -1056,6 +1056,67 @@ def matrix_profile(
     )
 
 
+def _pelt_segments(y, beta: float, msz: int):
+    """The pure PELT DP (module-level so tests can fuzz it against the
+    exhaustive DP without Spark): returns [(start, end), ...] segment
+    bounds, end-exclusive, for the L2 cost with penalty `beta` and
+    minimum segment length `msz`.
+
+    Pruning with a VALIDITY DELAY: the classic prune (drop s once
+    F(s) + C(s,t) > F(t)) is only sound when the dominating candidate t
+    is itself usable at every future T — which min_size breaks for
+    T in (t, t + msz).  A violating candidate is therefore only MARKED
+    at t and keeps participating until T >= t_mark + msz, after which
+    domination genuinely holds (C_L2 is subadditive).  Without the
+    delay, msz >= 2 returns provably suboptimal segmentations
+    (~1.6% of random series in fuzzing).  DP argmin ties resolve to
+    the smallest candidate."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    s1 = np.concatenate([[0.0], np.cumsum(y)])
+    s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def seg_cost(s, t):
+        ln = t - s
+        d = s1[t] - s1[s]
+        return (s2[t] - s2[s]) - d * d / ln
+
+    NEVER = np.int64(2 * (n + msz) + 10)  # "unmarked"; no int overflow
+    Fv = np.full(n + 1, np.inf)
+    Fv[0] = -beta
+    prev = np.zeros(n + 1, dtype=np.int64)
+    cand = np.array([0], dtype=np.int64)
+    mark = np.array([NEVER], dtype=np.int64)
+    for t in range(msz, n + 1):
+        ok = cand[t - cand >= msz]
+        if len(ok) == 0:
+            cand = np.append(cand, t)
+            mark = np.append(mark, NEVER)
+            continue
+        tot = Fv[ok] + seg_cost(ok, t) + beta
+        j = int(np.argmin(tot))
+        Fv[t] = tot[j]
+        prev[t] = ok[j]
+        # retire candidates whose marker is now >= msz steps old
+        live = t < mark + msz
+        cand, mark = cand[live], mark[live]
+        # mark (don't drop) newly-dominated candidates
+        viol = (mark == NEVER) & (
+            Fv[cand] + seg_cost(cand, t) > Fv[t])
+        mark[viol] = t
+        cand = np.append(cand, t)
+        mark = np.append(mark, NEVER)
+    bounds = [n]
+    t = n
+    while t > 0:
+        t = int(prev[t])
+        bounds.append(t)
+    b = bounds[::-1]
+    return list(zip(b[:-1], b[1:])), s1, s2
+
+
 def pelt_changepoints(
     points: DataFrame,
     penalty: float,
@@ -1074,11 +1135,14 @@ def pelt_changepoints(
         F(t) = min_s [ F(s) + C(y_{s+1..t}) + penalty ],
         C(seg) = sum (y - mean(seg))^2   (from prefix sums)
 
-    with PELT's candidate pruning (s drops out once
-    F(s) + C(s..t) > F(t)), so typical cost is O(n) per series against
-    the O(n^2) exhaustive DP — which it provably equals (pinned by the
-    brute-force parity test).  Ties in the DP argmin resolve to the
-    SMALLEST candidate (np.argmin), so segmentations are deterministic.
+    with PELT's candidate pruning under a min_size VALIDITY DELAY (a
+    dominated candidate is only retired once the dominating one is
+    itself a usable changepoint — see `_pelt_segments`; the undelayed
+    textbook prune is unsound for min_size >= 2), so typical cost is
+    O(n) per series against the O(n^2) exhaustive DP — which it
+    provably equals (pinned by the brute-force parity + fuzz tests).
+    Ties in the DP argmin resolve to the SMALLEST candidate
+    (np.argmin), so segmentations are deterministic.
 
     Returns one row per SEGMENT: series cols + seg_id (0-based),
     start_pos, end_pos (exclusive), n_points, seg_mean, seg_cost — a
@@ -1135,44 +1199,7 @@ def pelt_changepoints(
                         f"pelt_changepoints: series has {n} points "
                         f"(> max_points={max_points}) — worst case is "
                         f"quadratic; raise the cap explicitly")
-                s1 = np.concatenate([[0.0], np.cumsum(y)])
-                s2 = np.concatenate([[0.0], np.cumsum(y * y)])
-
-                def seg_cost(s, t):
-                    # vectorized over candidate array s (t scalar)
-                    ln = t - s
-                    d = s1[t] - s1[s]
-                    return (s2[t] - s2[s]) - d * d / ln
-
-                Fv = np.full(n + 1, np.inf)
-                Fv[0] = -beta
-                prev = np.zeros(n + 1, dtype=np.int64)
-                cand = np.array([0], dtype=np.int64)
-                for t in range(msz, n + 1):
-                    ok = cand[t - cand >= msz]
-                    if len(ok) == 0:
-                        cand = np.append(cand, t)
-                        continue
-                    tot = Fv[ok] + seg_cost(ok, t) + beta
-                    j = int(np.argmin(tot))
-                    Fv[t] = tot[j]
-                    prev[t] = ok[j]
-                    # PELT prune: s stays viable only while
-                    # F(s) + C(s,t) <= F(t)
-                    keep = Fv[cand] + np.where(
-                        t - cand >= 1, seg_cost(np.minimum(cand, t - 1), t),
-                        0.0) <= Fv[t]
-                    # never prune candidates too young to have been tried
-                    keep |= (t - cand) < msz
-                    cand = np.append(cand[keep], t)
-                # backtrack segment boundaries
-                bounds = [n]
-                t = n
-                while t > 0:
-                    t = int(prev[t])
-                    bounds.append(t)
-                bounds = bounds[::-1]
-                segs = list(zip(bounds[:-1], bounds[1:]))
+                segs, s1, s2 = _pelt_segments(y, beta, msz)
                 st = np.array([a for a, _ in segs], dtype=np.int64)
                 en = np.array([b for _, b in segs], dtype=np.int64)
                 ln = en - st
@@ -1221,9 +1248,9 @@ def rolling_quantile(
 
     Deterministic across engines: the frame is RANGE-based on the
     unix_micros epoch (equal-timestamp peers are all in-frame on any
-    engine), the interpolation index q*(n-1) is one double expression,
-    and the sorted-array gathers are exact — rounded to `round_dp` only
-    at the output.
+    engine) and F.percentile is the same estimator as DuckDB
+    quantile_cont (the winsorized_mean / series_profile precedent) —
+    rounded to `round_dp` only at the output.
 
     Output: series cols + ts, value, n_window, quantile — one row per
     input point.
@@ -1246,16 +1273,9 @@ def rolling_quantile(
         us.alias("_us"))
     wr = (Window.partitionBy(*scols).orderBy("_us")
           .rangeBetween(-(window_s * 1_000_000), 0))
-    arr = F.sort_array(F.collect_list("_v").over(wr))
-    n = F.size(arr)
-    idx = F.lit(q) * (n - F.lit(1)).cast("double")
-    lo = F.floor(idx).cast("int")
-    frac = idx - lo.cast("double")
-    a_lo = F.element_at(arr, lo + 1)
-    a_hi = F.element_at(arr, F.least(lo + 2, n))
-    val = a_lo + (a_hi - a_lo) * frac
     return staged.select(
         *scols, F.col(ts_col), F.col("_v").alias("value"),
-        n.alias("n_window"),
-        F.round(val, round_dp).alias("quantile"),
+        F.count("_v").over(wr).alias("n_window"),
+        F.round(F.percentile("_v", F.lit(q)).over(wr), round_dp)
+        .alias("quantile"),
     )

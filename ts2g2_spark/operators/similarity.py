@@ -715,8 +715,11 @@ def recall_at_k(
     are O(queries x k) — and one per-query agg.  Exact integer counts,
     one division, engine-exact."""
     e = exact.select("query_id", "neighbor_id")
-    a = approx.select("query_id", "neighbor_id",
-                      F.lit(1).alias("_hit"))
+    # distinct: a multi-table candidate frame may carry duplicate
+    # (query, neighbor) pairs, which would fan out the left join and
+    # inflate n_exact (the denominator), not just n_hits
+    a = approx.select("query_id", "neighbor_id").distinct().select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit"))
     per = (
         e.join(a, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
