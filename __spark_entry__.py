@@ -1317,6 +1317,32 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental batch dedup (dedup.incremental_lsh_candidates, r4):
+    ingesting a 10% 'new' batch (doc_id % 10 == 9) into an
+    already-deduped corpus re-examines ONLY the LSH buckets the batch
+    touches — new-vs-corpus and new-vs-new candidates, never
+    corpus-vs-corpus — then verifies exact Jaccard >= 0.5 on those
+    candidates.  By construction the result equals the FULL recompute
+    restricted to pairs touching the batch, which is exactly what the
+    oracle asserts (the full minhash pipeline SQL + a batch filter).
+    Same md5 hash family as minhash_lsh_candidates so every signature
+    replays bit-for-bit."""
+    from ts2g2_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    new_ids = docs.where(F.col("doc_id") % 10 == 9).select("doc_id")
+    sh = dedup.shingles_hashed_md5_kernel(docs, n_words=3).cache()
+    sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64,
+                                    shingle_frame=sh)
+    cands = dedup.incremental_lsh_candidates(sigs, new_ids, bands=8,
+                                             n_hashes=64)
+    return dedup.ngram_jaccard_pairs(
+        docs, n_words=3, threshold=0.5, candidates=cands,
+        shingle_frame=sh
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _minhash_sql(n_hashes: int = 64, bands: int = 8, n_words: int = 3,
                  threshold: float = 0.5) -> str:
     """DuckDB twin of q_minhash_lsh_candidates: identical word hash (first
@@ -6897,6 +6923,7 @@ _RAW_QUERIES = {
         "ivf_recall_top5": q_ivf_recall_top5,
         "pelt_daily": q_pelt_daily,
         "rolling_p95_1h": q_rolling_p95_1h,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -6937,6 +6964,11 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": STRATIFIED_SQL,
         "split_assignment": SPLIT_SQL,
         "minhash_lsh_candidates": _minhash_sql(),
+        # full recompute restricted to pairs touching the new batch —
+        # the incremental generator's defining equality
+        "incremental_dedup": (
+            "select doc_a, doc_b, jaccard from (" + _minhash_sql()
+            + ") where doc_a % 10 = 9 or doc_b % 10 = 9"),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
         "link_value_range": LINK_VALUE_RANGE_SQL,

@@ -475,3 +475,32 @@ def test_line_dedup_paragraph_delimiter(spark):
     # a single-newline doc is one paragraph under '\n\n' splitting
     assert out[3]["n_lines"] == 1 and out[3]["n_removed"] == 0
     assert out[3]["text"] == "standalone\ndoc"
+
+
+def test_incremental_lsh_candidates_touch_batch_only(spark, docs):
+    """Incremental candidates == full candidates restricted to pairs
+    touching the batch; corpus-vs-corpus pairs never re-examined; the
+    batch's near-dups against the old corpus are found."""
+    sh = dedup.shingles_hashed(docs, n_words=3)
+    sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64,
+                                    shingle_frame=sh)
+    full = {(r.doc_a, r.doc_b) for r in
+            dedup.lsh_candidate_pairs(sigs, bands=8,
+                                      n_hashes=64).collect()}
+    # batch = docs {1, 2} (the exact/near dups of doc 0)
+    new_ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    inc = {(r.doc_a, r.doc_b) for r in
+           dedup.incremental_lsh_candidates(
+               sigs, new_ids, bands=8, n_hashes=64).collect()}
+    want = {(a, b) for a, b in full if a in (1, 2) or b in (1, 2)}
+    assert inc == want
+    assert (0, 1) in inc and (0, 2) in inc      # new-vs-old recovered
+    assert (1, 2) in inc                        # new-vs-new recovered
+    assert all(a < b for a, b in inc)
+    # empty batch -> no candidates; empty sigs -> empty frame, no error
+    none = spark.createDataFrame([], "doc_id long")
+    assert dedup.incremental_lsh_candidates(
+        sigs, none, bands=8, n_hashes=64).count() == 0
+    esigs = sigs.where("doc_id < 0")
+    assert dedup.incremental_lsh_candidates(
+        esigs, new_ids, bands=8, n_hashes=64).count() == 0

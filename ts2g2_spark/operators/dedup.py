@@ -402,6 +402,38 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(sigs, bands: int, n_hashes: int | None):
+    """(doc_id, band_id, band_hash) band frame shared by the full and
+    incremental LSH candidate generators; None for an empty frame with
+    no inferable signature width.  The width guard is conditional on
+    the band array itself so the optimizer cannot prune it: a
+    caller-supplied n_hashes wider than the real signature raises
+    instead of silently hashing NULL-truncated bands (which would make
+    every doc collide)."""
+    if n_hashes is not None:
+        n = n_hashes
+    else:
+        row = sigs.select(F.size("sig")).first()
+        if row is None:
+            return None
+        n = row[0]
+    rows = n // bands
+    bands_arr = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.element_at("sig", b * rows + r + 1).cast("string")
+            for r in range(rows)
+        ]))
+        for b in range(bands)
+    ])
+    guarded = F.when(F.size("sig") == n, bands_arr).otherwise(
+        F.raise_error(F.lit(
+            f"lsh_candidate_pairs: size(sig) != n_hashes={n}")))
+    return sigs.select(
+        "doc_id",
+        F.posexplode(guarded).alias("band_id", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 8, n_hashes: int | None = None
 ) -> DataFrame:
@@ -413,34 +445,11 @@ def lsh_candidate_pairs(
     Pass n_hashes (the signature width) to keep plan construction
     action-free; when omitted, a one-row fallback job reads it from the
     frame."""
-    if n_hashes is not None:
-        n = n_hashes
-    else:
-        row = sigs.select(F.size("sig")).first()
-        if row is None:  # empty frame: no pairs, and no width to infer
-            return sigs.sparkSession.createDataFrame(
-                [], f"doc_a {sigs.schema['doc_id'].dataType.simpleString()},"
-                    f" doc_b {sigs.schema['doc_id'].dataType.simpleString()}")
-        n = row[0]
-    rows = n // bands
-    bands_arr = F.array(*[
-        F.md5(F.concat_ws(",", *[
-            F.element_at("sig", b * rows + r + 1).cast("string")
-            for r in range(rows)
-        ]))
-        for b in range(bands)
-    ])
-    # width guard the optimizer cannot prune: the band array itself is
-    # conditional on the check, so a caller-supplied n_hashes wider than
-    # the real signature raises instead of silently hashing
-    # NULL-truncated bands (which would make every doc collide)
-    guarded = F.when(F.size("sig") == n, bands_arr).otherwise(
-        F.raise_error(F.lit(
-            f"lsh_candidate_pairs: size(sig) != n_hashes={n}")))
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(guarded).alias("band_id", "band_hash"),
-    )
+    banded = _banded_signatures(sigs, bands, n_hashes)
+    if banded is None:  # empty frame: no pairs, and no width to infer
+        return sigs.sparkSession.createDataFrame(
+            [], f"doc_a {sigs.schema['doc_id'].dataType.simpleString()},"
+                f" doc_b {sigs.schema['doc_id'].dataType.simpleString()}")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -452,6 +461,58 @@ def lsh_candidate_pairs(
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def incremental_lsh_candidates(
+    sigs: DataFrame,
+    new_ids: DataFrame,
+    bands: int = 8,
+    n_hashes: int | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental near-dup candidate pairs: the LSH pairs TOUCHING a
+    new document batch — new-vs-corpus and new-vs-new, never
+    corpus-vs-corpus — so ingesting a batch into an already-deduped
+    corpus re-examines only the buckets the batch lands in.
+
+    `sigs` is the FULL signature frame (existing corpus + the new
+    batch, the stored index in a real pipeline); `new_ids` names the
+    batch (one id column matching sigs' doc_id).  Output: distinct
+    (doc_a < doc_b) with at least one side new — by construction
+    exactly the full-recompute pair set restricted to pairs touching
+    the batch (the equality an oracle can assert).
+
+    Scale shape: the corpus side is banded once (the same band frame
+    the full generator uses — in a real pipeline this is the stored
+    LSH index, scanned not rebuilt); the batch side is banded and
+    BROADCAST (batches are small by nature; `broadcast_new=False`
+    falls back to a bucket-keyed shuffle join), so the join examines
+    only buckets containing a new doc — O(|batch| x bucket occupancy),
+    independent of corpus size."""
+    banded = _banded_signatures(sigs, bands, n_hashes)
+    if banded is None:
+        return sigs.sparkSession.createDataFrame(
+            [], f"doc_a {sigs.schema['doc_id'].dataType.simpleString()},"
+                f" doc_b {sigs.schema['doc_id'].dataType.simpleString()}")
+    ids = new_ids.select(new_ids.columns[0]).toDF("doc_id")
+    banded_new = banded.join(ids, "doc_id")
+    if broadcast_new:
+        banded_new = F.broadcast(banded_new)
+    a = banded.alias("a")
+    b = banded_new.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
