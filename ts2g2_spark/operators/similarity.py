@@ -721,7 +721,7 @@ def recall_at_k(
     a = approx.select("query_id", "neighbor_id").distinct().select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit"))
     per = (
-        e.join(a, ["query_id", "neighbor_id"], "left")
+        e.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_exact"),
              F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"))
