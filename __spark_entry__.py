@@ -1343,11 +1343,35 @@ def q_incremental_dedup(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_lsh_hot_capped(spark, sf_dir):
+    """LSH candidate pairs with the hot-bucket star cap FIRING
+    (max_bucket_size=2 — the smallest sf0.01 hot buckets have 3-4
+    members): buckets over the cap emit (bucket_min, member) star pairs
+    instead of all-pairs, bounding a k-doc boilerplate family to k-1
+    candidates while keeping it one connected component (VERDICT r4 #1;
+    `cap_shingles`' twin for the band self-join).  The oracle replays
+    the identical window-count + star rule in DuckDB, so the capped
+    candidate SET itself is hash-checked, not just bounded."""
+    from ts2g2_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles_hashed_md5_kernel(docs, n_words=3)
+    sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64,
+                                    shingle_frame=sh)
+    return dedup.lsh_candidate_pairs(sigs, bands=8, n_hashes=64,
+                                     max_bucket_size=2)
+
+
 def _minhash_sql(n_hashes: int = 64, bands: int = 8, n_words: int = 3,
-                 threshold: float = 0.5) -> str:
+                 threshold: float = 0.5, max_bucket_size: int | None = None,
+                 candidates_only: bool = False) -> str:
     """DuckDB twin of q_minhash_lsh_candidates: identical word hash (first
     15 md5 hex chars as int64), identical shifted-xor gram combiner,
-    identical XOR-mask minhash family and band md5s."""
+    identical XOR-mask minhash family and band md5s.  max_bucket_size
+    replays the hot-bucket star cap (buckets over the cap contribute
+    (bucket_min, member) stars instead of all-pairs — dedup.py
+    `lsh_candidate_pairs`); candidates_only skips the Jaccard verify and
+    returns the candidate pair set itself."""
     from ts2g2_spark.functions.hashing import h64_py
 
     masks = [h64_py(f"minhash_mask_{i}") for i in range(n_hashes)]
@@ -1363,6 +1387,49 @@ def _minhash_sql(n_hashes: int = 64, bands: int = 8, n_words: int = 3,
             b=b,
             cols=", ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows)))
         for b in range(bands))
+    if max_bucket_size is None:
+        cands = """cands as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from banded a join banded b
+    on a.band_id = b.band_id and a.band_hash = b.band_hash
+   and a.doc_id < b.doc_id
+)"""
+    else:
+        cands = f"""bb as (
+  select doc_id, band_id, band_hash,
+         count(*) over (partition by band_id, band_hash) as bsz,
+         min(doc_id) over (partition by band_id, band_hash) as bmin
+  from banded
+),
+cands as (
+  select distinct doc_a, doc_b from (
+    select a.doc_id as doc_a, b.doc_id as doc_b
+    from (select * from bb where bsz <= {max_bucket_size}) a
+    join (select * from bb where bsz <= {max_bucket_size}) b
+      on a.band_id = b.band_id and a.band_hash = b.band_hash
+     and a.doc_id < b.doc_id
+    union all
+    select bmin as doc_a, doc_id as doc_b
+    from bb where bsz > {max_bucket_size} and doc_id != bmin
+  )
+)"""
+    if candidates_only:
+        tail = "select doc_a, doc_b from cands"
+    else:
+        tail = f""",
+sz as (select doc_id, count(*) as n from sh0 group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
+  from sh0 a join sh0 b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select c.doc_a, c.doc_b,
+       round(t.i / (sa.n + sb.n - t.i), 6) as jaccard
+from cands c
+join inter t on c.doc_a = t.doc_a and c.doc_b = t.doc_b
+join sz sa on c.doc_a = sa.doc_id
+join sz sb on c.doc_b = sb.doc_id
+where t.i / (sa.n + sb.n - t.i) >= {threshold}"""
     return rf"""
 with w as (
   select doc_id,
@@ -1385,26 +1452,8 @@ sh0 as (
 ),
 sigs as (select doc_id, {mins} from sh0 group by doc_id),
 banded as ({band_selects}),
-cands as (
-  select distinct a.doc_id as doc_a, b.doc_id as doc_b
-  from banded a join banded b
-    on a.band_id = b.band_id and a.band_hash = b.band_hash
-   and a.doc_id < b.doc_id
-),
-sz as (select doc_id, count(*) as n from sh0 group by 1),
-inter as (
-  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
-  from sh0 a join sh0 b on a.sh = b.sh and a.doc_id < b.doc_id
-  group by 1, 2
-)
-select c.doc_a, c.doc_b,
-       round(t.i / (sa.n + sb.n - t.i), 6) as jaccard
-from cands c
-join inter t on c.doc_a = t.doc_a and c.doc_b = t.doc_b
-join sz sa on c.doc_a = sa.doc_id
-join sz sb on c.doc_b = sb.doc_id
-where t.i / (sa.n + sb.n - t.i) >= {threshold}
-"""
+{cands}
+{tail}"""
 
 
 def q_simhash_near(spark, sf_dir):
@@ -6924,6 +6973,7 @@ _RAW_QUERIES = {
         "pelt_daily": q_pelt_daily,
         "rolling_p95_1h": q_rolling_p95_1h,
         "incremental_dedup": q_incremental_dedup,
+        "lsh_hot_capped": q_lsh_hot_capped,
     }
 
 
@@ -6969,6 +7019,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": (
             "select doc_a, doc_b, jaccard from (" + _minhash_sql()
             + ") where doc_a % 10 = 9 or doc_b % 10 = 9"),
+        "lsh_hot_capped": _minhash_sql(max_bucket_size=2,
+                                       candidates_only=True),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
         "link_value_range": LINK_VALUE_RANGE_SQL,

@@ -504,3 +504,70 @@ def test_incremental_lsh_candidates_touch_batch_only(spark, docs):
     esigs = sigs.where("doc_id < 0")
     assert dedup.incremental_lsh_candidates(
         esigs, new_ids, bands=8, n_hashes=64).count() == 0
+
+
+def _boilerplate_corpus(spark, k):
+    """k identical 'template' docs (ids 0..k-1) + one unrelated doc: every
+    LSH band bucket of the family has exactly k members."""
+    rows = [(i, "same boilerplate template page body repeated for mirrors "
+                "across the crawl with identical words") for i in range(k)]
+    rows.append((10_000, "a completely different unique document about "
+                         "nothing shared with the template family at all"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_hot_bucket_cap_star_pairs(spark):
+    """VERDICT r4 #1: a planted boilerplate family of k near-identical
+    docs must NOT emit k^2/2 candidate pairs.  Buckets over
+    max_bucket_size star-pair around the min-id member: k-1 pairs,
+    family connectivity preserved (every member reaches the hub, so
+    connected-components grouping is unchanged)."""
+    k = 200
+    docs = _boilerplate_corpus(spark, k)
+    sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64)
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(
+        sigs, bands=8, n_hashes=64, max_bucket_size=50).collect()}
+    # bounded: exactly the k-1 star pairs around doc 0, not 19900 pairs
+    assert pairs == {(0, i) for i in range(1, k)}
+    # the star keeps the family one component
+    comp = dedup.connected_components(
+        spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long"))
+    assert {r.component for r in comp.collect()} == {0}
+    # a cap no bucket exceeds reproduces the uncapped output exactly
+    uncapped = {tuple(r) for r in dedup.lsh_candidate_pairs(
+        sigs, bands=8, n_hashes=64, max_bucket_size=None).collect()}
+    wide = {tuple(r) for r in dedup.lsh_candidate_pairs(
+        sigs, bands=8, n_hashes=64, max_bucket_size=k).collect()}
+    assert wide == uncapped
+    assert len(uncapped) == k * (k - 1) // 2
+
+
+def test_incremental_lsh_candidates_hot_bucket_cap(spark):
+    """Incremental == full restricted to batch-touching pairs, WITH the
+    hot-bucket star cap active on both sides; hub-in-batch and
+    leaf-in-batch cases both covered."""
+    k = 60
+    docs = _boilerplate_corpus(spark, k)
+    sigs = dedup.minhash_signatures(docs, n_words=3, n_hashes=64)
+    full = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(
+        sigs, bands=8, n_hashes=64, max_bucket_size=20).collect()}
+    assert full == {(0, i) for i in range(1, k)}
+    # leaves in the batch: only their star edges come back
+    new_ids = spark.createDataFrame([(5,), (17,)], "doc_id long")
+    inc = {(r.doc_a, r.doc_b) for r in dedup.incremental_lsh_candidates(
+        sigs, new_ids, bands=8, n_hashes=64,
+        max_bucket_size=20).collect()}
+    assert inc == {(0, 5), (0, 17)}
+    # the hub in the batch: every star edge touches it
+    hub = spark.createDataFrame([(0,)], "doc_id long")
+    inc_hub = {(r.doc_a, r.doc_b) for r in dedup.incremental_lsh_candidates(
+        sigs, hub, bands=8, n_hashes=64, max_bucket_size=20).collect()}
+    assert inc_hub == full
+    # auto broadcast gate: a tiny batch broadcasts, a forced-off path
+    # returns the same rows through the shuffle join
+    inc_shuffled = {(r.doc_a, r.doc_b)
+                    for r in dedup.incremental_lsh_candidates(
+                        sigs, new_ids, bands=8, n_hashes=64,
+                        broadcast_new=False,
+                        max_bucket_size=20).collect()}
+    assert inc_shuffled == inc

@@ -434,13 +434,47 @@ def _banded_signatures(sigs, bands: int, n_hashes: int | None):
     )
 
 
+def _bucketed_bands(banded: DataFrame) -> DataFrame:
+    """Attach per-(band_id, band_hash) bucket size `_bsz` and min doc_id
+    `_bmin` via one window pass — a single hash exchange on the bucket
+    key, which the downstream bucket self-join then reuses (same
+    partitioning, no second shuffle of the band frame)."""
+    w = Window.partitionBy("band_id", "band_hash")
+    return banded.select(
+        "doc_id", "band_id", "band_hash",
+        F.count(F.lit(1)).over(w).alias("_bsz"),
+        F.min("doc_id").over(w).alias("_bmin"),
+    )
+
+
+def _star_pairs(hot: DataFrame) -> DataFrame:
+    """Star-pair a hot bucket around its min-id member: k-1 pairs
+    (bucket_min, member) instead of k^2/2 all-pairs.  doc_a < doc_b by
+    construction (_bmin is the bucket minimum)."""
+    return hot.where(F.col("doc_id") != F.col("_bmin")).select(
+        F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, n_hashes: int | None = None
+    sigs: DataFrame, bands: int = 8, n_hashes: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any band land in
     the same bucket.  Output distinct (doc_a < doc_b) candidate pairs.
     The join is an equi-join on (band_id, band_hash) — shuffle-partitioned
     by bucket, never all-pairs.
+
+    THE 100 TB guard for the band self-join (`cap_shingles`' twin): a
+    boilerplate family of k near-identical docs (templated pages,
+    mirrors) shares identical minhash bands, so an uncapped bucket join
+    emits k^2/2 pairs — output explosion AQE cannot split.  Buckets
+    larger than `max_bucket_size` are STAR-PAIRED around their min-id
+    member (k-1 pairs) instead of all-paired: connectivity within the
+    family is preserved (every member still reaches the hub, so
+    connected-components dedup groups the family exactly as before),
+    only the redundant clique edges are dropped.  `max_bucket_size=None`
+    restores unconditional all-pairs.
 
     Pass n_hashes (the signature width) to keep plan construction
     action-free; when omitted, a one-row fallback job reads it from the
@@ -450,9 +484,15 @@ def lsh_candidate_pairs(
         return sigs.sparkSession.createDataFrame(
             [], f"doc_a {sigs.schema['doc_id'].dataType.simpleString()},"
                 f" doc_b {sigs.schema['doc_id'].dataType.simpleString()}")
+    star = None
+    if max_bucket_size is not None:
+        bb = _bucketed_bands(banded)
+        banded = bb.where(F.col("_bsz") <= max_bucket_size).drop(
+            "_bsz", "_bmin")
+        star = _star_pairs(bb.where(F.col("_bsz") > max_bucket_size))
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -462,8 +502,10 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def incremental_lsh_candidates(
@@ -471,7 +513,9 @@ def incremental_lsh_candidates(
     new_ids: DataFrame,
     bands: int = 8,
     n_hashes: int | None = None,
-    broadcast_new: bool = True,
+    broadcast_new: bool | None = None,
+    max_bucket_size: int | None = 4096,
+    broadcast_max_rows: int = 500_000,
 ) -> DataFrame:
     """Incremental near-dup candidate pairs: the LSH pairs TOUCHING a
     new document batch — new-vs-corpus and new-vs-new, never
@@ -488,22 +532,48 @@ def incremental_lsh_candidates(
     Scale shape: the corpus side is banded once (the same band frame
     the full generator uses — in a real pipeline this is the stored
     LSH index, scanned not rebuilt); the batch side is banded and
-    BROADCAST (batches are small by nature; `broadcast_new=False`
-    falls back to a bucket-keyed shuffle join), so the join examines
-    only buckets containing a new doc — O(|batch| x bucket occupancy),
-    independent of corpus size."""
+    BROADCAST when small, so the join examines only buckets containing
+    a new doc — O(|batch| x bucket occupancy), independent of corpus
+    size.  `broadcast_new=None` (default) auto-gates: one count() of
+    `new_ids` at construction, broadcast iff |batch| x bands <=
+    broadcast_max_rows (a "batch" that is a large corpus fraction must
+    NOT bypass autoBroadcastJoinThreshold via a forced hint — it falls
+    back to the bucket-keyed shuffle join).  Pass True/False to skip
+    the count and force either path.
+
+    Hot buckets (> max_bucket_size members across the FULL frame) are
+    star-paired around the bucket min exactly as in
+    `lsh_candidate_pairs`, restricted to stars touching the batch — so
+    the output stays equal to the full recompute restricted to
+    batch-touching pairs, cap included."""
     banded = _banded_signatures(sigs, bands, n_hashes)
     if banded is None:
         return sigs.sparkSession.createDataFrame(
             [], f"doc_a {sigs.schema['doc_id'].dataType.simpleString()},"
                 f" doc_b {sigs.schema['doc_id'].dataType.simpleString()}")
     ids = new_ids.select(new_ids.columns[0]).toDF("doc_id")
+    if broadcast_new is None:
+        broadcast_new = ids.count() * bands <= broadcast_max_rows
+    star = None
+    if max_bucket_size is not None:
+        # bucket stats come from the FULL band frame so hotness (and the
+        # star hub) is the same bucket property the full generator sees
+        bb = _bucketed_bands(banded)
+        banded = bb.where(F.col("_bsz") <= max_bucket_size).drop(
+            "_bsz", "_bmin")
+        all_star = _star_pairs(bb.where(F.col("_bsz") > max_bucket_size))
+        hub_new = ids.select(F.col("doc_id").alias("doc_a"))
+        leaf_new = ids.select(F.col("doc_id").alias("doc_b"))
+        if broadcast_new:
+            hub_new, leaf_new = F.broadcast(hub_new), F.broadcast(leaf_new)
+        star = all_star.join(hub_new, "doc_a", "left_semi").unionByName(
+            all_star.join(leaf_new, "doc_b", "left_semi"))
     banded_new = banded.join(ids, "doc_id")
     if broadcast_new:
         banded_new = F.broadcast(banded_new)
     a = banded.alias("a")
     b = banded_new.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -514,8 +584,10 @@ def incremental_lsh_candidates(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
