@@ -1863,8 +1863,10 @@ asg as materialized (
 approx as (
   select query_id, neighbor_id from (
     select q.vec_id as query_id, c.vec_id as neighbor_id,
+           -- round-before-rank matches ivf_cluster_topk's contract
            row_number() over (partition by q.vec_id
-                              order by list_cosine_similarity(q.v, c.v)
+                              order by round(
+                                list_cosine_similarity(q.v, c.v), 6)
                                        desc, c.vec_id asc) as rank
     from (select * from asg where vec_id < 50) q
     join asg c using (list_id)

@@ -246,13 +246,17 @@ def heaps_law(
     dom = per.agg(F.min("_id").alias("lo"), F.max("_id").alias("hi"))
     per = per.crossJoin(F.broadcast(dom)).withColumn(
         "_b",
-        # ratio in double: (id - lo) * n_buckets can overflow long for
-        # snowflake-style 64-bit id domains; floor of a monotone double
-        # ratio keeps bucket order aligned with id order either way
+        # subtract AFTER the double cast: an id domain spanning most of
+        # int64 (signed snowflake ids at both extremes) overflows the
+        # long subtraction itself, not just the * n_buckets product;
+        # floor of a monotone double ratio keeps bucket order aligned
+        # with id order either way
         F.least(
             F.lit(n_buckets - 1),
-            ((F.col("_id") - F.col("lo")).cast("double") * n_buckets
-             / (F.col("hi") - F.col("lo") + 1).cast("double"))
+            ((F.col("_id").cast("double") - F.col("lo").cast("double"))
+             * n_buckets
+             / (F.col("hi").cast("double") - F.col("lo").cast("double")
+                + 1.0))
             .cast("long")),
     )
     wb = (Window.partitionBy("_b").orderBy("_id")

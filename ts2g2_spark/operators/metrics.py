@@ -765,8 +765,18 @@ def slo_burn_rate(
 
     if not 0.0 < slo < 1.0:
         raise ValueError("slo_burn_rate: slo must be in (0, 1)")
-    _grid_seconds = {"minute": 60, "hour": 3600, "day": 86400}
-    if grid in _grid_seconds and _grid_seconds[grid] != grid_s:
+    # every fixed-width date_trunc unit; variable-width units (week
+    # starts, month/quarter/year) cannot size a constant-seconds RANGE
+    # window, so anything outside the map raises rather than silently
+    # trusting a stale grid_s default
+    _grid_seconds = {"second": 1, "minute": 60, "hour": 3600,
+                     "day": 86400, "week": 604800}
+    if grid not in _grid_seconds:
+        raise ValueError(
+            f"slo_burn_rate: unsupported grid='{grid}' — fixed-width "
+            f"units only ({sorted(_grid_seconds)}); variable-width "
+            f"buckets cannot size the trailing RANGE windows")
+    if _grid_seconds[grid] != grid_s:
         raise ValueError(
             f"slo_burn_rate: grid='{grid}' is {_grid_seconds[grid]}s "
             f"but grid_s={grid_s} — the RANGE windows would be sized "

@@ -636,6 +636,7 @@ def ivf_cluster_topk(
     n_lists: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int = 6,
 ) -> DataFrame:
     """Oracle-replayable IVF approximate top-k (the contract-mode ANN):
     md5-seeded centroids (h64 order, NO Lloyd pass), direct-form
@@ -647,7 +648,13 @@ def ivf_cluster_topk(
     same machinery semantic_dedup's contract mode pins, so recall
     against the exact `cosine_topk` can be VALUE-verified end to end.
 
-    (query_id, neighbor_id, cosine, rank) — rank by (cosine desc, id).
+    (query_id, neighbor_id, cosine, rank) — rank by (round(cosine,
+    round_dp) desc, id): ranking on the ROUNDED cosine is the repo's
+    cross-engine contract (bm25_topk, select_survivors) — Spark's
+    left-fold dot and DuckDB's list_cosine_similarity differ in
+    summation order in the last ulp, and an unrounded rank lets a
+    near-tie flip top-k membership between engines.  The emitted
+    cosine is rounded to the same round_dp.
 
     Eager API like ivf_topk/semantic_dedup: one cached source scan
     (seed collect + assignment), O(queries x k) result checkpointed
@@ -686,8 +693,9 @@ def ivf_cluster_topk(
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id", "neighbor_id",
-                (_dot(F.col("qv"), F.col("cv"))
-                 / (F.col("qn") * F.col("cn"))).alias("cosine"),
+                F.round(_dot(F.col("qv"), F.col("cv"))
+                        / (F.col("qn") * F.col("cn")),
+                        round_dp).alias("cosine"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -714,10 +722,11 @@ def recall_at_k(
     Scale shape: one equi-join on (query_id, neighbor_id) — both sides
     are O(queries x k) — and one per-query agg.  Exact integer counts,
     one division, engine-exact."""
-    e = exact.select("query_id", "neighbor_id")
-    # distinct: a multi-table candidate frame may carry duplicate
-    # (query, neighbor) pairs, which would fan out the left join and
-    # inflate n_exact (the denominator), not just n_hits
+    # distinct BOTH sides: duplicate (query, neighbor) rows in either
+    # frame fan out the left join — exact dups inflate n_exact (the
+    # denominator) and approx dups inflate n_hits; both are sets by
+    # construction after this (cheap at O(queries x k))
+    e = exact.select("query_id", "neighbor_id").distinct()
     a = approx.select("query_id", "neighbor_id").distinct().select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit"))
     per = (
