@@ -3293,6 +3293,56 @@ def q_media_features(spark, sf_dir):
         F.round(F.element_at("feature", 1), 3).alias("f0"))
 
 
+def q_media_features_real(spark, sf_dir):
+    """Decode + featurize from REAL pixels (r5: mediacodec, no fake):
+    each document seeds a deterministic 8x8 grayscale image — pixel i =
+    h64(doc_id || '_px_' || i) % 256 — encoded as a binary PGM payload
+    RELATIONALLY (hex-concat + unhex, no Python on the encode side),
+    then `extract_features(decoder="codec")` parses the netpbm header,
+    reads the pixel grid back, and mean-pools 4-pixel blocks into a
+    16-dim feature.  The DuckDB oracle recomputes the features straight
+    from the md5 pixel formula, so the decode path itself is
+    value-checked: any header/offset/order bug in decode_pnm shifts
+    bytes and breaks the hash.  Block means of 4 uint8s are exact in
+    float32 (k/4), so the cross-engine float contract is exact."""
+    from ts2g2_spark.functions.hashing import h64
+    from ts2g2_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: h64(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("_px_"), i.cast("string"))) % 256)
+    hexpix = F.aggregate(
+        F.transform(px, lambda v: F.lpad(F.hex(v), 2, "0")),
+        F.lit(""), lambda a, x: F.concat(a, x))
+    # 50350A3820380A3235350A = "P5\n8 8\n255\n" (binary PGM header)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(F.concat(F.lit("50350A3820380A3235350A"),
+                         hexpix)).alias("payload"))
+    feats = mm.extract_features(media, feat_dim=16, decoder="codec")
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim", "val")
+    ).select("media_id", "dim",
+             F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
+MEDIA_FEATURES_REAL_SQL = """
+with d as (select doc_id from documents where doc_id < 200),
+px as (
+  select doc_id, i,
+         cast(concat('0x', substr(md5(doc_id::VARCHAR || '_px_'
+              || i::VARCHAR), 1, 15)) as bigint) % 256 as v
+  from d, (select unnest(generate_series(0, 63)) as i)
+)
+select doc_id::VARCHAR as media_id, (i // 4)::INT as dim,
+       round(avg(v), 6) as val
+from px group by 1, 2
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals (word/2-gram/3-gram dup
     fractions map-only; top-2-gram share via two-level partial agg)."""
@@ -6976,6 +7026,7 @@ _RAW_QUERIES = {
         "rolling_p95_1h": q_rolling_p95_1h,
         "incremental_dedup": q_incremental_dedup,
         "lsh_hot_capped": q_lsh_hot_capped,
+        "media_features_real": q_media_features_real,
     }
 
 
@@ -7023,6 +7074,7 @@ def oracle_sql() -> dict[str, str]:
             + ") where doc_a % 10 = 9 or doc_b % 10 = 9"),
         "lsh_hot_capped": _minhash_sql(max_bucket_size=2,
                                        candidates_only=True),
+        "media_features_real": MEDIA_FEATURES_REAL_SQL,
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
         "link_value_range": LINK_VALUE_RANGE_SQL,

@@ -2,17 +2,25 @@
 
 Spark-side design (the part that matters at 100 TB) is real and tested:
 schemas, partitioning, Arrow batch shapes, and the mapInPandas UDF
-signatures all match what a production decode would use.  The actual
-media decoding is STUBBED — pillow/ffmpeg/torchaudio are not in this
-container — behind `decoder=` hooks:
+signatures all match what a production decode would use.  Decoding comes
+in three tiers behind the `decoder=` hooks:
 
-  * decoder=None          -> NotImplementedError (explicit stub marker)
+  * decoder="codec"       -> REAL pure-numpy decode of self-contained
+                             formats (uncompressed BMP, binary PGM/PPM,
+                             PCM WAV — functions/mediacodec.py); the
+                             format is sniffed from the payload magic.
+                             Compressed formats (PNG/JPEG/GIF, video)
+                             raise NotImplementedError naming the
+                             missing dependency — pillow/ffmpeg are not
+                             in this container.
   * decoder="fake"        -> deterministic fake decode derived from the
-                             bytes (crc-seeded), so tests pin the plumbing
-                             end-to-end with stable values
+                             bytes (crc-seeded), so tests pin the
+                             plumbing end-to-end with stable values for
+                             ANY payload, compressed included
+  * decoder=None          -> NotImplementedError (explicit stub marker)
 
 A real deployment passes its own `decoder` callable with the same
-signature; nothing else changes.
+signature `(payload, kind) -> np.ndarray`; nothing else changes.
 """
 
 from __future__ import annotations
@@ -79,17 +87,32 @@ def extract_features(
 
     The UDF receives payload bytes per row; batches are bounded by the
     session's arrow.maxRecordsPerBatch so executor memory stays flat
-    regardless of table size.  Feature = mean-pooled pixel/sample blocks
-    (on the fake decode) — the real decoder plugs in with the same
-    signature `(payload, kind) -> np.ndarray`."""
+    regardless of table size.  Feature = mean-pooled pixel/sample blocks:
+    block j of feat_dim is the mean of the j-th contiguous slice of the
+    flattened (zero-padded) pixel/sample array — simple, deterministic,
+    and SQL-replayable, which is what lets `media_features_real` in the
+    entry contract value-check the decode path end to end.
+
+    decoder="codec" decodes REAL self-contained payloads (BMP/PGM/PPM
+    pixels — RGB reduced to integer luma before pooling — and PCM WAV
+    samples); "fake" is the crc-seeded deterministic stub; a callable
+    plugs in with the signature `(payload, kind) -> np.ndarray`."""
     if decoder is None:
         raise NotImplementedError(
             "media decoding requires pillow/ffmpeg — not available in this "
-            "container; pass decoder='fake' (deterministic) or a callable")
+            "container; pass decoder='codec' (self-contained formats), "
+            "'fake' (deterministic stub) or a callable")
 
     def _decode(payload: bytes, kind: str) -> np.ndarray:
         if callable(decoder):
             return decoder(payload, kind)
+        if decoder == "codec":
+            from ts2g2_spark.functions import mediacodec
+
+            arr = mediacodec.decode_media(payload, kind)
+            if arr.ndim == 3:
+                arr = mediacodec.luma(arr)
+            return arr.astype(np.float32)
         return _fake_pixels(payload, 32, 32).astype(np.float32)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,9 +143,14 @@ def sample_frames(
     """Frame sampling for video rows: emit every_n-th frame as its own
     binary row (fan-out inside the Arrow batch; output rows are small and
     re-partitionable downstream).  Fake decode synthesizes n_frames from
-    metadata."""
-    if decoder is None:
-        raise NotImplementedError("video decoding unavailable here")
+    metadata.  decoder="codec" raises: there is no self-contained
+    (uncompressed, container-free) video format to hand-decode — real
+    frame extraction needs ffmpeg."""
+    if decoder is None or decoder == "codec":
+        raise NotImplementedError(
+            "video decoding unavailable here — every practical video "
+            "format is codec-compressed (needs ffmpeg); decoder='fake' "
+            "exercises the fan-out plumbing deterministically")
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,17 +180,30 @@ def resize_images(
     out_h: int = 16,
     decoder: Callable[[bytes, str], np.ndarray] | str | None = "fake",
 ) -> DataFrame:
-    """Image resize (nearest-neighbor on the fake decode — a real decoder
-    swaps in PIL).  Output payload is the raw resized grid."""
+    """Nearest-neighbor image resize.  decoder="codec" decodes REAL
+    BMP/PGM/PPM payloads (RGB reduced to integer luma so the output grid
+    is single-channel like the schema's width x height payload);
+    "fake" synthesizes a crc-seeded grid from the metadata dimensions.
+    Output payload is the raw resized uint8 grid."""
     if decoder is None:
         raise NotImplementedError("image decoding unavailable here")
+
+    def _px(payload: bytes, h: int, w: int) -> np.ndarray:
+        if callable(decoder):
+            return np.asarray(decoder(payload, "image"), dtype=np.uint8)
+        if decoder == "codec":
+            from ts2g2_spark.functions import mediacodec
+
+            return mediacodec.luma(mediacodec.decode_media(payload, "image"))
+        return _fake_pixels(payload, h, w)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                h, w = int(r.height or 32), int(r.width or 32)
-                px = _fake_pixels(bytes(r.payload), h, w)
+                px = _px(bytes(r.payload), int(r.height or 32),
+                         int(r.width or 32))
+                h, w = px.shape
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 small = px[yi][:, xi]
