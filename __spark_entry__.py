@@ -6721,10 +6721,17 @@ from deg group by user_id
 
 def q_path_metrics_hvg(spark, sf_dir):
     """Diameter / radius / average shortest path length per HVG series
-    graph (fused all-pairs-BFS kernel).  ROWS-ONLY by design like
-    betweenness: shortest paths have no ANSI-SQL twin; networkx parity
-    pins correctness.  Same 1-in-5 deterministic series sample —
-    O(n*m) per series."""
+    graph (fused all-pairs-BFS kernel).  ORACLED in r5 (was rows-only):
+    the DuckDB twin runs level-synchronized BFS as a recursive walk CTE
+    — dist(src, dst) = min walk length, depth-capped at 12.  The cap is
+    SOUND, not a data assumption: if any HVG had diameter > 12, pairs
+    would go unreached under the cap, `connected` would flip false and
+    the value hash would MISMATCH loudly — a false pass is impossible;
+    on these hub-dominated HVGs (diameter ~2) the cap keeps the
+    recursion O(n^2 * cap) instead of O(n^3).  avg_spl is one exact
+    integer division (sum of distances / ordered reachable pairs) —
+    bit-identical across engines, no rounding contract needed.  Same
+    1-in-5 deterministic series sample — O(n*m) per series."""
     from ts2g2_spark.operators import graphmetrics
 
     series = _event_series(spark, sf_dir).where(
@@ -6734,6 +6741,51 @@ def q_path_metrics_hvg(spark, sf_dir):
     ).select(
         F.col("series_key").cast("long").alias("user_id"),
         "n_nodes", "diameter", "radius", "avg_spl", "connected")
+
+
+PATH_METRICS_HVG_SQL = f"""
+with recursive {_PTS_CTE},
+p as (select * from pts where user_id % 5 = 0),
+hvg as materialized (
+  select a.user_id, a.pos as src, b.pos as dst
+  from p a join p b on a.user_id = b.user_id and b.pos > a.pos
+  where not exists (
+    select 1 from p m
+    where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+      and m.v > greatest(a.v, b.v))
+),
+adj as materialized (
+  select user_id, src as node, dst as nb from hvg
+  union all
+  select user_id, dst as node, src as nb from hvg
+),
+nodes as materialized (select distinct user_id, node from adj),
+nn as materialized (select user_id, count(*) as n from nodes group by 1),
+walk as (
+  select user_id, node as src, node as dst, 0 as d from nodes
+  union
+  select w.user_id, w.src, a.nb as dst, w.d + 1 as d
+  from walk w
+  join adj a on a.user_id = w.user_id and a.node = w.dst
+  where w.d < 12
+),
+dist as (
+  select user_id, src, dst, min(d) as dist
+  from walk group by 1, 2, 3
+),
+ecc as (
+  select user_id, src, max(dist) as ecc,
+         sum(dist) as sum_d, count(*) - 1 as reach_pairs
+  from dist group by 1, 2
+)
+select e.user_id, t.n::BIGINT as n_nodes,
+       max(e.ecc)::BIGINT as diameter,
+       min(e.ecc)::BIGINT as radius,
+       sum(e.sum_d)::DOUBLE / sum(e.reach_pairs)::DOUBLE as avg_spl,
+       (sum(e.reach_pairs) = t.n * (t.n - 1)) as connected
+from ecc e join nn t using (user_id)
+group by e.user_id, t.n
+"""
 
 
 GRAPH_MIXING_SQL = f"""
@@ -7160,6 +7212,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_summary_hvg": GRAPH_SUMMARY_SQL,
         "clustering_hvg": CLUSTERING_SQL,
         "kcore_hvg": KCORE_HVG_SQL,
+        "path_metrics_hvg": PATH_METRICS_HVG_SQL,
         "pagerank_hvg": PAGERANK_SQL,
         "seasonal_decompose_24": SEASONAL_DECOMP_SQL,
         "session_stats_6h": SESSION_STATS_SQL,
