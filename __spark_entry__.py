@@ -1896,6 +1896,113 @@ group by 1
 """
 
 
+def q_ivf_recall_nprobe(spark, sf_dir):
+    """Recall-vs-nprobe curve for multiprobe IVF (r5): the measurement a
+    100-TB ANN deployment tunes against — per query, recall@5 of
+    ivf_cluster_topk probing the query's 1, 2, and 4 nearest lists
+    against exact brute force.  Every stage (seeding, assignment, probe
+    ranking by direct-form centroid distance with list_id ties, rounded
+    cosine top-5, the intersection counts) is VALUE-verified against
+    DuckDB for all three nprobe levels in one hash."""
+    from functools import reduce
+
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"))
+    qids = emb.where(F.col("vec_id") < 50).select("vec_id")
+    exact = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50), k=5)
+    frames = [
+        similarity.recall_at_k(
+            similarity.ivf_cluster_topk(emb, qids, k=5, n_lists=8,
+                                        nprobe=np_),
+            exact).withColumn("nprobe", F.lit(np_))
+        for np_ in (1, 2, 4)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).select(
+        "nprobe", "query_id", "n_exact", "n_hits", "recall")
+
+
+IVF_RECALL_NPROBE_SQL = """
+with e as materialized (
+  select vec_id, embedding::DOUBLE[] v from embeddings
+),
+seeds as materialized (
+  select v as c, row_number() over (
+      order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+               as bigint), vec_id
+    ) - 1 as list_id
+  from e
+  order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+           as bigint), vec_id
+  limit 8
+),
+asg as materialized (
+  select vec_id, v, list_id::INT as list_id from (
+    select e.vec_id, e.v, s.list_id,
+           row_number() over (
+             partition by e.vec_id
+             order by list_sum(list_transform(
+               generate_series(1, len(e.v)),
+               i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
+               s.list_id) as rn
+    from e cross join seeds s
+  ) where rn = 1
+),
+qv as materialized (select * from e where vec_id < 50),
+probes as materialized (
+  select q0.vec_id, s.list_id::INT as list_id,
+         row_number() over (
+           partition by q0.vec_id
+           order by list_sum(list_transform(
+             generate_series(1, len(q0.v)),
+             i -> (q0.v[i] - s.c[i]) * (q0.v[i] - s.c[i]))),
+             s.list_id) as pr
+  from qv q0 cross join seeds s
+),
+nps as (select unnest([1, 2, 4]) as nprobe),
+approx as (
+  select nprobe, query_id, neighbor_id from (
+    select n.nprobe, q0.vec_id as query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by n.nprobe, q0.vec_id
+                              order by round(
+                                list_cosine_similarity(q0.v, c.v), 6)
+                                       desc, c.vec_id asc) as rank
+    from nps n
+    join probes p on p.pr <= n.nprobe
+    join qv q0 on q0.vec_id = p.vec_id
+    join asg c on c.list_id = p.list_id
+    where c.vec_id != q0.vec_id
+  ) where rank <= 5
+),
+exact as (
+  select query_id, neighbor_id from (
+    select q0.vec_id as query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by q0.vec_id
+                              order by list_cosine_similarity(q0.v, c.v)
+                                       desc, c.vec_id asc) as rank
+    from qv q0
+    cross join e c
+    where c.vec_id != q0.vec_id
+  ) where rank <= 5
+)
+select n.nprobe, x.query_id, count(*)::BIGINT as n_exact,
+       coalesce(sum(case when a.neighbor_id is not null then 1 end), 0)
+         ::BIGINT as n_hits,
+       round(coalesce(sum(case when a.neighbor_id is not null then 1 end),
+                      0)::DOUBLE / count(*)::DOUBLE, 6) as recall
+from nps n
+cross join exact x
+left join approx a
+  on a.nprobe = n.nprobe and a.query_id = x.query_id
+ and a.neighbor_id = x.neighbor_id
+group by 1, 2
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     sq = F.aggregate(
@@ -7079,6 +7186,7 @@ _RAW_QUERIES = {
         "incremental_dedup": q_incremental_dedup,
         "lsh_hot_capped": q_lsh_hot_capped,
         "media_features_real": q_media_features_real,
+        "ivf_recall_nprobe": q_ivf_recall_nprobe,
     }
 
 
@@ -7127,6 +7235,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_hot_capped": _minhash_sql(max_bucket_size=2,
                                        candidates_only=True),
         "media_features_real": MEDIA_FEATURES_REAL_SQL,
+        "ivf_recall_nprobe": IVF_RECALL_NPROBE_SQL,
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
         "link_value_range": LINK_VALUE_RANGE_SQL,

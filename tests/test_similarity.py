@@ -227,3 +227,33 @@ def test_ivf_cluster_topk_self_probe_recall(spark):
     # empty corpus: empty result, no error
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert ivf_cluster_topk(empty, qids, k=3).count() == 0
+
+
+def test_ivf_cluster_topk_nprobe_recall_curve(spark):
+    """Multiprobe IVF: recall is monotone non-decreasing in nprobe, and
+    nprobe == n_lists probes every list, which IS brute force (recall
+    1.0 exactly).  Candidate pairs stay unique across probed lists."""
+    import pandas as pd
+    from ts2g2_spark.operators.similarity import (
+        cosine_topk, ivf_cluster_topk, recall_at_k)
+
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(0, 1.0, (80, 8))  # unclustered -> nprobe=1 lossy
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(80), "embedding": list(map(list, vecs))}))
+    qids = emb.where("vec_id < 12").select("vec_id")
+    exact = cosine_topk(emb, emb.where("vec_id < 12"), k=5)
+    means = {}
+    for nprobe in (1, 2, 4):
+        ap = ivf_cluster_topk(emb, qids, k=5, n_lists=4, nprobe=nprobe)
+        pairs = ap.select("query_id", "neighbor_id")
+        assert pairs.count() == pairs.distinct().count()
+        means[nprobe] = recall_at_k(ap, exact).toPandas().recall.mean()
+    assert means[1] <= means[2] <= means[4]
+    assert means[4] == 1.0  # all lists probed == exact
+    assert means[1] < 1.0   # random data: own-list probe must miss some
+    with pytest.raises(ValueError):
+        ivf_cluster_topk(emb, qids, n_lists=4, nprobe=5)

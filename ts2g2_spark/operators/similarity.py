@@ -637,16 +637,24 @@ def ivf_cluster_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Oracle-replayable IVF approximate top-k (the contract-mode ANN):
     md5-seeded centroids (h64 order, NO Lloyd pass), direct-form
     nearest-list assignment, and each query — a corpus member named in
-    `query_ids` — retrieves its top-k cosine neighbors from its OWN
-    list (nprobe=1).  The deliberately replayable twin of `ivf_topk`
-    (whose xxhash64 seeding + Lloyd means have no ANSI-SQL replay):
-    every choice here — seeding, assignment, scoring, ranking — is the
-    same machinery semantic_dedup's contract mode pins, so recall
-    against the exact `cosine_topk` can be VALUE-verified end to end.
+    `query_ids` — retrieves its top-k cosine neighbors from its
+    `nprobe` nearest lists (by the same direct-form centroid distance,
+    ties by list_id — the stable argsort the assignment uses).  The
+    deliberately replayable twin of `ivf_topk` (whose xxhash64 seeding
+    + Lloyd means have no ANSI-SQL replay): every choice here —
+    seeding, assignment, probing, scoring, ranking — is the same
+    machinery semantic_dedup's contract mode pins, so recall against
+    the exact `cosine_topk` can be VALUE-verified end to end, and the
+    recall-vs-nprobe curve (how a 100-TB ANN deployment is tuned) is
+    measurable under the same value contract (`ivf_recall_nprobe`).
+    Candidate pairs are unique by construction — each corpus vector
+    lives in exactly one list and probe lists are distinct — so no
+    dedup pass is needed after the probe fan-out.
 
     (query_id, neighbor_id, cosine, rank) — rank by (round(cosine,
     round_dp) desc, id): ranking on the ROUNDED cosine is the repo's
@@ -663,6 +671,8 @@ def ivf_cluster_topk(
 
     if k < 1 or n_lists < 1:
         raise ValueError("ivf_cluster_topk: need k >= 1 and n_lists >= 1")
+    if not 1 <= nprobe <= n_lists:
+        raise ValueError("ivf_cluster_topk: need 1 <= nprobe <= n_lists")
     src = emb.select(id_col, vec_col).cache()
     try:
         seed_rows = (
@@ -680,11 +690,23 @@ def ivf_cluster_topk(
         assigned = _assign_lists(src, cents, id_col, vec_col,
                                  form="direct").withColumn(
             "_nrm", _norm(F.col(vec_col)))
-        q = assigned.join(
-            F.broadcast(query_ids.select(F.col(id_col))), id_col
-        ).select(F.col(id_col).alias("query_id"),
-                 F.col(vec_col).alias("qv"),
-                 F.col("_nrm").alias("qn"), "list_id")
+        if nprobe == 1:
+            q = assigned.join(
+                F.broadcast(query_ids.select(F.col(id_col))), id_col
+            ).select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("qv"),
+                     F.col("_nrm").alias("qn"), "list_id")
+        else:
+            qsub = src.join(
+                F.broadcast(query_ids.select(F.col(id_col))), id_col)
+            q = _ivf_distances(
+                qsub, cents, id_col, vec_col, nprobe=nprobe,
+                form="direct"
+            ).select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                _norm(F.col(vec_col)).alias("qn"),
+                F.explode("probe_lists").alias("list_id"))
         c = assigned.select(F.col(id_col).alias("neighbor_id"),
                             F.col(vec_col).alias("cv"),
                             F.col("_nrm").alias("cn"), "list_id")
