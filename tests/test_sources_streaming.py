@@ -678,3 +678,131 @@ def test_streaming_threshold_alerts_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="lower <= upper"):
         ingest.streaming_threshold_alerts(
             ingest.stream_events(spark, in_dir), upper=1.0, lower=2.0)
+
+
+def test_incremental_fold_crash_window_redelivery(spark, tmp_path,
+                                                  monkeypatch):
+    """Crash-window property (VERDICT r4 #6): a failure injected inside
+    the fold's commit window — (a) after the version-dir write + the
+    hardlink carry but before the atomic `_LATEST` replace, and (b)
+    MID-hardlink-carry (partial dir WITH carried links) — leaves the
+    table readable at the previous snapshot, and redelivering the same
+    batch converges to exactly the no-crash result (values and pointer
+    state), exercising the rmtree partial-dir path both with and
+    without carried hardlinks."""
+    import json
+    import shutil
+
+    def mk(lo, hi, only_doc=None):
+        df = spark.range(lo, hi).select(
+            F.concat(F.lit("d"), (F.col("id") % 3)).alias("doc_id"),
+            F.lit("s0").alias("source"),
+            F.timestamp_seconds(1704067200 + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 10).cast("double").alias("value"),
+        )
+        return df.where(F.col("doc_id") == only_doc) if only_doc else df
+
+    batches = [(0, mk(0, 300)), (1, mk(300, 600, only_doc="d0")),
+               (2, mk(600, 900, only_doc="d1"))]
+
+    # control table: no crashes
+    ctl = str(tmp_path / "control")
+    os.makedirs(ctl)
+    fold_ctl = ingest.incremental_tier_fold(spark, ctl)
+    for bid, df in batches:
+        fold_ctl(df, bid)
+    want = R.finalize_state(
+        ingest.read_tier_snapshot(spark, ctl)).toPandas()
+    with open(f"{ctl}/_LATEST") as f:
+        want_ptr = json.load(f)
+
+    def run_with_crash(name, crash_fn):
+        tbl = str(tmp_path / name)
+        os.makedirs(tbl)
+        fold = ingest.incremental_tier_fold(spark, tbl)
+        fold(batches[0][1], 0)
+        fold(batches[1][1], 1)
+        with open(f"{tbl}/_LATEST") as f:
+            before = json.load(f)
+        with pytest.raises(RuntimeError, match="injected"):
+            crash_fn(fold)
+        # crash left the table readable at the PREVIOUS snapshot
+        with open(f"{tbl}/_LATEST") as f:
+            assert json.load(f) == before
+        # redelivery of the same batch converges
+        fold(batches[2][1], 2)
+        got = R.finalize_state(
+            ingest.read_tier_snapshot(spark, tbl)).toPandas()
+        keys = ["doc_id", "source", "bucket_ts"]
+        for df in (got,):
+            df.sort_values(keys, inplace=True, ignore_index=True)
+        w = want.sort_values(keys, ignore_index=True)
+        assert len(got) == len(w) and len(got) > 0
+        for c in w.columns:
+            assert (got[c] == w[c]).all(), (name, c)
+        with open(f"{tbl}/_LATEST") as f:
+            assert json.load(f) == want_ptr
+        return tbl
+
+    # (a) crash between full write (incl. hardlink carry) and commit
+    real_replace = os.replace
+
+    def crash_commit(fold):
+        def boom(src_p, dst_p):
+            if os.path.basename(dst_p) == "_LATEST":
+                raise RuntimeError("injected commit crash")
+            return real_replace(src_p, dst_p)
+        monkeypatch.setattr(os, "replace", boom)
+        try:
+            fold(batches[2][1], 2)
+        finally:
+            monkeypatch.setattr(os, "replace", real_replace)
+
+    tbl_a = run_with_crash("crash_commit", crash_commit)
+    # partial v2 existed at crash time WITH carried hardlinks; after
+    # redelivery the version is complete and GC kept the live pair
+    assert os.path.isdir(os.path.join(tbl_a, "v2"))
+
+    # (b) crash MID-hardlink-carry: partial version dir with some
+    # carried links already present — redelivery must rmtree it first
+    real_link = os.link
+
+    def crash_carry(fold):
+        calls = {"n": 0}
+
+        def boom(src_p, dst_p):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise RuntimeError("injected carry crash")
+            return real_link(src_p, dst_p)
+        monkeypatch.setattr(os, "link", boom)
+        try:
+            fold(batches[2][1], 2)
+        finally:
+            monkeypatch.setattr(os, "link", real_link)
+        assert calls["n"] > 1  # the crash actually hit mid-carry
+
+    run_with_crash("crash_carry", crash_carry)
+
+    # (c) pre-existing junk partial version dir (crash mid parquet
+    # write, nothing committed): the fold clears and rewrites it
+    tbl = str(tmp_path / "crash_junk")
+    os.makedirs(tbl)
+    fold = ingest.incremental_tier_fold(spark, tbl)
+    fold(batches[0][1], 0)
+    fold(batches[1][1], 1)
+    junk = os.path.join(tbl, "v2", "_pb=0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    fold(batches[2][1], 2)
+    got = R.finalize_state(
+        ingest.read_tier_snapshot(spark, tbl)).toPandas()
+    keys = ["doc_id", "source", "bucket_ts"]
+    got.sort_values(keys, inplace=True, ignore_index=True)
+    w = want.sort_values(keys, ignore_index=True)
+    for c in w.columns:
+        assert (got[c] == w[c]).all(), c
+    assert not os.path.exists(os.path.join(tbl, "v2", "_pb=0",
+                                           "part-junk.parquet"))
+    shutil.rmtree(str(tmp_path / "control"), ignore_errors=True)
