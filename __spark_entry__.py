@@ -6783,14 +6783,23 @@ select user_id, node, core from peel where done
 
 def q_betweenness_hvg(spark, sf_dir):
     """Brandes betweenness centrality per HVG node (fused map-only
-    kernel, frontier-vectorized BFS).  ROWS-ONLY by design: per-source
-    shortest-path counting is inherently iterative and has no ANSI-SQL
-    twin; correctness is pinned against networkx betweenness_centrality
-    in tests/test_graphmetrics_fused.py instead.  Bounded to the
-    deterministic 1-in-5 series sample (user_id % 5 == 0): the exact
-    Brandes pass is O(n*m) per series — the priciest per-series metric
-    — and one-fifth of the series exercises the identical code path at
-    every sf."""
+    kernel, frontier-vectorized BFS).  ORACLED in r5 (was rows-only):
+    the pair-dependency identity bc(v) = sum over (s,t) of
+    sigma_sv * sigma_vt / sigma_st (shortest-path condition
+    d(s,v)+d(v,t)=d(s,t)) lets DuckDB replay Brandes RELATIONALLY —
+    path counts come from a UNION ALL recursion that enumerates
+    shortest-path prefixes one row per path (distance strictly
+    increases along each extension, so it terminates with no cap and
+    the row count IS sigma).  Compared at the kernel's native 9dp: the
+    oracle replays round_half_up's floor(x*1e9 + 0.5)/1e9 fast path
+    (every value here sits >= 3e-4 scaled units from a .5 boundary —
+    measured — while cross-engine sum-order drift is ~1e-10, so a
+    second rounding stage would only ADD a boundary, not remove one;
+    an earlier 6dp re-round did exactly that and flipped one row).
+    Bounded to the deterministic 1-in-5 series
+    sample (user_id % 5 == 0): the exact Brandes pass is O(n*m) per
+    series — the priciest per-series metric — and one-fifth of the
+    series exercises the identical code path at every sf."""
     from ts2g2_spark.operators import graphmetrics
 
     series = _event_series(spark, sf_dir).where(
@@ -6800,6 +6809,79 @@ def q_betweenness_hvg(spark, sf_dir):
     ).select(
         F.col("series_key").cast("long").alias("user_id"),
         "node", "betweenness")
+
+
+BETWEENNESS_HVG_SQL = f"""
+with recursive {_PTS_CTE},
+p as (select * from pts where user_id % 5 = 0),
+hvg as materialized (
+  select a.user_id, a.pos as src, b.pos as dst
+  from p a join p b on a.user_id = b.user_id and b.pos > a.pos
+  where not exists (
+    select 1 from p m
+    where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+      and m.v > greatest(a.v, b.v))
+),
+adj as materialized (
+  select user_id, src as node, dst as nb from hvg
+  union all
+  select user_id, dst as node, src as nb from hvg
+),
+nodes as materialized (select distinct user_id, node from adj),
+nn as materialized (select user_id, count(*) as n from nodes group by 1),
+walk as (
+  select user_id, node as src, node as dst, 0 as d from nodes
+  union
+  select w.user_id, w.src, a.nb as dst, w.d + 1 as d
+  from walk w
+  join adj a on a.user_id = w.user_id and a.node = w.dst
+  where w.d < 12
+),
+dist as materialized (
+  select user_id, src, dst, min(d) as dist
+  from walk group by 1, 2, 3
+),
+spath as (
+  select user_id, node as src, node as dst, 0 as d from nodes
+  union all
+  select w.user_id, w.src, a.nb as dst, w.d + 1 as d
+  from spath w
+  join adj a on a.user_id = w.user_id and a.node = w.dst
+  join dist t on t.user_id = w.user_id and t.src = w.src
+             and t.dst = a.nb and t.dist = w.d + 1
+),
+sigma as materialized (
+  select user_id, src, dst, count(*)::DOUBLE as sig
+  from spath s join dist t using (user_id, src, dst)
+  where s.d = t.dist
+  group by 1, 2, 3
+),
+terms as (
+  select sv.user_id, sv.dst as v,
+         sum(sv.sig * vt.sig / st.sig) as bsum
+  from sigma sv
+  join sigma vt on vt.user_id = sv.user_id and vt.src = sv.dst
+  join sigma st on st.user_id = sv.user_id and st.src = sv.src
+               and st.dst = vt.dst
+  join dist dsv on dsv.user_id = sv.user_id and dsv.src = sv.src
+               and dsv.dst = sv.dst
+  join dist dvt on dvt.user_id = sv.user_id and dvt.src = vt.src
+               and dvt.dst = vt.dst
+  join dist dst_ on dst_.user_id = sv.user_id and dst_.src = sv.src
+                and dst_.dst = vt.dst
+  where sv.src != sv.dst and vt.src != vt.dst and sv.src != vt.dst
+    and dsv.dist + dvt.dist = dst_.dist
+  group by 1, 2
+)
+select nd.user_id, nd.node,
+       floor((case when t.n > 2
+                   then coalesce(b.bsum, 0.0) / ((t.n - 1) * (t.n - 2))
+                   else coalesce(b.bsum, 0.0) / 2.0 end) * 1e9 + 0.5)
+         / 1e9 as betweenness
+from nodes nd
+join nn t using (user_id)
+left join terms b on b.user_id = nd.user_id and b.v = nd.node
+"""
 
 
 def q_degree_exponent_hvg(spark, sf_dir):
@@ -7322,6 +7404,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_hvg": CLUSTERING_SQL,
         "kcore_hvg": KCORE_HVG_SQL,
         "path_metrics_hvg": PATH_METRICS_HVG_SQL,
+        "betweenness_hvg": BETWEENNESS_HVG_SQL,
         "pagerank_hvg": PAGERANK_SQL,
         "seasonal_decompose_24": SEASONAL_DECOMP_SQL,
         "session_stats_6h": SESSION_STATS_SQL,
