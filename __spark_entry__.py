@@ -1834,7 +1834,7 @@ def q_ivf_recall_top5(spark, sf_dir):
     return similarity.recall_at_k(approx, exact)
 
 
-IVF_RECALL_SQL = """
+_IVF_CONTRACT_CTES = """
 with e as materialized (
   select vec_id, embedding::DOUBLE[] v from embeddings
 ),
@@ -1860,6 +1860,26 @@ asg as materialized (
     from e cross join seeds s
   ) where rn = 1
 ),
+qv as materialized (select * from e where vec_id < 50),
+exact as (
+  select query_id, neighbor_id from (
+    select q0.vec_id as query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by q0.vec_id
+                              order by list_cosine_similarity(q0.v, c.v)
+                                       desc, c.vec_id asc) as rank
+    from qv q0
+    cross join e c
+    where c.vec_id != q0.vec_id
+  ) where rank <= 5
+)"""
+"""Shared oracle machinery for the contract-mode IVF recall queries
+(ivf_recall_top5, ivf_recall_nprobe): md5-h64-ordered seed selection,
+direct-form nearest-list assignment, the vec_id < 50 query set, and the
+exact brute-force top-5 ground truth.  ONE definition so seeding order,
+assignment tie-breaks, and the exact baseline cannot drift apart
+between the two consumers."""
+
+IVF_RECALL_SQL = _IVF_CONTRACT_CTES + """,
 approx as (
   select query_id, neighbor_id from (
     select q.vec_id as query_id, c.vec_id as neighbor_id,
@@ -1871,17 +1891,6 @@ approx as (
     from (select * from asg where vec_id < 50) q
     join asg c using (list_id)
     where c.vec_id != q.vec_id
-  ) where rank <= 5
-),
-exact as (
-  select query_id, neighbor_id from (
-    select q0.vec_id as query_id, c.vec_id as neighbor_id,
-           row_number() over (partition by q0.vec_id
-                              order by list_cosine_similarity(q0.v, c.v)
-                                       desc, c.vec_id asc) as rank
-    from (select * from e where vec_id < 50) q0
-    cross join e c
-    where c.vec_id != q0.vec_id
   ) where rank <= 5
 )
 select x.query_id, count(*)::BIGINT as n_exact,
@@ -1926,33 +1935,7 @@ def q_ivf_recall_nprobe(spark, sf_dir):
         "nprobe", "query_id", "n_exact", "n_hits", "recall")
 
 
-IVF_RECALL_NPROBE_SQL = """
-with e as materialized (
-  select vec_id, embedding::DOUBLE[] v from embeddings
-),
-seeds as materialized (
-  select v as c, row_number() over (
-      order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
-               as bigint), vec_id
-    ) - 1 as list_id
-  from e
-  order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
-           as bigint), vec_id
-  limit 8
-),
-asg as materialized (
-  select vec_id, v, list_id::INT as list_id from (
-    select e.vec_id, e.v, s.list_id,
-           row_number() over (
-             partition by e.vec_id
-             order by list_sum(list_transform(
-               generate_series(1, len(e.v)),
-               i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
-               s.list_id) as rn
-    from e cross join seeds s
-  ) where rn = 1
-),
-qv as materialized (select * from e where vec_id < 50),
+IVF_RECALL_NPROBE_SQL = _IVF_CONTRACT_CTES + """,
 probes as materialized (
   select q0.vec_id, s.list_id::INT as list_id,
          row_number() over (
@@ -1975,17 +1958,6 @@ approx as (
     join probes p on p.pr <= n.nprobe
     join qv q0 on q0.vec_id = p.vec_id
     join asg c on c.list_id = p.list_id
-    where c.vec_id != q0.vec_id
-  ) where rank <= 5
-),
-exact as (
-  select query_id, neighbor_id from (
-    select q0.vec_id as query_id, c.vec_id as neighbor_id,
-           row_number() over (partition by q0.vec_id
-                              order by list_cosine_similarity(q0.v, c.v)
-                                       desc, c.vec_id asc) as rank
-    from qv q0
-    cross join e c
     where c.vec_id != q0.vec_id
   ) where rank <= 5
 )
@@ -6793,9 +6765,14 @@ def q_betweenness_hvg(spark, sf_dir):
     the row count IS sigma).  Compared at the kernel's native 9dp: the
     oracle replays round_half_up's floor(x*1e9 + 0.5)/1e9 fast path
     (every value here sits >= 3e-4 scaled units from a .5 boundary —
-    measured — while cross-engine sum-order drift is ~1e-10, so a
-    second rounding stage would only ADD a boundary, not remove one;
-    an earlier 6dp re-round did exactly that and flipped one row).
+    measured at sf0.001/0.01 — while cross-engine sum-order drift is
+    ~1e-10, so a second rounding stage would only ADD a boundary, not
+    remove one; an earlier 6dp re-round did exactly that and flipped
+    one row).  Known limit: the kernel's Decimal shortest-repr escape
+    (values within 1e-6 scaled units of .5) has no SQL twin — if a new
+    scale factor ever lands a value there, this oracle FAILS loudly
+    rather than silently passing; re-measure the margin before
+    extending the gate to new data.
     Bounded to the deterministic 1-in-5 series
     sample (user_id % 5 == 0): the exact Brandes pass is O(n*m) per
     series — the priciest per-series metric — and one-fifth of the
@@ -6811,8 +6788,7 @@ def q_betweenness_hvg(spark, sf_dir):
         "node", "betweenness")
 
 
-BETWEENNESS_HVG_SQL = f"""
-with recursive {_PTS_CTE},
+_SAMPLED_HVG_BFS_CTES = f"""with recursive {_PTS_CTE},
 p as (select * from pts where user_id % 5 = 0),
 hvg as materialized (
   select a.user_id, a.pos as src, b.pos as dst
@@ -6840,7 +6816,16 @@ walk as (
 dist as materialized (
   select user_id, src, dst, min(d) as dist
   from walk group by 1, 2, 3
-),
+)"""
+"""Shared oracle machinery for the 1-in-5-sampled HVG shortest-path
+queries (betweenness_hvg, path_metrics_hvg): HVG edges, symmetric
+adjacency, and level-synchronized BFS distances as a depth-capped
+recursive walk (cap 12 is FAIL-LOUD — an HVG with a larger diameter
+leaves pairs unreached and breaks the consumer's value hash, never a
+silent wrong answer).  ONE definition so the visibility condition,
+sample rate, and cap cannot drift apart between the two consumers."""
+
+BETWEENNESS_HVG_SQL = _SAMPLED_HVG_BFS_CTES + """,
 spath as (
   select user_id, node as src, node as dst, 0 as d from nodes
   union all
@@ -6932,36 +6917,7 @@ def q_path_metrics_hvg(spark, sf_dir):
         "n_nodes", "diameter", "radius", "avg_spl", "connected")
 
 
-PATH_METRICS_HVG_SQL = f"""
-with recursive {_PTS_CTE},
-p as (select * from pts where user_id % 5 = 0),
-hvg as materialized (
-  select a.user_id, a.pos as src, b.pos as dst
-  from p a join p b on a.user_id = b.user_id and b.pos > a.pos
-  where not exists (
-    select 1 from p m
-    where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
-      and m.v > greatest(a.v, b.v))
-),
-adj as materialized (
-  select user_id, src as node, dst as nb from hvg
-  union all
-  select user_id, dst as node, src as nb from hvg
-),
-nodes as materialized (select distinct user_id, node from adj),
-nn as materialized (select user_id, count(*) as n from nodes group by 1),
-walk as (
-  select user_id, node as src, node as dst, 0 as d from nodes
-  union
-  select w.user_id, w.src, a.nb as dst, w.d + 1 as d
-  from walk w
-  join adj a on a.user_id = w.user_id and a.node = w.dst
-  where w.d < 12
-),
-dist as (
-  select user_id, src, dst, min(d) as dist
-  from walk group by 1, 2, 3
-),
+PATH_METRICS_HVG_SQL = _SAMPLED_HVG_BFS_CTES + """,
 ecc as (
   select user_id, src, max(dist) as ecc,
          sum(dist) as sum_d, count(*) - 1 as reach_pairs
@@ -7308,11 +7264,17 @@ def oracle_sql() -> dict[str, str]:
         "sample_10pct": SAMPLE_SQL,
         "stratified_sample": STRATIFIED_SQL,
         "split_assignment": SPLIT_SQL,
-        "minhash_lsh_candidates": _minhash_sql(),
+        # the engine default cap (4096) is replayed in the oracle too, so
+        # the contract cannot silently diverge at a scale factor whose
+        # boilerplate families exceed the cap (no tested sf does today —
+        # the hashes are unchanged — but the equality must hold by
+        # construction, not by data luck)
+        "minhash_lsh_candidates": _minhash_sql(max_bucket_size=4096),
         # full recompute restricted to pairs touching the new batch —
         # the incremental generator's defining equality
         "incremental_dedup": (
-            "select doc_a, doc_b, jaccard from (" + _minhash_sql()
+            "select doc_a, doc_b, jaccard from ("
+            + _minhash_sql(max_bucket_size=4096)
             + ") where doc_a % 10 = 9 or doc_b % 10 = 9"),
         "lsh_hot_capped": _minhash_sql(max_bucket_size=2,
                                        candidates_only=True),

@@ -470,11 +470,19 @@ def lsh_candidate_pairs(
     mirrors) shares identical minhash bands, so an uncapped bucket join
     emits k^2/2 pairs — output explosion AQE cannot split.  Buckets
     larger than `max_bucket_size` are STAR-PAIRED around their min-id
-    member (k-1 pairs) instead of all-paired: connectivity within the
-    family is preserved (every member still reaches the hub, so
-    connected-components dedup groups the family exactly as before),
-    only the redundant clique edges are dropped.  `max_bucket_size=None`
-    restores unconditional all-pairs.
+    member (k-1 pairs) instead of all-paired: in the CANDIDATE graph
+    the family stays one connected component (every member reaches the
+    hub), only the redundant clique edges are dropped.
+
+    Precision caveat for verify-then-component pipelines: a downstream
+    exact-similarity filter (jaccard >= t) only examines the emitted
+    star edges, so a member pair that would pass the verify can go
+    unexamined if BOTH their hub edges fail it — the standard
+    recall-vs-blowup trade every capped MinHashLSH makes.  In practice
+    a bucket only exceeds a 4096-cap when thousands of docs share
+    identical minhash bands (near-identical text, hub included); set
+    `max_bucket_size=None` to restore unconditional all-pairs where
+    post-verify exactness matters more than the k^2 guard.
 
     Pass n_hashes (the signature width) to keep plan construction
     action-free; when omitted, a one-row fallback job reads it from the
@@ -541,11 +549,20 @@ def incremental_lsh_candidates(
     back to the bucket-keyed shuffle join).  Pass True/False to skip
     the count and force either path.
 
-    Hot buckets (> max_bucket_size members across the FULL frame) are
-    star-paired around the bucket min exactly as in
-    `lsh_candidate_pairs`, restricted to stars touching the batch — so
-    the output stays equal to the full recompute restricted to
-    batch-touching pairs, cap included."""
+    Hot buckets (> max_bucket_size members) are star-paired around the
+    bucket min exactly as in `lsh_candidate_pairs`, restricted to stars
+    touching the batch — so the output stays equal to the full
+    recompute restricted to batch-touching pairs, cap included.  The
+    bucket stats are computed ONLY over buckets the batch touches (a
+    semi-join on the batch's (band_id, band_hash) keys BEFORE the
+    window): a bucket's size and min-id member do not depend on the
+    batch, so touched-bucket stats equal the full generator's stats for
+    those buckets, while untouched buckets — which can contribute no
+    batch-touching pair or star — never reach the window exchange.
+    This keeps the cap from re-introducing the full-corpus shuffle the
+    incremental path exists to avoid: the shuffled rows are
+    O(|batch| x bands x bucket occupancy), independent of corpus
+    size."""
     banded = _banded_signatures(sigs, bands, n_hashes)
     if banded is None:
         return sigs.sparkSession.createDataFrame(
@@ -556,9 +573,12 @@ def incremental_lsh_candidates(
         broadcast_new = ids.count() * bands <= broadcast_max_rows
     star = None
     if max_bucket_size is not None:
-        # bucket stats come from the FULL band frame so hotness (and the
-        # star hub) is the same bucket property the full generator sees
-        bb = _bucketed_bands(banded)
+        keys = banded.join(ids, "doc_id").select(
+            "band_id", "band_hash").distinct()
+        if broadcast_new:
+            keys = F.broadcast(keys)
+        touched = banded.join(keys, ["band_id", "band_hash"], "left_semi")
+        bb = _bucketed_bands(touched)
         banded = bb.where(F.col("_bsz") <= max_bucket_size).drop(
             "_bsz", "_bmin")
         all_star = _star_pairs(bb.where(F.col("_bsz") > max_bucket_size))

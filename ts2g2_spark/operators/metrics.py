@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 
 from ts2g2_spark.operators.seriesstats import _series_windows
 
+# seconds per FIXED-WIDTH date_trunc unit — the single source of truth
+# for every bucket/grid validation in this module (variable-width units
+# like month/quarter/year have no constant seconds and are either
+# rejected or require an explicit *_s override, per call site)
+BUCKET_SECONDS = {"second": 1, "minute": 60, "hour": 3600,
+                  "day": 86400, "week": 604800}
+
 
 def time_weighted_avg(
     points: DataFrame,
@@ -185,7 +192,7 @@ def seasonal_naive_forecast(
         raise ValueError(
             f"seasonal_naive_forecast: need period >= 1 and "
             f"1 <= horizon <= period, got {period=} {horizon=}")
-    known = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    known = BUCKET_SECONDS
     if bucket in known:
         if bucket_s is None:
             bucket_s = known[bucket]
@@ -294,7 +301,7 @@ def holt_forecast(
             f"{beta=}")
     if horizon < 1:
         raise ValueError(f"holt_forecast: need horizon >= 1, got {horizon=}")
-    known = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    known = BUCKET_SECONDS
     if bucket in known:
         if bucket_s is None:
             bucket_s = known[bucket]
@@ -620,7 +627,7 @@ def holt_winters_forecast(
     if horizon < 1:
         raise ValueError(
             f"holt_winters_forecast: need horizon >= 1, got {horizon=}")
-    known = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    known = BUCKET_SECONDS
     if bucket in known:
         if bucket_s is None:
             bucket_s = known[bucket]
@@ -765,12 +772,10 @@ def slo_burn_rate(
 
     if not 0.0 < slo < 1.0:
         raise ValueError("slo_burn_rate: slo must be in (0, 1)")
-    # every fixed-width date_trunc unit; variable-width units (week
-    # starts, month/quarter/year) cannot size a constant-seconds RANGE
-    # window, so anything outside the map raises rather than silently
-    # trusting a stale grid_s default
-    _grid_seconds = {"second": 1, "minute": 60, "hour": 3600,
-                     "day": 86400, "week": 604800}
+    # variable-width units (month/quarter/year) cannot size a
+    # constant-seconds RANGE window, so anything outside the map raises
+    # rather than silently trusting a stale grid_s default
+    _grid_seconds = BUCKET_SECONDS
     if grid not in _grid_seconds:
         raise ValueError(
             f"slo_burn_rate: unsupported grid='{grid}' — fixed-width "

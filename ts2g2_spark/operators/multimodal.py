@@ -189,11 +189,14 @@ def resize_images(
         raise NotImplementedError("image decoding unavailable here")
 
     def _px(payload: bytes, h: int, w: int) -> np.ndarray:
-        if callable(decoder):
-            return np.asarray(decoder(payload, "image"), dtype=np.uint8)
-        if decoder == "codec":
-            from ts2g2_spark.functions import mediacodec
+        from ts2g2_spark.functions import mediacodec
 
+        if callable(decoder):
+            # a real decoder commonly returns (H, W, 3) RGB — reduce to
+            # luma like the codec path so the grid unpack below holds
+            return mediacodec.luma(
+                np.asarray(decoder(payload, "image"), dtype=np.uint8))
+        if decoder == "codec":
             return mediacodec.luma(mediacodec.decode_media(payload, "image"))
         return _fake_pixels(payload, h, w)
 
