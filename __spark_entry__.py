@@ -1912,9 +1912,12 @@ def q_ivf_recall_nprobe(spark, sf_dir):
     against exact brute force.  Every stage (seeding, assignment, probe
     ranking by direct-form centroid distance with list_id ties, rounded
     cosine top-5, the intersection counts) is VALUE-verified against
-    DuckDB for all three nprobe levels in one hash."""
-    from functools import reduce
-
+    DuckDB for all three nprobe levels in one hash.  Single corpus
+    pass: `ivf_recall_curve` probes once at nprobe=4 carrying the
+    probe rank and derives each level by filtering (== the per-nprobe
+    `ivf_cluster_topk` calls row for row, test-pinned), and the grouped
+    `recall_at_k` replicates the one exact ground truth per level —
+    one recall join instead of three."""
     from ts2g2_spark.operators import similarity
 
     emb = _emb(spark, sf_dir).select(
@@ -1924,14 +1927,10 @@ def q_ivf_recall_nprobe(spark, sf_dir):
     qids = emb.where(F.col("vec_id") < 50).select("vec_id")
     exact = similarity.cosine_topk(
         emb, emb.where(F.col("vec_id") < 50), k=5)
-    frames = [
-        similarity.recall_at_k(
-            similarity.ivf_cluster_topk(emb, qids, k=5, n_lists=8,
-                                        nprobe=np_),
-            exact).withColumn("nprobe", F.lit(np_))
-        for np_ in (1, 2, 4)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), frames).select(
+    curve = similarity.ivf_recall_curve(emb, qids, k=5, n_lists=8,
+                                        nprobes=(1, 2, 4))
+    return similarity.recall_at_k(curve, exact,
+                                  group_cols=("nprobe",)).select(
         "nprobe", "query_id", "n_exact", "n_hits", "recall")
 
 

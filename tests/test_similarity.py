@@ -257,3 +257,39 @@ def test_ivf_cluster_topk_nprobe_recall_curve(spark):
     assert means[1] < 1.0   # random data: own-list probe must miss some
     with pytest.raises(ValueError):
         ivf_cluster_topk(emb, qids, n_lists=4, nprobe=5)
+
+
+def test_ivf_recall_curve_matches_per_nprobe_calls(spark):
+    """The single-pass curve == the per-nprobe ivf_cluster_topk calls,
+    row for row (same candidates, cosines, ranks); grouped recall_at_k
+    == per-variant recall_at_k."""
+    import pandas as pd
+    from ts2g2_spark.operators.similarity import (
+        cosine_topk, ivf_cluster_topk, ivf_recall_curve, recall_at_k)
+
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    vecs = rng.normal(0, 1.0, (60, 6))
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(60), "embedding": list(map(list, vecs))}))
+    qids = emb.where("vec_id < 8").select("vec_id")
+    curve = ivf_recall_curve(emb, qids, k=4, n_lists=4, nprobes=(1, 2, 4))
+    got = {(r.nprobe, r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in curve.collect()}
+    want = set()
+    for np_ in (1, 2, 4):
+        for r in ivf_cluster_topk(emb, qids, k=4, n_lists=4,
+                                  nprobe=np_).collect():
+            want.add((np_, r.query_id, r.neighbor_id, r.cosine, r.rank))
+    assert got == want
+    exact = cosine_topk(emb, emb.where("vec_id < 8"), k=4)
+    grouped = recall_at_k(curve, exact, group_cols=("nprobe",)).toPandas()
+    for np_ in (1, 2, 4):
+        solo = recall_at_k(
+            curve.where(F.col("nprobe") == np_), exact).toPandas()
+        g = grouped[grouped.nprobe == np_].drop(columns=["nprobe"])
+        m = g.merge(solo, on="query_id", suffixes=("_g", "_s"))
+        assert len(m) == len(solo)
+        for c in ("n_exact", "n_hits", "recall"):
+            assert (m[f"{c}_g"] == m[f"{c}_s"]).all(), (np_, c)

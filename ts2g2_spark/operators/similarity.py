@@ -733,6 +733,7 @@ def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,
     round_dp: int = 6,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-query retrieval recall of an approximate ANN result against
     exact ground truth — the standard index-quality eval.  Both inputs
@@ -741,25 +742,119 @@ def recall_at_k(
     (query_id, n_exact, n_hits, recall = n_hits / n_exact).  Queries
     with an empty exact set produce no row (recall undefined).
 
-    Scale shape: one equi-join on (query_id, neighbor_id) — both sides
-    are O(queries x k) — and one per-query agg.  Exact integer counts,
-    one division, engine-exact."""
+    `group_cols` names extra approx-side columns that partition the
+    approx frame into independent variants sharing ONE ground truth
+    (e.g. the `nprobe` column of `ivf_recall_curve`): the exact set is
+    replicated per observed variant and recall is reported per
+    (variant, query) — one pass instead of one recall join per variant.
+
+    Scale shape: one equi-join on (group cols + query_id, neighbor_id)
+    — both sides are O(variants x queries x k) — and one per-group agg.
+    Exact integer counts, one division, engine-exact."""
+    gcols = list(group_cols)
     # distinct BOTH sides: duplicate (query, neighbor) rows in either
     # frame fan out the left join — exact dups inflate n_exact (the
     # denominator) and approx dups inflate n_hits; both are sets by
     # construction after this (cheap at O(queries x k))
     e = exact.select("query_id", "neighbor_id").distinct()
-    a = approx.select("query_id", "neighbor_id").distinct().select(
-        "query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    a = approx.select(*gcols, "query_id", "neighbor_id").distinct() \
+        .withColumn("_hit", F.lit(1))
+    if gcols:
+        e = e.crossJoin(F.broadcast(approx.select(*gcols).distinct()))
     per = (
-        e.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
+        e.join(F.broadcast(a), [*gcols, "query_id", "neighbor_id"],
+               "left")
+        .groupBy(*gcols, "query_id")
         .agg(F.count(F.lit(1)).alias("n_exact"),
              F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"))
     )
     return per.select(
-        "query_id", "n_exact", "n_hits",
+        *gcols, "query_id", "n_exact", "n_hits",
         F.round(F.col("n_hits").cast("double")
                 / F.col("n_exact").cast("double"), round_dp)
         .alias("recall"),
     )
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """All of `[ivf_cluster_topk(nprobe=np) for np in nprobes]` in ONE
+    corpus pass: probe once at max(nprobes) carrying the probe RANK
+    (the position in the stable (distance, list_id) argsort — exactly
+    the order `ivf_cluster_topk` probes in), score each candidate once,
+    then derive every level's top-k by filtering `probe rank <= np`
+    before the per-(nprobe, query) rank window.  Output rows are
+    identical to the per-nprobe calls, with an added `nprobe` column —
+    pinned by test — but the corpus is scanned, seeded, assigned and
+    scored once instead of len(nprobes) times.
+
+    (nprobe, query_id, neighbor_id, cosine, rank)."""
+    from ts2g2_spark.functions.hashing import h64
+
+    nps = sorted(set(nprobes))
+    if k < 1 or n_lists < 1:
+        raise ValueError("ivf_recall_curve: need k >= 1 and n_lists >= 1")
+    if not nps or nps[0] < 1 or nps[-1] > n_lists:
+        raise ValueError(
+            "ivf_recall_curve: need 1 <= nprobe <= n_lists for every level")
+    src = emb.select(id_col, vec_col).cache()
+    try:
+        seed_rows = (
+            src.orderBy(h64(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_lists).collect())
+        if not seed_rows:
+            return src.sparkSession.createDataFrame([], StructType([
+                StructField("nprobe", IntegerType()),
+                StructField("query_id", src.schema[id_col].dataType),
+                StructField("neighbor_id", src.schema[id_col].dataType),
+                StructField("cosine", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]))
+        cents = np.array([list(r[1]) for r in seed_rows],
+                         dtype=np.float64)
+        assigned = _assign_lists(src, cents, id_col, vec_col,
+                                 form="direct").withColumn(
+            "_nrm", _norm(F.col(vec_col)))
+        qsub = src.join(F.broadcast(query_ids.select(F.col(id_col))),
+                        id_col)
+        q = _ivf_distances(
+            qsub, cents, id_col, vec_col, nprobe=nps[-1], form="direct"
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+            F.posexplode("probe_lists").alias("_pr0", "list_id"))
+        c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("cv"),
+                            F.col("_nrm").alias("cn"), "list_id")
+        scored = (
+            c.join(F.broadcast(q), "list_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "neighbor_id",
+                (F.col("_pr0") + 1).alias("_pr"),
+                F.round(_dot(F.col("qv"), F.col("cv"))
+                        / (F.col("qn") * F.col("cn")),
+                        round_dp).alias("cosine"),
+            )
+        )
+        levels = src.sparkSession.createDataFrame(
+            [(n,) for n in nps], "nprobe int")
+        cand = scored.join(F.broadcast(levels),
+                           scored["_pr"] <= F.col("nprobe"))
+        w = Window.partitionBy("nprobe", "query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id"))
+        res = cand.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        ).select("nprobe", "query_id", "neighbor_id", "cosine", "rank")
+        return res.localCheckpoint(eager=True)
+    finally:
+        src.unpersist()
