@@ -3683,6 +3683,42 @@ def q_pii_counts(spark, sf_dir):
     return text_ops.pii_counts(_docs(spark, sf_dir))
 
 
+def q_pii_redact(spark, sf_dir):
+    """Typed-placeholder PII redaction (text.redact_pii, r5) — the
+    enforcement half of the pii_counts census.  The synthetic corpus
+    carries no PII by construction, so each doc gets a deterministic
+    planted suffix (email/URL/IP/phone/long-id derived from doc_id,
+    built identically in both engines); the oracle replays the chained
+    global regexp_replace in the same PII_PATTERNS order and the md5 of
+    the full redacted text is value-checked — placeholder content,
+    span boundaries and ordering all hash-pinned."""
+    from ts2g2_spark.operators import text as text_ops
+
+    d = F.col("doc_id").cast("string")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), d,
+            F.lit("@example.com via https://ex.org/p/"), d,
+            F.lit(" or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567 ref 98765432100"),
+        ).alias("text"))
+    return text_ops.redact_pii(planted).select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"))
+
+
+def _pii_redact_sql() -> str:
+    from ts2g2_spark.operators.text import PII_PATTERNS, PII_REDACTIONS
+
+    expr = ("text || ' contact user' || doc_id || "
+            "'@example.com via https://ex.org/p/' || doc_id || "
+            "' or 10.0.' || (doc_id % 256) || "
+            "'.7 call 555-123-4567 ref 98765432100'")
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '{PII_REDACTIONS[name]}', 'g')"
+    return f"select doc_id, md5({expr}) as redacted_md5 from documents"
+
+
 def _pii_sql() -> str:
     from ts2g2_spark.operators.text import PII_PATTERNS
 
@@ -7224,6 +7260,7 @@ _RAW_QUERIES = {
         "lsh_hot_capped": q_lsh_hot_capped,
         "media_features_real": q_media_features_real,
         "ivf_recall_nprobe": q_ivf_recall_nprobe,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -7279,6 +7316,7 @@ def oracle_sql() -> dict[str, str]:
                                        candidates_only=True),
         "media_features_real": MEDIA_FEATURES_REAL_SQL,
         "ivf_recall_nprobe": IVF_RECALL_NPROBE_SQL,
+        "pii_redact": _pii_redact_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
         "link_value_range": LINK_VALUE_RANGE_SQL,

@@ -712,3 +712,29 @@ def test_bm25_topk_edges(spark):
     assert list(a.score) == list(bq.score)
     with pytest.raises(ValueError):
         text_ops.bm25_topk(docs, [])
+
+
+def test_redact_pii_typed_placeholders(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail jane.doe+x@example.co.uk, see "
+                "https://example.com/a?b=1 or 10.0.0.1, "
+                "call 555-123-4567, order 123456789012 now"),
+            (1, "plain text untouched"),
+            (2, None),
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: r.redacted
+           for r in text_ops.redact_pii(df).collect()}
+    assert out[0] == ("mail <EMAIL>, see <URL> or <IP>, "
+                      "call <PHONE>, order <ID> now")
+    assert out[1] == "plain text untouched"  # no-op on clean text
+    assert out[2] is None                    # NULL text stays NULL
+    # redacted text carries no remaining PII spans
+    from pyspark.sql import functions as F
+
+    red = text_ops.redact_pii(df).select(
+        "doc_id", F.col("redacted").alias("text"))
+    counts = {r.doc_id: r.pii_total
+              for r in text_ops.pii_counts(red).collect()}
+    assert counts[0] == 0 and counts[1] == 0

@@ -325,6 +325,35 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", *[c.alias(name) for name, c in cols.items()])
 
 
+PII_REDACTIONS = {
+    "n_emails": "<EMAIL>",
+    "n_urls": "<URL>",
+    "n_ipv4": "<IP>",
+    "n_phones": "<PHONE>",
+    "n_long_digits": "<ID>",
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Typed-placeholder PII redaction — the enforcement half of the
+    `pii_counts` census: every `PII_PATTERNS` span is replaced by its
+    type tag (<EMAIL>, <URL>, <IP>, <PHONE>, <ID>), preserving the
+    surrounding text for training instead of dropping the document.
+
+    Deterministic by construction: patterns apply in the FIXED
+    PII_PATTERNS dict order (emails before URLs before numeric shapes),
+    each replacing ALL non-overlapping matches left-to-right — the
+    identical chained global regexp_replace replays in any RE2-class
+    engine, so the redacted text itself is value-verifiable.  Map-only:
+    one projection, no shuffle, no Python."""
+    t = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        t = F.regexp_replace(t, pat, PII_REDACTIONS[name])
+    return docs.withColumn(out_col, t)
+
+
 def _norm_words(text_col: str) -> Column:
     """Normalized word array (lowercase, punctuation stripped, no empty
     tokens) — the token stream the corpus-statistics operators share."""
