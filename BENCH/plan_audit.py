@@ -53,6 +53,13 @@ AUDIT = [
     # round 3 session 9 additions
     "tier_refresh_late", "holt_forecast_12", "theil_sen_trend",
     "mann_kendall", "graph_mixing_hvg", "betweenness_hvg", "psi_drift",
+    # round 4 additions
+    "line_dedup", "semantic_dedup", "incremental_dedup", "bm25_top10",
+    "heaps_law", "dedup_survivors", "slo_burn_alerts", "ks_drift",
+    "ivf_recall_top5", "rolling_p95_1h",
+    # round 5 additions
+    "lsh_hot_capped", "media_features_real", "ivf_recall_nprobe",
+    "path_metrics_hvg", "pii_redact",
 ]
 
 
@@ -133,6 +140,15 @@ def main() -> None:
         "exchanges) — the distributed work they did is audited in their "
         "operator docstrings and pinned by tests, not visible in this "
         "lazy-plan dump.",
+        "",
+        "Reading note 2: queries built on a `.cache()`d multi-consumer "
+        "frame (`heaps_law`, `ks_drift`, `bm25_top10`, `ar2_forecast_12`) "
+        "print that frame's full lineage once PER CONSUMER in the "
+        "initial-plan text, inflating their exchange counts here; at "
+        "runtime the cache materializes the subtree once and every "
+        "consumer reads the InMemoryRelation (the whole point of the "
+        "round-4 cache fix — see their `cache=True` docstrings and the "
+        "bench timings).",
     ]
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("\n".join(md) + "\n")
