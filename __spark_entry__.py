@@ -4365,10 +4365,19 @@ def q_pelt_daily(spark, sf_dir):
     DAILY bucket means (seriesstats.pelt_changepoints, r4; Killick et
     al. 2012, L2 mean-shift cost, penalty 2000 ≈ BIC-scale for these
     variances — ~3 segments/series at sf0.001) — the exact-optimal
-    multi-break sibling of cusum_changepoint.  Rows-only by design: the
-    pruned DP's control flow is data-dependent (the matrix_profile /
-    eigensolver class); the kernel is pinned by an exhaustive-DP parity
-    test plus planted-shift recovery in tests/test_seriesstats.py."""
+    multi-break sibling of cusum_changepoint.  ORACLED in r5 (was
+    rows-only): the kernel provably equals the exhaustive O(n^2) DP
+    (pinned by the 45k-series fuzz), and THAT is what DuckDB replays —
+    sequential prefix sums via a linear recursion (DuckDB's window
+    cumsum is a segment tree, NOT bit-identical to numpy's left fold —
+    measured 58/150 users differ in the last ulp), the DP unrolled as
+    64 chained CTEs with one promoted row per position (a recursive CTE
+    cannot both carry the F table and aggregate over it in its
+    single working-table reference), first-min ties to the smallest
+    candidate, and the same float op order as _pelt_segments term for
+    term.  Series longer than 64 daily buckets (none exist at any
+    tested sf; max is 30) would drop segments and FAIL the hash loudly,
+    never silently pass."""
     from ts2g2_spark.operators.seriesstats import (bucket_means,
                                                    pelt_changepoints)
 
@@ -4378,6 +4387,84 @@ def q_pelt_daily(spark, sf_dir):
         b.select("user_id", F.col("bucket_ts").alias("ts"),
                  F.col("y").alias("value")),
         penalty=2000.0)
+
+
+def _pelt_dp_sql(beta=2000.0, msz=2, t_max=64):
+    """Exhaustive-DP SQL twin of q_pelt_daily: sequential prefix sums via
+    a linear recursion (DuckDB window cumsum is segment-tree, NOT
+    left-fold bit-identical), DP unrolled as chained CTEs f1..f{t_max}
+    (one promoted row per position), backtrack via the materialized
+    pointer table.  Float op order matches _pelt_segments exactly."""
+    steps = []
+    for t in range(1, t_max + 1):
+        tot = (f"((c.f + ((pt.s2 - pc.s2) - ((pt.s1 - pc.s1) * "
+               f"(pt.s1 - pc.s1)) / ({t} - c.s))) + {beta!r})")
+        steps.append(f"""f{t} as materialized (
+  select * from f{t - 1}
+  union all
+  select user_id, s, f, prev from (
+    select c.user_id, {t} as s, {tot} as f, c.s as prev,
+           row_number() over (partition by c.user_id
+                              order by {tot}, c.s) as rn
+    from f{t - 1} c
+    join nn on nn.user_id = c.user_id and nn.n >= {t}
+    join ps pt on pt.user_id = c.user_id and pt.t = {t}
+    join ps pc on pc.user_id = c.user_id and pc.t = c.s
+    where {t} - c.s >= {msz}
+  ) where rn = 1
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+with recursive b as (
+  select user_id, date_trunc('day', ts) as bucket_ts,
+         round(avg(value::DOUBLE), 6) as y
+  from events group by 1, 2
+),
+ord as (
+  select user_id,
+         row_number() over (partition by user_id order by bucket_ts) as t,
+         y
+  from b
+),
+nn as materialized (select user_id, max(t) as n from ord group by 1),
+ps0 as (
+  select user_id, 0 as t, 0.0::DOUBLE as s1, 0.0::DOUBLE as s2 from nn
+  union all
+  select p.user_id, p.t + 1, p.s1 + o.y, p.s2 + o.y * o.y
+  from ps0 p join ord o on o.user_id = p.user_id and o.t = p.t + 1
+),
+ps as materialized (select * from ps0),
+f0 as (select user_id, 0 as s, ({-beta!r})::DOUBLE as f, 0 as prev
+       from nn),
+{chain},
+fx as materialized (select * from f{t_max}),
+bt0 as (
+  select f.user_id, f.s as endp, f.prev as startp
+  from fx f join nn on nn.user_id = f.user_id and f.s = nn.n
+  union all
+  select b.user_id, f.s, f.prev
+  from bt0 b join fx f on f.user_id = b.user_id and f.s = b.startp
+  where b.startp > 0
+),
+segs as (
+  select user_id, startp, endp,
+         row_number() over (partition by user_id order by startp) - 1
+           as seg_id
+  from bt0
+)
+select g.user_id, g.seg_id::BIGINT as seg_id,
+       g.startp::BIGINT as start_pos, g.endp::BIGINT as end_pos,
+       (g.endp - g.startp)::BIGINT as n_points,
+       floor(((pe.s1 - pb.s1) / (g.endp - g.startp)) * 1e6 + 0.5) / 1e6
+         as seg_mean,
+       floor(greatest((pe.s2 - pb.s2)
+                      - ((pe.s1 - pb.s1) * (pe.s1 - pb.s1))
+                        / (g.endp - g.startp), 0.0) * 1e6 + 0.5) / 1e6
+         as seg_cost
+from segs g
+join ps pe on pe.user_id = g.user_id and pe.t = g.endp
+join ps pb on pb.user_id = g.user_id and pb.t = g.startp
+"""
 
 
 def q_ks_drift(spark, sf_dir):
@@ -7317,6 +7404,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features_real": MEDIA_FEATURES_REAL_SQL,
         "ivf_recall_nprobe": IVF_RECALL_NPROBE_SQL,
         "pii_redact": _pii_redact_sql(),
+        "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
         "link_value_range": LINK_VALUE_RANGE_SQL,
