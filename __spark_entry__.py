@@ -1929,9 +1929,10 @@ def q_ivf_recall_nprobe(spark, sf_dir):
         emb, emb.where(F.col("vec_id") < 50), k=5)
     curve = similarity.ivf_recall_curve(emb, qids, k=5, n_lists=8,
                                         nprobes=(1, 2, 4))
-    return similarity.recall_at_k(curve, exact,
-                                  group_cols=("nprobe",)).select(
-        "nprobe", "query_id", "n_exact", "n_hits", "recall")
+    return similarity.recall_at_k(
+        curve, exact, group_cols=("nprobe",),
+        group_values=[(1,), (2,), (4,)],
+    ).select("nprobe", "query_id", "n_exact", "n_hits", "recall")
 
 
 IVF_RECALL_NPROBE_SQL = _IVF_CONTRACT_CTES + """,
@@ -4450,7 +4451,14 @@ segs as (
   select user_id, startp, endp,
          row_number() over (partition by user_id order by startp) - 1
            as seg_id
-  from bt0
+  from (
+    select user_id, startp, endp from bt0
+    union all
+    -- series shorter than min_size: the kernel's DP loop is empty and
+    -- its backtrack emits the degenerate single segment (0, n) — the
+    -- f-chain never promotes such a position, so emit it directly
+    select user_id, 0 as startp, n as endp from nn where n < {msz}
+  )
 )
 select g.user_id, g.seg_id::BIGINT as seg_id,
        g.startp::BIGINT as start_pos, g.endp::BIGINT as end_pos,

@@ -293,3 +293,25 @@ def test_ivf_recall_curve_matches_per_nprobe_calls(spark):
         assert len(m) == len(solo)
         for c in ("n_exact", "n_hits", "recall"):
             assert (m[f"{c}_g"] == m[f"{c}_s"]).all(), (np_, c)
+
+
+def test_recall_at_k_group_values_keeps_empty_variants(spark):
+    """An index level with ZERO approx rows must read as recall 0, not
+    vanish: group_values pins the variant set independent of the data."""
+    from ts2g2_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(2, 1, 10)], "nprobe int, query_id long, neighbor_id long")
+    out = recall_at_k(approx, exact, group_cols=("nprobe",),
+                      group_values=[(1,), (2,)]).toPandas()
+    assert sorted(out.nprobe.unique()) == [1, 2]
+    lvl1 = out[out.nprobe == 1]
+    assert (lvl1.n_hits == 0).all() and (lvl1.recall == 0.0).all()
+    assert len(lvl1) == 2  # both queries present with zero recall
+    lvl2 = out[(out.nprobe == 2) & (out.query_id == 1)]
+    assert lvl2.n_hits.iloc[0] == 1
+    # derived mode (no group_values) drops the empty level — documented
+    derived = recall_at_k(approx, exact, group_cols=("nprobe",)).toPandas()
+    assert sorted(derived.nprobe.unique()) == [2]

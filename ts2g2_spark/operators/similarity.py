@@ -666,67 +666,19 @@ def ivf_cluster_topk(
 
     Eager API like ivf_topk/semantic_dedup: one cached source scan
     (seed collect + assignment), O(queries x k) result checkpointed
-    before the cache releases."""
-    from ts2g2_spark.functions.hashing import h64
-
+    before the cache releases.  Thin wrapper over `ivf_recall_curve`
+    with a single probe level (row-identical by the pinned parity
+    test) — ONE implementation of the seeding/assignment/probing/
+    scoring contract, so a tie-break or rounding change cannot
+    desynchronize the two surfaces."""
     if k < 1 or n_lists < 1:
         raise ValueError("ivf_cluster_topk: need k >= 1 and n_lists >= 1")
     if not 1 <= nprobe <= n_lists:
         raise ValueError("ivf_cluster_topk: need 1 <= nprobe <= n_lists")
-    src = emb.select(id_col, vec_col).cache()
-    try:
-        seed_rows = (
-            src.orderBy(h64(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(n_lists).collect())
-        if not seed_rows:
-            return src.sparkSession.createDataFrame([], StructType([
-                StructField("query_id", src.schema[id_col].dataType),
-                StructField("neighbor_id", src.schema[id_col].dataType),
-                StructField("cosine", DoubleType()),
-                StructField("rank", IntegerType()),
-            ]))
-        cents = np.array([list(r[1]) for r in seed_rows],
-                         dtype=np.float64)
-        assigned = _assign_lists(src, cents, id_col, vec_col,
-                                 form="direct").withColumn(
-            "_nrm", _norm(F.col(vec_col)))
-        if nprobe == 1:
-            q = assigned.join(
-                F.broadcast(query_ids.select(F.col(id_col))), id_col
-            ).select(F.col(id_col).alias("query_id"),
-                     F.col(vec_col).alias("qv"),
-                     F.col("_nrm").alias("qn"), "list_id")
-        else:
-            qsub = src.join(
-                F.broadcast(query_ids.select(F.col(id_col))), id_col)
-            q = _ivf_distances(
-                qsub, cents, id_col, vec_col, nprobe=nprobe,
-                form="direct"
-            ).select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
-                _norm(F.col(vec_col)).alias("qn"),
-                F.explode("probe_lists").alias("list_id"))
-        c = assigned.select(F.col(id_col).alias("neighbor_id"),
-                            F.col(vec_col).alias("cv"),
-                            F.col("_nrm").alias("cn"), "list_id")
-        scored = (
-            c.join(F.broadcast(q), "list_id")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id", "neighbor_id",
-                F.round(_dot(F.col("qv"), F.col("cv"))
-                        / (F.col("qn") * F.col("cn")),
-                        round_dp).alias("cosine"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine"), F.asc("neighbor_id"))
-        res = scored.withColumn("rank", F.row_number().over(w)).where(
-            F.col("rank") <= k)
-        return res.localCheckpoint(eager=True)
-    finally:
-        src.unpersist()
+    return ivf_recall_curve(
+        emb, query_ids, k=k, n_lists=n_lists, nprobes=(nprobe,),
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    ).drop("nprobe")
 
 
 def recall_at_k(
@@ -734,6 +686,7 @@ def recall_at_k(
     exact: DataFrame,
     round_dp: int = 6,
     group_cols: tuple[str, ...] = (),
+    group_values: list[tuple] | None = None,
 ) -> DataFrame:
     """Per-query retrieval recall of an approximate ANN result against
     exact ground truth — the standard index-quality eval.  Both inputs
@@ -745,8 +698,13 @@ def recall_at_k(
     `group_cols` names extra approx-side columns that partition the
     approx frame into independent variants sharing ONE ground truth
     (e.g. the `nprobe` column of `ivf_recall_curve`): the exact set is
-    replicated per observed variant and recall is reported per
-    (variant, query) — one pass instead of one recall join per variant.
+    replicated per variant and recall is reported per (variant, query)
+    — one pass instead of one recall join per variant.  Pass
+    `group_values` (one tuple per variant) when the variant set is
+    known: a variant with ZERO approx rows then still yields its
+    recall=0 rows (derived-from-data variants would silently vanish —
+    an empty index level should read as recall 0, not as absent), and
+    the approx lineage isn't scanned a second time for the distinct.
 
     Scale shape: one equi-join on (group cols + query_id, neighbor_id)
     — both sides are O(variants x queries x k) — and one per-group agg.
@@ -760,7 +718,15 @@ def recall_at_k(
     a = approx.select(*gcols, "query_id", "neighbor_id").distinct() \
         .withColumn("_hit", F.lit(1))
     if gcols:
-        e = e.crossJoin(F.broadcast(approx.select(*gcols).distinct()))
+        if group_values is not None:
+            groups = approx.sparkSession.createDataFrame(
+                [tuple(v) for v in group_values],
+                approx.select(*gcols).schema)
+        else:
+            # derive from the already-projected frame (not the full
+            # approx lineage); an all-empty variant cannot appear here
+            groups = a.select(*gcols).distinct()
+        e = e.crossJoin(F.broadcast(groups))
     per = (
         e.join(F.broadcast(a), [*gcols, "query_id", "neighbor_id"],
                "left")
