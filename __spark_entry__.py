@@ -7141,6 +7141,185 @@ def _with_confs(fn):
     return wrapped
 
 
+def q_int8_recall_top5(spark, sf_dir):
+    """Recall@5 of int8-quantized brute-force cosine ANN against the
+    float-exact ground truth (r5) — pricing the 4x memory saving of a
+    quantized 100-TB embedding store in recall.  Quantization
+    (per-vector symmetric scale, floor half-up codes) and the quantized
+    cosine are ENGINE-EXACT (integer sums < 2^53, one sqrt + one divide
+    — see similarity.quantized_cosine_topk), so unlike the LSH/IVF
+    approximations this ANN variant is value-verified end to end:
+    codes, rounded cosines, top-5 membership and the recall counts all
+    pin the hash."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"))
+    qids = emb.where(F.col("vec_id") < 50).select("vec_id")
+    exact = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50), k=5)
+    approx = similarity.quantized_cosine_topk(
+        similarity.quantize_embeddings(emb), qids, k=5)
+    return similarity.recall_at_k(approx, exact).select(
+        "query_id", "n_exact", "n_hits", "recall")
+
+
+INT8_RECALL_SQL = """
+with e as (
+  select vec_id, embedding::DOUBLE[] as v from embeddings
+),
+s as (
+  select vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0
+           as scale
+  from e
+),
+q8 as (
+  select vec_id,
+         list_transform(v, x -> greatest(-127.0, least(127.0,
+           floor(x / scale + 0.5)))) as qv
+  from s
+),
+n2 as (
+  select vec_id, qv, list_dot_product(qv, qv) as nn from q8
+  where list_dot_product(qv, qv) > 0
+),
+exact as (
+  select query_id, neighbor_id from (
+    select q0.vec_id as query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by q0.vec_id
+                              order by list_cosine_similarity(q0.v, c.v)
+                                       desc, c.vec_id asc) as rank
+    from (select * from e where vec_id < 50) q0
+    cross join e c
+    where c.vec_id != q0.vec_id
+  ) where rank <= 5
+),
+approx as (
+  select query_id, neighbor_id from (
+    select q.vec_id as query_id, c.vec_id as neighbor_id,
+           -- the engine's floor quantizer on the engine-exact cosine
+           row_number() over (partition by q.vec_id
+                              order by floor(list_dot_product(q.qv, c.qv)
+                                / sqrt(q.nn * c.nn) * 1000000.0 + 0.5)
+                                / 1000000.0 desc, c.vec_id asc) as rank
+    from (select * from n2 where vec_id < 50) q
+    cross join n2 c
+    where c.vec_id != q.vec_id
+  ) where rank <= 5
+)
+select x.query_id, count(*)::BIGINT as n_exact,
+       coalesce(sum(case when a.neighbor_id is not null then 1 end), 0)
+         ::BIGINT as n_hits,
+       round(coalesce(sum(case when a.neighbor_id is not null then 1 end),
+                      0)::DOUBLE / count(*)::DOUBLE, 6) as recall
+from exact x
+left join approx a
+  on a.query_id = x.query_id and a.neighbor_id = x.neighbor_id
+group by 1
+"""
+
+
+def q_normalize_unicode(spark, sf_dir):
+    """Unicode/whitespace/control cleanup (text.normalize_unicode, r5)
+    — the pre-dedup canonicalization stage.  The corpus is ASCII by
+    construction, so each doc gets a deterministic planted suffix
+    exercising every rule: a decomposed accent (e + U+0301) and ring
+    (A + U+030A) that NFC must compose, a bare control (BEL) to strip,
+    and tab/CR/double-space runs to collapse.  The oracle rebuilds the
+    same plant with chr() and replays strip -> utf8proc nfc_normalize
+    -> collapse -> trim; char counts before/after and the md5 of the
+    normalized text pin composition, stripping and collapse exactly
+    (pandas/unicodedata NFC == DuckDB utf8proc — parity is the test)."""
+    from ts2g2_spark.operators import text as text_ops
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" café Å"),
+            F.lit("\x07"), F.lit(" tab\tend\r"),
+            F.lit("x  y "),
+        ).alias("text"))
+    out = text_ops.normalize_unicode(planted)
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length("norm_text").alias("n_chars_norm"),
+        F.md5("norm_text").alias("norm_md5"))
+
+
+NORMALIZE_UNICODE_SQL = r"""
+with p as (
+  select doc_id,
+         text || ' cafe' || chr(769) || ' A' || chr(778) || chr(7)
+              || ' tab' || chr(9) || 'end' || chr(13) || 'x  y ' as raw
+  from documents
+),
+n as (
+  select doc_id, raw,
+         trim(regexp_replace(
+           nfc_normalize(regexp_replace(
+             raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+           '[ \t\n\r]+', ' ', 'g')) as norm
+  from p
+)
+select doc_id, length(raw)::BIGINT as n_chars_raw,
+       length(norm)::BIGINT as n_chars_norm,
+       md5(norm) as norm_md5
+from n
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-host URL census + blocklist marking (text.domain_stats, r5)
+    — domain-level source hygiene for a web corpus.  The corpus has no
+    URLs by construction, so each doc is planted two deterministic
+    links (a cdn{doc_id%7}.example.com and a www.site{doc_id%13}.org)
+    — 20 hosts with different doc/hit profiles; two are on the planted
+    blocklist.  Extraction regex, lowercasing, per-host distinct-doc
+    and hit counts, and blocklist membership are all value-checked."""
+    from ts2g2_spark.operators import text as text_ops
+
+    d = F.col("doc_id").cast("string")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" see https://CDN"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/x and http://www.site"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".org/p?q="), d,
+        ).alias("text"))
+    return text_ops.domain_stats(
+        planted,
+        blocked_hosts=["cdn3.example.com", "www.site5.org"],
+    ).select("host", "n_docs", "n_hits", "blocked")
+
+
+DOMAIN_STATS_SQL = """
+with p as (
+  select doc_id,
+         lower(text || ' see https://CDN' || (doc_id % 7)
+               || '.example.com/x and http://www.site' || (doc_id % 13)
+               || '.org/p?q=' || doc_id) as t
+  from documents
+),
+h as (
+  select doc_id,
+         unnest(regexp_extract_all(t, 'https?://([a-z0-9.-]+)', 1)) as host
+  from p
+)
+select host, count(distinct doc_id)::BIGINT as n_docs,
+       count(*)::BIGINT as n_hits,
+       host in ('cdn3.example.com', 'www.site5.org') as blocked
+from h
+group by 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -7356,6 +7535,9 @@ _RAW_QUERIES = {
         "media_features_real": q_media_features_real,
         "ivf_recall_nprobe": q_ivf_recall_nprobe,
         "pii_redact": q_pii_redact,
+        "int8_recall_top5": q_int8_recall_top5,
+        "normalize_unicode": q_normalize_unicode,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -7412,6 +7594,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features_real": MEDIA_FEATURES_REAL_SQL,
         "ivf_recall_nprobe": IVF_RECALL_NPROBE_SQL,
         "pii_redact": _pii_redact_sql(),
+        "int8_recall_top5": INT8_RECALL_SQL,
+        "normalize_unicode": NORMALIZE_UNICODE_SQL,
+        "domain_stats": DOMAIN_STATS_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -42,6 +42,9 @@ HEADLINE_QUERIES = [
     "qg_edges_q4", "link_correlation", "dedup_exact",
     "minhash_lsh_candidates", "simhash_near", "ann_cosine_top5",
     "corpus_clean", "rollup_tiers_tokens",
+    # round-5 family representatives
+    "lsh_hot_capped", "ivf_recall_nprobe", "media_features_real",
+    "pii_redact", "int8_recall_top5",
 ]
 
 

@@ -315,3 +315,61 @@ def test_recall_at_k_group_values_keeps_empty_variants(spark):
     # derived mode (no group_values) drops the empty level — documented
     derived = recall_at_k(approx, exact, group_cols=("nprobe",)).toPandas()
     assert sorted(derived.nprobe.unique()) == [2]
+
+
+# --- int8 quantization (round 5) -------------------------------------------
+
+
+def test_quantize_embeddings_codes(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125, 0.0]),
+         (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in
+            similarity.quantize_embeddings(df).collect()}
+    # max |element| always maps to +-127; others scale linearly
+    # -0.25/scale = -63.5: the floor quantizer is half-up toward +inf
+    # (floor(-63.5 + 0.5) = -63), matching kernels.quantize_ieee
+    assert rows[1].qvec == [127, -63, 32, 0]
+    assert rows[1].scale == pytest.approx(0.5 / 127.0)
+    # all-zero vector: floor-guarded scale, all-zero codes (not a crash)
+    assert rows[2].qvec == [0, 0, 0, 0]
+
+
+def test_quantized_topk_contract(spark):
+    # hand-built 2-d codes: exact cosines are rationals over small ints
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0]),
+         (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q8 = similarity.quantize_embeddings(df)
+    qids = df.where(F.col("vec_id") == 0).select("vec_id")
+    got = similarity.quantized_cosine_topk(q8, qids, k=3).collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert got[0].cosine == pytest.approx(1.0, abs=1e-4)  # ~parallel
+    assert got[1].cosine == 0.0   # orthogonal
+    assert got[2].cosine == -1.0  # antipodal
+
+
+def test_quantized_recall_near_one(spark, emb, exact):
+    # 64-dim int8 keeps brute-force top-5 membership almost intact
+    q8 = similarity.quantize_embeddings(emb)
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.quantized_cosine_topk(q8, qids, k=5)
+           .collect()}
+    assert len(got) == 25
+    assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_quantized_topk_drops_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q8 = similarity.quantize_embeddings(df)
+    got = similarity.quantized_cosine_topk(
+        q8, df.select("vec_id"), k=5).collect()
+    ids = {(r.query_id, r.neighbor_id) for r in got}
+    # the zero vector appears on neither side
+    assert ids == {(0, 1), (1, 0)}

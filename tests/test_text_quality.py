@@ -738,3 +738,75 @@ def test_redact_pii_typed_placeholders(spark):
     counts = {r.doc_id: r.pii_total
               for r in text_ops.pii_counts(red).collect()}
     assert counts[0] == 0 and counts[1] == 0
+
+
+# --- normalize_unicode + domain ops (round 5) -------------------------------
+
+
+def test_normalize_unicode_rules(spark):
+    from ts2g2_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "café  x"),        # decomposed -> composed, collapse
+         (2, "a\x07b\x0c c"),          # controls stripped (\f too)
+         (3, "  tab\tend\r\nz  "),     # ws runs -> single space, trim
+         (4, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.norm_text
+            for r in normalize_unicode(df).collect()}
+    assert rows[1] == "café x"
+    assert len(rows[1]) == 6  # composed: one codepoint for é
+    assert rows[2] == "ab c"
+    assert rows[3] == "tab end z"
+    assert rows[4] is None
+
+
+def test_normalize_unicode_ascii_identity(spark):
+    from ts2g2_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame([(1, "plain ascii text")],
+                               "doc_id long, text string")
+    assert normalize_unicode(df).head().norm_text == "plain ascii text"
+
+
+@pytest.fixture(scope="module")
+def url_docs(spark):
+    return spark.createDataFrame(
+        [(1, "see https://A.example.com/x and http://b.org/y"),
+         (2, "again https://a.example.com/z stuff"),
+         (3, "no links here"),
+         (4, "dup https://a.example.com/1 https://a.example.com/2")],
+        "doc_id long, text string")
+
+
+def test_url_hosts_extraction(spark, url_docs):
+    from ts2g2_spark.operators.text import url_hosts
+
+    got = sorted((r.doc_id, r.host) for r in url_hosts(url_docs).collect())
+    assert got == [(1, "a.example.com"), (1, "b.org"),
+                   (2, "a.example.com"),
+                   (4, "a.example.com"), (4, "a.example.com")]
+
+
+def test_domain_stats_counts_and_blocklist(spark, url_docs):
+    from ts2g2_spark.operators.text import domain_stats
+
+    rows = {r.host: r for r in domain_stats(
+        url_docs, blocked_hosts=["b.org"]).collect()}
+    assert rows["a.example.com"].n_docs == 3
+    assert rows["a.example.com"].n_hits == 4
+    assert not rows["a.example.com"].blocked
+    assert rows["b.org"].n_docs == 1 and rows["b.org"].blocked
+
+
+def test_blocklist_filter_drops_linking_docs(spark, url_docs):
+    from ts2g2_spark.operators.text import blocklist_filter
+
+    kept = sorted(r.doc_id for r in blocklist_filter(
+        url_docs, ["a.example.com"]).collect())
+    # doc 1 matches via the lowercased A.example.com link; only 3 survives
+    assert kept == [3]
+    assert sorted(r.doc_id for r in blocklist_filter(
+        url_docs, ["b.org"]).collect()) == [2, 3, 4]
+    # empty blocklist is the identity
+    assert blocklist_filter(url_docs, []).count() == 4

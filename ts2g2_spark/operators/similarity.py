@@ -824,3 +824,101 @@ def ivf_recall_curve(
         return res.localCheckpoint(eager=True)
     finally:
         src.unpersist()
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 127,
+) -> DataFrame:
+    """Per-vector symmetric integer quantization of an embedding column —
+    the standard memory lever for web-scale ANN: int8 codes are 4x
+    smaller than float32, so a 100-TB embedding store becomes 25 TB and
+    4x more vectors fit in executor memory per scan (SCALE.md has the
+    measured recall cost).
+
+    scale = max(|v_i|) / n_levels (floored at 1e-30 so an all-zero
+    vector quantizes to zeros instead of dividing by zero), and each
+    code is clamp(floor(v_i / scale + 0.5), -n_levels, n_levels) — the
+    repo's half-up-toward-+inf floor quantizer (kernels.quantize_ieee
+    semantics), NOT decimal round(), so every engine computes the exact
+    same code from the same IEEE ops.  The max element always maps to
+    +-n_levels, so a nonzero vector never quantizes to all zeros.
+
+    (id, qvec: array<int>, scale: double).  Everything stays in
+    whole-stage codegen: array_max / transform / floor — zero Python,
+    zero shuffle (map-only)."""
+    if n_levels < 1 or n_levels > 32767:
+        raise ValueError("quantize_embeddings: need 1 <= n_levels <= 32767")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    emb = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30))
+         / F.lit(float(n_levels))).alias("scale"),
+    )
+    lo, hi = F.lit(-n_levels).cast("long"), F.lit(n_levels).cast("long")
+    qv = F.transform(
+        F.col("_v"),
+        lambda x: F.greatest(lo, F.least(hi, F.floor(
+            x / F.col("scale") + F.lit(0.5)))).cast("int"),
+    )
+    return emb.select(id_col, qv.alias("qvec"), "scale")
+
+
+def quantized_cosine_topk(
+    qcorpus: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k over quantized codes (the
+    measurable half of the int8 story: `recall_at_k` against the
+    float-exact `cosine_topk` prices the 4x memory saving in recall).
+
+    Cosine over integer codes is ENGINE-EXACT end to end: the dot and
+    both squared norms are integer sums (exact in doubles up to 2^53 —
+    n_levels=127 x dim 64 tops out at ~6.6e7, and the norm product at
+    ~4.4e15), so sqrt and the final divide are single correctly-rounded
+    IEEE ops every engine agrees on.  Scale factors cancel in cosine,
+    so they are not read at all.  Ranking uses the floor quantizer
+    (floor(cos * 10^dp + 0.5) / 10^dp) with id tie-break — same
+    rounded-before-rank contract as ivf_cluster_topk, but here the
+    pre-rounding value is already bit-identical cross-engine.
+
+    Queries are a broadcast id list resolved against the corpus (corpus
+    members, like the IVF contract); self-matches excluded.  One corpus
+    scan, one broadcast join — no shuffle on the corpus side.  All-zero
+    codes (only an all-zero input vector produces one) are dropped from
+    both sides — cosine is undefined there, and the filter keeps the
+    divide total under ANSI.
+
+    (query_id, neighbor_id, cosine, rank)."""
+    if k < 1:
+        raise ValueError("quantized_cosine_topk: need k >= 1")
+    n2 = _dot(F.col(qvec_col), F.col(qvec_col))
+    c = qcorpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(qvec_col).alias("cq"), n2.alias("cn2"),
+    ).where(F.col("cn2") > 0)
+    q = c.join(
+        F.broadcast(query_ids.select(F.col(id_col).alias("neighbor_id"))),
+        "neighbor_id",
+    ).select(F.col("neighbor_id").alias("query_id"),
+             F.col("cq").alias("qq"), F.col("cn2").alias("qn2"))
+    scale = float(10 ** round_dp)
+    cos = (_dot(F.col("qq"), F.col("cq"))
+           / F.sqrt(F.col("qn2") * F.col("cn2")))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (F.floor(cos * scale + F.lit(0.5)) / scale).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -1062,3 +1062,105 @@ def collocations(
     )
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2").limit(k)
+
+
+# --- unicode normalization (CCNet-style cleanup stage) ---------------------
+
+# C0 controls + DEL, KEEPING the whitespace controls tab/newline/CR (those
+# are whitespace, handled by the collapse step) — \f (\x0C) and \x0B are
+# stripped as controls.  Explicit ranges: RE2 (DuckDB oracle) has no Java
+# char-class intersection syntax.
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_COLLAPSE_WS_RE = "[ \t\n\r]+"
+
+
+def normalize_unicode(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text cleanup, the stage every web pipeline runs BEFORE
+    dedup/quality so byte-level variants of the same text (decomposed
+    accents, stray controls, ragged whitespace) hash identically:
+
+      1. strip C0 control chars + DEL (keeping tab/newline/CR),
+      2. Unicode NFC (composed canonical form),
+      3. collapse whitespace runs to one space, trim.
+
+    Steps 1 and 3 are Catalyst regexp_replace (codegen'd, map-only).
+    NFC has no Spark built-in, so step 2 is the documented slow-path
+    exception: an Arrow-batched pandas UDF over pandas
+    ``.str.normalize('NFC')`` (stdlib unicodedata) — which agrees with
+    DuckDB's utf8proc ``nfc_normalize`` (pyarrow 16's utf8_normalize
+    does NOT compose and is deliberately not used; parity verified in
+    tests).  Zero shuffles: the whole operator is a projection."""
+    # no type-hint form: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf's signature inference rejects
+    _nfc = F.pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_CHARS_RE, "")
+    collapsed = F.trim(
+        F.regexp_replace(_nfc(stripped), _COLLAPSE_WS_RE, " "))
+    return docs.withColumn(out_col, collapsed)
+
+
+# --- URL / domain census + blocklist (web-pipeline source hygiene) ---------
+
+# host capture of an http(s) URL; the text is lowercased first, so the
+# class needs no A-Z.  Identical semantics in Java regex and RE2.
+URL_HOST_RE = "https?://([a-z0-9.-]+)"
+
+
+def url_hosts(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, host) — one row per http(s) URL occurrence in each doc
+    (host = authority chars up to the first '/', ':' or whitespace).
+    Map-only: lower + regexp_extract_all + posexplode stay in codegen."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(URL_HOST_RE), F.lit(1))
+        ).alias("host"),
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    blocked_hosts: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host URL census over the corpus: (host, n_docs, n_hits,
+    blocked) — the diagnostic behind domain-level source filtering
+    (spam/SEO blocklists, crawler allow-lists).  One extraction scan,
+    one hash agg on host; n_docs is an exact distinct (two-level
+    partial agg).  `blocked_hosts` (a small driver-side list by
+    contract — blocklists are dimension-sized) marks membership via an
+    isin literal, never a join."""
+    h = url_hosts(docs, text_col=text_col, id_col=id_col)
+    out = h.groupBy("host").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    blocked = (F.col("host").isin(list(blocked_hosts))
+               if blocked_hosts else F.lit(False))
+    return out.withColumn("blocked", blocked)
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_hosts: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every doc that links to ANY blocked host (the enforcement
+    half of `domain_stats`).  The offending id set is built map-side
+    (isin literal on the exploded hosts, then distinct) and removed
+    with a left-anti join on the id — the doc payload is never
+    shuffled; only ids move."""
+    if not blocked_hosts:
+        return docs
+    bad = (url_hosts(docs, text_col=text_col, id_col=id_col)
+           .where(F.col("host").isin(list(blocked_hosts)))
+           .select(id_col).distinct())
+    return docs.join(bad, id_col, "left_anti")
