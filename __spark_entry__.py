@@ -7222,6 +7222,130 @@ group by 1
 """
 
 
+def q_pq_recall_top5(spark, sf_dir):
+    """Recall@5 of product-quantized ADC top-k (similarity.pq_topk, r5)
+    against float-exact ground truth — the deepest compression point on
+    the ANN memory/recall curve (m=8 subspaces x 16 centroids: a 64-dim
+    float32 vector becomes 4 BYTES, 64x smaller; int8 is the 4x point).
+    Seeding is the IVF contract's md5-h64 scheme (no Lloyd), codes are
+    sequential-fold argmins, the ADC reduction folds the m partials in
+    subspace order — every float op is bit-replayed by DuckDB
+    list_reduce, so codes, ADC cosines, top-5 membership AND the recall
+    counts are all value-verified (like int8_recall_top5, unlike the
+    rows-only ann_lsh/ivf)."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"))
+    qids = emb.where(F.col("vec_id") < 50).select("vec_id")
+    exact = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50), k=5)
+    approx = similarity.pq_topk(emb, qids, dim=64, k=5, m=8, ks=16)
+    return similarity.recall_at_k(approx, exact).select(
+        "query_id", "n_exact", "n_hits", "recall")
+
+
+PQ_RECALL_SQL = """
+with e as materialized (
+  select vec_id, embedding::DOUBLE[] as v from embeddings
+),
+seeds as materialized (
+  select v as sv, row_number() over (
+      order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+               as bigint), vec_id
+    ) - 1 as j
+  from e
+  order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+           as bigint), vec_id
+  limit 16
+),
+cb as materialized (
+  select ss.s, seeds.j,
+         list_transform(generate_series(1, 8),
+                        i -> sv[ss.s * 8 + i]) as c
+  from seeds
+  cross join (select unnest(generate_series(0, 7)) as s) ss
+),
+cb2 as materialized (
+  select s, j, c,
+         list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)),
+                     (a, x) -> a + x) as cnorm2
+  from cb
+),
+codes as materialized (
+  select vec_id, s, j from (
+    select e.vec_id, cb2.s, cb2.j,
+           row_number() over (partition by e.vec_id, cb2.s
+             order by list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 8), i ->
+                 (e.v[cb2.s * 8 + i] - cb2.c[i])
+                 * (e.v[cb2.s * 8 + i] - cb2.c[i]))),
+               (a, x) -> a + x), cb2.j) as rn
+    from e cross join cb2
+  ) where rn = 1
+),
+qv as materialized (
+  select vec_id as query_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(v, x -> x * x)), (a, x) -> a + x)) as qn
+  from e where vec_id < 50
+),
+lut as materialized (
+  select q.query_id, q.qn, cb2.s, cb2.j,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8),
+                          i -> q.v[cb2.s * 8 + i] * cb2.c[i])),
+           (a, x) -> a + x) as part,
+         cb2.cnorm2
+  from qv q cross join cb2
+  where q.qn > 0
+),
+cand as (
+  select l.query_id, l.qn, c.vec_id as neighbor_id,
+         list_reduce(list_prepend(0.0, list(l.part order by l.s)),
+                     (a, x) -> a + x) as adc,
+         list_reduce(list_prepend(0.0, list(l.cnorm2 order by l.s)),
+                     (a, x) -> a + x) as rnorm2
+  from codes c
+  join lut l on l.s = c.s and l.j = c.j
+  group by 1, 2, 3
+),
+approx as (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+           row_number() over (partition by query_id
+             order by floor(adc / (qn * sqrt(rnorm2))
+                            * 1000000.0 + 0.5) / 1000000.0 desc,
+                      neighbor_id asc) as rank
+    from cand
+    where rnorm2 > 0 and neighbor_id != query_id
+  ) where rank <= 5
+),
+exact as (
+  select query_id, neighbor_id from (
+    select q0.query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by q0.query_id
+                              order by list_cosine_similarity(q0.v, c.v)
+                                       desc, c.vec_id asc) as rank
+    from qv q0
+    cross join e c
+    where c.vec_id != q0.query_id
+  ) where rank <= 5
+)
+select x.query_id, count(*)::BIGINT as n_exact,
+       coalesce(sum(case when a.neighbor_id is not null then 1 end), 0)
+         ::BIGINT as n_hits,
+       round(coalesce(sum(case when a.neighbor_id is not null then 1 end),
+                      0)::DOUBLE / count(*)::DOUBLE, 6) as recall
+from exact x
+left join approx a
+  on a.query_id = x.query_id and a.neighbor_id = x.neighbor_id
+group by 1
+"""
+
+
 def q_normalize_unicode(spark, sf_dir):
     """Unicode/whitespace/control cleanup (text.normalize_unicode, r5)
     — the pre-dedup canonicalization stage.  The corpus is ASCII by
@@ -7538,6 +7662,7 @@ _RAW_QUERIES = {
         "int8_recall_top5": q_int8_recall_top5,
         "normalize_unicode": q_normalize_unicode,
         "domain_stats": q_domain_stats,
+        "pq_recall_top5": q_pq_recall_top5,
     }
 
 
@@ -7597,6 +7722,7 @@ def oracle_sql() -> dict[str, str]:
         "int8_recall_top5": INT8_RECALL_SQL,
         "normalize_unicode": NORMALIZE_UNICODE_SQL,
         "domain_stats": DOMAIN_STATS_SQL,
+        "pq_recall_top5": PQ_RECALL_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

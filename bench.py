@@ -44,7 +44,7 @@ HEADLINE_QUERIES = [
     "corpus_clean", "rollup_tiers_tokens",
     # round-5 family representatives
     "lsh_hot_capped", "ivf_recall_nprobe", "media_features_real",
-    "pii_redact", "int8_recall_top5",
+    "pii_redact", "int8_recall_top5", "pq_recall_top5",
 ]
 
 

@@ -373,3 +373,61 @@ def test_quantized_topk_drops_zero_vectors(spark):
     ids = {(r.query_id, r.neighbor_id) for r in got}
     # the zero vector appears on neither side
     assert ids == {(0, 1), (1, 0)}
+
+
+# --- product quantization (round 5) -----------------------------------------
+
+
+def test_pq_codebook_shape_and_seeding(spark, emb):
+    cb = similarity.pq_codebook(emb, dim=64, m=8, ks=4)
+    rows = cb.collect()
+    assert len(rows) == 32  # m x ks
+    assert all(len(r.centroid) == 8 for r in rows)
+    # deterministic: same seeds in the same order on a second call
+    again = similarity.pq_codebook(emb, dim=64, m=8, ks=4).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    # subspace s of centroid j is the seed's s-th slice: reassembling
+    # all m slices of j gives back one corpus vector
+    byj = {}
+    for r in rows:
+        byj.setdefault(r.j, {})[r.s] = list(r.centroid)
+    vecs = {tuple(r.embedding) for r in emb.collect()}
+    for j, subs in byj.items():
+        whole = tuple(x for s in range(8) for x in subs[s])
+        assert whole in vecs
+    with pytest.raises(ValueError):
+        similarity.pq_codebook(emb, dim=64, m=7)
+
+
+def test_pq_encode_seeds_self_assign(spark, emb):
+    # every seed vector's nearest centroid in every subspace is its own
+    # slice (distance exactly 0)
+    cb = similarity.pq_codebook(emb, dim=64, m=8, ks=4)
+    codes = similarity.pq_encode(emb, cb, dim=64, m=8)
+    from ts2g2_spark.functions.hashing import h64
+
+    seed_ids = [r.vec_id for r in emb.select("vec_id").orderBy(
+        h64(F.col("vec_id").cast("string")), "vec_id").limit(4).collect()]
+    got = {(r.vec_id, r.s): r.code for r in codes.collect()
+           if r.vec_id in seed_ids}
+    for j, vid in enumerate(seed_ids):
+        for s in range(8):
+            assert got[(vid, s)] == j
+    # every vector gets exactly m codes in [0, ks)
+    n = emb.count()
+    assert codes.count() == n * 8
+    assert codes.where((F.col("code") < 0) | (F.col("code") >= 4)) \
+                .count() == 0
+
+
+def test_pq_topk_shape_and_recall_floor(spark, emb, exact):
+    got = similarity.pq_topk(
+        emb, emb.where(F.col("vec_id") < 5).select("vec_id"),
+        dim=64, k=5, m=8, ks=16).collect()
+    assert len(got) == 25
+    assert sorted({r.rank for r in got}) == [1, 2, 3, 4, 5]
+    assert all(r.query_id != r.neighbor_id for r in got)
+    pairs = {(r.query_id, r.neighbor_id) for r in got}
+    # 64x-compressed codes on near-random embeddings (the adversarial
+    # case): far better than chance (5/500), far below int8's 0.99
+    assert len(pairs & exact) / len(exact) > 0.02

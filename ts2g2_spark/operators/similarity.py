@@ -922,3 +922,177 @@ def quantized_cosine_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _fold_sum(arr) -> "F.Column":
+    """Sequential left fold sum — bit-reproducible cross-engine (DuckDB
+    list_reduce replays the identical op order), unlike groupBy sum
+    (partition-order nondeterministic) or numpy pairwise summation."""
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+def _sqdist(a, b):
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def pq_codebook(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks in the repo's contract-replayable
+    style: split `dim` into `m` subspaces of dim/m, and use the
+    subvectors of the first `ks` corpus vectors in md5-h64(id) order as
+    each subspace's centroids — the same seeded, no-Lloyd scheme the
+    IVF contract pins (float mean accumulation is never oracle-safe).
+
+    Eager like ivf_topk: collects ks seed vectors (O(ks x dim) to the
+    driver).  Returns the broadcast-sized frame
+    (s:int, j:int, centroid:array<double>) with m x ks rows."""
+    from ts2g2_spark.functions.hashing import h64
+
+    if m < 1 or dim % m != 0:
+        raise ValueError("pq_codebook: need m >= 1 with m | dim")
+    if ks < 1:
+        raise ValueError("pq_codebook: need ks >= 1")
+    d = dim // m
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(h64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ks).collect())
+    rows = []
+    for j, r in enumerate(seed_rows):
+        v = list(r[1])
+        if len(v) != dim:
+            raise ValueError(
+                f"pq_codebook: vector length {len(v)} != dim {dim}")
+        for s in range(m):
+            rows.append((s, j, [float(x) for x in v[s * d:(s + 1) * d]]))
+    return emb.sparkSession.createDataFrame(
+        rows, "s int, j int, centroid array<double>")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: per (vector, subspace), the index of the L2-nearest
+    codebook centroid — (id, s, code).  m codes of log2(ks) bits
+    replace dim floats: at m=8/ks=16 a 64-dim float32 vector becomes
+    4 bytes, a 64x smaller index (the scale lever IVF's memory story
+    lacks).
+
+    Fully relational and deterministic by construction: the squared
+    distance is a SEQUENTIAL left fold (bit-identical in DuckDB
+    list_reduce), and the argmin is min(struct(dist, j)) — an exact
+    lexicographic comparison with the (dist, j) tie rule, computed as a
+    partial-aggregatable min (map-side combine; the exchange carries
+    one row per (id, s, partial)).  The m x ks explosion is the
+    documented CPU cost of oracle replayability — a production encode
+    would batch it through one einsum Arrow kernel per the
+    _ivf_distances pattern."""
+    if m < 1 or dim % m != 0:
+        raise ValueError("pq_encode: need m >= 1 with m | dim")
+    d = dim // m
+    sub = emb.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        id_col, "s",
+        F.slice("_v", F.col("s") * d + 1, d).alias("_sub"))
+    scored = sub.join(F.broadcast(codebook), "s").select(
+        id_col, "s", "j",
+        _sqdist(F.col("_sub"), F.col("centroid")).alias("dist"))
+    return (scored.groupBy(id_col, "s")
+            .agg(F.min(F.struct("dist", "j")).alias("_mn"))
+            .select(id_col, "s", F.col("_mn.j").alias("code")))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: queries stay full precision,
+    corpus vectors are m log2(ks)-bit codes; approx cosine =
+    sum_s LUT[s][code_s] / (|q| x |reconstruction|) where LUT[s][j] =
+    dot(q_s, centroid[s][j]) — the classic Jegou et al. (2011) lookup
+    scheme, here as a pure DataFrame composition:
+
+      codes (corpus-wide, reusable)  JOIN broadcast LUT (queries x m x
+      ks rows) ON (s, code)  ->  per-(query, neighbor) reduction.
+
+    Every float reduction is an explicit SEQUENTIAL fold — the LUT dot,
+    |q|, and the per-pair ADC/reconstruction-norm sums (the m partials
+    are collect_list'ed, sorted by s, then left-folded, because a
+    groupBy sum over doubles is partition-order nondeterministic and
+    never oracle-safe) — so the whole pipeline is value-verifiable
+    cross-engine, not just recall-eval'd.  Rank on the floor-quantized
+    cosine (round_dp) with id tie-break; self-matches and zero-norm
+    sides excluded.  Eager seed collect (pq_codebook).
+
+    (query_id, neighbor_id, cosine, rank)."""
+    if k < 1:
+        raise ValueError("pq_topk: need k >= 1")
+    d = dim // m
+    cb = pq_codebook(emb, dim, m=m, ks=ks, id_col=id_col,
+                     vec_col=vec_col).withColumn(
+        "cnorm2", _dot(F.col("centroid"), F.col("centroid")))
+    codes = pq_encode(emb, cb, dim, m=m, id_col=id_col, vec_col=vec_col)
+    q = emb.join(F.broadcast(query_ids.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("qn", F.sqrt(_fold_sum(
+        F.transform("_qv", lambda x: x * x)))).where(F.col("qn") > 0)
+    lut = q.select(
+        "query_id", "qn",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col("_qv"),
+    ).select(
+        "query_id", "qn", "s",
+        F.slice("_qv", F.col("s") * d + 1, d).alias("_qsub"),
+    ).join(F.broadcast(cb), "s").select(
+        "query_id", "qn", "s", "j",
+        _dot(F.col("_qsub"), F.col("centroid")).alias("part"), "cnorm2")
+    cand = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        # equi-join on BOTH keys: joining on s alone would hash-match
+        # every (query, j) LUT row per subspace (corpus x m x queries x
+        # ks intermediates) before a filter — (s, j=code) keeps it at
+        # corpus x m x queries
+        .withColumnRenamed("code", "j")
+        .join(F.broadcast(lut), ["s", "j"])
+        .groupBy("query_id", "qn", "neighbor_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("s", "part", "cnorm2"))).alias("_ps"))
+    )
+    adc = _fold_sum(F.transform("_ps", lambda e: e["part"]))
+    rnorm2 = _fold_sum(F.transform("_ps", lambda e: e["cnorm2"]))
+    scale = float(10 ** round_dp)
+    scored = cand.select(
+        "query_id", "neighbor_id", adc.alias("_adc"),
+        rnorm2.alias("_rn2"), "qn",
+    ).where((F.col("_rn2") > 0)
+            & (F.col("neighbor_id") != F.col("query_id"))).select(
+        "query_id", "neighbor_id",
+        (F.floor(F.col("_adc") / (F.col("qn") * F.sqrt(F.col("_rn2")))
+                 * scale + F.lit(0.5)) / scale).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
