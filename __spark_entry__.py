@@ -7172,8 +7172,11 @@ with e as (
 ),
 s as (
   select vec_id, v,
-         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0
-           as scale
+         -- near-underflow cutoff, not a greatest() floor: below 1e-300
+         -- the vector quantizes to zeros (engine contract)
+         case when list_max(list_transform(v, x -> abs(x))) > 1e-300
+              then list_max(list_transform(v, x -> abs(x))) / 127.0
+              else 1.0 end as scale
   from e
 ),
 q8 as (
@@ -7363,7 +7366,7 @@ def q_normalize_unicode(spark, sf_dir):
         "doc_id",
         F.concat(
             F.col("text"),
-            F.lit(" café Å"),
+            F.lit(" cafe\u0301 A\u030a"),
             F.lit("\x07"), F.lit(" tab\tend\r"),
             F.lit("x  y "),
         ).alias("text"))
@@ -7423,7 +7426,13 @@ def q_domain_stats(spark, sf_dir):
     ).select("host", "n_docs", "n_hits", "blocked")
 
 
-DOMAIN_STATS_SQL = """
+def _domain_stats_sql() -> str:
+    # ONE regex definition: the oracle interpolates the engine's
+    # URL_HOST_RE so the two cannot drift (single-quoted SQL passes the
+    # pattern to RE2 verbatim — it contains no quotes)
+    from ts2g2_spark.operators.text import URL_HOST_RE
+
+    return f"""
 with p as (
   select doc_id,
          lower(text || ' see https://CDN' || (doc_id % 7)
@@ -7433,7 +7442,7 @@ with p as (
 ),
 h as (
   select doc_id,
-         unnest(regexp_extract_all(t, 'https?://([a-z0-9.-]+)', 1)) as host
+         unnest(regexp_extract_all(t, '{URL_HOST_RE}', 1)) as host
   from p
 )
 select host, count(distinct doc_id)::BIGINT as n_docs,
@@ -7721,7 +7730,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "int8_recall_top5": INT8_RECALL_SQL,
         "normalize_unicode": NORMALIZE_UNICODE_SQL,
-        "domain_stats": DOMAIN_STATS_SQL,
+        "domain_stats": _domain_stats_sql(),
         "pq_recall_top5": PQ_RECALL_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,

@@ -747,14 +747,14 @@ def test_normalize_unicode_rules(spark):
     from ts2g2_spark.operators.text import normalize_unicode
 
     df = spark.createDataFrame(
-        [(1, "café  x"),        # decomposed -> composed, collapse
+        [(1, "cafe\u0301  x"),      # decomposed -> composed, collapse
          (2, "a\x07b\x0c c"),          # controls stripped (\f too)
          (3, "  tab\tend\r\nz  "),     # ws runs -> single space, trim
          (4, None)],
         "doc_id long, text string")
     rows = {r.doc_id: r.norm_text
             for r in normalize_unicode(df).collect()}
-    assert rows[1] == "café x"
+    assert rows[1] == "caf\u00e9 x"
     assert len(rows[1]) == 6  # composed: one codepoint for é
     assert rows[2] == "ab c"
     assert rows[3] == "tab end z"
@@ -797,6 +797,21 @@ def test_domain_stats_counts_and_blocklist(spark, url_docs):
     assert rows["a.example.com"].n_hits == 4
     assert not rows["a.example.com"].blocked
     assert rows["b.org"].n_docs == 1 and rows["b.org"].blocked
+    # mixed-case blocklist entries match the lowercased hosts
+    rows = {r.host: r for r in domain_stats(
+        url_docs, blocked_hosts=["B.ORG"]).collect()}
+    assert rows["b.org"].blocked
+
+
+def test_url_hosts_skips_userinfo(spark):
+    from ts2g2_spark.operators.text import url_hosts
+
+    df = spark.createDataFrame(
+        [(1, "x https://foo@evil.com/a http://u:p@bad.org/b "
+             "https://plain.net/c")],
+        "doc_id long, text string")
+    got = sorted(r.host for r in url_hosts(df).collect())
+    assert got == ["bad.org", "evil.com", "plain.net"]
 
 
 def test_blocklist_filter_drops_linking_docs(spark, url_docs):

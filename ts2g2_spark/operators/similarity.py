@@ -838,13 +838,17 @@ def quantize_embeddings(
     4x more vectors fit in executor memory per scan (SCALE.md has the
     measured recall cost).
 
-    scale = max(|v_i|) / n_levels (floored at 1e-30 so an all-zero
-    vector quantizes to zeros instead of dividing by zero), and each
-    code is clamp(floor(v_i / scale + 0.5), -n_levels, n_levels) — the
-    repo's half-up-toward-+inf floor quantizer (kernels.quantize_ieee
-    semantics), NOT decimal round(), so every engine computes the exact
-    same code from the same IEEE ops.  The max element always maps to
-    +-n_levels, so a nonzero vector never quantizes to all zeros.
+    scale = max(|v_i|) / n_levels when max(|v_i|) > 1e-300, else 1.0 —
+    so an effectively-zero vector (all-zero, or below the 1e-300
+    near-underflow cutoff where scale itself would denormalize and the
+    division blow up) quantizes to all zeros instead of dividing by
+    zero; quantized_cosine_topk excludes those rows (cosine undefined).
+    Each code is clamp(floor(v_i / scale + 0.5), -n_levels, n_levels) —
+    the repo's half-up-toward-+inf floor quantizer
+    (kernels.quantize_ieee semantics), NOT decimal round(), so every
+    engine computes the exact same code from the same IEEE ops.  Above
+    the cutoff the max element always maps to +-n_levels, so those
+    vectors never quantize to all zeros.
 
     (id, qvec: array<int>, scale: double).  Everything stays in
     whole-stage codegen: array_max / transform / floor — zero Python,
@@ -852,11 +856,12 @@ def quantize_embeddings(
     if n_levels < 1 or n_levels > 32767:
         raise ValueError("quantize_embeddings: need 1 <= n_levels <= 32767")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
     emb = emb.select(
         F.col(id_col),
         v.alias("_v"),
-        (F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30))
-         / F.lit(float(n_levels))).alias("scale"),
+        F.when(mx > 1e-300, mx / F.lit(float(n_levels)))
+         .otherwise(F.lit(1.0)).alias("scale"),
     )
     lo, hi = F.lit(-n_levels).cast("long"), F.lit(n_levels).cast("long")
     qv = F.transform(
@@ -1001,10 +1006,20 @@ def pq_encode(
     if m < 1 or dim % m != 0:
         raise ValueError("pq_encode: need m >= 1 with m | dim")
     d = dim // m
+    # fail-loud length guard: a shorter vector would slice to a short/
+    # empty subvector, zip_with would null-pad, and min(struct(null, j))
+    # would silently assign a garbage code (pq_codebook validates only
+    # the ks seed vectors)
+    checked = F.when(F.size(F.col(vec_col)) == dim,
+                     F.col(vec_col).cast("array<double>")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("pq_encode: vector length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(f" != dim {dim}"))))
     sub = emb.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+        checked.alias("_v"),
     ).select(
         id_col, "s",
         F.slice("_v", F.col("s") * d + 1, d).alias("_sub"))

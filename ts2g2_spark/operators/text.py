@@ -1106,9 +1106,16 @@ def normalize_unicode(
 
 # --- URL / domain census + blocklist (web-pipeline source hygiene) ---------
 
-# host capture of an http(s) URL; the text is lowercased first, so the
-# class needs no A-Z.  Identical semantics in Java regex and RE2.
-URL_HOST_RE = "https?://([a-z0-9.-]+)"
+# host capture of an http(s) URL: an optional userinfo part
+# ("user:pass@") is skipped so "https://foo@evil.com" yields the HOST,
+# not the userinfo — otherwise a blocked host is trivially evadable.
+# The text is lowercased first, so the class needs no A-Z.  Explicit
+# whitespace chars (never \s — Java's also matches \x0B, RE2's does
+# not); identical semantics in Java regex and RE2.
+# raw string: the \t\n\f\r ESCAPES reach both regex engines (Java and
+# RE2 parse them identically), keeping the SQL-interpolated oracle twin
+# printable
+URL_HOST_RE = r"https?://(?:[^/@ \t\n\f\r]*@)?([a-z0-9.-]+)"
 
 
 def url_hosts(docs: DataFrame, text_col: str = "text",
@@ -1136,13 +1143,15 @@ def domain_stats(
     one hash agg on host; n_docs is an exact distinct (two-level
     partial agg).  `blocked_hosts` (a small driver-side list by
     contract — blocklists are dimension-sized) marks membership via an
-    isin literal, never a join."""
+    isin literal, never a join; entries are lowercased on entry to
+    match the lowercased extracted hosts (a mixed-case blocklist entry
+    would otherwise silently never match)."""
     h = url_hosts(docs, text_col=text_col, id_col=id_col)
     out = h.groupBy("host").agg(
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_hits"),
     )
-    blocked = (F.col("host").isin(list(blocked_hosts))
+    blocked = (F.col("host").isin([b.lower() for b in blocked_hosts])
                if blocked_hosts else F.lit(False))
     return out.withColumn("blocked", blocked)
 
@@ -1157,10 +1166,11 @@ def blocklist_filter(
     half of `domain_stats`).  The offending id set is built map-side
     (isin literal on the exploded hosts, then distinct) and removed
     with a left-anti join on the id — the doc payload is never
-    shuffled; only ids move."""
+    shuffled; only ids move.  Blocklist entries are lowercased on entry
+    (extracted hosts always are)."""
     if not blocked_hosts:
         return docs
     bad = (url_hosts(docs, text_col=text_col, id_col=id_col)
-           .where(F.col("host").isin(list(blocked_hosts)))
+           .where(F.col("host").isin([b.lower() for b in blocked_hosts]))
            .select(id_col).distinct())
     return docs.join(bad, id_col, "left_anti")
