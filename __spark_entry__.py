@@ -7349,6 +7349,194 @@ group by 1
 """
 
 
+def q_ivfpq_recall_top5(spark, sf_dir):
+    """Recall@5 of IVFPQ — coarse IVF pruning (nprobe=2 of 8 md5-seeded
+    lists) over residual-encoded PQ codes (similarity.ivfpq_topk, r5),
+    the FAISS-IVFPQ composition a production 100-TB ANN runs — against
+    float-exact ground truth.  Coarse assignment, residuals, residual
+    codebooks/codes, the cross-term table, probe ranking and the ADC
+    reduction are ALL sequential folds or exact comparisons with DuckDB
+    twins, so the whole index (not just its recall) is value-verified.
+    On these near-random synthetic embeddings the coarse prune is
+    nearly uninformative, so recall sits well below the unpruned PQ
+    point — the honest measurement; clustered real embeddings are the
+    favorable case."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"))
+    qids = emb.where(F.col("vec_id") < 50).select("vec_id")
+    exact = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50), k=5)
+    approx = similarity.ivfpq_topk(emb, qids, dim=64, k=5, n_lists=8,
+                                   nprobe=2, m=8, ks=16)
+    return similarity.recall_at_k(approx, exact).select(
+        "query_id", "n_exact", "n_hits", "recall")
+
+
+IVFPQ_RECALL_SQL = """
+with e as materialized (
+  select vec_id, embedding::DOUBLE[] as v from embeddings
+),
+cseeds as materialized (
+  select v as c, row_number() over (
+      order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+               as bigint), vec_id
+    ) - 1 as list_id
+  from e
+  order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+           as bigint), vec_id
+  limit 8
+),
+ccb as materialized (
+  select list_id, c,
+         list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)),
+                     (a, x) -> a + x) as cn2
+  from cseeds
+),
+casg as materialized (
+  select vec_id, list_id from (
+    select e.vec_id, ccb.list_id,
+           row_number() over (partition by e.vec_id
+             order by list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 64), i ->
+                 (e.v[i] - ccb.c[i]) * (e.v[i] - ccb.c[i]))),
+               (a, x) -> a + x), ccb.list_id) as rn
+    from e cross join ccb
+  ) where rn = 1
+),
+res as materialized (
+  select e.vec_id, a.list_id,
+         list_transform(generate_series(1, 64),
+                        i -> e.v[i] - ccb.c[i]) as rv
+  from e join casg a using (vec_id) join ccb using (list_id)
+),
+rseeds as materialized (
+  select rv as sv, row_number() over (
+      order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+               as bigint), vec_id
+    ) - 1 as j
+  from res
+  order by cast(concat('0x', substr(md5(vec_id::VARCHAR), 1, 15))
+           as bigint), vec_id
+  limit 16
+),
+rcb as materialized (
+  select ss.s, rseeds.j,
+         list_transform(generate_series(1, 8),
+                        i -> sv[ss.s * 8 + i]) as rc
+  from rseeds
+  cross join (select unnest(generate_series(0, 7)) as s) ss
+),
+rcb2 as materialized (
+  select s, j, rc,
+         list_reduce(list_prepend(0.0, list_transform(rc, x -> x * x)),
+                     (a, x) -> a + x) as rcn2
+  from rcb
+),
+codes as materialized (
+  select vec_id, s, j from (
+    select r.vec_id, rcb2.s, rcb2.j,
+           row_number() over (partition by r.vec_id, rcb2.s
+             order by list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 8), i ->
+                 (r.rv[rcb2.s * 8 + i] - rcb2.rc[i])
+                 * (r.rv[rcb2.s * 8 + i] - rcb2.rc[i]))),
+               (a, x) -> a + x), rcb2.j) as rn
+    from res r cross join rcb2
+  ) where rn = 1
+),
+ct as materialized (
+  select ccb.list_id, rcb2.s, rcb2.j,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8),
+                          i -> ccb.c[rcb2.s * 8 + i] * rcb2.rc[i])),
+           (a, x) -> a + x) as cross_t
+  from ccb cross join rcb2
+),
+qv as materialized (
+  select vec_id as query_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(v, x -> x * x)), (a, x) -> a + x)) as qn
+  from e where vec_id < 50
+),
+probed as materialized (
+  select query_id, qn, list_id, cn2, qdotc from (
+    select q.query_id, q.qn, ccb.list_id, ccb.cn2,
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, 64),
+                            i -> q.v[i] * ccb.c[i])),
+             (a, x) -> a + x) as qdotc,
+           row_number() over (partition by q.query_id
+             order by list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, 64), i ->
+                 (q.v[i] - ccb.c[i]) * (q.v[i] - ccb.c[i]))),
+               (a, x) -> a + x), ccb.list_id) as pr
+    from qv q cross join ccb
+    where q.qn > 0
+  ) where pr <= 2
+),
+lut as materialized (
+  select q.query_id, rcb2.s, rcb2.j,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8),
+                          i -> q.v[rcb2.s * 8 + i] * rcb2.rc[i])),
+           (a, x) -> a + x) as part,
+         rcb2.rcn2
+  from qv q cross join rcb2
+  where q.qn > 0
+),
+cand as (
+  select p.query_id, p.qn, a.vec_id as neighbor_id, p.cn2, p.qdotc,
+         p.qdotc + list_reduce(list_prepend(0.0,
+           list(l.part order by c.s)), (a, x) -> a + x) as adc,
+         p.cn2 + 2.0 * list_reduce(list_prepend(0.0,
+           list(t.cross_t order by c.s)), (a, x) -> a + x)
+               + list_reduce(list_prepend(0.0,
+           list(l.rcn2 order by c.s)), (a, x) -> a + x) as rnorm2
+  from casg a
+  join probed p using (list_id)
+  join codes c on c.vec_id = a.vec_id
+  join lut l on l.query_id = p.query_id and l.s = c.s and l.j = c.j
+  join ct t on t.list_id = a.list_id and t.s = c.s and t.j = c.j
+  group by p.query_id, p.qn, a.vec_id, p.cn2, p.qdotc
+),
+approx as (
+  select query_id, neighbor_id from (
+    select query_id, neighbor_id,
+           row_number() over (partition by query_id
+             order by floor(adc / (qn * sqrt(rnorm2))
+                            * 1000000.0 + 0.5) / 1000000.0 desc,
+                      neighbor_id asc) as rank
+    from cand
+    where rnorm2 > 0 and neighbor_id != query_id
+  ) where rank <= 5
+),
+exact as (
+  select query_id, neighbor_id from (
+    select q0.query_id, c.vec_id as neighbor_id,
+           row_number() over (partition by q0.query_id
+                              order by list_cosine_similarity(q0.v, c.v)
+                                       desc, c.vec_id asc) as rank
+    from qv q0
+    cross join e c
+    where c.vec_id != q0.query_id
+  ) where rank <= 5
+)
+select x.query_id, count(*)::BIGINT as n_exact,
+       coalesce(sum(case when a.neighbor_id is not null then 1 end), 0)
+         ::BIGINT as n_hits,
+       round(coalesce(sum(case when a.neighbor_id is not null then 1 end),
+                      0)::DOUBLE / count(*)::DOUBLE, 6) as recall
+from exact x
+left join approx a
+  on a.query_id = x.query_id and a.neighbor_id = x.neighbor_id
+group by 1
+"""
+
+
 def q_normalize_unicode(spark, sf_dir):
     """Unicode/whitespace/control cleanup (text.normalize_unicode, r5)
     — the pre-dedup canonicalization stage.  The corpus is ASCII by
@@ -7672,6 +7860,7 @@ _RAW_QUERIES = {
         "normalize_unicode": q_normalize_unicode,
         "domain_stats": q_domain_stats,
         "pq_recall_top5": q_pq_recall_top5,
+        "ivfpq_recall_top5": q_ivfpq_recall_top5,
     }
 
 
@@ -7732,6 +7921,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_unicode": NORMALIZE_UNICODE_SQL,
         "domain_stats": _domain_stats_sql(),
         "pq_recall_top5": PQ_RECALL_SQL,
+        "ivfpq_recall_top5": IVFPQ_RECALL_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

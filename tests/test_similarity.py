@@ -431,3 +431,50 @@ def test_pq_topk_shape_and_recall_floor(spark, emb, exact):
     # 64x-compressed codes on near-random embeddings (the adversarial
     # case): far better than chance (5/500), far below int8's 0.99
     assert len(pairs & exact) / len(exact) > 0.02
+
+
+# --- IVFPQ (round 5) ---------------------------------------------------------
+
+
+def test_ivfpq_topk_shape_and_candidate_scope(spark, emb, exact):
+    got = similarity.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5).select("vec_id"),
+        dim=64, k=5, n_lists=8, nprobe=2).collect()
+    assert len(got) == 25
+    assert sorted({r.rank for r in got}) == [1, 2, 3, 4, 5]
+    assert all(r.query_id != r.neighbor_id for r in got)
+    # every returned neighbor must live in one of the query's 2 probed
+    # coarse lists (the pruning contract)
+    coarse = similarity._coarse_frame(emb, 8, "vec_id", "embedding")
+    asg = {r.vec_id: r.list_id for r in similarity._coarse_assign(
+        emb, coarse, "vec_id", "embedding").collect()}
+    cents = {r.list_id: r.c for r in coarse.collect()}
+    import numpy as np
+    for qid in range(5):
+        qv = np.array(
+            emb.where(F.col("vec_id") == qid).head().embedding)
+        d2 = sorted((((qv - np.array(c)) ** 2).sum(), li)
+                    for li, c in cents.items())
+        probed = {li for _, li in d2[:2]}
+        for r in got:
+            if r.query_id == qid:
+                assert asg[r.neighbor_id] in probed
+
+
+def test_ivfpq_nprobe_full_matches_pq_candidates(spark, emb):
+    # nprobe = n_lists disables pruning: the candidate set is the whole
+    # corpus, so IVFPQ returns 5 ranked rows per query like plain PQ
+    got = similarity.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 3).select("vec_id"),
+        dim=64, k=5, n_lists=4, nprobe=4).collect()
+    assert len(got) == 15
+
+
+def test_ivfpq_validation(spark, emb):
+    q = emb.select("vec_id")
+    with pytest.raises(ValueError):
+        similarity.ivfpq_topk(emb, q, dim=64, nprobe=9, n_lists=8)
+    with pytest.raises(ValueError):
+        similarity.ivfpq_topk(emb, q, dim=64, k=0)
+    with pytest.raises(ValueError):
+        similarity.ivfpq_topk(emb, q, dim=64, m=7)

@@ -1111,3 +1111,164 @@ def pq_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _coarse_frame(emb: DataFrame, n_lists: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(list_id:int, c:array<double>, cn2:double) — md5-h64-seeded
+    coarse centroids as a broadcast-sized frame (the IVF contract's
+    seeding, relational-frame form)."""
+    from ts2g2_spark.functions.hashing import h64
+
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(h64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_lists).collect())
+    rows = [(li, [float(x) for x in r[1]]) for li, r in enumerate(seed_rows)]
+    cf = emb.sparkSession.createDataFrame(rows, "list_id int, c array<double>")
+    return cf.withColumn("cn2", _dot(F.col("c"), F.col("c")))
+
+
+def _coarse_assign(emb: DataFrame, coarse: DataFrame, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(id, list_id, v, rvec) — nearest coarse centroid by SEQUENTIAL-
+    fold L2 (ties (dist, list_id)), plus the residual v - c.  Unlike
+    the Arrow-kernel `_assign_lists`, every op here has an exact DuckDB
+    twin (list_reduce), so IVFPQ is replayable end to end."""
+    scored = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(F.broadcast(coarse)).select(
+        id_col, "_v", "list_id", "c",
+        _sqdist(F.col("_v"), F.col("c")).alias("dist"))
+    best = (scored.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "list_id")).alias("_mn"))
+            .select(id_col, F.col("_mn.list_id").alias("list_id")))
+    return (emb.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+            .join(best, id_col).join(F.broadcast(coarse), "list_id")
+            .select(id_col, "list_id", "v",
+                    F.zip_with("v", "c", lambda x, y: x - y).alias("rvec")))
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF x PQ with residual encoding — the FAISS-IVFPQ architecture,
+    the composition an actual 100-TB ANN deployment runs: a coarse
+    md5-seeded IVF prunes candidates to the query's `nprobe` nearest
+    lists, and each corpus vector is stored only as (list_id, m PQ
+    codes of its RESIDUAL v - c_list) — m log2(ks) bits + one small
+    int per vector.  Residual encoding is what makes coarse+PQ beat
+    plain PQ: residuals are smaller and better centered than raw
+    vectors, so the same code budget quantizes finer.
+
+    approx dot(q, x) = dot(q, c_list) + sum_s LUT[s][code_s] with
+    LUT[s][j] = dot(q_s, rcb[s][j]); |x_hat|^2 = |c_list|^2 +
+    2 sum_s CT[list,s,code_s] + sum_s |rcb[s][code_s]|^2 where CT is
+    the (n_lists x m x ks) coarse-x-residual-codebook cross-term table
+    — every term an exact sequential fold or an exact sum of
+    collect_list'ed per-subspace partials folded in s order, so codes,
+    cosines, top-k membership and recall are all value-verifiable
+    (PQ/int8 contract).  Coarse assignment is the relational fold
+    variant (not the Arrow kernel) for the same reason.
+
+    Scale shape: the corpus is scanned for assignment/encode (index
+    build, amortized across queries); query-time work is bounded by
+    the probed lists (~nprobe/n_lists of the corpus) joined to
+    broadcast LUT/CT frames; only (query, candidate) rows shuffle.
+    Eager seed collects (coarse + residual codebooks).
+
+    (query_id, neighbor_id, cosine, rank)."""
+    if k < 1 or not 1 <= nprobe <= n_lists:
+        raise ValueError("ivfpq_topk: need k >= 1, 1 <= nprobe <= n_lists")
+    if m < 1 or dim % m != 0:
+        raise ValueError("ivfpq_topk: need m >= 1 with m | dim")
+    d = dim // m
+    coarse = _coarse_frame(emb, n_lists, id_col, vec_col)
+    asg = _coarse_assign(emb, coarse, id_col, vec_col)
+    # residual codebooks + codes reuse the plain-PQ machinery verbatim
+    rcb = pq_codebook(asg, dim, m=m, ks=ks, id_col=id_col,
+                      vec_col="rvec").withColumn(
+        "cnorm2", _dot(F.col("centroid"), F.col("centroid")))
+    codes = pq_encode(asg.select(id_col, "rvec"), rcb, dim, m=m,
+                      id_col=id_col, vec_col="rvec")
+    # cross terms: dot(coarse centroid subspace slice, residual centroid)
+    ct = coarse.select(
+        "list_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "c",
+    ).select(
+        "list_id", "s", F.slice("c", F.col("s") * d + 1, d).alias("_cs"),
+    ).join(F.broadcast(rcb.select("s", "j", "centroid")), "s").select(
+        "list_id", "s", "j",
+        _dot(F.col("_cs"), F.col("centroid")).alias("cross"))
+    # query side: norm, probed lists, dot(q, c_list) for probed lists
+    q = emb.join(F.broadcast(query_ids.select(id_col)), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("qn", F.sqrt(_fold_sum(
+        F.transform("_qv", lambda x: x * x)))).where(F.col("qn") > 0)
+    qc = q.join(F.broadcast(coarse)).select(
+        "query_id", "qn", "_qv", "list_id", "cn2",
+        _sqdist(F.col("_qv"), F.col("c")).alias("dist"),
+        _dot(F.col("_qv"), F.col("c")).alias("qdotc"))
+    wprobe = Window.partitionBy("query_id").orderBy("dist", "list_id")
+    probed = (qc.withColumn("_pr", F.row_number().over(wprobe))
+              .where(F.col("_pr") <= nprobe)
+              .select("query_id", "qn", "_qv", "list_id", "cn2", "qdotc"))
+    # residual LUT per (query, s, j)
+    lut = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "_qv",
+    ).select(
+        "query_id", "s",
+        F.slice("_qv", F.col("s") * d + 1, d).alias("_qsub"),
+    ).join(F.broadcast(rcb), "s").select(
+        "query_id", "s", "j",
+        _dot(F.col("_qsub"), F.col("centroid")).alias("part"), "cnorm2")
+    # candidates: docs in probed lists; per (query, doc) fold the m
+    # subspace partials in s order (groupBy sum is never oracle-safe)
+    cand_docs = (asg.select(id_col, "list_id")
+                 .withColumnRenamed(id_col, "neighbor_id")
+                 .join(F.broadcast(probed.select(
+                     "query_id", "qn", "list_id", "cn2", "qdotc")),
+                     ["list_id"]))
+    enriched = (codes.withColumnRenamed(id_col, "neighbor_id")
+                .withColumnRenamed("code", "j")
+                .join(cand_docs.select("neighbor_id", "query_id", "qn",
+                                       "list_id", "cn2", "qdotc"),
+                      ["neighbor_id"])
+                .join(F.broadcast(lut), ["query_id", "s", "j"])
+                .join(F.broadcast(ct), ["list_id", "s", "j"]))
+    grouped = (enriched.groupBy("query_id", "qn", "neighbor_id",
+                                "cn2", "qdotc")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   "s", "part", "cross", "cnorm2"))).alias("_ps")))
+    adc = (F.col("qdotc")
+           + _fold_sum(F.transform("_ps", lambda e: e["part"])))
+    rn2 = (F.col("cn2")
+           + 2.0 * _fold_sum(F.transform("_ps", lambda e: e["cross"]))
+           + _fold_sum(F.transform("_ps", lambda e: e["cnorm2"])))
+    scale = float(10 ** round_dp)
+    scored = grouped.select(
+        "query_id", "neighbor_id", adc.alias("_adc"), rn2.alias("_rn2"),
+        "qn",
+    ).where((F.col("_rn2") > 0)
+            & (F.col("neighbor_id") != F.col("query_id"))).select(
+        "query_id", "neighbor_id",
+        (F.floor(F.col("_adc") / (F.col("qn") * F.sqrt(F.col("_rn2")))
+                 * scale + F.lit(0.5)) / scale).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
