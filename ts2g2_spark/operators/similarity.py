@@ -850,26 +850,41 @@ def quantize_embeddings(
     the cutoff the max element always maps to +-n_levels, so those
     vectors never quantize to all zeros.
 
-    (id, qvec: array<int>, scale: double).  Everything stays in
-    whole-stage codegen: array_max / transform / floor — zero Python,
-    zero shuffle (map-only)."""
+    (id, qvec: array<int>, scale: double).  ONE vectorized numpy kernel
+    per Arrow batch (map-only, zero shuffle) — the `_lsh_bucketed`
+    pattern.  A pure-HOF version was measured ~10x slower: the `scale`
+    reference inside the transform lambda gets CollapseProject-inlined
+    and re-evaluates the array_max PER ELEMENT (the rand() barrier is
+    column-pruned here).  The kernel is parity-EXACT, not just close:
+    every op is elementwise (abs/max/divide/floor/clip) — no summation
+    order anywhere — so numpy and DuckDB produce bit-identical codes."""
     if n_levels < 1 or n_levels > 32767:
         raise ValueError("quantize_embeddings: need 1 <= n_levels <= 32767")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, F.abs))
-    emb = emb.select(
+
+    out_schema = StructType([
+        StructField(id_col, emb.schema[id_col].dataType),
+        StructField("qvec", ArrayType(IntegerType())),
+        StructField("scale", DoubleType()),
+    ])
+    lv = float(n_levels)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf["_v"].to_numpy()])
+            mx = np.abs(M).max(axis=1)
+            scale = np.where(mx > 1e-300, mx / lv, 1.0)
+            Q = np.clip(np.floor(M / scale[:, None] + 0.5),
+                        -lv, lv).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "qvec": list(Q), "scale": scale})
+
+    return emb.select(
         F.col(id_col),
-        v.alias("_v"),
-        F.when(mx > 1e-300, mx / F.lit(float(n_levels)))
-         .otherwise(F.lit(1.0)).alias("scale"),
-    )
-    lo, hi = F.lit(-n_levels).cast("long"), F.lit(n_levels).cast("long")
-    qv = F.transform(
-        F.col("_v"),
-        lambda x: F.greatest(lo, F.least(hi, F.floor(
-            x / F.col("scale") + F.lit(0.5)))).cast("int"),
-    )
-    return emb.select(id_col, qv.alias("qvec"), "scale")
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(kern, out_schema)
 
 
 def quantized_cosine_topk(
@@ -905,10 +920,13 @@ def quantized_cosine_topk(
     if k < 1:
         raise ValueError("quantized_cosine_topk: need k >= 1")
     n2 = _dot(F.col(qvec_col), F.col(qvec_col))
+    # barrier again: the norm fold must evaluate once per ROW, not once
+    # per joined pair (see quantize_embeddings)
     c = qcorpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(qvec_col).alias("cq"), n2.alias("cn2"),
-    ).where(F.col("cn2") > 0)
+        F.rand(0).alias("_b3"),
+    ).where(F.col("cn2") > 0).drop("_b3")
     q = c.join(
         F.broadcast(query_ids.select(F.col(id_col).alias("neighbor_id"))),
         "neighbor_id",
