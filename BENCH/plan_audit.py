@@ -60,6 +60,9 @@ AUDIT = [
     # round 5 additions
     "lsh_hot_capped", "media_features_real", "ivf_recall_nprobe",
     "path_metrics_hvg", "pii_redact",
+    # round 5 late additions
+    "int8_recall_top5", "pq_recall_top5", "ivfpq_recall_top5",
+    "normalize_unicode", "domain_stats",
 ]
 
 

@@ -1213,80 +1213,91 @@ def ivfpq_topk(
         raise ValueError("ivfpq_topk: need m >= 1 with m | dim")
     d = dim // m
     coarse = _coarse_frame(emb, n_lists, id_col, vec_col)
-    asg = _coarse_assign(emb, coarse, id_col, vec_col)
-    # residual codebooks + codes reuse the plain-PQ machinery verbatim
-    rcb = pq_codebook(asg, dim, m=m, ks=ks, id_col=id_col,
-                      vec_col="rvec").withColumn(
-        "cnorm2", _dot(F.col("centroid"), F.col("centroid")))
-    codes = pq_encode(asg.select(id_col, "rvec"), rcb, dim, m=m,
-                      id_col=id_col, vec_col="rvec")
-    # cross terms: dot(coarse centroid subspace slice, residual centroid)
-    ct = coarse.select(
-        "list_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "c",
-    ).select(
-        "list_id", "s", F.slice("c", F.col("s") * d + 1, d).alias("_cs"),
-    ).join(F.broadcast(rcb.select("s", "j", "centroid")), "s").select(
-        "list_id", "s", "j",
-        _dot(F.col("_cs"), F.col("centroid")).alias("cross"))
-    # query side: norm, probed lists, dot(q, c_list) for probed lists
-    q = emb.join(F.broadcast(query_ids.select(id_col)), id_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("qn", F.sqrt(_fold_sum(
-        F.transform("_qv", lambda x: x * x)))).where(F.col("qn") > 0)
-    qc = q.join(F.broadcast(coarse)).select(
-        "query_id", "qn", "_qv", "list_id", "cn2",
-        _sqdist(F.col("_qv"), F.col("c")).alias("dist"),
-        _dot(F.col("_qv"), F.col("c")).alias("qdotc"))
-    wprobe = Window.partitionBy("query_id").orderBy("dist", "list_id")
-    probed = (qc.withColumn("_pr", F.row_number().over(wprobe))
-              .where(F.col("_pr") <= nprobe)
-              .select("query_id", "qn", "_qv", "list_id", "cn2", "qdotc"))
-    # residual LUT per (query, s, j)
-    lut = q.select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "_qv",
-    ).select(
-        "query_id", "s",
-        F.slice("_qv", F.col("s") * d + 1, d).alias("_qsub"),
-    ).join(F.broadcast(rcb), "s").select(
-        "query_id", "s", "j",
-        _dot(F.col("_qsub"), F.col("centroid")).alias("part"), "cnorm2")
-    # candidates: docs in probed lists; per (query, doc) fold the m
-    # subspace partials in s order (groupBy sum is never oracle-safe)
-    cand_docs = (asg.select(id_col, "list_id")
-                 .withColumnRenamed(id_col, "neighbor_id")
-                 .join(F.broadcast(probed.select(
-                     "query_id", "qn", "list_id", "cn2", "qdotc")),
-                     ["list_id"]))
-    enriched = (codes.withColumnRenamed(id_col, "neighbor_id")
-                .withColumnRenamed("code", "j")
-                .join(cand_docs.select("neighbor_id", "query_id", "qn",
-                                       "list_id", "cn2", "qdotc"),
-                      ["neighbor_id"])
-                .join(F.broadcast(lut), ["query_id", "s", "j"])
-                .join(F.broadcast(ct), ["list_id", "s", "j"]))
-    grouped = (enriched.groupBy("query_id", "qn", "neighbor_id",
-                                "cn2", "qdotc")
-               .agg(F.sort_array(F.collect_list(F.struct(
-                   "s", "part", "cross", "cnorm2"))).alias("_ps")))
-    adc = (F.col("qdotc")
-           + _fold_sum(F.transform("_ps", lambda e: e["part"])))
-    rn2 = (F.col("cn2")
-           + 2.0 * _fold_sum(F.transform("_ps", lambda e: e["cross"]))
-           + _fold_sum(F.transform("_ps", lambda e: e["cnorm2"])))
-    scale = float(10 ** round_dp)
-    scored = grouped.select(
-        "query_id", "neighbor_id", adc.alias("_adc"), rn2.alias("_rn2"),
-        "qn",
-    ).where((F.col("_rn2") > 0)
-            & (F.col("neighbor_id") != F.col("query_id"))).select(
-        "query_id", "neighbor_id",
-        (F.floor(F.col("_adc") / (F.col("qn") * F.sqrt(F.col("_rn2")))
-                 * scale + F.lit(0.5)) / scale).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank"))
+    # cache the assignment: three consumers (residual-codebook seed
+    # collect, encode, candidate membership) would otherwise re-run the
+    # corpus scan + coarse assign each (ivf_recall_curve precedent);
+    # released via the eager localCheckpoint of the O(queries x k)
+    # result below
+    asg = _coarse_assign(emb, coarse, id_col, vec_col).cache()
+    try:
+        # residual codebooks + codes reuse the plain-PQ machinery verbatim
+        rcb = pq_codebook(asg, dim, m=m, ks=ks, id_col=id_col,
+                          vec_col="rvec").withColumn(
+            "cnorm2", _dot(F.col("centroid"), F.col("centroid")))
+        codes = pq_encode(asg.select(id_col, "rvec"), rcb, dim, m=m,
+                          id_col=id_col, vec_col="rvec")
+        # cross terms: dot(coarse centroid subspace slice, residual centroid)
+        ct = coarse.select(
+            "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "c",
+        ).select(
+            "list_id", "s", F.slice("c", F.col("s") * d + 1, d).alias("_cs"),
+        ).join(F.broadcast(rcb.select("s", "j", "centroid")), "s").select(
+            "list_id", "s", "j",
+            _dot(F.col("_cs"), F.col("centroid")).alias("cross"))
+        # query side: norm, probed lists, dot(q, c_list) for probed lists
+        q = emb.join(F.broadcast(query_ids.select(id_col)), id_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        ).withColumn("qn", F.sqrt(_fold_sum(
+            F.transform("_qv", lambda x: x * x)))).where(F.col("qn") > 0)
+        qc = q.join(F.broadcast(coarse)).select(
+            "query_id", "qn", "_qv", "list_id", "cn2",
+            _sqdist(F.col("_qv"), F.col("c")).alias("dist"),
+            _dot(F.col("_qv"), F.col("c")).alias("qdotc"))
+        wprobe = Window.partitionBy("query_id").orderBy("dist", "list_id")
+        probed = (qc.withColumn("_pr", F.row_number().over(wprobe))
+                  .where(F.col("_pr") <= nprobe)
+                  .select("query_id", "qn", "_qv", "list_id", "cn2", "qdotc"))
+        # residual LUT per (query, s, j)
+        lut = q.select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "_qv",
+        ).select(
+            "query_id", "s",
+            F.slice("_qv", F.col("s") * d + 1, d).alias("_qsub"),
+        ).join(F.broadcast(rcb), "s").select(
+            "query_id", "s", "j",
+            _dot(F.col("_qsub"), F.col("centroid")).alias("part"), "cnorm2")
+        # candidates: docs in probed lists; per (query, doc) fold the m
+        # subspace partials in s order (groupBy sum is never oracle-safe)
+        cand_docs = (asg.select(id_col, "list_id")
+                     .withColumnRenamed(id_col, "neighbor_id")
+                     .join(F.broadcast(probed.select(
+                         "query_id", "qn", "list_id", "cn2", "qdotc")),
+                         ["list_id"]))
+        enriched = (codes.withColumnRenamed(id_col, "neighbor_id")
+                    .withColumnRenamed("code", "j")
+                    .join(cand_docs.select("neighbor_id", "query_id", "qn",
+                                           "list_id", "cn2", "qdotc"),
+                          ["neighbor_id"])
+                    .join(F.broadcast(lut), ["query_id", "s", "j"])
+                    .join(F.broadcast(ct), ["list_id", "s", "j"]))
+        grouped = (enriched.groupBy("query_id", "qn", "neighbor_id",
+                                    "cn2", "qdotc")
+                   .agg(F.sort_array(F.collect_list(F.struct(
+                       "s", "part", "cross", "cnorm2"))).alias("_ps")))
+        adc = (F.col("qdotc")
+               + _fold_sum(F.transform("_ps", lambda e: e["part"])))
+        rn2 = (F.col("cn2")
+               + 2.0 * _fold_sum(F.transform("_ps", lambda e: e["cross"]))
+               + _fold_sum(F.transform("_ps", lambda e: e["cnorm2"])))
+        scale = float(10 ** round_dp)
+        scored = grouped.select(
+            "query_id", "neighbor_id", adc.alias("_adc"), rn2.alias("_rn2"),
+            "qn",
+        ).where((F.col("_rn2") > 0)
+                & (F.col("neighbor_id") != F.col("query_id"))).select(
+            "query_id", "neighbor_id",
+            (F.floor(F.col("_adc") / (F.col("qn") * F.sqrt(F.col("_rn2")))
+                     * scale + F.lit(0.5)) / scale).alias("cosine"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id"))
+        res = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)
+               .select("query_id", "neighbor_id", "cosine", "rank"))
+        # eager O(queries x k) materialization so the cache can release
+        return res.localCheckpoint(eager=True)
+    finally:
+        asg.unpersist()
+
