@@ -7641,6 +7641,114 @@ group by 1
 """
 
 
+def q_hll_users_by_type(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-user estimate per event_type
+    (operators/sketches.hll_distinct, r5) — the 100 TB cardinality
+    path: register frame bounded at m=4096 rows/group regardless of
+    input size, harmonic sum kept in exact INTEGER units so the oracle
+    replays everything but one rounded double bit-for-bit."""
+    from ts2g2_spark.operators import sketches
+
+    return sketches.hll_distinct(
+        _events(spark, sf_dir), "user_id", group_cols=("event_type",))
+
+
+def q_hll_users_daily_merged(spark, sf_dir):
+    """Per-day distinct users via the MERGE path: per-(day, event_type)
+    register partials merged to day grain, then estimated — the tier-up
+    pattern (pre-aggregate fine partials once, coarsen without
+    re-reading raw data).  The oracle computes day-grain registers
+    DIRECTLY from the raw events; row-identity proves merge = direct
+    (max associativity) end to end, values included."""
+    from ts2g2_spark.operators import sketches
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    fine = sketches.hll_registers(
+        ev, "user_id", group_cols=("day", "event_type"))
+    merged = sketches.hll_merge(fine, group_cols=("day",))
+    return sketches.hll_estimate(merged, group_cols=("day",))
+
+
+# HLL replay constants, p=12: w=48 (mask 2^48-1), Q=49, m=4096,
+# numerator = alpha_4096 * 4096^2 * 2^49 embedded as ONE double literal
+# (repr round-trips, so both engines parse the identical double); the
+# register sum stays integer (DuckDB sums BIGINT into HUGEINT — cast
+# back) and rho = 49 - length(bin(rest)) is integer-exact bit length.
+def _hll_sql(group_expr: str, group_name: str) -> str:
+    return f"""
+with h as (
+  select {group_expr} as {group_name},
+         cast(concat('0x', substr(md5(cast(user_id as varchar)), 1, 15))
+              as bigint) as h
+  from events where user_id is not null
+),
+b as (
+  select {group_name}, h >> 48 as idx,
+         h & 281474976710655 as rest
+  from h
+),
+r as (
+  select {group_name}, idx,
+         max(case when rest = 0 then 49
+                  else 49 - length(bin(rest)) end) as rho
+  from b group by 1, 2
+),
+a as (
+  select {group_name}, count(*) as n_occupied,
+         cast(sum(1::BIGINT << (49 - rho))
+              + (4096 - count(*)) * 562949953421312::BIGINT
+              as bigint) as sum_units
+  from r group by 1
+)
+select {group_name}, n_occupied, sum_units,
+       round(case when 6.810691763087074e+21 / sum_units <= 10240.0
+                   and n_occupied < 4096
+                  then 4096.0 * ln(4096.0 / (4096 - n_occupied))
+                  else 6.810691763087074e+21 / sum_units end,
+             6) as est_distinct
+from a
+"""
+
+
+HLL_BY_TYPE_SQL = _hll_sql("event_type", "event_type")
+HLL_DAILY_SQL = _hll_sql("cast(ts as date)", "day")
+
+# A-ES replay: u = (h64('wsample:'||id) + 1) / 2^60 (power-of-two scale,
+# exact in doubles), e = -ln(u)/weight rounded to 9 dp BEFORE the rank
+# (the repo's round-before-rank cross-engine contract), ties by doc_id.
+WEIGHTED_SAMPLE_SQL = """
+with s as (
+  select lang, doc_id, n_chars,
+         round(-ln((cast(concat('0x',
+                    substr(md5('wsample:' || cast(doc_id as varchar)),
+                           1, 15)) as bigint) + 1)
+                   / 1152921504606846976.0)
+               / cast(n_chars as double), 9) as samp_key
+  from documents
+  where n_chars is not null and n_chars > 0
+),
+r as (
+  select *, row_number() over (partition by lang
+                               order by samp_key, doc_id) as rn
+  from s
+)
+select lang, doc_id, n_chars, samp_key from r where rn <= 10
+"""
+
+
+def q_weighted_sample_10(spark, sf_dir):
+    """Deterministic weight-proportional top-10 docs per lang
+    (sampling.weighted_sample_k, r5, Efraimidis-Spirakis A-ES keyed on
+    the portable md5 hash) — RNG-free weighted sampling for datamix
+    assembly, value-verified including the rounded exponential keys."""
+    from ts2g2_spark.operators import sampling
+
+    return sampling.weighted_sample_k(
+        _docs(spark, sf_dir), k=10, weight_col="n_chars",
+        group_cols=["lang"],
+    ).select("lang", "doc_id", "n_chars", "samp_key")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -7861,6 +7969,9 @@ _RAW_QUERIES = {
         "domain_stats": q_domain_stats,
         "pq_recall_top5": q_pq_recall_top5,
         "ivfpq_recall_top5": q_ivfpq_recall_top5,
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_users_daily_merged": q_hll_users_daily_merged,
+        "weighted_sample_10": q_weighted_sample_10,
     }
 
 
@@ -7922,6 +8033,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _domain_stats_sql(),
         "pq_recall_top5": PQ_RECALL_SQL,
         "ivfpq_recall_top5": IVFPQ_RECALL_SQL,
+        "hll_users_by_type": HLL_BY_TYPE_SQL,
+        "hll_users_daily_merged": HLL_DAILY_SQL,
+        "weighted_sample_10": WEIGHTED_SAMPLE_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

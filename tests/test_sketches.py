@@ -1,0 +1,154 @@
+"""HyperLogLog sketch: pure-Python bit parity, merge exactness,
+accuracy bounds, determinism, and the weighted sampler's A-ES
+properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts2g2_spark.operators import sampling, sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_matches_python_twin_exactly(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sketches.hll_distinct(
+        ev, "user_id", group_cols=("event_type",)).collect()
+    vals = ev.select("event_type", "user_id").collect()
+    by_type: dict[str, list] = {}
+    for r in vals:
+        by_type.setdefault(r.event_type, []).append(r.user_id)
+    assert len(out) == len(by_type)
+    for row in out:
+        n_occ, sum_units, est = sketches.hll_py(by_type[row.event_type])
+        assert row.n_occupied == n_occ
+        assert row.sum_units == sum_units
+        assert row.est_distinct == round(est, 6)
+
+
+def test_hll_accuracy_within_bounds(spark):
+    # 5000 distinct values, each appearing 1-4 times; p=12 std err 1.6%
+    df = spark.range(0, 15000).select(
+        (F.col("id") % 5000).alias("v"))
+    row = sketches.hll_distinct(df, "v").collect()[0]
+    assert abs(row.est_distinct - 5000) / 5000 < 0.05
+    # duplicates must not move the estimate at all
+    row2 = sketches.hll_distinct(
+        spark.range(0, 5000).select(F.col("id").alias("v")), "v"
+    ).collect()[0]
+    assert row2.est_distinct == row.est_distinct
+
+
+def test_hll_linear_counting_small(spark):
+    df = spark.range(0, 10).select(F.col("id").alias("v"))
+    row = sketches.hll_distinct(df, "v").collect()[0]
+    # linear counting is near-exact at tiny cardinalities
+    assert abs(row.est_distinct - 10) < 0.5
+    assert row.n_occupied == 10  # no register collisions at n=10, m=4096
+
+
+def test_hll_merge_equals_direct(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date("ts"))
+    fine = sketches.hll_registers(
+        ev, "user_id", group_cols=("event_type", "day"))
+    merged = sketches.hll_merge(fine, group_cols=("event_type",))
+    direct = sketches.hll_registers(
+        ev, "user_id", group_cols=("event_type",))
+    sym = merged.exceptAll(direct).unionAll(
+        direct.exceptAll(merged))
+    assert sym.count() == 0
+    # and the estimates agree bit-for-bit
+    em = sketches.hll_estimate(merged, group_cols=("event_type",))
+    ed = sketches.hll_estimate(direct, group_cols=("event_type",))
+    assert sorted(map(tuple, em.collect())) == \
+        sorted(map(tuple, ed.collect()))
+
+
+def test_hll_partitioning_invariance(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = sketches.hll_distinct(ev, "user_id").collect()
+    b = sketches.hll_distinct(ev.repartition(17), "user_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hll_nulls_and_empty(spark):
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), (None,)], "v string")
+    row = sketches.hll_distinct(df, "v").collect()[0]
+    n_occ, sum_units, est = sketches.hll_py(["a", "b"])
+    assert (row.n_occupied, row.sum_units) == (n_occ, sum_units)
+    empty = sketches.hll_distinct(
+        spark.createDataFrame([], "v string"), "v").collect()[0]
+    assert empty.est_distinct == 0.0
+    assert empty.n_occupied == 0
+
+
+def test_hll_p_validation():
+    with pytest.raises(ValueError):
+        sketches.hll_py([], p=3)
+    with pytest.raises(ValueError):
+        sketches.hll_py([], p=17)
+
+
+def test_weighted_sample_k_properties(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.weighted_sample_k(
+        docs, k=5, weight_col="n_chars", group_cols=["lang"])
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r)
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per) == n_langs
+    assert all(len(v) <= 5 for v in per.values())
+    # determinism under repartition
+    rows2 = sampling.weighted_sample_k(
+        docs.repartition(13), k=5, weight_col="n_chars",
+        group_cols=["lang"]).collect()
+    assert sorted(r.doc_id for r in rows) == \
+        sorted(r.doc_id for r in rows2)
+    # k-monotone: the k=3 winners are a prefix of the k=5 winners
+    rows3 = sampling.weighted_sample_k(
+        docs, k=3, weight_col="n_chars", group_cols=["lang"]).collect()
+    assert {r.doc_id for r in rows3} <= {r.doc_id for r in rows}
+    # samp_key replays the A-ES formula exactly
+    import hashlib
+    for r in rows[:10]:
+        h = int(hashlib.md5(
+            f"wsample:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / float(1 << 60)
+        assert r.samp_key == round(-math.log(u) / float(r.n_chars), 9)
+
+
+def test_weighted_sample_bias(spark):
+    # two weight classes 10:1 — heavy ids must dominate the sample
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit(10.0)).otherwise(1.0)
+        .alias("wt"),
+        F.lit("g").alias("g"))
+    out = sampling.weighted_sample_k(
+        df, k=200, weight_col="wt", group_cols=["g"],
+        key_col="doc_id").collect()
+    heavy = sum(1 for r in out if r.doc_id < 1000)
+    # E[heavy] ~ 183/200 under A-ES with w=10 vs 1; require a clear
+    # majority (binomial tail makes <140 astronomically unlikely)
+    assert heavy > 140
+    # weight <= 0 rows never sample
+    df2 = df.withColumn("wt", F.when(
+        F.col("doc_id") < 1000, F.lit(-1.0)).otherwise(F.col("wt")))
+    out2 = sampling.weighted_sample_k(
+        df2, k=200, weight_col="wt", group_cols=["g"],
+        key_col="doc_id").collect()
+    assert all(r.doc_id >= 1000 for r in out2)
+
+
+def test_weighted_sample_k_validation(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        sampling.weighted_sample_k(docs, k=0, weight_col="n_chars")

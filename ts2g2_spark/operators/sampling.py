@@ -268,3 +268,61 @@ def per_key_cap(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: list[str] = (),
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement —
+    at most k rows per group, each row's inclusion probability rising
+    with `weight_col` (Efraimidis–Spirakis 2006 A-ES): draw
+    u = (h64(salt:key) + 1) / 2**60 in (0, 1], score
+    e = -ln(u) / w, keep the k SMALLEST e per group (equivalent to the
+    classic top-k by u**(1/w)).  An exponential race: e is an
+    Exp(rate=w) draw, so heavier rows win proportionally more often —
+    true weighted sampling, not weighted shuffling.
+
+    RNG-free like every sampler here: u comes from the salted md5
+    bucket, so the selection is stable under retries/resizes and
+    replayable in any engine with md5 + ln (the division by 2**60 is a
+    power-of-two scale — exact in IEEE doubles, bit-identical across
+    engines).  Rank compares round(e, round_dp) with a key tie-break —
+    the repo's round-before-rank cross-engine contract (near-ulp ln
+    differences cannot flip membership).  Rows with weight <= 0 or
+    null never sample (documented A-ES domain; filter precedes the
+    window so they also don't occupy ranks).
+
+    Scale shape: one window shuffle on the group key (global top-k when
+    ungrouped collapses to TakeOrderedAndProject under Catalyst when
+    followed by a limit; the grouped form is the datamix use).  Output:
+    input columns + samp_key (the rounded e, kept so the choice is
+    auditable and value-verifiable)."""
+    if k < 1:
+        raise ValueError(f"weighted_sample_k: need k >= 1, got {k=}")
+    from pyspark.sql.window import Window
+
+    u = (_bucket_u60(key_col, salt) + F.lit(1)).cast("double") \
+        / F.lit(float(1 << 60))
+    e = F.round(-F.log(u) / F.col(weight_col).cast("double"), round_dp)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("samp_key"), F.col(key_col))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("samp_key", e)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _bucket_u60(key_col: str, salt: str) -> F.Column:
+    """Full 60-bit salted hash (not reduced mod 1e6 like `_bucket`):
+    the A-ES uniform needs the whole width so ln(u) has real entropy."""
+    return h64(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))

@@ -1,0 +1,224 @@
+"""Mergeable cardinality sketches (HyperLogLog) with exact cross-engine
+replay.
+
+Why a sketch when `count(distinct)` exists: at 100 TB, exact distinct is
+a full shuffle of every key; the HLL register frame is at most
+`m = 2**p` rows per group NO MATTER the input size, the per-register
+`max` is a partial aggregate (map-side combine collapses each input
+partition to <= m rows before the exchange), and registers MERGE by
+max — so per-day/per-tier partials roll up to any coarser grain without
+touching the raw data again, exactly like the rollup tiers.
+
+Why this one is value-oracle-able when approx_count_distinct is not:
+Spark's HLL++ and DuckDB's HLL hash differently and are opaque.  Here
+every choice is pinned to the repo's portable-hash contract
+(functions/hashing.h64: first 15 md5 hex chars as a non-negative 60-bit
+int64):
+
+  idx  = h >> (60 - p)                      (top p bits -> register)
+  rest = h & (2**(60-p) - 1)                (low w = 60-p bits)
+  rho  = w + 1 if rest == 0 else w - length(bin(rest)) + 1
+                                            (leading-zero count + 1)
+
+`length(bin(x))` is the integer-exact bit length in BOTH engines
+(minimal-width binary string, Spark `bin` = DuckDB `bin`), so rho never
+touches floating point.  The estimator's harmonic sum is kept in
+INTEGER space: sum(2**-rho) over all m registers is accumulated as
+`sum_units` in units of 2**-Q (Q = w + 1, the max rho), i.e.
+2**(Q - rho) per occupied register and 2**Q per empty one — an int64
+(max m * 2**Q = 2**61), so the only floating-point steps are ONE
+division (numerator embedded as a single double literal) and the
+standard linear-counting branch's ln().  Both replay bit-identically in
+any engine with md5 + bin + IEEE doubles; the final estimate is rounded
+(round_dp) per the repo's cross-engine contract.
+
+Accuracy: standard HLL relative error ~= 1.04 / sqrt(m) (1.6% at
+p = 12).  The 60-bit hash makes the 32-bit large-range correction
+unnecessary at any realistic cardinality (collision pressure starts
+around 2**30 distincts per group; at that point raise p, not patch the
+estimator).
+
+Reference scope note: the ts2g2 reference has no sketching surface —
+this is an engine-native addition for the 100 TB tier, same family as
+the rollup/gap-fill/retention operators (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts2g2_spark.functions.hashing import h64
+
+_HASH_BITS = 60  # h64 width: 15 md5 hex chars
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> None:
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll: p must be in [4, 16], got {p}")
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL register frame: (group_cols..., reg_idx, reg_rho).
+
+    One hash-aggregate on (group, reg_idx) with a max — the partial agg
+    bounds every map task's output at m rows per group before the
+    exchange, so the shuffle volume is O(groups * m) regardless of
+    input size.  Null values are skipped (SQL count-distinct
+    semantics).  The output is the MERGEABLE partial: union frames of
+    the same p and re-max (`hll_merge`) to coarsen grain."""
+    _check_p(p)
+    w = _HASH_BITS - p
+    mask = (1 << w) - 1
+    h = h64(F.col(value_col).cast("string"))
+    rest = h.bitwiseAND(F.lit(mask))
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest)))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.shiftright(h, w).alias("reg_idx"),
+            rho.cast("int").alias("reg_rho"),
+        )
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("reg_rho").alias("reg_rho"))
+    )
+
+
+def hll_merge(
+    regs: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge register partials to the (possibly coarser) `group_cols`
+    grain: group and re-max.  Exact — max is associative/commutative,
+    so merged partials are row-identical to registers computed from
+    the union of the raw inputs (pinned by test and by the
+    `hll_tiers_up` oracle, whose SQL twin skips the intermediate
+    grain entirely)."""
+    return (
+        regs.groupBy(*group_cols, "reg_idx")
+        .agg(F.max("reg_rho").alias("reg_rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Estimate from a register frame.  Output per group:
+    (group_cols..., n_occupied, sum_units, est_distinct).
+
+    sum_units is the harmonic sum in exact integer units of 2**-Q
+    (Q = 60 - p + 1): occupied registers contribute 2**(Q - rho),
+    the (m - n_occupied) empty ones 2**Q each.  raw estimate =
+    (alpha * m**2 * 2**Q) / sum_units — the numerator is ONE embedded
+    double literal, so the division is the only float op and replays
+    bit-identically.  Linear-counting branch (raw <= 2.5m and empty
+    registers exist): m * ln(m / zeros).  est_distinct is rounded to
+    `round_dp`; n_occupied / sum_units are exact integers, making the
+    value-hash comparison razor-exact on everything but the one
+    rounded double."""
+    _check_p(p)
+    m = 1 << p
+    q = _HASH_BITS - p + 1
+    numerator = _alpha(m) * (m ** 2) * float(1 << q)
+    agg = (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_occupied"),
+            # coalesce: the global (no group cols) agg of an EMPTY
+            # register frame yields one row with sum = null; 0 keeps
+            # sum_units = m * 2**q there, so the linear-counting branch
+            # correctly reads est = m * ln(m/m) = 0
+            F.coalesce(
+                F.sum(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {q} - reg_rho)")),
+                F.lit(0).cast("long"),
+            ).alias("_occ_units"),
+        )
+        .select(
+            *[F.col(c) for c in group_cols],
+            "n_occupied",
+            (F.col("_occ_units")
+             + (F.lit(m) - F.col("n_occupied")) * F.lit(1 << q))
+            .alias("sum_units"),
+        )
+    )
+    raw = F.lit(numerator) / F.col("sum_units").cast("double")
+    zeros = (F.lit(m) - F.col("n_occupied")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_occupied") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        "n_occupied",
+        "sum_units",
+        F.round(est, round_dp).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+    round_dp: int = 6,
+) -> DataFrame:
+    """End-to-end per-group distinct estimate (registers + estimate)."""
+    return hll_estimate(
+        hll_registers(df, value_col, group_cols, p),
+        group_cols, p, round_dp,
+    )
+
+
+def hll_py(values, p: int = 12) -> tuple[int, int, float]:
+    """Pure-Python twin of hll_distinct for one group — same md5 math,
+    same integer-space estimator.  Returns (n_occupied, sum_units,
+    est_distinct unrounded).  Test oracle only (driver-side, small
+    inputs)."""
+    import hashlib
+
+    _check_p(p)
+    m = 1 << p
+    w = _HASH_BITS - p
+    q = w + 1
+    regs: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx, rest = h >> w, h & ((1 << w) - 1)
+        rho = q if rest == 0 else q - rest.bit_length()
+        if regs.get(idx, 0) < rho:
+            regs[idx] = rho
+    n_occ = len(regs)
+    sum_units = sum(1 << (q - r) for r in regs.values()) \
+        + (m - n_occ) * (1 << q)
+    raw = (_alpha(m) * (m ** 2) * float(1 << q)) / float(sum_units)
+    if raw <= 2.5 * m and n_occ < m:
+        est = m * math.log(m / float(m - n_occ))
+    else:
+        est = raw
+    return n_occ, sum_units, est
