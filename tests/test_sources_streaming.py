@@ -806,3 +806,79 @@ def test_incremental_fold_crash_window_redelivery(spark, tmp_path,
     assert not os.path.exists(os.path.join(tbl, "v2", "_pb=0",
                                            "part-junk.parquet"))
     shutil.rmtree(str(tmp_path / "control"), ignore_errors=True)
+
+
+def test_streaming_hll_converges_to_batch(spark, tmp_path):
+    """streaming_hll_distinct: update-mode running estimate; after each
+    drain the LATEST row per group equals the batch hll_distinct over
+    all rows streamed so far — bit-exact, including across a
+    checkpoint-resumed second drain."""
+    from ts2g2_spark.operators import sketches
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def mk_events(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(1704067200 + F.col("id")).alias("ts"),
+            (F.col("id") % 37).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3)).alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    emitted: list[tuple[int, list]] = []
+
+    def drain():
+        q = (
+            ingest.streaming_hll_distinct(
+                ingest.stream_events(spark, in_dir, max_files=1))
+            .writeStream
+            .foreachBatch(lambda df, bid: emitted.append(
+                (bid, df.collect())))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def latest_per_group():
+        last = {}
+        for bid, rows in sorted(emitted, key=lambda t: t[0]):
+            for r in rows:
+                last[r.event_type] = r
+        return last
+
+    mk_events(0, 400).write.mode("append").parquet(in_dir)
+    drain()
+    got1 = latest_per_group()
+    want1 = {r.event_type: r for r in sketches.hll_distinct(
+        mk_events(0, 400), "user_id", ("event_type",)).collect()}
+    assert {k: (v.n_occupied, v.sum_units, v.est_distinct)
+            for k, v in got1.items()} == \
+           {k: (v.n_occupied, v.sum_units, v.est_distinct)
+            for k, v in want1.items()}
+
+    # second drain resumes the register state from the checkpoint;
+    # new users (id % 53 shifts the residues) must fold into it
+    mk_events(4000, 4600).select(
+        "event_id", "ts", (F.col("event_id") % 53).alias("user_id"),
+        "event_type", "value", "props",
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    union = mk_events(0, 400).unionByName(
+        mk_events(4000, 4600).select(
+            "event_id", "ts", (F.col("event_id") % 53).alias("user_id"),
+            "event_type", "value", "props"))
+    want2 = {r.event_type: r for r in sketches.hll_distinct(
+        union, "user_id", ("event_type",)).collect()}
+    got2 = latest_per_group()
+    assert {k: (v.n_occupied, v.sum_units, v.est_distinct)
+            for k, v in got2.items()} == \
+           {k: (v.n_occupied, v.sum_units, v.est_distinct)
+            for k, v in want2.items()}
+    # the running estimate grew (more distincts streamed)
+    assert all(got2[k].n_occupied >= got1[k].n_occupied for k in got1)

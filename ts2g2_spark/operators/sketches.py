@@ -71,6 +71,19 @@ def _check_p(p: int) -> None:
         raise ValueError(f"hll: p must be in [4, 16], got {p}")
 
 
+def register_cols(value_col: str, p: int) -> tuple[F.Column, F.Column]:
+    """The Catalyst (reg_idx, reg_rho) expression pair — shared by the
+    batch register agg and the streaming fold (which extracts registers
+    JVM-side so no Python ever hashes a row)."""
+    w = _HASH_BITS - p
+    mask = (1 << w) - 1
+    h = h64(F.col(value_col).cast("string"))
+    rest = h.bitwiseAND(F.lit(mask))
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest)))
+    return F.shiftright(h, w), rho.cast("int")
+
+
 def hll_registers(
     df: DataFrame,
     value_col: str,
@@ -86,18 +99,13 @@ def hll_registers(
     semantics).  The output is the MERGEABLE partial: union frames of
     the same p and re-max (`hll_merge`) to coarsen grain."""
     _check_p(p)
-    w = _HASH_BITS - p
-    mask = (1 << w) - 1
-    h = h64(F.col(value_col).cast("string"))
-    rest = h.bitwiseAND(F.lit(mask))
-    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
-        F.lit(w + 1) - F.length(F.bin(rest)))
+    idx, rho = register_cols(value_col, p)
     return (
         df.where(F.col(value_col).isNotNull())
         .select(
             *[F.col(c) for c in group_cols],
-            F.shiftright(h, w).alias("reg_idx"),
-            rho.cast("int").alias("reg_rho"),
+            idx.alias("reg_idx"),
+            rho.alias("reg_rho"),
         )
         .groupBy(*group_cols, "reg_idx")
         .agg(F.max("reg_rho").alias("reg_rho"))
@@ -193,6 +201,20 @@ def hll_distinct(
     )
 
 
+def hll_finalize_py(n_occ: int, sum_units: int, p: int) -> float:
+    """Driver/worker-side twin of hll_estimate's final expression —
+    IDENTICAL float ops (one division by the same embedded numerator,
+    linear-counting ln branch), so a Python consumer (streaming state
+    fold, tests) produces the bit-same unrounded estimate as the
+    Catalyst/DuckDB replay."""
+    m = 1 << p
+    q = _HASH_BITS - p + 1
+    raw = (_alpha(m) * (m ** 2) * float(1 << q)) / float(sum_units)
+    if raw <= 2.5 * m and n_occ < m:
+        return m * math.log(m / float(m - n_occ))
+    return raw
+
+
 def hll_py(values, p: int = 12) -> tuple[int, int, float]:
     """Pure-Python twin of hll_distinct for one group — same md5 math,
     same integer-space estimator.  Returns (n_occupied, sum_units,
@@ -216,9 +238,4 @@ def hll_py(values, p: int = 12) -> tuple[int, int, float]:
     n_occ = len(regs)
     sum_units = sum(1 << (q - r) for r in regs.values()) \
         + (m - n_occ) * (1 << q)
-    raw = (_alpha(m) * (m ** 2) * float(1 << q)) / float(sum_units)
-    if raw <= 2.5 * m and n_occ < m:
-        est = m * math.log(m / float(m - n_occ))
-    else:
-        est = raw
-    return n_occ, sum_units, est
+    return n_occ, sum_units, hll_finalize_py(n_occ, sum_units, p)

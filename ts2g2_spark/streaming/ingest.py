@@ -632,3 +632,81 @@ def streaming_histogram_1m(
             "bin", "cnt",
         )
     )
+
+
+def streaming_hll_distinct(
+    rows: DataFrame,
+    value_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+    p: int = 12,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Running distinct-so-far per group from a stream, on the engine's
+    PORTABLE HyperLogLog registers (operators/sketches) — the streaming
+    face of the same sketch, so the live state is bit-identical to (and
+    interchangeable with) the batch `hll_registers` frame over the rows
+    seen so far.  Complements `streaming_distinct_1m`, which buckets
+    into windows and carries OPAQUE datasketches state: this one keeps
+    one unwindowed register set per group, converges exactly to
+    `hll_distinct` of the union of all micro-batches (pinned by test
+    across a checkpoint-resumed second drain), and its registers could
+    be exported to any engine that can rank md5 bits.
+
+    Plumbing: (reg_idx, reg_rho) are computed JVM-side by the shared
+    Catalyst expressions (sketches.register_cols) BEFORE the stateful
+    operator — Python never hashes a row; the state fold is one
+    numpy `maximum.at` per Arrow batch.  State per group is the
+    occupied-register pair-list — at most m = 2**p entries no matter
+    how many rows streamed (the sketch IS the bound; no watermark
+    needed because the running estimate is monotone, there is no
+    lateness to wait out).  Emits in UPDATE mode: one refreshed
+    (n_occupied, sum_units, est_distinct) row per group per
+    micro-batch, computed with the same integer-space units and the
+    shared `hll_finalize_py` float path as the batch estimator."""
+    import numpy as np
+
+    from ts2g2_spark.operators import sketches
+
+    sketches._check_p(p)
+    idx, rho = sketches.register_cols(value_col, p)
+    regs = rows.where(F.col(value_col).isNotNull()).select(
+        *group_cols, idx.alias("reg_idx"), rho.alias("reg_rho"))
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in regs.select(*group_cols).schema.fields)
+    out_schema = (f"{key_schema}, n_occupied bigint, sum_units bigint, "
+                  f"est_distinct double")
+    m = 1 << p
+    q = (60 - p) + 1  # max rho; sum_units unit scale, as in hll_estimate
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        arr = np.zeros(m, dtype=np.int32)
+        if state.exists:
+            sidx, srho = state.get
+            arr[np.asarray(sidx, dtype=np.int64)] = np.asarray(
+                srho, dtype=np.int32)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            np.maximum.at(
+                arr,
+                pdf["reg_idx"].to_numpy(np.int64),
+                pdf["reg_rho"].to_numpy(np.int32))
+        occ = np.flatnonzero(arr)
+        state.update((
+            [int(i) for i in occ], [int(r) for r in arr[occ]]))
+        n_occ = int(occ.size)
+        sum_units = int(
+            (np.int64(1) << (q - arr[occ].astype(np.int64))).sum()
+        ) + (m - n_occ) * (1 << q)
+        est = sketches.hll_finalize_py(n_occ, sum_units, p)
+        yield pd.DataFrame([{
+            **{c: k for c, k in zip(group_cols, key)},
+            "n_occupied": n_occ, "sum_units": sum_units,
+            "est_distinct": round(est, round_dp),
+        }])
+
+    return regs.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, "idx array<int>, rho array<int>", "update",
+        GroupStateTimeout.NoTimeout)
