@@ -63,6 +63,8 @@ AUDIT = [
     # round 5 late additions
     "int8_recall_top5", "pq_recall_top5", "ivfpq_recall_top5",
     "normalize_unicode", "domain_stats",
+    # round 5 sketch additions
+    "hll_users_by_type", "hll_users_daily_merged", "weighted_sample_10",
 ]
 
 
