@@ -7736,6 +7736,136 @@ select lang, doc_id, n_chars, samp_key from r where rn <= 10
 """
 
 
+def q_hll_overlap_click_purchase(spark, sf_dir):
+    """HLL set overlap via inclusion-exclusion
+    (sketches.hll_intersect_estimate, r5): distinct users who BOTH
+    clicked and purchased, from two register sketches and their exact
+    register merge — the audience-overlap query a 100 TB events store
+    answers without ever shuffling raw user ids.  All three terms are
+    the rounded integer-space estimates; the final arithmetic is three
+    identical doubles in both engines."""
+    from ts2g2_spark.operators import sketches
+
+    ev = _events(spark, sf_dir)
+    ra = sketches.hll_registers(
+        ev.where(F.col("event_type") == "click"), "user_id")
+    rb = sketches.hll_registers(
+        ev.where(F.col("event_type") == "purchase"), "user_id")
+    return sketches.hll_intersect_estimate(ra, rb)
+
+
+def _hll_scalar_cte(tag: str, pred: str) -> str:
+    """CTE chain estimating distinct user_id over `events where pred`
+    as a one-row relation e_{tag}(e) — same register/estimate math as
+    _hll_sql, ungrouped."""
+    return f"""
+r_{tag} as (
+  select h >> 48 as idx,
+         max(case when (h & 281474976710655) = 0 then 49
+                  else 49 - length(bin(h & 281474976710655)) end) as rho
+  from (select cast(concat('0x', substr(md5(cast(user_id as varchar)),
+                                        1, 15)) as bigint) as h
+        from events where user_id is not null and ({pred}))
+  group by 1
+),
+a_{tag} as (
+  select count(*) as n,
+         cast(sum(1::BIGINT << (49 - rho))
+              + (4096 - count(*)) * 562949953421312::BIGINT
+              as bigint) as su
+  from r_{tag}
+),
+e_{tag} as (
+  select round(case when 6.810691763087074e+21 / su <= 10240.0
+                     and n < 4096
+                    then 4096.0 * ln(4096.0 / (4096 - n))
+                    else 6.810691763087074e+21 / su end, 6) as e
+  from a_{tag}
+)"""
+
+
+HLL_OVERLAP_SQL = f"""
+with {_hll_scalar_cte("a", "event_type = 'click'")},
+{_hll_scalar_cte("b", "event_type = 'purchase'")},
+{_hll_scalar_cte("u", "event_type in ('click', 'purchase')")}
+select e_a.e as est_a, e_b.e as est_b, e_u.e as est_union,
+       greatest(0.0, round(e_a.e + e_b.e - e_u.e, 6)) as est_intersect
+from e_a, e_b, e_u
+"""
+
+
+def q_cms_hot_words(spark, sf_dir):
+    """Count-min sketch frequency estimates (sketches.cms_sketch /
+    cms_lookup, r5) for the 10 hottest normalized words, side by side
+    with their exact counts — the all-INTEGER sketch (d=4 salted md5
+    rows x 1024 buckets, bounded at 4096 cells regardless of corpus
+    size), so every cell and every min-estimate replays exactly with
+    no rounding contract.  est_cnt >= exact_cnt always (overcount-only
+    guarantee), equal when the hot word's 4 cells are collision-light."""
+    from ts2g2_spark.operators import sketches
+    from ts2g2_spark.operators.text import _norm_words
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(_norm_words("text")).alias("word"))
+    sk = sketches.cms_sketch(words, "word", d=4, w_buckets=1024)
+    from pyspark.sql.window import Window
+
+    # bucket tournament for the exact top-10 (the vocab_stats idiom):
+    # per-bucket ranks bound partition size; the global rank then sees
+    # at most 10 * 64 rows instead of the whole vocabulary
+    tf = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .withColumn("_b", F.pmod(F.xxhash64("word"), F.lit(64)))
+    )
+    cand = tf.withColumn("_r", F.row_number().over(
+        Window.partitionBy("_b").orderBy(
+            F.desc("exact_cnt"), F.asc("word")))).where(F.col("_r") <= 10)
+    exact = (
+        cand.withColumn("_g", F.row_number().over(
+            Window.orderBy(F.desc("exact_cnt"), F.asc("word"))))
+        .where(F.col("_g") <= 10).select("word", "exact_cnt")
+    )
+    est = sketches.cms_lookup(
+        sk, exact.select("word"), "word", d=4, w_buckets=1024)
+    return exact.join(est, "word").select("word", "exact_cnt", "est_cnt")
+
+
+CMS_HOT_WORDS_SQL = r"""
+with w as (
+  select list_filter(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+             x -> x != '') as ws
+  from documents
+),
+stream as (select unnest(ws) as word from w),
+salts as (select unnest([0, 1, 2, 3]) as i),
+cells as (
+  select i,
+         cast(concat('0x', substr(md5('cms' || i || ':' || word), 1, 15))
+              as bigint) % 1024 as bucket,
+         count(*)::BIGINT as cnt
+  from stream cross join salts
+  group by 1, 2
+),
+exact as (
+  select word, count(*)::BIGINT as exact_cnt,
+         row_number() over (order by count(*) desc, word) as rn
+  from stream group by 1
+),
+top10 as (select word, exact_cnt from exact where rn <= 10),
+probes as (
+  select t.word, t.exact_cnt, s.i,
+         cast(concat('0x', substr(md5('cms' || s.i || ':' || t.word),
+                                  1, 15)) as bigint) % 1024 as bucket
+  from top10 t cross join salts s
+)
+select p.word, p.exact_cnt,
+       min(coalesce(c.cnt, 0))::BIGINT as est_cnt
+from probes p left join cells c on p.i = c.i and p.bucket = c.bucket
+group by 1, 2
+"""
+
+
 def q_weighted_sample_10(spark, sf_dir):
     """Deterministic weight-proportional top-10 docs per lang
     (sampling.weighted_sample_k, r5, Efraimidis-Spirakis A-ES keyed on
@@ -7972,6 +8102,8 @@ _RAW_QUERIES = {
         "hll_users_by_type": q_hll_users_by_type,
         "hll_users_daily_merged": q_hll_users_daily_merged,
         "weighted_sample_10": q_weighted_sample_10,
+        "hll_overlap_click_purchase": q_hll_overlap_click_purchase,
+        "cms_hot_words": q_cms_hot_words,
     }
 
 
@@ -8036,6 +8168,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": HLL_BY_TYPE_SQL,
         "hll_users_daily_merged": HLL_DAILY_SQL,
         "weighted_sample_10": WEIGHTED_SAMPLE_SQL,
+        "hll_overlap_click_purchase": HLL_OVERLAP_SQL,
+        "cms_hot_words": CMS_HOT_WORDS_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

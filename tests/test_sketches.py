@@ -152,3 +152,83 @@ def test_weighted_sample_k_validation(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(ValueError):
         sampling.weighted_sample_k(docs, k=0, weight_col="n_chars")
+
+
+def test_hll_intersect_inclusion_exclusion(spark):
+    # A = 0..2999, B = 2000..5999 -> |A∩B| = 1000, |A∪B| = 6000
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+    ra = sketches.hll_registers(a, "v")
+    rb = sketches.hll_registers(b, "v")
+    row = sketches.hll_intersect_estimate(ra, rb).collect()[0]
+    assert abs(row.est_a - 3000) / 3000 < 0.05
+    assert abs(row.est_b - 4000) / 4000 < 0.05
+    assert abs(row.est_union - 6000) / 6000 < 0.05
+    # intersection inherits the error of all three terms; be generous
+    assert abs(row.est_intersect - 1000) / 1000 < 0.25
+    # arithmetic contract: intersect recomputes from the emitted terms
+    assert row.est_intersect == max(
+        0.0, round(row.est_a + row.est_b - row.est_union, 6))
+    # disjoint sets clamp at 0 instead of going negative
+    c = spark.range(100000, 103000).select(F.col("id").alias("v"))
+    row2 = sketches.hll_intersect_estimate(
+        ra, sketches.hll_registers(c, "v")).collect()[0]
+    assert row2.est_intersect <= 0.05 * 3000
+
+
+def test_hll_intersect_grouped_missing_side(spark):
+    a = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g2", 3)], "g string, v int")
+    b = spark.createDataFrame(
+        [("g1", 2), ("g3", 9)], "g string, v int")
+    out = {r.g: r for r in sketches.hll_intersect_estimate(
+        sketches.hll_registers(a, "v", ("g",)),
+        sketches.hll_registers(b, "v", ("g",)),
+        group_cols=("g",)).collect()}
+    assert set(out) == {"g1", "g2", "g3"}
+    assert out["g2"].est_b == 0.0 and out["g2"].est_intersect == 0.0
+    assert out["g3"].est_a == 0.0 and out["g3"].est_intersect == 0.0
+    assert out["g1"].est_intersect > 0.5  # {2} is shared
+
+
+def test_cms_matches_python_twin_and_overcounts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = docs.select(F.explode(
+        F.split(F.trim("text"), "[ \t\n\f\r]+")).alias("w")).where(
+        F.col("w") != "")
+    sk = sketches.cms_sketch(words, "w", d=4, w_buckets=512)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")) \
+        .orderBy(F.desc("cnt"), "w").limit(20)
+    est = {r.w: r.est_cnt for r in sketches.cms_lookup(
+        sk, exact.select("w"), "w", d=4, w_buckets=512).collect()}
+    truth = {r.w: r.cnt for r in exact.collect()}
+    # overcount-only guarantee
+    assert all(est[w] >= c for w, c in truth.items())
+    # python twin parity (exact cell equality)
+    all_words = [r.w for r in words.collect()]
+    py = sketches.cms_py(all_words, list(truth), d=4, w_buckets=512)
+    assert est == py
+    # with a roomy width the hot words estimate exactly
+    sk2 = sketches.cms_sketch(words, "w", d=4, w_buckets=65536)
+    est2 = {r.w: r.est_cnt for r in sketches.cms_lookup(
+        sk2, exact.select("w"), "w", d=4, w_buckets=65536).collect()}
+    assert sum(1 for w in truth if est2[w] == truth[w]) >= 18
+
+
+def test_cms_merge_linearity(spark):
+    words = spark.range(0, 4000).select(
+        (F.col("id") % 97).cast("string").alias("w"),
+        (F.col("id") % 2).alias("half"))
+    whole = sketches.cms_sketch(words, "w", d=3, w_buckets=256)
+    parts = sketches.cms_sketch(
+        words, "w", group_cols=("half",), d=3, w_buckets=256)
+    merged = sketches.cms_merge(parts, group_cols=())
+    sym = merged.exceptAll(whole).unionAll(whole.exceptAll(merged))
+    assert sym.count() == 0
+
+
+def test_cms_validation(spark):
+    with pytest.raises(ValueError):
+        sketches.cms_py([], [], d=0)
+    with pytest.raises(ValueError):
+        sketches.cms_py([], [], w_buckets=1)

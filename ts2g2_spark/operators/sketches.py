@@ -239,3 +239,170 @@ def hll_py(values, p: int = 12) -> tuple[int, int, float]:
     sum_units = sum(1 << (q - r) for r in regs.values()) \
         + (m - n_occ) * (1 << q)
     return n_occ, sum_units, hll_finalize_py(n_occ, sum_units, p)
+
+
+def hll_intersect_estimate(
+    regs_a: DataFrame,
+    regs_b: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distinct-set overlap from two register frames (same p) by
+    inclusion-exclusion: |A ∩ B| ~= est(A) + est(B) - est(A ∪ B), where
+    the union sketch is the exact register merge (re-max) — the
+    standard HLL set-operation trade (union is lossless, intersection
+    inherits ~1.04/sqrt(m) error on EACH term, so small overlaps of
+    large sets are noisy; use a higher p there).
+
+    Replay contract: each term is the ALREADY-ROUNDED `hll_estimate`
+    output, so the final arithmetic is three identical doubles in both
+    engines; the result is clamped at 0 (inclusion-exclusion of
+    estimates can go slightly negative on disjoint sets) and re-rounded.
+    Groups present on one side only estimate the missing side as 0.0
+    (empty sketch).  Output: group_cols..., est_a, est_b, est_union,
+    est_intersect."""
+    def _est(regs: DataFrame, name: str) -> DataFrame:
+        return hll_estimate(regs, group_cols, p, round_dp).select(
+            *group_cols, F.col("est_distinct").alias(name))
+
+    ea = _est(regs_a, "est_a")
+    eb = _est(regs_b, "est_b")
+    eu = _est(
+        hll_merge(regs_a.unionByName(regs_b), group_cols), "est_union")
+    if group_cols:
+        joined = (
+            ea.join(eb, list(group_cols), "full")
+            .join(eu, list(group_cols), "full")
+        )
+    else:
+        joined = ea.crossJoin(eb).crossJoin(eu)
+    a = F.coalesce(F.col("est_a"), F.lit(0.0))
+    b = F.coalesce(F.col("est_b"), F.lit(0.0))
+    u = F.coalesce(F.col("est_union"), F.lit(0.0))
+    return joined.select(
+        *group_cols,
+        a.alias("est_a"), b.alias("est_b"), u.alias("est_union"),
+        F.greatest(
+            F.lit(0.0), F.round(a + b - u, round_dp)
+        ).alias("est_intersect"),
+    )
+
+
+def _cms_probe(value_col: str, d: int, w_buckets: int) -> F.Column:
+    """The d salted bucket positions of a value — shared by sketch
+    build and lookup so both sides land in identical cells."""
+    return F.array(*[
+        F.pmod(
+            h64(F.concat_ws(
+                ":", F.lit(f"cms{i}"), F.col(value_col).cast("string"))),
+            F.lit(w_buckets),
+        )
+        for i in range(d)
+    ])
+
+
+def _check_cms(d: int, w_buckets: int) -> None:
+    if d < 1 or w_buckets < 2:
+        raise ValueError(
+            f"cms: need d >= 1 and w_buckets >= 2, got {d=} {w_buckets=}")
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    d: int = 4,
+    w_buckets: int = 2048,
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan 2005) of a value stream:
+    d salted-md5 hash rows x w buckets of exact integer counts.  Output
+    (group_cols..., cms_row, bucket, cnt) — at most d * w_buckets rows
+    per group NO MATTER the input size, and the count agg is
+    partial-aggregatable (map-side combine), so the exchange carries
+    bounded state like the HLL register frame.  Sketches MERGE by
+    summing cnt cell-wise (linearity) — `cms_merge`.
+
+    Estimate guarantee: lookup >= true count always (only overcounts,
+    by hash collisions); error <= 2N/w_buckets with probability
+    1 - 2^-d.  Entirely INTEGER arithmetic on the portable md5 hash —
+    the one sketch whose every cell and every estimate replays exactly
+    in any engine, no rounding contract needed."""
+    _check_cms(d, w_buckets)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.posexplode(_cms_probe(value_col, d, w_buckets))
+            .alias("cms_row", "bucket"),
+        )
+        .groupBy(*group_cols, "cms_row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(
+    sketches: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge sketch partials to a coarser grain: cell-wise sum
+    (count-min is linear, so merged partials are row-identical to a
+    sketch built from the union of the raw inputs)."""
+    return (
+        sketches.groupBy(*group_cols, "cms_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    d: int = 4,
+    w_buckets: int = 2048,
+) -> DataFrame:
+    """Point-query the sketch for each row of `items` (which carries
+    `value_col` and any group cols): est_cnt = min over the d rows of
+    the probed cell (absent cell = 0).  The probe frame is
+    O(items x d) — broadcast onto the bounded sketch; one small agg
+    back to one row per item.  Same (d, w_buckets, salts) as the build
+    or the cells won't line up (enforced nowhere but by the shared
+    `_cms_probe` — pass the same params)."""
+    _check_cms(d, w_buckets)
+    probes = items.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col),
+        F.posexplode(_cms_probe(value_col, d, w_buckets))
+        .alias("cms_row", "bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, [*group_cols, "cms_row", "bucket"], "left")
+        .groupBy(*group_cols, value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+def cms_py(values, queries, d: int = 4, w_buckets: int = 2048) -> dict:
+    """Pure-Python twin (same md5 salts/cells) — test oracle only."""
+    import hashlib
+
+    _check_cms(d, w_buckets)
+    cells: dict[tuple[int, int], int] = {}
+    for v in values:
+        if v is None:
+            continue
+        for i in range(d):
+            h = int(hashlib.md5(
+                f"cms{i}:{v}".encode()).hexdigest()[:15], 16)
+            key = (i, h % w_buckets)
+            cells[key] = cells.get(key, 0) + 1
+    out = {}
+    for qv in queries:
+        out[qv] = min(
+            cells.get((i, int(hashlib.md5(
+                f"cms{i}:{qv}".encode()).hexdigest()[:15], 16)
+                % w_buckets), 0)
+            for i in range(d))
+    return out
