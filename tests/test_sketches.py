@@ -232,3 +232,56 @@ def test_cms_validation(spark):
         sketches.cms_py([], [], d=0)
     with pytest.raises(ValueError):
         sketches.cms_py([], [], w_buckets=1)
+
+
+# ---- hypothesis property pins on the pure-Python twins (no Spark:
+# hundreds of adversarial cases without JVM round-trips; the Spark
+# plumbing is covered above and by the gate oracles) -----------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_vals = hst.lists(
+    hst.text(alphabet="abcdef:0123456789 ", min_size=0, max_size=8),
+    min_size=0, max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_vals)
+def test_hll_py_order_and_duplication_invariant(values):
+    base = sketches.hll_py(values)
+    assert sketches.hll_py(list(reversed(values))) == base
+    # multiplicity never moves a distinct-count sketch
+    assert sketches.hll_py(values + values) == base
+    assert sketches.hll_py(values + values[:50]) == base
+
+
+@settings(max_examples=200, deadline=None)
+@given(_vals)
+def test_hll_py_estimate_tracks_small_cardinalities(values):
+    n_occ, sum_units, est = sketches.hll_py(values)
+    n_true = len(set(values))
+    assert n_occ <= n_true
+    assert est >= 0.0
+    if n_true == 0:
+        assert (n_occ, est) == (0, 0.0)
+    else:
+        # linear-counting regime (n << m = 4096): within 25% always
+        # at these sizes, and register occupancy nearly injective
+        assert abs(est - n_true) <= max(1.0, 0.25 * n_true)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_vals, hst.integers(min_value=1, max_value=5),
+       hst.integers(min_value=2, max_value=64))
+def test_cms_py_overcount_only_and_exact_min_bound(values, d, w):
+    truth = Counter(values)
+    qs = list(truth)[:20] + ["__never_seen__"]
+    est = sketches.cms_py(values, qs, d=d, w_buckets=w)
+    for qv in qs:
+        assert est[qv] >= truth.get(qv, 0)
+        # any single cell bounds the estimate by total stream mass
+        assert est[qv] <= len(values)
+    assert est["__never_seen__"] >= 0
