@@ -361,23 +361,37 @@ def cms_lookup(
     group_cols: tuple[str, ...] = (),
     d: int = 4,
     w_buckets: int = 2048,
+    broadcast_items: bool | None = None,
+    broadcast_max_rows: int = 500_000,
 ) -> DataFrame:
     """Point-query the sketch for each row of `items` (which carries
     `value_col` and any group cols): est_cnt = min over the d rows of
     the probed cell (absent cell = 0).  The probe frame is
-    O(items x d) — broadcast onto the bounded sketch; one small agg
-    back to one row per item.  Same (d, w_buckets, salts) as the build
-    or the cells won't line up (enforced nowhere but by the shared
-    `_cms_probe` — pass the same params)."""
+    O(items x d); one small agg back to one row per item.  Same
+    (d, w_buckets, salts) as the build or the cells won't line up
+    (enforced nowhere but by the shared `_cms_probe` — pass the same
+    params).
+
+    `broadcast_items=None` (default) auto-gates the broadcast hint the
+    same way incremental_lsh_candidates gates its batch side: one
+    count() of `items` at construction, broadcast iff |items| x d <=
+    broadcast_max_rows — an items frame that is itself corpus-sized
+    must NOT bypass autoBroadcastJoinThreshold via a forced hint (it
+    falls back to the equi-keyed shuffle join on the bounded sketch).
+    Pass True/False to skip the count and force either path."""
     _check_cms(d, w_buckets)
+    if broadcast_items is None:
+        broadcast_items = items.count() * d <= broadcast_max_rows
     probes = items.select(
         *[F.col(c) for c in group_cols],
         F.col(value_col),
         F.posexplode(_cms_probe(value_col, d, w_buckets))
         .alias("cms_row", "bucket"),
     )
+    if broadcast_items:
+        probes = F.broadcast(probes)
     return (
-        F.broadcast(probes)
+        probes
         .join(sketch, [*group_cols, "cms_row", "bucket"], "left")
         .groupBy(*group_cols, value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
