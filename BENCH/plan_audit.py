@@ -65,6 +65,7 @@ AUDIT = [
     "normalize_unicode", "domain_stats",
     # round 5 sketch additions
     "hll_users_by_type", "hll_users_daily_merged", "weighted_sample_10",
+    "hll_overlap_click_purchase", "cms_hot_words",
 ]
 
 
@@ -147,7 +148,8 @@ def main() -> None:
         "lazy-plan dump.",
         "",
         "Reading note 2: queries built on a `.cache()`d multi-consumer "
-        "frame (`heaps_law`, `ks_drift`, `bm25_top10`, `ar2_forecast_12`) "
+        "frame (`heaps_law`, `ks_drift`, `bm25_top10`, `ar2_forecast_12`, "
+        "`cms_hot_words`) "
         "print that frame's full lineage once PER CONSUMER in the "
         "initial-plan text, inflating their exchange counts here; at "
         "runtime the cache materializes the subtree once and every "

@@ -7769,8 +7769,11 @@ r_{tag} as (
   group by 1
 ),
 a_{tag} as (
+  -- coalesce mirrors hll_estimate's empty-frame guard: an empty
+  -- predicate must estimate 0.0 (linear counting at zeros = m), not
+  -- propagate a NULL sum through every downstream term
   select count(*) as n,
-         cast(sum(1::BIGINT << (49 - rho))
+         cast(coalesce(sum(1::BIGINT << (49 - rho)), 0)
               + (4096 - count(*)) * 562949953421312::BIGINT
               as bigint) as su
   from r_{tag}
@@ -7803,30 +7806,22 @@ def q_cms_hot_words(spark, sf_dir):
     no rounding contract.  est_cnt >= exact_cnt always (overcount-only
     guarantee), equal when the hot word's 4 cells are collision-light."""
     from ts2g2_spark.operators import sketches
+    from ts2g2_spark.operators.corpusstats import exact_topk
     from ts2g2_spark.operators.text import _norm_words
 
     words = _docs(spark, sf_dir).select(
         F.explode(_norm_words("text")).alias("word"))
     sk = sketches.cms_sketch(words, "word", d=4, w_buckets=1024)
-    from pyspark.sql.window import Window
-
-    # bucket tournament for the exact top-10 (the vocab_stats idiom):
-    # per-bucket ranks bound partition size; the global rank then sees
-    # at most 10 * 64 rows instead of the whole vocabulary
-    tf = (
-        words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .withColumn("_b", F.pmod(F.xxhash64("word"), F.lit(64)))
-    )
-    cand = tf.withColumn("_r", F.row_number().over(
-        Window.partitionBy("_b").orderBy(
-            F.desc("exact_cnt"), F.asc("word")))).where(F.col("_r") <= 10)
-    exact = (
-        cand.withColumn("_g", F.row_number().over(
-            Window.orderBy(F.desc("exact_cnt"), F.asc("word"))))
-        .where(F.col("_g") <= 10).select("word", "exact_cnt")
-    )
+    tf = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # cache: exact feeds the probe build AND the final join — uncached,
+    # each consumer re-runs the corpus tokenize+explode+tournament
+    exact = exact_topk(tf, "exact_cnt", 10, "word") \
+        .select("word", "exact_cnt").cache()
+    # broadcast_items=True: items is exactly <= 10 rows by construction;
+    # skipping the auto-gate's count() avoids a third corpus pass
     est = sketches.cms_lookup(
-        sk, exact.select("word"), "word", d=4, w_buckets=1024)
+        sk, exact.select("word"), "word", d=4, w_buckets=1024,
+        broadcast_items=True)
     return exact.join(est, "word").select("word", "exact_cnt", "est_cnt")
 
 

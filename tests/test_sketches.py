@@ -285,3 +285,30 @@ def test_cms_py_overcount_only_and_exact_min_bound(values, d, w):
         # any single cell bounds the estimate by total stream mass
         assert est[qv] <= len(values)
     assert est["__never_seen__"] >= 0
+
+
+def test_exact_topk_matches_naive(spark):
+    from ts2g2_spark.operators.corpusstats import exact_topk
+    df = spark.range(0, 500).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 53)).alias("word"),
+    ).groupBy("g", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    got = exact_topk(df, "cnt", 5, "word", group_cols=("g",), buckets=8)
+    rows = got.collect()
+    naive = {}
+    for r in df.collect():
+        naive.setdefault(r.g, []).append((-r.cnt, r.word))
+    for g, lst in naive.items():
+        want = [w for _, w in sorted(lst)[:5]]
+        mine = [r.word for r in sorted(
+            (x for x in rows if x.g == g), key=lambda x: x.rank)]
+        assert mine == want, g
+    with pytest.raises(ValueError):
+        exact_topk(df, "cnt", 0, "word")
+
+
+def test_streaming_hll_requires_group_cols(spark):
+    from ts2g2_spark.streaming import ingest
+    rows = spark.createDataFrame([], ingest.EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="group_cols"):
+        ingest.streaming_hll_distinct(rows, group_cols=())

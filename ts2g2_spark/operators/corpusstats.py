@@ -28,6 +28,42 @@ from pyspark.sql.window import Window
 from ts2g2_spark.operators.text import _norm_words
 
 
+def exact_topk(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    tie_col: str,
+    group_cols: tuple[str, ...] = (),
+    buckets: int = 64,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Exact distributed top-k per group by (order_col DESC, tie_col
+    ASC) — the bucket tournament shared by vocab_stats and the CMS
+    hot-words query: rows first rank inside `buckets` hash partitions
+    of the tie key (bounding every window partition), then the global
+    per-group rank sees at most k * buckets candidate rows instead of
+    the whole input.  Exact because any true global top-k row is also
+    top-k within its bucket.  Deterministic total order via the tie
+    column.  Output: input columns + `rank_name`, rows with rank <= k.
+    """
+    if k < 1 or buckets < 1:
+        raise ValueError(f"exact_topk: need k >= 1, buckets >= 1, "
+                         f"got {k=} {buckets=}")
+    bucketed = df.withColumn(
+        "_b", F.pmod(F.xxhash64(tie_col), F.lit(buckets)))
+    w_bucket = Window.partitionBy(*group_cols, "_b") \
+        .orderBy(F.desc(order_col), F.asc(tie_col))
+    cand = bucketed.withColumn("_r", F.row_number().over(w_bucket)) \
+        .where(F.col("_r") <= k)
+    w_g = Window.partitionBy(*group_cols) \
+        .orderBy(F.desc(order_col), F.asc(tie_col))
+    return (
+        cand.withColumn(rank_name, F.row_number().over(w_g))
+        .where(F.col(rank_name) <= k)
+        .drop("_b", "_r")
+    )
+
+
 def vocab_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -69,15 +105,8 @@ def vocab_stats(
     )
     # exact top-R tournament: bucket ranks bound partition size, the
     # final per-source rank sees at most top_r*buckets rows
-    bucketed = tf.withColumn(
-        "_b", F.pmod(F.xxhash64("word"), F.lit(buckets)))
-    w_bucket = Window.partitionBy("source", "_b") \
-        .orderBy(F.desc("tf"), F.asc("word"))
-    cand = bucketed.withColumn("_r", F.row_number().over(w_bucket)) \
-        .where(F.col("_r") <= top_r)
-    w_src = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("word"))
-    ranked = cand.withColumn("rank", F.row_number().over(w_src)) \
-        .where(F.col("rank") <= top_r)
+    ranked = exact_topk(
+        tf, "tf", top_r, "word", group_cols=("source",), buckets=buckets)
     slope = ranked.groupBy("source").agg(
         F.round(F.regr_slope(F.log("tf"), F.log("rank")), 6)
         .alias("zipf_slope"),

@@ -372,6 +372,12 @@ def cms_lookup(
     (enforced nowhere but by the shared `_cms_probe` — pass the same
     params).
 
+    Join shape: an INNER probe-cell join (Spark cannot broadcast the
+    preserved side of an outer join, so a left join would silently
+    drop the hint) followed by a tiny left join back onto the item
+    set — an item whose d probes matched fewer than d cells has at
+    least one empty cell, so its estimate is 0 (min over cells).
+
     `broadcast_items=None` (default) auto-gates the broadcast hint the
     same way incremental_lsh_candidates gates its batch side: one
     count() of `items` at construction, broadcast iff |items| x d <=
@@ -382,7 +388,9 @@ def cms_lookup(
     _check_cms(d, w_buckets)
     if broadcast_items is None:
         broadcast_items = items.count() * d <= broadcast_max_rows
-    probes = items.select(
+    base = items.select(
+        *[F.col(c) for c in group_cols], F.col(value_col)).distinct()
+    probes = base.select(
         *[F.col(c) for c in group_cols],
         F.col(value_col),
         F.posexplode(_cms_probe(value_col, d, w_buckets))
@@ -390,11 +398,22 @@ def cms_lookup(
     )
     if broadcast_items:
         probes = F.broadcast(probes)
-    return (
+    hits = (
         probes
-        .join(sketch, [*group_cols, "cms_row", "bucket"], "left")
+        .join(sketch, [*group_cols, "cms_row", "bucket"], "inner")
         .groupBy(*group_cols, value_col)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+        .agg(F.count(F.lit(1)).alias("_n_hit"),
+             F.min("cnt").alias("_min_cnt"))
+    )
+    return (
+        base.join(F.broadcast(hits) if broadcast_items else hits,
+                  [*group_cols, value_col], "left")
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.col(value_col),
+            F.when(F.col("_n_hit") == d, F.col("_min_cnt"))
+            .otherwise(F.lit(0)).cast("long").alias("est_cnt"),
+        )
     )
 
 

@@ -668,16 +668,26 @@ def streaming_hll_distinct(
     from ts2g2_spark.operators import sketches
 
     sketches._check_p(p)
+    if not group_cols:
+        # Spark's stateful operator clusters on the group key and
+        # rejects an empty key set (StatefulOpClusteredDistribution);
+        # fail here with guidance instead of deep in query start
+        raise ValueError(
+            "streaming_hll_distinct: group_cols must be non-empty — "
+            "for a global sketch add a constant column "
+            "(.withColumn('all', F.lit(1))) and group on it")
     idx, rho = sketches.register_cols(value_col, p)
     regs = rows.where(F.col(value_col).isNotNull()).select(
         *group_cols, idx.alias("reg_idx"), rho.alias("reg_rho"))
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in regs.select(*group_cols).schema.fields)
-    out_schema = (f"{key_schema}, n_occupied bigint, sum_units bigint, "
-                  f"est_distinct double")
+    out_schema = ", ".join(filter(None, [
+        key_schema, "n_occupied bigint, sum_units bigint, "
+        "est_distinct double"]))
     m = 1 << p
-    q = (60 - p) + 1  # max rho; sum_units unit scale, as in hll_estimate
+    # max rho; sum_units unit scale — the same constant hll_estimate uses
+    q = sketches._HASH_BITS - p + 1
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
