@@ -7874,6 +7874,80 @@ def q_weighted_sample_10(spark, sf_dir):
     ).select("lang", "doc_id", "n_chars", "samp_key")
 
 
+def q_bloom_prune_orders(spark, sf_dir):
+    """Bloom-pruned dim->fact semi-join (sketches.bloom_prune, r5): the
+    302 BUILDING-segment customer keys become a 4096-bit / k=3 packed
+    bloom literal, and the orders side is filtered MAP-ONLY — zero
+    shuffle, zero join, zero exchange on the fact scan (the 100-TB
+    shape: prefilter the big side before the real join).  Output is one
+    integer row (n_pass, n_true, n_false_pos): pruning never drops a
+    true match, and the false-positive count is deterministic because
+    every bit position is exact md5 integer arithmetic the oracle
+    replays bit-for-bit."""
+    from ts2g2_spark.operators import sketches
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = cust.where(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pruned = sketches.bloom_prune(
+        orders, "o_custkey", keys, "c_custkey", k=3, n_bits=4096)
+    flagged = pruned.join(
+        F.broadcast(
+            keys.withColumnRenamed("c_custkey", "o_custkey")
+            .withColumn("_m", F.lit(1))),
+        "o_custkey", "left")
+    n_true = F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        n_true.cast("long").alias("n_true"),
+        (F.count(F.lit(1)) - n_true).cast("long").alias("n_false_pos"),
+    )
+
+
+BLOOM_PRUNE_SQL = """
+with keys as (
+  select c_custkey from customer where c_mktsegment = 'BUILDING'
+),
+kh as (
+  select
+    cast(concat('0x', substr(md5('bl1:' || cast(c_custkey as varchar)),
+         1, 15)) as bigint) % 4096 as h1,
+    cast(concat('0x', substr(md5('bl2:' || cast(c_custkey as varchar)),
+         1, 15)) as bigint) % 4096 as h2
+  from keys
+),
+bits as (
+  select distinct (h1 + t.i * h2) % 4096 as bit_pos
+  from kh cross join (values (0), (1), (2)) t(i)
+),
+ph as (
+  select o_orderkey, o_custkey,
+    cast(concat('0x', substr(md5('bl1:' || cast(o_custkey as varchar)),
+         1, 15)) as bigint) % 4096 as h1,
+    cast(concat('0x', substr(md5('bl2:' || cast(o_custkey as varchar)),
+         1, 15)) as bigint) % 4096 as h2
+  from orders
+),
+opos as (
+  select distinct o_orderkey, o_custkey, (h1 + t.i * h2) % 4096 as bit_pos
+  from ph cross join (values (0), (1), (2)) t(i)
+),
+pass as (
+  select o_orderkey, any_value(o_custkey) as o_custkey
+  from opos left join bits b on opos.bit_pos = b.bit_pos
+  group by o_orderkey
+  having sum(case when b.bit_pos is null then 1 else 0 end) = 0
+)
+select count(*)::BIGINT as n_pass,
+       sum(case when k.c_custkey is not null then 1 else 0 end)::BIGINT
+         as n_true,
+       (count(*) - sum(case when k.c_custkey is not null then 1 else 0
+        end))::BIGINT as n_false_pos
+from pass left join keys k on pass.o_custkey = k.c_custkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -8099,6 +8173,7 @@ _RAW_QUERIES = {
         "weighted_sample_10": q_weighted_sample_10,
         "hll_overlap_click_purchase": q_hll_overlap_click_purchase,
         "cms_hot_words": q_cms_hot_words,
+        "bloom_prune_orders": q_bloom_prune_orders,
     }
 
 
@@ -8165,6 +8240,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_10": WEIGHTED_SAMPLE_SQL,
         "hll_overlap_click_purchase": HLL_OVERLAP_SQL,
         "cms_hot_words": CMS_HOT_WORDS_SQL,
+        "bloom_prune_orders": BLOOM_PRUNE_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

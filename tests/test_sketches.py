@@ -312,3 +312,64 @@ def test_streaming_hll_requires_group_cols(spark):
     rows = spark.createDataFrame([], ingest.EVENTS_SCHEMA)
     with pytest.raises(ValueError, match="group_cols"):
         ingest.streaming_hll_distinct(rows, group_cols=())
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_twins(spark):
+    keys = spark.range(0, 200).select(
+        F.concat(F.lit("k"), (F.col("id") * 7)).alias("key"))
+    facts = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 600)).alias("fk"))
+    bits = sketches.bloom_bits(keys, "key", k=3, n_bits=2048)
+    pruned = sketches.bloom_prune(
+        facts, "fk", keys, "key", k=3, n_bits=2048)
+    exact = facts.join(
+        keys.withColumnRenamed("key", "fk").distinct(), "fk", "left_semi")
+    # bloom never drops a true member
+    assert exact.exceptAll(pruned).count() == 0
+    assert pruned.count() >= exact.count()
+    # join-path membership == packed-literal path
+    items = facts.select(F.col("fk").alias("v")).distinct()
+    jset = {r.v for r in sketches.bloom_contains(
+        bits, items, "v", k=3, n_bits=2048).where("may_contain").collect()}
+    pset = {r.fk for r in pruned.select("fk").distinct().collect()}
+    assert jset == pset
+    # python twin builds the identical bit set
+    pybits = sketches.bloom_py(
+        [r.key for r in keys.collect()], k=3, n_bits=2048)
+    assert pybits == {r.bit_pos for r in bits.collect()}
+    for r in keys.collect():  # twin membership: every insert tests true
+        assert sketches.bloom_py_contains(pybits, r.key, k=3, n_bits=2048)
+
+
+def test_bloom_prune_plan_is_map_only(spark):
+    keys = spark.range(0, 50).select(F.col("id").alias("key"))
+    facts = spark.range(0, 500).select((F.col("id") % 100).alias("fk"))
+    pruned = sketches.bloom_prune(facts, "fk", keys, "key", k=4,
+                                  n_bits=1024)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bloom_merge_empty_and_guards(spark):
+    keys = spark.range(0, 100).select(F.col("id").alias("key"))
+    lo = sketches.bloom_bits(keys.where("key < 50"), "key", k=3,
+                             n_bits=1024)
+    hi = sketches.bloom_bits(keys.where("key >= 50"), "key", k=3,
+                             n_bits=1024)
+    merged = {r.bit_pos for r in
+              sketches.bloom_merge(lo.unionByName(hi)).collect()}
+    full = {r.bit_pos for r in
+            sketches.bloom_bits(keys, "key", k=3, n_bits=1024).collect()}
+    assert merged == full
+    # empty key set prunes everything
+    facts = spark.range(0, 200).select(F.col("id").alias("fk"))
+    assert sketches.bloom_prune(
+        facts, "fk", keys.limit(0), "key", k=3, n_bits=1024).count() == 0
+    with pytest.raises(ValueError):
+        sketches.bloom_bits(keys, "key", k=0, n_bits=1024)
+    with pytest.raises(ValueError):
+        sketches.bloom_bits(keys, "key", k=3, n_bits=32)
+    with pytest.raises(ValueError, match="max_bits"):
+        sketches.bloom_words(lo, n_bits=1 << 30)

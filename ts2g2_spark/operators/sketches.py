@@ -439,3 +439,199 @@ def cms_py(values, queries, d: int = 4, w_buckets: int = 2048) -> dict:
                 % w_buckets), 0)
             for i in range(d))
     return out
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set-membership sketch + map-only join pruning
+# ---------------------------------------------------------------------------
+
+def _check_bloom(k: int, n_bits: int) -> None:
+    if k < 1 or n_bits < 64:
+        raise ValueError(
+            f"bloom: need k >= 1 and n_bits >= 64, got {k=} {n_bits=}")
+
+
+def _bloom_positions(value_col: str, k: int, n_bits: int) -> F.Column:
+    """The k probe bit positions of a value — Kirsch-Mitzenmacher
+    double hashing pos_i = (h1 + i*h2) mod m over the portable md5
+    hash: TWO md5 evaluations per row regardless of k (the CMS probe
+    pays d md5s), and exact-integer so any engine replays it.  Both
+    hashes are reduced mod m BEFORE the i*h2 multiply — congruent to
+    (h1 + i*h2) mod m, and i*(h2 mod m) stays far below 2^63 for any
+    sane k, where i*h2 on the raw 60-bit hash would overflow."""
+    v = F.col(value_col).cast("string")
+    h1 = F.pmod(h64(F.concat_ws(":", F.lit("bl1"), v)), F.lit(n_bits))
+    h2 = F.pmod(h64(F.concat_ws(":", F.lit("bl2"), v)), F.lit(n_bits))
+    return F.array(*[
+        F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k)])
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 7,
+    n_bits: int = 1 << 20,
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) of a key set as a relational bitset:
+    output (group_cols..., bit_pos) — the DISTINCT set bit positions,
+    at most n_bits rows per group no matter the input size, built with
+    one partial-aggregatable exchange (distinct = hash agg).  Sketches
+    MERGE by unioning rows and re-distincting (`bloom_merge`) — bloom
+    OR.  Guarantee: membership of every inserted key tests true (no
+    false negatives); false-positive rate ~ (1 - e^(-kn/m))^k."""
+    _check_bloom(k, n_bits)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.explode(_bloom_positions(value_col, k, n_bits))
+            .alias("bit_pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(
+    bits: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge bloom partials built with the SAME (k, n_bits): bitwise OR
+    == union + distinct of the set-bit rows."""
+    return bits.select(*group_cols, "bit_pos").distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 7,
+    n_bits: int = 1 << 20,
+) -> DataFrame:
+    """Join-path membership test: (group_cols..., value_col,
+    may_contain) — True iff ALL k probe positions are set.  Items are
+    distinct'd; duplicate probe positions within one item (double
+    hashing can collide) are array_distinct'd so the matched-count
+    comparison is against the item's own distinct-probe count.  Same
+    join shape as cms_lookup: inner probe-cell join (broadcastable)
+    then a left join back onto the item set, so an item matching zero
+    cells still reports may_contain = false."""
+    _check_bloom(k, n_bits)
+    base = items.select(
+        *[F.col(c) for c in group_cols], F.col(value_col)).distinct()
+    pos = base.select(
+        "*",
+        F.array_distinct(
+            _bloom_positions(value_col, k, n_bits)).alias("_pos"))
+    probes = pos.select(
+        *[F.col(c) for c in group_cols], F.col(value_col),
+        F.size("_pos").alias("_n"), F.explode("_pos").alias("bit_pos"))
+    hits = (
+        probes.join(bits, [*group_cols, "bit_pos"], "inner")
+        .groupBy(*group_cols, value_col, "_n")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    return (
+        base.join(hits, [*group_cols, value_col], "left")
+        .select(
+            *[F.col(c) for c in group_cols], F.col(value_col),
+            F.coalesce(F.col("_hit") == F.col("_n"), F.lit(False))
+            .alias("may_contain"),
+        )
+    )
+
+
+def bloom_words(
+    bits: DataFrame,
+    n_bits: int,
+    max_bits: int = 1 << 26,
+) -> list[int]:
+    """Driver-side packed bitset: n_bits/64 int64 words (LSB-first
+    within a word: bit b lives in word b>>6 at offset b&63).  Packing
+    is DISTRIBUTED (per-word bit_or partial agg) — the driver receives
+    at most n_bits/64 rows, size-guarded by max_bits (default 2^26
+    bits = 8 MiB of words) so a fat filter can't flood the driver."""
+    if n_bits > max_bits:
+        raise ValueError(
+            f"bloom_words: n_bits={n_bits} exceeds the driver-collect "
+            f"guard max_bits={max_bits}; raise max_bits explicitly or "
+            f"use the join-path bloom_contains instead")
+    packed = (
+        bits.groupBy(F.shiftright("bit_pos", 6).alias("_w"))
+        .agg(F.bit_or(F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit_pos, 64) AS INT))"
+        )).alias("_word"))
+        .collect()
+    )
+    words = [0] * ((n_bits + 63) >> 6)
+    for r in packed:
+        words[r._w] = r._word
+    return words
+
+
+def bloom_prune(
+    df: DataFrame,
+    value_col: str,
+    keys: DataFrame,
+    key_col: str,
+    k: int = 7,
+    n_bits: int = 1 << 20,
+    max_bits: int = 1 << 26,
+) -> DataFrame:
+    """Bloom-pruned semi-join, the 100-TB shape: build the filter on
+    the (small) key side, pack it into n_bits/64 longs on the driver
+    (guarded), and filter the (huge) fact side with a MAP-ONLY
+    predicate — zero shuffle, zero join, zero exchange on the big
+    side; the bitset rides into executors as a plan literal (16 K
+    longs at the default 2^20 bits).  Never drops a true match (bloom
+    has no false negatives); survivors still need the real join if
+    exact semantics are required — this is the scan-side prefilter
+    that makes that join cheap.
+
+    Eager-API class (like dedup_components / ivf_topk): building the
+    packed words runs one job at construction time."""
+    _check_bloom(k, n_bits)
+    words = bloom_words(
+        bloom_bits(keys, key_col, (), k, n_bits), n_bits, max_bits)
+    # explicit element type: an all-zero word list (empty key set) would
+    # otherwise infer array<int> and shrink getbit's legal bit range
+    wcol = F.lit(words).cast("array<bigint>")
+    v = F.col(value_col).cast("string")
+    h1 = F.pmod(h64(F.concat_ws(":", F.lit("bl1"), v)), F.lit(n_bits))
+    h2 = F.pmod(h64(F.concat_ws(":", F.lit("bl2"), v)), F.lit(n_bits))
+    cond = F.col(value_col).isNotNull()
+    for i in range(k):
+        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits))
+        word = F.get(wcol, F.shiftright(pos, 6).cast("int"))
+        cond = cond & (F.getbit(word, F.pmod(pos, F.lit(64))) == 1)
+    return df.where(cond)
+
+
+def bloom_py(values, k: int = 7, n_bits: int = 1 << 20) -> set:
+    """Pure-Python twin (same md5 double hashing) — test oracle only.
+    Returns the set of set bit positions; membership via
+    bloom_py_contains."""
+    import hashlib
+
+    _check_bloom(k, n_bits)
+    bits: set[int] = set()
+    for v in values:
+        if v is None:
+            continue
+        h1 = int(hashlib.md5(
+            f"bl1:{v}".encode()).hexdigest()[:15], 16) % n_bits
+        h2 = int(hashlib.md5(
+            f"bl2:{v}".encode()).hexdigest()[:15], 16) % n_bits
+        for i in range(k):
+            bits.add((h1 + i * h2) % n_bits)
+    return bits
+
+
+def bloom_py_contains(bits: set, v, k: int = 7, n_bits: int = 1 << 20) -> bool:
+    import hashlib
+
+    h1 = int(hashlib.md5(
+        f"bl1:{v}".encode()).hexdigest()[:15], 16) % n_bits
+    h2 = int(hashlib.md5(
+        f"bl2:{v}".encode()).hexdigest()[:15], 16) % n_bits
+    return all((h1 + i * h2) % n_bits in bits for i in range(k))
