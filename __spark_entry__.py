@@ -6918,7 +6918,7 @@ def q_betweenness_hvg(spark, sf_dir):
         "node", "betweenness")
 
 
-_SAMPLED_HVG_BFS_CTES = f"""with recursive {_PTS_CTE},
+_SAMPLED_HVG_EDGE_CTES = f"""with recursive {_PTS_CTE},
 p as (select * from pts where user_id % 5 = 0),
 hvg as materialized (
   select a.user_id, a.pos as src, b.pos as dst
@@ -6934,7 +6934,12 @@ adj as materialized (
   select user_id, dst as node, src as nb from hvg
 ),
 nodes as materialized (select distinct user_id, node from adj),
-nn as materialized (select user_id, count(*) as n from nodes group by 1),
+nn as materialized (select user_id, count(*) as n from nodes group by 1)"""
+"""The 1-in-5-sampled HVG edge layer (edges, symmetric adjacency, node
+set): shared by the BFS oracles below AND the LPA oracle, ONE
+definition so the visibility condition and sample rate cannot drift."""
+
+_SAMPLED_HVG_BFS_CTES = _SAMPLED_HVG_EDGE_CTES + """,
 walk as (
   select user_id, node as src, node as dst, 0 as d from nodes
   union
@@ -7115,6 +7120,60 @@ select ac.user_id,
          as transitivity
 from ac join tw on tw.user_id = ac.user_id
 """
+
+
+def q_lpa_communities_hvg(spark, sf_dir):
+    """Deterministic synchronous label propagation per HVG series graph
+    (graphmetrics.lpa_from_series / kernels.graph_lpa_kernel, r5):
+    community detection beyond the reference's metric set, run as the
+    fused map-only kernel (zero shuffle).  Fixed 4-round schedule with
+    (count desc, label asc) tie-breaks is all-integer and RNG-free, so
+    the oracle unrolls the identical four label updates as plain CTEs —
+    no rounding contract at all.  Same 1-in-5 series sample and shared
+    edge CTEs as betweenness/path-metrics (one visibility-condition
+    definition).  Parity: relational lpa_communities == fused kernel,
+    pytest-pinned."""
+    from ts2g2_spark.operators import graphmetrics
+
+    series = _event_series(spark, sf_dir).where(
+        F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
+    return graphmetrics.lpa_from_series(
+        series, kind="horizontal", n_iter=4
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "node", "community")
+
+
+def _lpa_hvg_sql(n_iter: int = 4) -> str:
+    """Unrolled sync-LPA oracle: label tables l0..l{n} as chained CTEs
+    (each round = one adjacency join + count + deterministic argmax
+    window), over the shared sampled-HVG edge layer."""
+    parts = []
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} as (
+  select a.user_id, a.node, l.lab, count(*) as cnt
+  from adj a join {prev} l on l.user_id = a.user_id and l.node = a.nb
+  group by 1, 2, 3
+),
+l{i} as (
+  select user_id, node, lab from (
+    select user_id, node, lab,
+           row_number() over (partition by user_id, node
+                              order by cnt desc, lab asc) as rn
+    from c{i}) t where rn = 1
+)""")
+        prev = f"l{i}"
+    return (
+        _SAMPLED_HVG_EDGE_CTES
+        + ",\nl0 as (select user_id, node, node as lab from nodes)"
+        + "".join(parts)
+        + f"\nselect user_id, node, lab as community from {prev}"
+    )
+
+
+LPA_HVG_SQL = _lpa_hvg_sql(4)
 
 
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
@@ -8174,6 +8233,7 @@ _RAW_QUERIES = {
         "hll_overlap_click_purchase": q_hll_overlap_click_purchase,
         "cms_hot_words": q_cms_hot_words,
         "bloom_prune_orders": q_bloom_prune_orders,
+        "lpa_communities_hvg": q_lpa_communities_hvg,
     }
 
 
@@ -8241,6 +8301,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_overlap_click_purchase": HLL_OVERLAP_SQL,
         "cms_hot_words": CMS_HOT_WORDS_SQL,
         "bloom_prune_orders": BLOOM_PRUNE_SQL,
+        "lpa_communities_hvg": LPA_HVG_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

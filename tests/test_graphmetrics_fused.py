@@ -395,3 +395,88 @@ def test_kcore_kernel_random_graphs():
     # empty edge set
     nodes, core = graph_kcore_kernel(np.empty((0, 2), dtype=np.int64))
     assert len(nodes) == 0 and len(core) == 0
+
+
+# ------------------------------------------------------------------ LPA
+
+def _brute_lpa(edges, n_iter):
+    """Reference sync-LPA: neighbor-majority, ties to smallest label."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    lab = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n in adj:
+            c = defaultdict(int)
+            for nb in adj[n]:
+                c[lab[nb]] += 1
+            new[n] = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_lpa_kernel_random_graphs():
+    from ts2g2_spark.operators.kernels import graph_lpa_kernel
+
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        m = int(rng.integers(1, 50))
+        e = rng.integers(0, 18, size=(m, 2))
+        nodes, comm = graph_lpa_kernel(e, n_iter=4)
+        want = _brute_lpa(map(tuple, e.tolist()), 4)
+        assert dict(zip(nodes.tolist(), comm.tolist())) == want, trial
+    nodes, comm = graph_lpa_kernel(np.empty((0, 2), dtype=np.int64))
+    assert len(nodes) == 0 and len(comm) == 0
+    with pytest.raises(ValueError):
+        graph_lpa_kernel(np.array([[0, 1]]), n_iter=0)
+
+
+def test_lpa_relational_matches_fused(spark):
+    from ts2g2_spark.operators import graphmetrics
+    from ts2g2_spark.operators.kernels import visibility_graph
+
+    rng = np.random.default_rng(23)
+    series_rows = [
+        (str(k), [float(x) for x in rng.integers(0, 9, 40)])
+        for k in range(5)
+    ]
+    sdf = spark.createDataFrame(
+        series_rows, "series_key string, values array<double>")
+    fused = {
+        (r.series_key, r.node): r.community
+        for r in graphmetrics.lpa_from_series(
+            sdf, kind="horizontal", n_iter=4).collect()
+    }
+    edge_rows = []
+    for key, vals in series_rows:
+        e, _ = visibility_graph(np.asarray(vals, float), kind="horizontal")
+        edge_rows += [(key, int(a), int(b)) for a, b in e]
+    edf = spark.createDataFrame(
+        edge_rows, "series_key string, src long, dst long")
+    rel = {
+        (r.series_key, r.node): r.community
+        for r in graphmetrics.lpa_communities(edf, n_iter=4).collect()
+    }
+    assert fused == rel
+    with pytest.raises(ValueError):
+        graphmetrics.lpa_communities(edf, n_iter=0)
+
+
+def test_lpa_labels_two_cliques():
+    """Two triangles joined by one bridge edge resolve to exactly the
+    two clique communities (the label VALUES are schedule artifacts —
+    the bridge carries node 2's label into the right clique — so the
+    assertion pins the partition, not the labels)."""
+    from ts2g2_spark.operators.kernels import graph_lpa_kernel
+
+    e = np.array([[0, 1], [1, 2], [0, 2], [3, 4], [4, 5], [3, 5], [2, 3]])
+    nodes, comm = graph_lpa_kernel(e, n_iter=4)
+    got = dict(zip(nodes.tolist(), comm.tolist()))
+    left = {got[n] for n in (0, 1, 2)}
+    right = {got[n] for n in (3, 4, 5)}
+    assert len(left) == 1 and len(right) == 1 and left != right

@@ -550,3 +550,69 @@ def pagerank_from_series(
     return _fused(
         series_df, build, "series_key string, node long, rank double"
     )
+
+
+def lpa_communities(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Deterministic synchronous label propagation over the (series_key,
+    src, dst) edge frame: (series_key, node, community) after exactly
+    n_iter rounds.  Labels start as node ids; every round each node
+    adopts the most frequent label among its neighbors' PREVIOUS
+    labels, ties to the smallest label — all-integer counting, no RNG,
+    so the fixed schedule replays identically in any engine (the
+    pagerank fixed-iteration contract, without even a rounding step).
+
+    Plan shape: one symmetric-adjacency frame, then per round one
+    equi-join on (series_key, neighbor) + one partial-agg'd count + one
+    bounded window (each (series_key, node) partition holds at most
+    that node's distinct-neighbor-label rows).  For millions of small
+    per-series graphs prefer the fused `lpa_from_series` (zero
+    shuffle); this relational form is the one-huge-graph path."""
+    from pyspark.sql.window import Window
+
+    if n_iter < 1:
+        raise ValueError(f"lpa_communities: need n_iter >= 1, got {n_iter}")
+    e = canonical_edges(edges)
+    adj = e.select(
+        "series_key", F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        e.select(
+            "series_key", F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    labels = adj.select("series_key", "node").distinct() \
+        .withColumn("lab", F.col("node"))
+    w = Window.partitionBy("series_key", "node") \
+        .orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(n_iter):
+        nbr = adj.join(
+            labels.select(
+                "series_key", F.col("node").alias("nb"), "lab"),
+            ["series_key", "nb"])
+        cnt = nbr.groupBy("series_key", "node", "lab") \
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        labels = cnt.withColumn("_r", F.row_number().over(w)) \
+            .where(F.col("_r") == 1).select("series_key", "node", "lab")
+    return labels.withColumnRenamed("lab", "community")
+
+
+def lpa_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0, n_iter: int = 4,
+):
+    """Fused visibility_edges(kind) |> lpa_communities, map-only:
+    (series_key, node, community).  Parity-pinned against the
+    relational twin (identical deterministic schedule)."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        nodes, comm = kernels.graph_lpa_kernel(e, n_iter=n_iter)
+        if len(nodes) == 0:
+            return None
+        return pd.DataFrame(
+            {"series_key": key, "node": nodes, "community": comm})
+
+    return _fused(
+        series_df, build,
+        "series_key string, node long, community long",
+    )

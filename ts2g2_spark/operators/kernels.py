@@ -949,6 +949,49 @@ def graph_kcore_kernel(
     return nodes, core
 
 
+def graph_lpa_kernel(
+    edges: np.ndarray,
+    n_iter: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic) over one small undirected graph: (nodes, community)
+    after exactly n_iter rounds.  Labels start as the node ids; each
+    round EVERY node simultaneously adopts the label most frequent
+    among its neighbors' previous labels, ties broken by the SMALLEST
+    label — no RNG, no update-order dependence, pure integer counting,
+    so an SQL oracle replays the schedule verbatim (fixed iterations
+    sidestep sync-LPA's possible 2-cycles the same way the pagerank
+    contract fixes its iteration count)."""
+    if n_iter < 1:
+        raise ValueError(f"graph_lpa_kernel: need n_iter >= 1, got {n_iter}")
+    a, b, nodes, _deg = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    lab = nodes.copy()
+    for _ in range(n_iter):
+        nl = lab[dst]
+        # counts per (node, neighbor-label) via grouped run-lengths
+        order = np.lexsort((nl, src))
+        uu, ll = src[order], nl[order]
+        new_grp = np.concatenate(
+            [[True], (uu[1:] != uu[:-1]) | (ll[1:] != ll[:-1])])
+        cnt = np.bincount(np.cumsum(new_grp) - 1)
+        gu, gl = uu[new_grp], ll[new_grp]
+        # argmax per node: (cnt desc, label asc), first row per node
+        o2 = np.lexsort((gl, -cnt, gu))
+        first = np.concatenate([[True], gu[o2][1:] != gu[o2][:-1]])
+        new_lab = np.empty(n, dtype=np.int64)
+        new_lab[gu[o2][first]] = gl[o2][first]
+        lab = new_lab  # every node has >= 1 edge, so fully assigned
+    return nodes, lab
+
+
 def graph_betweenness_kernel(
     edges: np.ndarray, normalized: bool = True, round_dp: int = 9,
 ) -> tuple[np.ndarray, np.ndarray]:
