@@ -7176,6 +7176,61 @@ l{i} as (
 LPA_HVG_SQL = _lpa_hvg_sql(4)
 
 
+def q_lpa_modularity_hvg(spark, sf_dir):
+    """Newman modularity + community count of the LPA partition per HVG
+    series (graphmetrics.lpa_modularity_from_series /
+    kernels.graph_modularity_kernel, r5), fused map-only.  Q reduces to
+    one exact-integer rational (4m*sum_ec - sum deg_c^2)/4m^2 — both
+    division operands exact int64 — so the only float op is a single
+    bit-identical IEEE divide, then the floor(x*1e9+0.5)/1e9 quantize
+    replayed verbatim by the oracle (graph_mixing posture).  Shares the
+    sampled HVG edge layer and the unrolled LPA label CTEs with
+    lpa_communities_hvg."""
+    from ts2g2_spark.operators import graphmetrics
+
+    series = _event_series(spark, sf_dir).where(
+        F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
+    return graphmetrics.lpa_modularity_from_series(
+        series, kind="horizontal", n_iter=4
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "n_communities", "modularity")
+
+
+def _lpa_modularity_sql(n_iter: int = 4) -> str:
+    chain = _lpa_hvg_sql(n_iter)
+    head, _tail = chain.rsplit("\nselect ", 1)  # drop the label SELECT
+    return head + f""",
+lab as (select user_id, node, lab from l{n_iter}),
+em as (
+  select h.user_id, count(*)::BIGINT as m,
+         sum(case when la.lab = lb.lab then 1 else 0 end)::BIGINT as ec
+  from hvg h
+  join lab la on la.user_id = h.user_id and la.node = h.src
+  join lab lb on lb.user_id = h.user_id and lb.node = h.dst
+  group by 1
+),
+degc as (
+  select a.user_id, l.lab, count(*)::BIGINT as dc
+  from adj a join lab l on l.user_id = a.user_id and l.node = a.node
+  group by 1, 2
+),
+st as (
+  select user_id, count(*)::BIGINT as n_communities,
+         sum(dc * dc)::BIGINT as dc2
+  from degc group by 1
+)
+select em.user_id, st.n_communities,
+       floor(cast(4 * em.m * em.ec - st.dc2 as double)
+             / cast(4 * em.m * em.m as double) * 1e9 + 0.5) / 1e9
+         as modularity
+from em join st on st.user_id = em.user_id
+"""
+
+
+LPA_MODULARITY_SQL = _lpa_modularity_sql(4)
+
+
 def _ensure_session_confs(spark: SparkSession) -> SparkSession:
     """The driver runs these callables in ITS session, not ours — pin the
     runtime-settable confs correctness and performance depend on:
@@ -8234,6 +8289,7 @@ _RAW_QUERIES = {
         "cms_hot_words": q_cms_hot_words,
         "bloom_prune_orders": q_bloom_prune_orders,
         "lpa_communities_hvg": q_lpa_communities_hvg,
+        "lpa_modularity_hvg": q_lpa_modularity_hvg,
     }
 
 
@@ -8302,6 +8358,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_hot_words": CMS_HOT_WORDS_SQL,
         "bloom_prune_orders": BLOOM_PRUNE_SQL,
         "lpa_communities_hvg": LPA_HVG_SQL,
+        "lpa_modularity_hvg": LPA_MODULARITY_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

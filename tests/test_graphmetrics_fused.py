@@ -480,3 +480,57 @@ def test_lpa_labels_two_cliques():
     left = {got[n] for n in (0, 1, 2)}
     right = {got[n] for n in (3, 4, 5)}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_modularity_kernel_vs_networkx():
+    """Kernel Q for the LPA partition == nx.community.modularity of the
+    same partition, on random graphs."""
+    from ts2g2_spark.operators.kernels import (
+        graph_lpa_kernel, graph_modularity_kernel)
+
+    rng = np.random.default_rng(31)
+    for trial in range(20):
+        m = int(rng.integers(3, 60))
+        e = rng.integers(0, 20, size=(m, 2))
+        nodes, lab = graph_lpa_kernel(e, n_iter=4)
+        n_comm, q = graph_modularity_kernel(e, n_iter=4)
+        g = nx.Graph()
+        g.add_edges_from(t for t in map(tuple, e.tolist()) if t[0] != t[1])
+        part = {}
+        for n2, l in zip(nodes.tolist(), lab.tolist()):
+            part.setdefault(l, set()).add(n2)
+        want = nx.algorithms.community.modularity(g, part.values())
+        assert abs(q - want) < 1e-9, trial
+        assert n_comm == len(part)
+    # edgeless
+    assert graph_modularity_kernel(np.empty((0, 2), np.int64)) == (0, 0.0)
+
+
+def test_modularity_relational_matches_fused(spark):
+    from ts2g2_spark.operators import graphmetrics
+    from ts2g2_spark.operators.kernels import visibility_graph
+
+    rng = np.random.default_rng(37)
+    series_rows = [
+        (str(k), [float(x) for x in rng.integers(0, 9, 35)])
+        for k in range(4)
+    ]
+    sdf = spark.createDataFrame(
+        series_rows, "series_key string, values array<double>")
+    fused = {
+        r.series_key: (r.n_communities, r.modularity)
+        for r in graphmetrics.lpa_modularity_from_series(
+            sdf, n_iter=4).collect()
+    }
+    edge_rows = []
+    for key, vals in series_rows:
+        e, _ = visibility_graph(np.asarray(vals, float), kind="horizontal")
+        edge_rows += [(key, int(a), int(b)) for a, b in e]
+    edf = spark.createDataFrame(
+        edge_rows, "series_key string, src long, dst long")
+    comm = graphmetrics.lpa_communities(edf, n_iter=4)
+    rel = {
+        r.series_key: (r.n_communities, r.modularity)
+        for r in graphmetrics.modularity(edf, comm).collect()
+    }
+    assert fused == rel

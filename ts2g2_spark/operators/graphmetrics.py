@@ -616,3 +616,77 @@ def lpa_from_series(
         series_df, build,
         "series_key string, node long, community long",
     )
+
+
+def modularity(
+    edges: DataFrame, communities: DataFrame, round_dp: int = 9,
+) -> DataFrame:
+    """Newman modularity of a given partition, per series: (series_key,
+    n_communities, modularity).  `communities` is (series_key, node,
+    community) — e.g. lpa_communities' output.  Q = sum_c e_c/m -
+    (deg_c/2m)^2 evaluated as ONE exact-integer rational
+    (4m*sum_ec - sum deg_c^2) / 4m^2: both sides of the single IEEE
+    division are exact int64, so the value is bit-identical in any
+    engine before the quantize (the graph_mixing posture).  Plan: two
+    equi-joins labeling the edge endpoints + per-series partial aggs —
+    no window, no iteration."""
+    e = canonical_edges(edges)
+    lab = communities.select("series_key", "node", "community")
+    ej = (
+        e.join(
+            lab.select(
+                "series_key", F.col("node").alias("a"),
+                F.col("community").alias("_ca")),
+            ["series_key", "a"])
+        .join(
+            lab.select(
+                "series_key", F.col("node").alias("b"),
+                F.col("community").alias("_cb")),
+            ["series_key", "b"])
+    )
+    em = ej.groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum((F.col("_ca") == F.col("_cb")).cast("long")).alias("_ec"),
+    )
+    degc = degrees(edges).join(lab, ["series_key", "node"]).groupBy(
+        "series_key", "community"
+    ).agg(F.sum("degree").alias("_dc"))
+    stats = degc.groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("_dc") * F.col("_dc")).alias("_dc2"),
+    )
+    num = (4 * F.col("_m") * F.col("_ec") - F.col("_dc2")).cast("double")
+    den = (4 * F.col("_m") * F.col("_m")).cast("double")
+    scale = float(10.0 ** round_dp)
+    return em.join(stats, "series_key").select(
+        "series_key", "n_communities",
+        (F.floor(num / den * F.lit(scale) + F.lit(0.5)) / F.lit(scale))
+        .alias("modularity"),
+    )
+
+
+def lpa_modularity_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0,
+    n_iter: int = 4, round_dp: int = 9,
+):
+    """Fused visibility_edges(kind) |> LPA |> modularity, map-only: one
+    (series_key, n_communities, modularity) row per series.
+    Parity-pinned against lpa_communities + modularity (relational)."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        n_comm, q = kernels.graph_modularity_kernel(
+            e, n_iter=n_iter, round_dp=round_dp)
+        if n_comm == 0:
+            return None
+        return pd.DataFrame(
+            [{"series_key": key, "n_communities": n_comm,
+              "modularity": q}])
+
+    return _fused(
+        series_df, build,
+        "series_key string, n_communities long, modularity double",
+    )

@@ -992,6 +992,34 @@ def graph_lpa_kernel(
     return nodes, lab
 
 
+def graph_modularity_kernel(
+    edges: np.ndarray,
+    n_iter: int = 4,
+    round_dp: int = 9,
+) -> tuple[int, float]:
+    """(n_communities, modularity) of the deterministic LPA partition
+    (graph_lpa_kernel, same n_iter): Newman modularity
+    Q = sum_c e_c/m - (deg_c/2m)^2 computed as ONE exact-integer
+    rational (4m*sum_ec - sum deg_c^2) / 4m^2 — both operands are exact
+    int64 well under 2^53, so the single IEEE division is bit-identical
+    in every engine, then quantize_ieee(round_dp) (the graph_mixing
+    posture).  Returns (0, nan-free 0.0) for an edgeless graph."""
+    a, b, nodes, degree = _canonical_edge_arrays(edges)
+    m = len(a)
+    if m == 0:
+        return 0, 0.0
+    nodes2, lab = graph_lpa_kernel(edges, n_iter=n_iter)
+    assert np.array_equal(nodes, nodes2)
+    comm, cidx = np.unique(lab, return_inverse=True)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    sum_ec = int(np.sum(cidx[ai] == cidx[bi]))
+    deg_c = np.bincount(cidx, weights=degree.astype(np.float64))
+    sum_dc2 = int(np.sum((deg_c.astype(np.int64)) ** 2))
+    q = (4 * m * sum_ec - sum_dc2) / float(4 * m * m)
+    return int(len(comm)), float(quantize_ieee(q, round_dp))
+
+
 def graph_betweenness_kernel(
     edges: np.ndarray, normalized: bool = True, round_dp: int = 9,
 ) -> tuple[np.ndarray, np.ndarray]:
