@@ -66,6 +66,8 @@ AUDIT = [
     # round 5 sketch additions
     "hll_users_by_type", "hll_users_daily_merged", "weighted_sample_10",
     "hll_overlap_click_purchase", "cms_hot_words",
+    # round 5 graph/pruning additions
+    "bloom_prune_orders", "lpa_communities_hvg", "lpa_modularity_hvg",
 ]
 
 

@@ -45,6 +45,7 @@ HEADLINE_QUERIES = [
     # round-5 family representatives
     "lsh_hot_capped", "ivf_recall_nprobe", "media_features_real",
     "pii_redact", "int8_recall_top5", "pq_recall_top5",
+    "bloom_prune_orders", "lpa_modularity_hvg",
 ]
 
 
