@@ -8062,6 +8062,69 @@ from pass left join keys k on pass.o_custkey = k.c_custkey
 """
 
 
+def q_kmv_users_by_type(spark, sf_dir):
+    """Bottom-k (KMV) distinct-user estimate per event_type
+    (operators/sketches.kmv_distinct, r5) — the hash-value-keeping
+    complement to the HLL registers: k smallest distinct md5-h64
+    hashes per group (exact when a group has < k distincts), estimate
+    (k-1)*2^60 / kth_hash with the numerator embedded as one double
+    literal, so n_kept/kth_h replay integer-exact and the estimate is
+    a single rounded division in both engines."""
+    from ts2g2_spark.operators import sketches
+
+    return sketches.kmv_distinct(
+        _events(spark, sf_dir), "user_id", group_cols=("event_type",),
+        k=256)
+
+
+def q_kmv_users_daily_merged(spark, sf_dir):
+    """KMV MERGE path: per-(day, event_type) bottom-k partials merged
+    to day grain, then estimated.  Merge = union + distinct +
+    re-bottom-k and is EXACT (each of the union's k smallest hashes is
+    among its partial's k smallest), so the oracle computes day-grain
+    sketches directly from raw events and row-identity proves
+    merge == direct end to end."""
+    from ts2g2_spark.operators import sketches
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    fine = sketches.kmv_sketch(
+        ev, "user_id", group_cols=("day", "event_type"), k=256)
+    merged = sketches.kmv_merge(fine, group_cols=("day",), k=256)
+    return sketches.kmv_estimate(merged, group_cols=("day",), k=256)
+
+
+# KMV replay, k=256: numerator = 255 * 2^60 (exact double — 8
+# significand bits scaled by a power of two); hashes are distinct per
+# group after the de-dup, so row_number over (kh asc) needs no tie
+# column; count(*) cast back from DuckDB HUGEINT.
+def _kmv_sql(group_expr: str, group_name: str, k: int = 256) -> str:
+    numerator = repr(float((k - 1) << 60))
+    return f"""
+with d as (
+  select distinct {group_expr} as {group_name},
+         cast(concat('0x', substr(md5(cast(user_id as varchar)), 1, 15))
+              as bigint) as kh
+  from events where user_id is not null
+),
+r as (
+  select {group_name}, kh,
+         row_number() over (partition by {group_name} order by kh)
+           as kmv_rank
+  from d
+),
+s as (select * from r where kmv_rank <= {k})
+select {group_name}, count(*)::BIGINT as n_kept, max(kh) as kth_h,
+       round(case when count(*) < {k} then cast(count(*) as double)
+                  else {numerator} / cast(max(kh) as double) end,
+             6) as est_distinct
+from s group by {group_name}
+"""
+
+
+KMV_BY_TYPE_SQL = _kmv_sql("event_type", "event_type")
+KMV_DAILY_SQL = _kmv_sql("cast(ts as date)", "day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -8290,6 +8353,8 @@ _RAW_QUERIES = {
         "bloom_prune_orders": q_bloom_prune_orders,
         "lpa_communities_hvg": q_lpa_communities_hvg,
         "lpa_modularity_hvg": q_lpa_modularity_hvg,
+        "kmv_users_by_type": q_kmv_users_by_type,
+        "kmv_users_daily_merged": q_kmv_users_daily_merged,
     }
 
 
@@ -8359,6 +8424,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune_orders": BLOOM_PRUNE_SQL,
         "lpa_communities_hvg": LPA_HVG_SQL,
         "lpa_modularity_hvg": LPA_MODULARITY_SQL,
+        "kmv_users_by_type": KMV_BY_TYPE_SQL,
+        "kmv_users_daily_merged": KMV_DAILY_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -373,3 +373,73 @@ def test_bloom_merge_empty_and_guards(spark):
         sketches.bloom_bits(keys, "key", k=3, n_bits=32)
     with pytest.raises(ValueError, match="max_bits"):
         sketches.bloom_words(lo, n_bits=1 << 30)
+
+
+def test_kmv_matches_python_twin_exactly(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sketches.kmv_distinct(
+        ev, "user_id", group_cols=("event_type",), k=64).collect()
+    vals = ev.select("event_type", "user_id").collect()
+    by_type: dict[str, list] = {}
+    for r in vals:
+        by_type.setdefault(r.event_type, []).append(r.user_id)
+    assert len(out) == len(by_type)
+    for row in out:
+        n_kept, kth, est = sketches.kmv_py(by_type[row.event_type], k=64)
+        assert row.n_kept == n_kept
+        assert row.kth_h == kth
+        assert row.est_distinct == round(est, 6)
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer than k distincts: the sketch IS the set, estimate is exact
+    df = spark.range(0, 300).select((F.col("id") % 37).alias("v"))
+    row = sketches.kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.n_kept == 37
+    assert row.est_distinct == 37.0
+    sk = sketches.kmv_sketch(df, "v", k=256)
+    assert sk.count() == 37
+
+
+def test_kmv_accuracy_and_duplication_invariance(spark):
+    # 5000 distincts at k=256: std err ~ 1/sqrt(254) ~ 6.3%
+    df = spark.range(0, 15000).select((F.col("id") % 5000).alias("v"))
+    row = sketches.kmv_distinct(df, "v", k=256).collect()[0]
+    assert abs(row.est_distinct - 5000) / 5000 < 0.20
+    row2 = sketches.kmv_distinct(
+        spark.range(0, 5000).select(F.col("id").alias("v")), "v", k=256
+    ).collect()[0]
+    assert row2.est_distinct == row.est_distinct
+    assert row2.kth_h == row.kth_h
+
+
+def test_kmv_merge_equals_direct(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date("ts"))
+    fine = sketches.kmv_sketch(
+        ev, "user_id", group_cols=("event_type", "day"), k=64)
+    merged = sketches.kmv_merge(fine, group_cols=("event_type",), k=64)
+    direct = sketches.kmv_sketch(
+        ev, "user_id", group_cols=("event_type",), k=64)
+    m = {(r.event_type, r.kmv_rank): r.kh for r in merged.collect()}
+    d = {(r.event_type, r.kmv_rank): r.kh for r in direct.collect()}
+    assert m == d  # row-identical, ranks included
+
+
+def test_kmv_partitioning_invariance(spark):
+    df = spark.range(0, 4000).select((F.col("id") % 997).alias("v"))
+    a = sketches.kmv_distinct(df.repartition(1), "v", k=128).collect()[0]
+    b = sketches.kmv_distinct(df.repartition(32), "v", k=128).collect()[0]
+    assert (a.n_kept, a.kth_h, a.est_distinct) == \
+        (b.n_kept, b.kth_h, b.est_distinct)
+
+
+def test_kmv_nulls_skipped_and_validation(spark):
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("a",)], "v string")
+    row = sketches.kmv_distinct(df, "v", k=16).collect()[0]
+    assert row.n_kept == 2 and row.est_distinct == 2.0
+    with pytest.raises(ValueError, match="kmv"):
+        sketches.kmv_sketch(df, "v", k=1)
+    with pytest.raises(ValueError, match="kmv"):
+        sketches.kmv_merge(df, k=16, buckets=0)

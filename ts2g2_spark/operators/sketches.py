@@ -635,3 +635,158 @@ def bloom_py_contains(bits: set, v, k: int = 7, n_bits: int = 1 << 20) -> bool:
     h2 = int(hashlib.md5(
         f"bl2:{v}".encode()).hexdigest()[:15], 16) % n_bits
     return all((h1 + i * h2) % n_bits in bits for i in range(k))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+def _check_kmv(k: int, buckets: int) -> None:
+    if k < 2 or buckets < 1:
+        raise ValueError(f"kmv: need k >= 2 and buckets >= 1, "
+                         f"got {k=} {buckets=}")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    buckets: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sketch: the k SMALLEST distinct h64 hashes of
+    `value_col` (Bar-Yossef et al. 2002's KMV estimator).  Output
+    (group_cols..., kh, kmv_rank) with kmv_rank in [1, k] ascending by
+    hash.
+
+    Where HLL gives a fixed-size register frame, KMV keeps actual hash
+    values, which buys two things HLL can't do: (a) when a group has
+    fewer than k distincts the sketch IS the exact distinct set (the
+    estimator returns the exact count), and (b) sketch intersection
+    supports Jaccard-style overlap on the kept hashes.  Cost: k rows
+    per group instead of m registers.
+
+    Scale shape: one hash-aggregate distinct on (group, hash) —
+    map-side combine collapses duplicates before the exchange — then
+    the shared `exact_topk` bucket tournament (corpusstats.exact_topk)
+    bounds every window sort at k rows per hash bucket, so no
+    whole-group sort ever materializes.  Deterministic: hashes are
+    md5-derived and distinct within a group, so the ascending order is
+    total with no tie column needed (the hash is its own tie-break).
+    """
+    _check_kmv(k, buckets)
+    from ts2g2_spark.operators.corpusstats import exact_topk
+
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            h64(F.col(value_col).cast("string")).alias("kh"),
+        )
+        .distinct()
+    )
+    # bottom-k via the shared DESC tournament on the negated hash
+    # (h64 < 2**60, so negation is overflow-safe in int64)
+    return (
+        exact_topk(
+            hashed.withColumn("_negh", -F.col("kh")),
+            "_negh", k, "kh", group_cols, buckets, rank_name="kmv_rank")
+        .drop("_negh")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    buckets: int = 64,
+) -> DataFrame:
+    """Merge sketch partials to a coarser grain: union the kept hashes,
+    de-duplicate, and re-take the bottom k.  EXACT — every one of the k
+    smallest distinct hashes of a union is among the k smallest of the
+    partial it came from, so merged partials are row-identical to a
+    sketch computed from the raw union (the oracle of the merged query
+    skips the fine grain entirely and still value-hash-matches)."""
+    _check_kmv(k, buckets)
+    from ts2g2_spark.operators.corpusstats import exact_topk
+
+    deduped = (
+        sketches.select(*[F.col(c) for c in group_cols], "kh").distinct()
+    )
+    return (
+        exact_topk(
+            deduped.withColumn("_negh", -F.col("kh")),
+            "_negh", k, "kh", group_cols, buckets, rank_name="kmv_rank")
+        .drop("_negh")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distinct estimate from a bottom-k sketch.  Output per group:
+    (group_cols..., n_kept, kth_h, est_distinct).
+
+    n_kept < k  ->  the sketch saw every distinct value: est = n_kept
+                    exactly (an integer-valued double).
+    n_kept = k  ->  est = (k - 1) * 2**60 / kth_h, the unbiased KMV
+                    estimator: the k-th smallest of n uniform draws on
+                    [0, 2**60) sits near k/n of the range.
+
+    Replay contract: n_kept and kth_h are exact integers; the
+    numerator (k - 1) * 2**60 is embedded as ONE double literal (exact
+    for any k - 1 below 2**53 — it is (k - 1) scaled by a power of
+    two), so the only float op is a single division, rounded to
+    `round_dp` identically in any IEEE engine.  Relative error
+    ~ 1/sqrt(k - 2) (~6.3% at k = 256; quadruple k to halve it)."""
+    _check_kmv(k, buckets=1)
+    numerator = float((k - 1) << _HASH_BITS)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("kh").alias("kth_h"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double"),
+    ).otherwise(F.lit(numerator) / F.col("kth_h").cast("double"))
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        "n_kept",
+        "kth_h",
+        F.round(est, round_dp).alias("est_distinct"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    buckets: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """End-to-end per-group KMV distinct estimate (sketch + estimate)."""
+    return kmv_estimate(
+        kmv_sketch(df, value_col, group_cols, k, buckets),
+        group_cols, k, round_dp)
+
+
+def kmv_py(values, k: int = 256) -> tuple[int, int, float]:
+    """Pure-Python twin for one group — same md5 hash, same estimator
+    float ops.  Returns (n_kept, kth_h, est_distinct unrounded).  Test
+    oracle only."""
+    import hashlib
+
+    _check_kmv(k, buckets=1)
+    hs = sorted({
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        for v in values if v is not None
+    })[:k]
+    if not hs:
+        raise ValueError("kmv_py: no non-null values")
+    n_kept, kth = len(hs), hs[-1]
+    if n_kept < k:
+        return n_kept, kth, float(n_kept)
+    return n_kept, kth, float((k - 1) << _HASH_BITS) / float(kth)
