@@ -68,7 +68,7 @@ AUDIT = [
     "hll_overlap_click_purchase", "cms_hot_words",
     # round 5 graph/pruning additions
     "bloom_prune_orders", "lpa_communities_hvg", "lpa_modularity_hvg",
-    "kmv_users_by_type", "kmv_users_daily_merged",
+    "kmv_users_by_type", "kmv_users_daily_merged", "url_canonical_dedup",
 ]
 
 

@@ -8125,6 +8125,109 @@ KMV_BY_TYPE_SQL = _kmv_sql("event_type", "event_type")
 KMV_DAILY_SQL = _kmv_sql("cast(ts as date)", "day")
 
 
+# Planted crawl URLs (documents carry no url column): four variants per
+# (host, page) pair differing ONLY in what canonicalization removes —
+# case, default port, userinfo, tracking params, param order, trailing
+# slash, fragment — plus junk rows (non-URL, ftp) exercising the NULL
+# drop.  ONE expression string, F.expr'd on the Spark side and pasted
+# into the oracle, so the two engines plant identical inputs.
+_URL_PLANT_SQL = """
+case when doc_id % 11 = 7 then 'not a url'
+     when doc_id % 13 = 5 then 'ftp://mirror.example.com/pub'
+     when doc_id % 4 = 0 then
+       'http://site' || (doc_id % 37) || '.example.com/p/' ||
+       (doc_id % 5) || '?id=' || (doc_id % 5)
+     when doc_id % 4 = 1 then
+       'HTTP://SITE' || (doc_id % 37) || '.Example.COM/p/' ||
+       (doc_id % 5) || '/?utm_source=news&id=' || (doc_id % 5)
+     when doc_id % 4 = 2 then
+       'http://site' || (doc_id % 37) || '.example.com:80/p/' ||
+       (doc_id % 5) || '?id=' || (doc_id % 5) || '&utm_campaign=x'
+     else
+       'http://u:p@site' || (doc_id % 37) || '.example.com/p/' ||
+       (doc_id % 5) || '?ref=tw&id=' || (doc_id % 5) || '#sec'
+end
+"""
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL crawl dedup (text.canonicalize_urls / url_dedup,
+    r5): scheme/host lowercased, userinfo + default ports + fragments +
+    trailing slashes stripped, tracking params dropped and the
+    survivors SORTED, then one hash-agg on the canonical string.
+    Map-only string pipeline, float-free — the oracle re-implements
+    every step in SQL from the same module regex constants
+    (text.URL_SCHEME_RE/URL_USERINFO_RE/URL_TRACKING_PARAM_RE), so a
+    drift in any step breaks the hash."""
+    from ts2g2_spark.operators import text
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_PLANT_SQL).alias("url"))
+    return text.url_dedup(planted)
+
+
+def _url_dedup_sql() -> str:
+    from ts2g2_spark.operators.text import (
+        URL_SCHEME_RE, URL_TRACKING_PARAM_RE, URL_USERINFO_RE)
+
+    return f"""
+with u0 as (
+  select doc_id, {_URL_PLANT_SQL} as url from documents
+),
+s1 as (
+  select doc_id, regexp_replace(trim(url), '#.*$', '') as u from u0
+),
+s2 as (
+  select doc_id, u,
+         lower(regexp_extract(u, '{URL_SCHEME_RE}', 1)) as scheme,
+         regexp_replace(u, '{URL_SCHEME_RE}', '') as rest
+  from s1
+),
+s3 as (
+  select *, regexp_extract(rest, '^([^/?#]*)', 1) as auth_raw from s2
+),
+s4 as (
+  select *,
+         lower(regexp_replace(auth_raw, '{URL_USERINFO_RE}', ''))
+           as auth0,
+         substring(rest, length(auth_raw) + 1) as path_q
+  from s3
+),
+s5 as (
+  select *,
+         case when scheme = 'http'
+                then regexp_replace(auth0, ':80$', '')
+              when scheme = 'https'
+                then regexp_replace(auth0, ':443$', '')
+              else auth0 end as auth,
+         regexp_replace(regexp_extract(path_q, '^([^?]*)', 1),
+                        '/+$', '') as path,
+         regexp_extract(path_q, '^[^?]*\\?(.*)$', 1) as query
+  from s4
+),
+s6 as (
+  select doc_id, scheme, auth, path,
+         list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' and not regexp_matches(p,
+                '{URL_TRACKING_PARAM_RE}'))) as kept
+  from s5
+),
+c as (
+  select doc_id,
+         case when scheme in ('http', 'https') then
+           scheme || '://' || auth || path ||
+           case when len(kept) > 0
+                then '?' || array_to_string(kept, '&') else '' end
+         end as canonical_url
+  from s6
+)
+select canonical_url, count(*)::BIGINT as n_docs,
+       min(doc_id) as survivor_id
+from c where canonical_url is not null
+group by canonical_url
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -8355,6 +8458,7 @@ _RAW_QUERIES = {
         "lpa_modularity_hvg": q_lpa_modularity_hvg,
         "kmv_users_by_type": q_kmv_users_by_type,
         "kmv_users_daily_merged": q_kmv_users_daily_merged,
+        "url_canonical_dedup": q_url_canonical_dedup,
     }
 
 
@@ -8426,6 +8530,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_modularity_hvg": LPA_MODULARITY_SQL,
         "kmv_users_by_type": KMV_BY_TYPE_SQL,
         "kmv_users_daily_merged": KMV_DAILY_SQL,
+        "url_canonical_dedup": _url_dedup_sql(),
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -825,3 +825,47 @@ def test_blocklist_filter_drops_linking_docs(spark, url_docs):
         url_docs, ["b.org"]).collect()) == [2, 3, 4]
     # empty blocklist is the identity
     assert blocklist_filter(url_docs, []).count() == 4
+
+
+def test_canonicalize_urls_hand_cases(spark):
+    from ts2g2_spark.operators.text import canonicalize_urls
+
+    cases = [
+        ("HTTP://User:pw@Site0.Example.COM:80/p/1/?utm_source=x&id=1#f",
+         "http://site0.example.com/p/1?id=1"),
+        ("https://a.com:443/x?b=2&a=1", "https://a.com/x?a=1&b=2"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),  # non-default
+        ("https://a.com:80/x", "https://a.com:80/x"),      # wrong scheme
+        ("http://a.com/", "http://a.com"),
+        ("http://a.com", "http://a.com"),
+        ("http://a.com/x?utm_campaign=z&UTM_Source=y", "http://a.com/x"),
+        ("http://a.com/x?ref=tw&id=3&gclid=g", "http://a.com/x?id=3"),
+        ("ftp://a.com/x", None),
+        ("not a url", None),
+        ("  http://A.com/y/  ", "http://a.com/y"),
+        ("http://a.com/x?", "http://a.com/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url
+           for r in canonicalize_urls(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+
+
+def test_url_dedup_groups_and_survivor(spark):
+    from ts2g2_spark.operators.text import url_dedup
+
+    df = spark.createDataFrame(
+        [(10, "http://A.com/x?utm_source=s"),
+         (3, "http://a.com:80/x/"),
+         (7, "https://a.com/x"),     # scheme differs -> separate group
+         (5, "junk")],
+        "doc_id long, url string")
+    rows = {r.canonical_url: (r.n_docs, r.survivor_id)
+            for r in url_dedup(df).collect()}
+    assert rows == {
+        "http://a.com/x": (2, 3),
+        "https://a.com/x": (1, 7),
+    }

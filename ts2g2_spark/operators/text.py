@@ -1174,3 +1174,88 @@ def blocklist_filter(
            .where(F.col("host").isin([b.lower() for b in blocked_hosts]))
            .select(id_col).distinct())
     return docs.join(bad, id_col, "left_anti")
+
+
+# URL canonicalization contract (crawl-dedup hygiene).  Every regex is a
+# module constant so the SQL oracle interpolates the SAME pattern — the
+# two engines can't drift (the URL_HOST_RE posture).  All patterns are
+# RE2-safe (no backrefs/lookaround) and anchored where order matters.
+URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+URL_USERINFO_RE = r"^[^@/]*@"
+URL_TRACKING_PARAM_RE = (
+    r"^(?i)(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)=")
+
+
+def canonical_url_columns(url_col: str = "url") -> dict[str, "Column"]:
+    """Staged canonicalization columns; `canonical_url` is the result.
+    NULL for anything that is not http(s)://... — callers filter.
+
+    Steps (each a codegen string op, map-only, float-free):
+      1. trim, strip the #fragment
+      2. lowercase the scheme; NULL out non-http(s)
+      3. authority: drop userinfo, lowercase, strip the scheme-default
+         port (:80 for http, :443 for https)
+      4. path: strip trailing slashes
+      5. query: drop tracking params (URL_TRACKING_PARAM_RE), SORT the
+         survivors (param order never distinguishes resources), drop
+         the '?' when none survive
+    """
+    u = F.regexp_replace(F.trim(F.col(url_col)), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, URL_SCHEME_RE, 1))
+    rest = F.regexp_replace(u, URL_SCHEME_RE, "")
+    auth_raw = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    auth = F.lower(F.regexp_replace(auth_raw, URL_USERINFO_RE, ""))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path_q = F.substr(rest, F.length(auth_raw) + F.lit(1))
+    path = F.regexp_replace(
+        F.regexp_extract(path_q, r"^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(path_q, r"^[^?]*\?(.*)$", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
+    ))
+    qcanon = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    canonical = F.when(
+        scheme.isin("http", "https"),
+        F.concat(scheme, F.lit("://"), auth, path, qcanon),
+    )
+    return {"canonical_url": canonical}
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url",
+) -> DataFrame:
+    """Append `canonical_url` (see canonical_url_columns) — map-only,
+    zero exchanges; NULL where `url_col` is not an http(s) URL."""
+    return df.withColumn(
+        "canonical_url", canonical_url_columns(url_col)["canonical_url"])
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL exact dedup, the first pass of every crawl
+    pipeline (the same page is fetched as http/HTTPS, with and without
+    :80/:443, fragments, trailing slashes, reordered or tracking-laden
+    query strings): (canonical_url, n_docs, survivor_id = min id).
+    Non-URL rows (NULL canonical) are dropped.  One hash aggregate on
+    the canonical string — map-side combine bounds the exchange at one
+    row per (partition, canonical); no window, no join, scale-safe at
+    any corpus size."""
+    return (
+        canonicalize_urls(df, url_col)
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("survivor_id"),
+        )
+    )
