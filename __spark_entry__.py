@@ -8228,6 +8228,87 @@ group by canonical_url
 """
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption denoising pairs (text.span_corruption, r5):
+    RNG-free masking — span starts/lengths are md5-h64 functions of
+    (doc, position), overlaps merged, sentinels '<extra_id_k>' in
+    document order — so the (input, target) pretraining pairs are
+    reproducible across engines/partitionings/reruns.  Pure
+    integer/string ops, no floats: the oracle replays the token
+    stream, the lag-window mask, the island numbering and BOTH rebuilt
+    strings verbatim."""
+    from ts2g2_spark.operators import text
+
+    return text.span_corruption(
+        _docs(spark, sf_dir), span_every=7, max_span=3)
+
+
+# span replay, span_every=7 max_span=3: the masked flag needs
+# max_span-1 = 2 lags; string_agg ignores NULL pieces exactly like
+# collect_list; docs with zero masked tokens have no target rows ->
+# left join + coalesce('') mirrors Spark's array_join of an empty list.
+SPAN_CORRUPTION_SQL = r"""
+with w0 as (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') as ws
+  from documents where length(trim(text)) > 0
+),
+tok as (
+  select doc_id, generate_subscripts(ws, 1) - 1 as pos, unnest(ws) as w
+  from w0
+),
+h as (
+  select doc_id, pos, w,
+    (cast(concat('0x', substr(md5('sc:' || doc_id || ':' || pos), 1, 15))
+          as bigint) % 7 = 0) as is_start,
+    1 + cast(concat('0x', substr(md5('scl:' || doc_id || ':' || pos),
+          1, 15)) as bigint) % 3 as slen
+  from tok
+),
+m as (
+  select *, (is_start
+    or (coalesce(lag(is_start, 1) over win, false)
+        and coalesce(lag(slen, 1) over win, 0) > 1)
+    or (coalesce(lag(is_start, 2) over win, false)
+        and coalesce(lag(slen, 2) over win, 0) > 2)) as masked
+  from h
+  window win as (partition by doc_id order by pos)
+),
+i as (
+  select *, (masked and not coalesce(lag(masked) over win, false))
+      as island_start
+  from m window win as (partition by doc_id order by pos)
+),
+k as (
+  select *, sum(case when island_start then 1 else 0 end)
+      over (partition by doc_id order by pos
+            rows unbounded preceding) - 1 as sent_k
+  from i
+),
+base as (
+  select doc_id, count(*)::BIGINT as n_tokens,
+    sum(case when island_start then 1 else 0 end)::BIGINT as n_spans,
+    sum(case when masked then 1 else 0 end)::BIGINT as n_masked,
+    coalesce(string_agg(case when not masked then w
+      when island_start then '<extra_id_' || sent_k || '>' end,
+      ' ' order by pos), '') as input_text
+  from k group by doc_id
+),
+tp as (
+  select doc_id, pos, 0 as sub, '<extra_id_' || sent_k || '>' as p
+  from k where island_start
+  union all
+  select doc_id, pos, 1 as sub, w from k where masked
+),
+tt as (
+  select doc_id, string_agg(p, ' ' order by pos, sub) as target_text
+  from tp group by doc_id
+)
+select b.doc_id, b.n_tokens, b.n_spans, b.n_masked, b.input_text,
+       coalesce(tt.target_text, '') as target_text
+from base b left join tt on b.doc_id = tt.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -8459,6 +8540,7 @@ _RAW_QUERIES = {
         "kmv_users_by_type": q_kmv_users_by_type,
         "kmv_users_daily_merged": q_kmv_users_daily_merged,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "span_corruption_docs": q_span_corruption,
     }
 
 
@@ -8531,6 +8613,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_users_by_type": KMV_BY_TYPE_SQL,
         "kmv_users_daily_merged": KMV_DAILY_SQL,
         "url_canonical_dedup": _url_dedup_sql(),
+        "span_corruption_docs": SPAN_CORRUPTION_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -869,3 +869,85 @@ def test_url_dedup_groups_and_survivor(spark):
         "http://a.com/x": (2, 3),
         "https://a.com/x": (1, 7),
     }
+
+
+def _py_span_corruption(doc_id, text, span_every=7, max_span=3, salt="sc"):
+    import hashlib
+    import re
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ws = re.split(r"[ \t\n\f\r]+", text.strip())
+    starts = [h64(f"{salt}:{doc_id}:{p}") % span_every == 0
+              for p in range(len(ws))]
+    slens = [1 + h64(f"{salt}l:{doc_id}:{p}") % max_span
+             for p in range(len(ws))]
+    masked = [
+        any(starts[q] and q + slens[q] > p
+            for q in range(max(0, p - max_span + 1), p + 1))
+        for p in range(len(ws))
+    ]
+    inp, tgt, k = [], [], -1
+    for p, w in enumerate(ws):
+        if masked[p]:
+            if p == 0 or not masked[p - 1]:
+                k += 1
+                inp.append(f"<extra_id_{k}>")
+                tgt.append(f"<extra_id_{k}>")
+            tgt.append(w)
+        else:
+            inp.append(w)
+    return (len(ws), k + 1, sum(masked), " ".join(inp), " ".join(tgt))
+
+
+def test_span_corruption_matches_python_model(spark):
+    from ts2g2_spark.operators.text import span_corruption
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(20 + 7 * i)))
+            for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.n_masked,
+                      r.input_text, r.target_text)
+           for r in span_corruption(df).collect()}
+    for i, t in docs:
+        assert got[i] == _py_span_corruption(i, t), i
+    # reconstruction invariant: replacing each sentinel in input with
+    # its target span recovers the original token stream
+    for i, t in docs:
+        n_tok, n_spans, n_masked, inp, tgt = got[i]
+        spans, cur = {}, None
+        for piece in tgt.split(" ") if tgt else []:
+            if piece.startswith("<extra_id_"):
+                cur = piece
+                spans[cur] = []
+            else:
+                spans[cur].append(piece)
+        rebuilt = []
+        for piece in inp.split(" "):
+            rebuilt.extend(spans[piece] if piece in spans else [piece])
+        assert rebuilt == t.strip().split(" ")
+        assert n_tok == len(rebuilt)
+        assert n_masked == sum(len(v) for v in spans.values())
+        assert n_spans == len(spans)
+
+
+def test_span_corruption_edges_and_validation(spark):
+    from ts2g2_spark.operators.text import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "  "), (2, "solo")], "doc_id long, text string")
+    out = {r.doc_id: r for r in span_corruption(df).collect()}
+    assert 1 not in out  # empty doc dropped
+    assert out[2].n_tokens == 1
+    # determinism across partitionings
+    big = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(50))) for i in range(20)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, span_corruption(big.repartition(1)).collect()))
+    b = sorted(map(tuple, span_corruption(big.repartition(16)).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="span_corruption"):
+        span_corruption(df, span_every=1)
+    with pytest.raises(ValueError, match="span_corruption"):
+        span_corruption(df, max_span=0)

@@ -1259,3 +1259,104 @@ def url_dedup(
             F.min(id_col).alias("survivor_id"),
         )
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    span_every: int = 7,
+    max_span: int = 3,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "sc",
+) -> DataFrame:
+    """T5-style span-corruption denoising pairs (Raffel et al. 2020),
+    RNG-free: every masking decision is md5-h64-derived from
+    (salt, doc, position), so the SAME (input, target) pair comes out
+    of any engine, any partitioning, any rerun — the property that
+    makes a 100 TB pretraining corpus reproducible and resumable.
+
+    Contract over the whitespace token stream (the chunk_documents
+    split): position p STARTS a span iff h64('{salt}:'||id||':'||p) %
+    span_every == 0, with length 1 + h64('{salt}l:'||id||':'||p) %
+    max_span; overlapping/adjacent spans merge.  input_text replaces
+    each merged span with one sentinel '<extra_id_k>' (k = span index
+    in document order); target_text is the T5 decoder string: each
+    sentinel followed by the tokens it hides.  Expected mask rate ~
+    (max_span+1) / (2 * span_every).
+
+    Output: (key_col, n_tokens, n_spans, n_masked, input_text,
+    target_text).  Docs whose trimmed text is empty produce no rows.
+
+    Scale shape: map-only split/explode, then ONE window partitioned by
+    doc (the masked flag needs max_span-1 lags — spans never cross
+    docs, so per-partition state is one doc's tokens) and one hash agg
+    on the same key; the sorted-collect rebuild is bounded by doc
+    length.  No joins, no floats anywhere — pure integer/string ops,
+    which is why the oracle replays it exactly."""
+    from pyspark.sql.window import Window
+
+    from ts2g2_spark.functions.hashing import h64
+
+    if span_every < 2 or not 1 <= max_span <= 16:
+        raise ValueError(
+            f"span_corruption: need span_every >= 2 and 1 <= max_span "
+            f"<= 16, got {span_every=} {max_span=}")
+    staged = _staged_words(
+        docs.where(F.length(F.trim(F.col(text_col))) > 0), text_col)
+    tok = staged.select(
+        key_col, F.posexplode("_ws").alias("pos", "w"))
+    kid = F.col(key_col).cast("string")
+    pid = F.col("pos").cast("string")
+    tok = tok.select(
+        key_col, "pos", "w",
+        (F.pmod(h64(F.concat_ws(":", F.lit(salt), kid, pid)),
+                F.lit(span_every)) == 0).alias("is_start"),
+        (F.lit(1) + F.pmod(
+            h64(F.concat_ws(":", F.lit(salt + "l"), kid, pid)),
+            F.lit(max_span))).alias("slen"),
+    )
+    w = Window.partitionBy(key_col).orderBy("pos")
+    masked = F.col("is_start")
+    for j in range(1, max_span):
+        masked = masked | (
+            F.coalesce(F.lag("is_start", j).over(w), F.lit(False))
+            & (F.coalesce(F.lag("slen", j).over(w), F.lit(0)) > j))
+    t = tok.withColumn("masked", masked)
+    t = t.withColumn(
+        "island_start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(w), F.lit(False)))
+    t = t.withColumn(
+        "sent_k",
+        F.sum(F.col("island_start").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("sent_k").cast("string"), F.lit(">"))
+    input_piece = (
+        F.when(~F.col("masked"), F.col("w"))
+        .when(F.col("island_start"), sentinel))
+    # target pieces: sentinel sorts before the first hidden word at the
+    # same pos via the sub field (struct sort is field-order lexicographic)
+    tgt_pair = F.filter(
+        F.array(
+            F.struct(F.col("pos"), F.lit(0).alias("sub"),
+                     F.when(F.col("island_start"), sentinel).alias("p")),
+            F.struct(F.col("pos"), F.lit(1).alias("sub"),
+                     F.when(F.col("masked"), F.col("w")).alias("p")),
+        ),
+        lambda s: s["p"].isNotNull(),
+    )
+    return t.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("island_start").cast("long")).alias("n_spans"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(
+                F.when(input_piece.isNotNull(),
+                       F.struct(F.col("pos"),
+                                input_piece.alias("p"))))),
+            lambda s: s["p"]), " ").alias("input_text"),
+        F.array_join(F.transform(
+            F.array_sort(F.flatten(F.collect_list(tgt_pair))),
+            lambda s: s["p"]), " ").alias("target_text"),
+    )
