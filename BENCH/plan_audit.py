@@ -69,7 +69,7 @@ AUDIT = [
     # round 5 graph/pruning additions
     "bloom_prune_orders", "lpa_communities_hvg", "lpa_modularity_hvg",
     "kmv_users_by_type", "kmv_users_daily_merged", "url_canonical_dedup",
-    "span_corruption_docs",
+    "span_corruption_docs", "tpch_q6", "mrl_recall_top5",
 ]
 
 

@@ -8309,6 +8309,117 @@ from base b left join tt on b.doc_id = tt.doc_id
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-style forecasting-revenue-change: the pushdown showcase
+    — all three predicates (shipdate range, discount band, quantity
+    cap) reach the parquet scan as PushedFilters, the ReadSchema is 4
+    columns of 16, and the whole query is one map-side-combined global
+    agg (no groupBy key at all).  Money in exact integer cents (the
+    tpch_q1 posture) so the sum is order-independent; dates shifted to
+    the synthetic table's 1995-2001 span."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            # raw-double band so the predicate PUSHES to the scan (both
+            # engines compare the same stored doubles to the same
+            # literals; the 2-decimal domain makes it the cents band)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(
+            (F.sum(price_c * disc_c) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+TPCH_Q6_SQL = """
+select sum(round(l_extendedprice * 100)::BIGINT
+           * round(l_discount * 100)::BIGINT) / 10000.0 as revenue,
+       count(*)::BIGINT as n_rows
+from lineitem
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1997-01-01'
+  and l_discount between 0.05 and 0.07
+  and l_quantity < 24
+"""
+
+
+def q_mrl_recall(spark, sf_dir):
+    """Matryoshka dimension-truncation recall curve
+    (similarity.mrl_recall, r5): exact cosine top-5 on the first
+    8/16/32 of 64 embedding dims — truncate-and-renormalize — against
+    the full-width exact top-5, recall per (dim, query).  The width
+    sibling of the int8/PQ precision evals: it prices "store d of D
+    dims, cut every scan D/d-fold".  All dots/norms are the explicit
+    sequential fold, rank on round(cosine, 6) with id ties, so the
+    oracle replays all four top-5 sets and the recall counts in one
+    hash."""
+    from ts2g2_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"))
+    q = emb.where(F.col("vec_id") < 20)
+    return similarity.mrl_recall(emb, q, dims=(8, 16, 32), k=5)
+
+
+# MRL replay: level 64 IS the full width on this table, so one level
+# frame covers ground truth + all three truncations; dots/norms are the
+# proven list_reduce(list_prepend(0.0, ...)) fold twin of F.aggregate.
+MRL_RECALL_SQL = """
+with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+lv as (select unnest([8, 16, 32, 64]) as d),
+q as (select vec_id as query_id, v as qv from emb where vec_id < 20),
+scored as (
+  select lv.d, q.query_id, c.vec_id as neighbor_id,
+         round(
+           list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, lv.d),
+                            i -> q.qv[i] * c.v[i])), (a, x) -> a + x)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                list_transform(generate_series(1, lv.d),
+                               i -> q.qv[i] * q.qv[i])),
+                (a, x) -> a + x))
+              * sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, lv.d),
+                                 i -> c.v[i] * c.v[i])),
+                  (a, x) -> a + x))),
+           6) as cos
+  from emb c cross join q cross join lv
+  where c.vec_id != q.query_id
+),
+sel as (
+  select d, query_id, neighbor_id from (
+    select *, row_number() over (partition by d, query_id
+                 order by cos desc, neighbor_id asc) as rn
+    from scored
+  ) where rn <= 5
+),
+ex as (select query_id, neighbor_id from sel where d = 64),
+ap as (select d, query_id, neighbor_id from sel where d != 64),
+per as (
+  select lv.d as dim, e.query_id,
+         count(*)::BIGINT as n_exact,
+         sum(case when ap.neighbor_id is not null
+                  then 1 else 0 end)::BIGINT as n_hits
+  from (select unnest([8, 16, 32]) as d) lv
+  cross join ex e
+  left join ap on ap.d = lv.d and ap.query_id = e.query_id
+              and ap.neighbor_id = e.neighbor_id
+  group by 1, 2
+)
+select dim, query_id, n_exact, n_hits,
+       round(cast(n_hits as double) / cast(n_exact as double), 6)
+         as recall
+from per
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -8541,6 +8652,8 @@ _RAW_QUERIES = {
         "kmv_users_daily_merged": q_kmv_users_daily_merged,
         "url_canonical_dedup": q_url_canonical_dedup,
         "span_corruption_docs": q_span_corruption,
+        "tpch_q6": q_tpch_q6,
+        "mrl_recall_top5": q_mrl_recall,
     }
 
 
@@ -8614,6 +8727,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_users_daily_merged": KMV_DAILY_SQL,
         "url_canonical_dedup": _url_dedup_sql(),
         "span_corruption_docs": SPAN_CORRUPTION_SQL,
+        "tpch_q6": TPCH_Q6_SQL,
+        "mrl_recall_top5": MRL_RECALL_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -478,3 +478,67 @@ def test_ivfpq_validation(spark, emb):
         similarity.ivfpq_topk(emb, q, dim=64, k=0)
     with pytest.raises(ValueError):
         similarity.ivfpq_topk(emb, q, dim=64, m=7)
+
+
+def test_mrl_recall_full_width_is_one_and_shape(spark):
+    import numpy as np
+
+    from ts2g2_spark.operators.similarity import mrl_recall
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)])
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 8")
+    out = mrl_recall(df, q, dims=(4, 8, 16), k=5).collect()
+    # every (dim, query) present; at full width the sets are identical
+    assert len(out) == 3 * 8
+    for r in out:
+        assert r.n_exact == 5
+        assert 0.0 <= r.recall <= 1.0
+        if r.dim == 16:
+            assert r.recall == 1.0
+    # truncation can only be evaluated, never crash: clamp beyond width
+    over = mrl_recall(df, q, dims=(99,), k=3).collect()
+    assert all(r.recall == 1.0 for r in over)  # slice clamps to full
+
+
+def test_mrl_recall_prefix_signal_orders_levels(spark):
+    import numpy as np
+
+    from ts2g2_spark.operators.similarity import mrl_recall
+
+    # all signal in the first 8 dims, zero tail: the full-width cosine
+    # IS the prefix-8 cosine, so recall(8) = 1.0 exactly; prefix-2
+    # discards 6 signal dims and must do no better
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(80):
+        head = rng.normal(size=8)
+        rows.append((i, [float(x) for x in head] + [0.0] * 24))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 10")
+    out = mrl_recall(df, q, dims=(2, 8), k=5).collect()
+    mean = {d: np.mean([r.recall for r in out if r.dim == d])
+            for d in (2, 8)}
+    assert mean[8] == 1.0
+    assert mean[2] < 1.0
+
+
+def test_mrl_recall_validation(spark):
+    import pytest as _pytest
+
+    from ts2g2_spark.operators.similarity import mrl_recall
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="mrl_recall"):
+        mrl_recall(df, df, dims=())
+    with _pytest.raises(ValueError, match="mrl_recall"):
+        mrl_recall(df, df, dims=(4, 4))
+    with _pytest.raises(ValueError, match="mrl_recall"):
+        mrl_recall(df, df, dims=(0,))
+    with _pytest.raises(ValueError, match="mrl_recall"):
+        mrl_recall(df, df, dims=(2,), k=0)

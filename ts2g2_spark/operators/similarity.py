@@ -1301,3 +1301,83 @@ def ivfpq_topk(
     finally:
         asg.unpersist()
 
+
+
+def mrl_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) dimension-truncation
+    recall curve: for each prefix length d in `dims`, exact cosine
+    top-k over the FIRST d embedding dimensions (norms recomputed on
+    the slice — true truncate-and-renormalize retrieval), scored
+    against the full-dimension exact top-k.  The measurement behind
+    the 100 TB embedding-store decision "can we keep d of D dims and
+    cut the store (and every scan) D/d-fold?" — the same trade the
+    int8/PQ operators measure for precision instead of width.
+
+    Output: (dim, query_id, n_exact, n_hits, recall) — `dims` levels x
+    queries rows via the shared `recall_at_k` (group_values pins the
+    levels, so a degenerate level reads recall 0, not absent).
+
+    Replay contract: every dot/norm is the repo's explicit sequential
+    fold (`_dot`), bit-identical to the oracle's
+    list_reduce(list_prepend(0.0, ...)) twin (the pq_topk proof);
+    ranking is on round(cosine, round_dp) with the id tie-break — the
+    cross-engine round-before-rank contract.
+
+    Scale shape: one broadcast of the (small by contract) query side
+    per level plus the full-width ground truth — len(dims)+1 corpus
+    scans, each a map-only scored scan + per-query top-k window.
+    Candidate frames are O(queries x k); the recall join is broadcast.
+
+    Assumes no zero-norm vectors or prefixes (embedding stores
+    normalize; a zero slice would yield NaN cosines, whose sort order
+    is engine-specific) — same contract as cosine_topk.
+    """
+    if not dims or any(d < 1 for d in dims) or len(set(dims)) != len(dims):
+        raise ValueError(
+            f"mrl_recall: dims must be distinct positive ints, got {dims}")
+    if k < 1:
+        raise ValueError(f"mrl_recall: k must be >= 1, got {k}")
+
+    def _topk_ids(d: int | None) -> DataFrame:
+        vec = (F.slice(F.col(vec_col), 1, d) if d is not None
+               else F.col(vec_col))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), vec.alias("cv"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"), vec.alias("qv"))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                    round_dp).alias("_cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = _topk_ids(None)
+    approx = None
+    for d in dims:
+        lvl = _topk_ids(d).select(
+            F.lit(d).alias("dim"), "query_id", "neighbor_id")
+        approx = lvl if approx is None else approx.unionByName(lvl)
+    return recall_at_k(
+        approx, full, round_dp=round_dp, group_cols=("dim",),
+        group_values=[(d,) for d in dims])
