@@ -8420,6 +8420,137 @@ from per
 """
 
 
+def _bpe_tok_table(spark, sf_dir):
+    """input_hint-shaped token table for the BPE queries: the same
+    deterministic md5-h64(word) % 32003 stream as tokens_rollup_1m,
+    docs with < 2 tokens dropped (no pairs to learn from)."""
+    from ts2g2_spark.functions.hashing import h64
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.trim("text"), r"[ \t\n\f\r]+"),
+                     lambda w: w != F.lit(""))
+    toks = F.transform(words, lambda w: F.pmod(h64(w), F.lit(32003))
+                       .cast("int"))
+    return (docs.select("doc_id", toks.alias("tokens"))
+            .where(F.size("tokens") >= 2))
+
+
+def q_bpe_merges_k8(spark, sf_dir):
+    """Distributed BPE vocabulary induction (operators/bpe.learn_bpe):
+    8 merges over the input_hint token streams — per round one
+    pair-count hash agg (map-side combined) + one map-only vectorized
+    merge pass on a localCheckpoint-ed working set.  Tie-break is
+    (count desc, tok_a, tok_b); new ids are 32003 + rank.  The DuckDB
+    twin replays the full iterative algorithm as a generated chain of
+    k CTE blocks (explode -> lead pairs -> argmax -> greedy merge with
+    run-parity for self-pairs -> regroup), so the merge table is
+    value-hash checked end to end."""
+    from ts2g2_spark.operators import bpe
+
+    return bpe.learn_bpe(_bpe_tok_table(spark, sf_dir), n_merges=8,
+                         new_id_start=32003)
+
+
+def q_bpe_apply_k8(spark, sf_dir):
+    """Re-tokenize the corpus with the 8 learned merges
+    (operators/bpe.apply_bpe): ONE map-only mapInPandas pass, zero
+    exchanges — the 100-TB-side op (learning is sample-sized, applying
+    is corpus-sized).  Output token arrays are serialized to a
+    canonical comma string so the value hash pins every token."""
+    from ts2g2_spark.operators import bpe
+
+    seqs = _bpe_tok_table(spark, sf_dir)
+    merges = bpe.learn_bpe(seqs, n_merges=8, new_id_start=32003)
+    out = bpe.apply_bpe(seqs, merges)
+    return out.select(
+        "doc_id", "n_tok",
+        F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        .alias("toks_str"))
+
+
+_BPE_BASE_SQL = """
+with seqs0 as materialized (
+  select doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x != ''),
+           w -> (cast(concat('0x', substr(md5(w), 1, 15)) as bigint)
+                 % 32003)::INTEGER) as tokens
+  from documents
+  where len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> x != '')) >= 2
+)"""
+
+
+def _bpe_block_sql(i: int, new_id: int) -> str:
+    """One BPE iteration as CTE blocks: adjacent pairs of seqs{i-1} via
+    lead, argmax by (cnt desc, a, b), then the greedy left-to-right
+    merge — self-pair (a = b) run overlap resolved by keeping matches
+    at EVEN offset within each run of a's (gaps-and-islands), exactly
+    operators/bpe._merge_flat's contract."""
+    return f"""
+ext{i} as materialized (
+  select doc_id, p, v,
+         lead(v) over (partition by doc_id order by p) as nxt
+  from (select doc_id, generate_subscripts(tokens, 1) as p,
+               unnest(tokens) as v
+        from seqs{i - 1})
+),
+best{i} as materialized (
+  select a, b, cnt from (
+    select v as a, nxt as b, count(*) as cnt
+    from ext{i} where nxt is not null group by 1, 2)
+  order by cnt desc, a asc, b asc limit 1
+),
+runoff{i} as materialized (
+  select doc_id, p, p - min(p) over (partition by doc_id, grp) as off
+  from (select doc_id, p,
+               p - row_number() over (partition by doc_id order by p)
+                 as grp
+        from ext{i} where v = (select a from best{i}))
+),
+keep{i} as materialized (
+  select e.doc_id, e.p, e.v,
+         coalesce(e.v = (select a from best{i})
+                  and e.nxt = (select b from best{i})
+                  and ((select a from best{i})
+                       <> (select b from best{i})
+                       or r.off % 2 = 0), false) as kp
+  from ext{i} e
+  left join runoff{i} r on r.doc_id = e.doc_id and r.p = e.p
+),
+seqs{i} as materialized (
+  select doc_id, list(nv order by p) as tokens
+  from (select doc_id, p,
+               case when kp then {new_id} else v end as nv,
+               coalesce(lag(kp) over (partition by doc_id order by p),
+                        false) as consumed
+        from keep{i})
+  where not consumed
+  group by doc_id
+)"""
+
+
+def _bpe_oracle_sql(k: int = 8, apply: bool = False) -> str:
+    """Generated k-iteration oracle: merges table (apply=False) or the
+    final re-tokenized corpus (apply=True)."""
+    blocks = [_BPE_BASE_SQL]
+    merge_rows = []
+    for i in range(1, k + 1):
+        nid = 32003 + (i - 1)
+        blocks.append(_bpe_block_sql(i, nid))
+        merge_rows.append(
+            f"select {i - 1} as \"rank\", a as tok_a, b as tok_b,\n"
+            f"       {nid} as new_id, cnt as pair_count from best{i}")
+    body = ",".join(blocks)
+    if apply:
+        return (body + f"""
+select doc_id, len(tokens)::INTEGER as n_tok,
+       array_to_string(tokens, ',') as toks_str
+from seqs{k}""")
+    return body + "\n" + "\nunion all\n".join(merge_rows)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1m rollup of sf0.001 events tiered up to gap-filled 1h."""
     _ensure_session_confs(spark)
@@ -8654,6 +8785,8 @@ _RAW_QUERIES = {
         "span_corruption_docs": q_span_corruption,
         "tpch_q6": q_tpch_q6,
         "mrl_recall_top5": q_mrl_recall,
+        "bpe_merges_k8": q_bpe_merges_k8,
+        "bpe_apply_k8": q_bpe_apply_k8,
     }
 
 
@@ -8729,6 +8862,8 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption_docs": SPAN_CORRUPTION_SQL,
         "tpch_q6": TPCH_Q6_SQL,
         "mrl_recall_top5": MRL_RECALL_SQL,
+        "bpe_merges_k8": _bpe_oracle_sql(8, apply=False),
+        "bpe_apply_k8": _bpe_oracle_sql(8, apply=True),
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
