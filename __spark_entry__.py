@@ -8468,6 +8468,59 @@ def q_bpe_apply_k8(spark, sf_dir):
         .alias("toks_str"))
 
 
+def q_quality_auc(spark, sf_dir):
+    """ROC AUC of the stopword-ratio quality score against a
+    long-document gold label, per 4-fold split
+    (corpusstats.auc_score, r5): Mann-Whitney rank-sum identity
+    carried entirely in int64 half-rank units — rows collapse to one
+    per (fold, distinct rounded score) in a partial agg before any
+    ordered window, the rank sum is order-independent integer
+    addition, and one final division yields the AUC.  This is the
+    classifier-eval step that gates every heuristic quality filter
+    before it prunes a corpus."""
+    from ts2g2_spark.operators import corpusstats
+    from ts2g2_spark.operators.text import quality_columns
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(4)).alias("fold"),
+        quality_columns("text")["stopword_ratio"].alias("s"),
+        (F.length("text") >= 280).cast("int").alias("y"))
+    return corpusstats.auc_score(scored, "s", "y", group_cols=("fold",))
+
+
+QUALITY_AUC_SQL = r"""
+with scored as (
+  select doc_id % 4 as fold,
+         round(len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|that|with)\b', 1))
+               / greatest(len(regexp_split_to_array(trim(text), '\s+')),
+                          1), 6) as s,
+         (length(text) >= 280)::INT as y
+  from documents
+), per as (
+  select fold, s, count(*)::BIGINT as n, sum(y)::BIGINT as p
+  from scored group by fold, s
+), ranked as (
+  select fold, n, p,
+         2 * coalesce(sum(n) over (partition by fold order by s
+               rows between unbounded preceding and 1 preceding),
+             0) + n + 1 as r2
+  from per
+), agg as (
+  select fold, sum(p * r2)::BIGINT as rs2, sum(p)::BIGINT as n_pos,
+         sum(n - p)::BIGINT as n_neg
+  from ranked group by fold
+)
+select fold, n_pos, n_neg,
+       case when n_pos > 0 and n_neg > 0 then
+         round((rs2 - n_pos * (n_pos + 1))::DOUBLE
+               / (2.0 * n_pos * n_neg), 6)
+       end as auc
+from agg
+"""
+
+
 _BPE_BASE_SQL = """
 with seqs0 as materialized (
   select doc_id,
@@ -8787,6 +8840,7 @@ _RAW_QUERIES = {
         "mrl_recall_top5": q_mrl_recall,
         "bpe_merges_k8": q_bpe_merges_k8,
         "bpe_apply_k8": q_bpe_apply_k8,
+        "quality_auc": q_quality_auc,
     }
 
 
@@ -8864,6 +8918,7 @@ def oracle_sql() -> dict[str, str]:
         "mrl_recall_top5": MRL_RECALL_SQL,
         "bpe_merges_k8": _bpe_oracle_sql(8, apply=False),
         "bpe_apply_k8": _bpe_oracle_sql(8, apply=True),
+        "quality_auc": QUALITY_AUC_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -227,3 +227,61 @@ def test_heaps_law_bucket_invariance_and_edges(spark):
         pd.DataFrame({"doc_id": [0, 1], "text": ["", "  "]}))
     rb = heaps_law(blank).collect()[0]
     assert rb["heaps_beta"] is None and rb["n_docs"] == 2
+
+
+def _auc_bruteforce(scores, labels):
+    """Pair-counting AUC: P(s_pos > s_neg) + P(equal)/2 over all
+    (pos, neg) pairs."""
+    pos = [s for s, y in zip(scores, labels) if y]
+    neg = [s for s, y in zip(scores, labels) if not y]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > q else 0.5 if p == q else 0.0
+               for p in pos for q in neg)
+    return wins / (len(pos) * len(neg))
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_auc_score_matches_pair_counting(spark, grouped):
+    """Rank-sum AUC == brute-force pair counting, with heavy ties and
+    per-group evaluation."""
+    from ts2g2_spark.operators.corpusstats import auc_score
+
+    rng = np.random.default_rng(11)
+    n = 240
+    fold = rng.integers(0, 3, size=n)
+    # quantized scores -> many ties; label loosely correlated with score
+    score = np.round(rng.normal(size=n), 1)
+    label = (score + rng.normal(scale=1.5, size=n) > 0).astype(int)
+    pdf = pd.DataFrame({"fold": fold, "s": score, "y": label})
+    sdf = spark.createDataFrame(pdf)
+
+    g = ("fold",) if grouped else ()
+    out = {tuple(r[c] for c in g): r
+           for r in auc_score(sdf, "s", "y", group_cols=g).collect()}
+    groups = pdf.groupby(list(g)) if grouped else [((), pdf)]
+    for key, gdf in groups:
+        key = key if isinstance(key, tuple) else (key,)
+        want = _auc_bruteforce(gdf["s"].tolist(), gdf["y"].tolist())
+        row = out[key if grouped else ()]
+        assert row["n_pos"] == int(gdf["y"].sum())
+        assert row["n_neg"] == int((1 - gdf["y"]).sum())
+        assert row["auc"] == pytest.approx(want, abs=1e-6)
+
+
+def test_auc_score_edges(spark):
+    """Degenerate classes -> NULL; perfect separation -> 1.0; constant
+    score -> 0.5 exactly (all ties)."""
+    from ts2g2_spark.operators.corpusstats import auc_score
+
+    one_class = spark.createDataFrame(
+        pd.DataFrame({"s": [0.1, 0.2, 0.3], "y": [1, 1, 1]}))
+    assert auc_score(one_class, "s", "y").collect()[0]["auc"] is None
+
+    perfect = spark.createDataFrame(
+        pd.DataFrame({"s": [0.0, 1.0, 2.0, 3.0], "y": [0, 0, 1, 1]}))
+    assert auc_score(perfect, "s", "y").collect()[0]["auc"] == 1.0
+
+    const = spark.createDataFrame(
+        pd.DataFrame({"s": [7.0] * 6, "y": [0, 1, 0, 1, 1, 0]}))
+    assert auc_score(const, "s", "y").collect()[0]["auc"] == 0.5

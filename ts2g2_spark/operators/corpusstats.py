@@ -338,3 +338,68 @@ def heaps_law(
         (F.when(ok & (vary > 0), F.round(r2, round_dp)) + F.lit(0.0))
         .alias("r2"),
     )
+
+
+def auc_score(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """ROC AUC of a score against a binary label via the Mann-Whitney
+    rank-sum identity — the standard one-number eval of a quality /
+    toxicity / contamination classifier against gold labels before it
+    gates a corpus.  AUC = P(score_pos > score_neg) + P(equal)/2, with
+    ties handled exactly through average ranks:
+
+        AUC = (sum of avg ranks of positives - n_pos(n_pos+1)/2)
+              / (n_pos * n_neg)
+
+    Output per group: (group cols, n_pos, n_neg, auc); auc is NULL when
+    either class is empty (undefined).
+
+    Scale shape: rows collapse FIRST to one row per (group, distinct
+    score) with (count, positive count) in a fully-parallel partial
+    agg; the ordered cumulative then runs over that bounded frame, and
+    the rank-sum identity needs only per-distinct-score average ranks
+    (cum-before + (n+1)/2) — no per-row global sort ever happens.  The
+    ordered window is per GROUP over distinct scores: bounded for
+    quantized/rounded scores (this repo's score columns round to
+    round_dp by contract); for a truly continuous score at extreme
+    scale, quantize it first (F.round) — that redefines ties at the
+    quantization step, exactly like ranking on the rounded cosine in
+    similarity.py.
+
+    Determinism: the whole rank sum is carried in HALF-RANK units so it
+    stays int64 end to end — `_r2 = 2*cum_before + n + 1` is twice the
+    average rank (always an integer), and
+    AUC = (sum(pos * _r2) - n_pos*(n_pos+1)) / (2 * n_pos * n_neg).
+    Integer addition is order-independent, so the value is engine-exact
+    (no float summation-order drift) up to ~1e9 rows per group
+    (2*n_pos*N < 2^63), and a DuckDB oracle replays the value hash."""
+    g = list(group_cols)
+    per = (
+        scored.groupBy(*g, F.col(score_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(F.col(label_col).cast("long")).alias("_p"))
+    )
+    w = (Window.partitionBy(*g).orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    rank2 = (F.lit(2) * F.coalesce(F.sum("_n").over(w), F.lit(0))
+             + F.col("_n") + F.lit(1))
+    agg = (
+        per.select(*g, "_n", "_p", rank2.alias("_r2"))
+        .groupBy(*g)
+        .agg(F.sum(F.col("_p") * F.col("_r2")).alias("_rs2"),
+             F.sum("_p").alias("n_pos"),
+             F.sum(F.col("_n") - F.col("_p")).alias("n_neg"))
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    auc = ((F.col("_rs2") - np_ * (np_ + 1)).cast("double")
+           / (F.lit(2.0) * np_ * nn))
+    return agg.select(
+        *g, "n_pos", "n_neg",
+        F.when((np_ > 0) & (nn > 0), F.round(auc, round_dp))
+        .alias("auc"),
+    )
