@@ -8125,6 +8125,86 @@ KMV_BY_TYPE_SQL = _kmv_sql("event_type", "event_type")
 KMV_DAILY_SQL = _kmv_sql("cast(ts as date)", "day")
 
 
+_HDR_VALUE = "CAST(floor(value * 1000) AS BIGINT)"
+
+
+def q_hdr_value_quantiles(spark, sf_dir):
+    """HDR base-2 quantile sketch per event_type
+    (operators/sketches.hdr_sketch/hdr_quantiles, r5): p50/p90/p99 of
+    the fixed-point event value (milli-units — floor(value*1000), one
+    exact IEEE multiply + floor in both engines).  Bucket assignment
+    is pure integer bit arithmetic (length(bin(v)) exponent, top-6-bit
+    sub-bucket), the bucket frame is bounded at ~2048 rows per group
+    no matter the input size, and the only float op downstream is
+    q * n_total — so every output number is engine-exact with NO
+    rounding contract at all.  This is the mergeable-quantile partial
+    the rollup tiers need: a p95 of p95s is meaningless, a merged
+    sketch's p95 is within 2^-5 relative error of the truth."""
+    from ts2g2_spark.operators import sketches
+
+    return sketches.hdr_value_quantiles(
+        _events(spark, sf_dir), _HDR_VALUE,
+        qs=(0.5, 0.9, 0.99), group_cols=("event_type",), sub_bits=5)
+
+
+def q_hdr_quantiles_daily_merged(spark, sf_dir):
+    """HDR MERGE path: per-(day, event_type) sketches merged to day
+    grain by count addition, then p50/p90/p99.  Merge is exact by
+    linearity, so the oracle computes day-grain buckets directly from
+    raw events and value-identity proves merge == direct end to end —
+    the tier-up contract (1m -> 1h -> 1d quantiles without re-reading
+    raw data)."""
+    from ts2g2_spark.operators import sketches
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    fine = sketches.hdr_sketch(
+        ev, _HDR_VALUE, group_cols=("day", "event_type"), sub_bits=5)
+    merged = sketches.hdr_merge(fine, group_cols=("day",))
+    return sketches.hdr_quantiles(
+        merged, qs=(0.5, 0.9, 0.99), group_cols=("day",))
+
+
+# HDR replay: bin() is minimal-width in both engines, >>/<< plain
+# shifts, ceil of an integer-valued double is exact; count(*) and the
+# window sums cast back from DuckDB HUGEINT.
+def _hdr_sql(group_expr: str, group_name: str, sub_bits: int = 5) -> str:
+    return f"""
+with src as (
+  select {group_expr} as {group_name},
+         cast(floor(value * 1000) as bigint) as v
+  from events where value is not null
+), bl as (
+  select {group_name}, v, length(bin(v)) - 1 - {sub_bits} as sh from src
+), buck as (
+  select {group_name},
+         case when sh <= 0 then v else (v >> sh) << sh end as b_lo,
+         case when sh <= 0 then v
+              else ((v >> sh) << sh) + ((1::BIGINT << sh) - 1) end as b_hi
+  from bl
+), sk as (
+  select {group_name}, b_lo, b_hi, count(*)::BIGINT as n
+  from buck group by 1, 2, 3
+), c as (
+  select {group_name}, b_lo, b_hi, n,
+         (sum(n) over (partition by {group_name} order by b_lo
+            rows between unbounded preceding and current row))::BIGINT
+           as cum,
+         (sum(n) over (partition by {group_name}))::BIGINT as n_total
+  from sk
+), qs as (select unnest([0.5, 0.9, 0.99]::DOUBLE[]) as q)
+select {group_name}, q, n_total,
+       greatest(1, ceil(q * n_total))::BIGINT as rank,
+       b_lo as q_lo, b_hi as q_hi
+from c cross join qs
+where cum >= greatest(1, ceil(q * n_total))
+  and cum - n < greatest(1, ceil(q * n_total))
+"""
+
+
+HDR_BY_TYPE_SQL = _hdr_sql("event_type", "event_type")
+HDR_DAILY_SQL = _hdr_sql("cast(ts as date)", "day")
+
+
 # Planted crawl URLs (documents carry no url column): four variants per
 # (host, page) pair differing ONLY in what canonicalization removes —
 # case, default port, userinfo, tracking params, param order, trailing
@@ -8841,6 +8921,8 @@ _RAW_QUERIES = {
         "bpe_merges_k8": q_bpe_merges_k8,
         "bpe_apply_k8": q_bpe_apply_k8,
         "quality_auc": q_quality_auc,
+        "hdr_value_quantiles": q_hdr_value_quantiles,
+        "hdr_quantiles_daily_merged": q_hdr_quantiles_daily_merged,
     }
 
 
@@ -8919,6 +9001,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_k8": _bpe_oracle_sql(8, apply=False),
         "bpe_apply_k8": _bpe_oracle_sql(8, apply=True),
         "quality_auc": QUALITY_AUC_SQL,
+        "hdr_value_quantiles": HDR_BY_TYPE_SQL,
+        "hdr_quantiles_daily_merged": HDR_DAILY_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -443,3 +443,116 @@ def test_kmv_nulls_skipped_and_validation(spark):
         sketches.kmv_sketch(df, "v", k=1)
     with pytest.raises(ValueError, match="kmv"):
         sketches.kmv_merge(df, k=16, buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# HDR base-2 quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_matches_python_twin_exactly(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", F.floor(F.col("value") * 1000).alias("v"))
+    sk = sketches.hdr_sketch(ev, "v", group_cols=("event_type",))
+    qs = (0.5, 0.9, 0.99)
+    out = sketches.hdr_quantiles(sk, qs, group_cols=("event_type",))
+    by_type: dict[str, list] = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r.v)
+    # bucket frame bit parity
+    got_buckets: dict[str, dict] = {}
+    for r in sk.collect():
+        got_buckets.setdefault(r.event_type, {})[r.b_lo] = (r.b_hi, r.n)
+    for et, vals in by_type.items():
+        want_buckets, want_q = sketches.hdr_py(vals, qs)
+        assert got_buckets[et] == want_buckets
+    # quantile rows bit parity
+    got_q = {(r.event_type, r.q): (r.rank, r.q_lo, r.q_hi, r.n_total)
+             for r in out.collect()}
+    for et, vals in by_type.items():
+        _, want_q = sketches.hdr_py(vals, qs)
+        for q, (rank, lo, hi) in want_q.items():
+            assert got_q[(et, q)] == (rank, lo, hi, len(vals))
+
+
+def test_hdr_quantile_brackets_true_quantile(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = np.abs(rng.lognormal(mean=6.0, sigma=1.5, size=4000)).astype(
+        "int64")
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    out = {r.q: r for r in sketches.hdr_value_quantiles(
+        df, "v", qs=(0.5, 0.9, 0.99), sub_bits=5).collect()}
+    s = np.sort(vals)
+    for q, row in out.items():
+        true_q = s[row.rank - 1]  # the exact order statistic
+        assert row.q_lo <= true_q <= row.q_hi
+        # relative-error guarantee: bucket width / lower bound <= 2^-5
+        assert (row.q_hi - row.q_lo) <= max(1, row.q_lo) * 2 ** -5 + 1
+
+
+def test_hdr_merge_equals_direct(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1000).alias("v"))
+    fine = sketches.hdr_sketch(ev, "v", group_cols=("event_type", "day"))
+    merged = sketches.hdr_merge(fine, group_cols=("event_type",))
+    direct = sketches.hdr_sketch(ev, "v", group_cols=("event_type",))
+    key = lambda r: (r.event_type, r.b_lo)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect()))
+
+
+def test_hdr_partitioning_invariance(spark):
+    df = spark.range(0, 3000).select(
+        ((F.col("id") * 37) % 9001).alias("v"))
+    a = sketches.hdr_value_quantiles(df, "v").collect()
+    b = sketches.hdr_value_quantiles(df.repartition(17), "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hdr_exact_small_values_and_zero(spark):
+    # every value with bit length <= sub_bits+1 is its own bucket
+    df = spark.createDataFrame([(v,) for v in [0, 1, 5, 63, 64, 100]],
+                               "v long")
+    sk = {r.b_lo: (r.b_hi, r.n)
+          for r in sketches.hdr_sketch(df, "v", sub_bits=5).collect()}
+    for v in (0, 1, 5, 63):
+        assert sk[v] == (v, 1)
+    assert sk[64] == (65, 1)       # width-2 bucket at bit length 7
+    assert sk[100] == (101, 1)
+    # expression-valued value_col works (SQL interpolation contract)
+    row = sketches.hdr_value_quantiles(
+        spark.createDataFrame([(1.25,), (2.5,)], "x double"),
+        "CAST(floor(x * 1000) AS BIGINT)", qs=(1.0,)).collect()[0]
+    assert row.q_lo <= 2500 <= row.q_hi
+
+
+def test_hdr_negative_raises_and_validation(spark):
+    import py4j
+
+    df = spark.createDataFrame([(5,), (-3,)], "v long")
+    with pytest.raises(Exception) as ei:
+        sketches.hdr_sketch(df, "v").collect()
+    assert "non-negative" in str(ei.value)
+    # big negatives (bit length 64 in two's complement) raise too
+    df2 = spark.createDataFrame([(-(1 << 40),)], "v long")
+    with pytest.raises(Exception) as ei2:
+        sketches.hdr_sketch(df2, "v").collect()
+    assert "non-negative" in str(ei2.value)
+    with pytest.raises(ValueError):
+        sketches.hdr_sketch(df, "v", sub_bits=-1)
+    with pytest.raises(ValueError):
+        sketches.hdr_quantiles(sketches.hdr_sketch(df.where("v >= 0"),
+                                                   "v"), qs=())
+    with pytest.raises(ValueError):
+        sketches.hdr_quantiles(sketches.hdr_sketch(df.where("v >= 0"),
+                                                   "v"), qs=(0.0,))
+
+
+def test_hdr_nulls_skipped(spark):
+    df = spark.createDataFrame([(1,), (None,), (7,)], "v long")
+    assert sketches.hdr_sketch(df, "v").agg(
+        F.sum("n")).collect()[0][0] == 2

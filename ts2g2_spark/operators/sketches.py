@@ -790,3 +790,196 @@ def kmv_py(values, k: int = 256) -> tuple[int, int, float]:
     if n_kept < k:
         return n_kept, kth, float(n_kept)
     return n_kept, kth, float((k - 1) << _HASH_BITS) / float(kth)
+
+
+# ---------------------------------------------------------------------------
+# HDR-style base-2 quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _check_hdr(sub_bits: int) -> None:
+    if not 0 <= sub_bits <= 20:
+        raise ValueError(
+            f"hdr: need 0 <= sub_bits <= 20, got {sub_bits=}")
+
+
+def hdr_bucket_cols(value_col: str, sub_bits: int) -> tuple[F.Column,
+                                                            F.Column]:
+    """(b_lo, b_hi) bucket-bound column builders over a NON-NEGATIVE
+    int64 value (HdrHistogram's base-2 exponent/sub-bucket scheme,
+    Tene's public HdrHistogram design — no code shared).
+
+    Values with bit length <= sub_bits + 1 are EXACT singleton buckets
+    (b_lo = b_hi = v); larger values keep their top `sub_bits + 1`
+    bits: shift = bit_len - 1 - sub_bits, b_lo = (v >> shift) << shift,
+    b_hi = b_lo + 2**shift - 1.  Bucket width / b_lo <= 2**-sub_bits,
+    so any in-bucket answer is within that relative error.  The two
+    regimes can never collide on b_lo (exact values < 2**(sub_bits+1),
+    aligned lower bounds >= 2**(sub_bits+1)), so b_lo is a total bucket
+    key.
+
+    Everything is integer bit arithmetic on the portable-hash
+    contract's primitives: `length(bin(v))` is the minimal-width bit
+    length and `<< / >>` are plain shifts in BOTH Spark and DuckDB —
+    no float ever enters bucket assignment, so sketches replay
+    bit-identically cross-engine.  Negative input raises at execution
+    (fail-loud, like temporal's bucket guard) rather than binning
+    garbage two's-complement bit lengths: the guard is inlined into
+    EVERY value reference, so both bucket regimes hit it.
+
+    `value_col` is interpolated as SQL, so any bigint-valued SQL
+    expression works (e.g. a fixed-point `floor(value * 1000)`)."""
+    v = (f"(CASE WHEN CAST(({value_col}) AS BIGINT) < 0 THEN "
+         f"CAST(raise_error('hdr_sketch: value_col must be "
+         f"non-negative (fixed-point encode signed data first)') "
+         f"AS BIGINT) ELSE CAST(({value_col}) AS BIGINT) END)")
+    sh = f"(length(bin({v})) - 1 - {sub_bits})"
+    lo_big = f"shiftleft(shiftright({v}, {sh}), {sh})"
+    width = f"shiftleft(CAST(1 AS BIGINT), {sh})"
+    b_lo = F.expr(f"CASE WHEN {sh} <= 0 THEN {v} ELSE {lo_big} END")
+    b_hi = F.expr(
+        f"CASE WHEN {sh} <= 0 THEN {v} "
+        f"ELSE {lo_big} + {width} - 1 END")
+    return b_lo, b_hi
+
+
+def hdr_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Per-group base-2 bucket histogram: (group_cols..., b_lo, b_hi,
+    n) — the MERGEABLE quantile partial the rollup tiers need.
+
+    Quantiles do not merge (a p95-of-p95s is meaningless), which is
+    why tier-up rollups cannot carry them the way sums/counts carry;
+    this sketch fixes that: counts merge by addition (`hdr_merge`), so
+    per-minute sketches roll to hours/days without re-reading raw
+    data, and any quantile of the merged sketch is within
+    2**-sub_bits relative error of the true quantile (b_hi is the
+    upper bound the estimator reports).
+
+    Scale shape: one hash-aggregate on (group, b_lo) with map-side
+    combine; the frame is bounded at ~(64 - sub_bits) * 2**sub_bits
+    buckets per group (2048 at sub_bits=5) regardless of input size.
+    Null values are skipped.  All-integer — no rounding contract at
+    all, every downstream number but the caller's own fixed-point
+    scale is exact."""
+    _check_hdr(sub_bits)
+    b_lo, b_hi = hdr_bucket_cols(value_col, sub_bits)
+    return (
+        df.where(F.expr(value_col).isNotNull())
+        .select(*[F.col(c) for c in group_cols],
+                b_lo.alias("b_lo"), b_hi.alias("b_hi"))
+        .groupBy(*group_cols, "b_lo", "b_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hdr_merge(
+    sketches: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge sketch partials to a coarser grain: group and re-sum.
+    Exact by linearity of counts — merged partials are row-identical
+    to a sketch built from the union of the raw inputs (pinned by test
+    and by the merged contract query, whose oracle computes the coarse
+    grain directly from raw rows)."""
+    return (
+        sketches.groupBy(*group_cols, "b_lo", "b_hi")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def hdr_quantiles(
+    sketches: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from a sketch frame.  Output per (group, q):
+    (group_cols..., q, n_total, rank, q_lo, q_hi) where rank =
+    max(1, ceil(q * n_total)) (the 1-indexed order statistic) and
+    [q_lo, q_hi] is the bucket holding it — q_hi is the guaranteed
+    upper bound within 2**-sub_bits relative error.
+
+    The ordered window runs over the BOUNDED bucket frame only (never
+    the raw rows), partitioned per group; b_lo is a total key so the
+    cumulative is deterministic.  The single float op is q * n_total
+    (one IEEE multiply on a literal, then an exact ceil), so the
+    output is engine-exact without any rounding contract."""
+    if not qs:
+        raise ValueError("hdr_quantiles: need at least one q")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"hdr_quantiles: each q must be in (0, 1], "
+                         f"got {list(qs)}")
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w_cum = (Window.partitionBy(*g).orderBy("b_lo")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*g)
+    c = sketches.select(
+        *g, "b_lo", "b_hi", "n",
+        F.sum("n").over(w_cum).alias("_cum"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    out = c.select(
+        *g, "b_lo", "b_hi", "n", "_cum", "n_total",
+        F.explode(F.array([F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.greatest(F.lit(1).cast("long"),
+                      F.ceil(F.col("q") * F.col("n_total")))
+    return (
+        out.where((F.col("_cum") >= rank)
+                  & (F.col("_cum") - F.col("n") < rank))
+        .select(*g, "q", "n_total", rank.alias("rank"),
+                F.col("b_lo").alias("q_lo"), F.col("b_hi").alias("q_hi"))
+    )
+
+
+def hdr_value_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """End-to-end per-group quantile estimates (sketch + quantiles)."""
+    return hdr_quantiles(
+        hdr_sketch(df, value_col, group_cols, sub_bits), qs, group_cols)
+
+
+def hdr_py(values, qs=(0.5, 0.9, 0.99), sub_bits: int = 5):
+    """Pure-Python twin of sketch + quantiles for bit-parity tests.
+    Returns ({b_lo: (b_hi, n)}, {q: (rank, q_lo, q_hi)})."""
+    import math as _math
+
+    buckets: dict[int, list[int]] = {}
+    for v in values:
+        if v is None:
+            continue
+        v = int(v)
+        if v < 0:
+            raise ValueError("hdr_py: negative value")
+        bl = v.bit_length() if v else 1
+        shift = bl - 1 - sub_bits
+        if shift <= 0:
+            lo = hi = v
+        else:
+            lo = (v >> shift) << shift
+            hi = lo + (1 << shift) - 1
+        cell = buckets.setdefault(lo, [hi, 0])
+        cell[1] += 1
+    n_total = sum(n for _, n in buckets.values())
+    quants = {}
+    for q in qs:
+        rank = max(1, _math.ceil(q * n_total)) if n_total else None
+        cum = 0
+        for lo in sorted(buckets):
+            hi, n = buckets[lo]
+            cum += n
+            if rank is not None and cum >= rank:
+                quants[q] = (rank, lo, hi)
+                break
+    return {lo: tuple(c) for lo, c in buckets.items()}, quants
