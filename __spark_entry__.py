@@ -8205,63 +8205,6 @@ HDR_BY_TYPE_SQL = _hdr_sql("event_type", "event_type")
 HDR_DAILY_SQL = _hdr_sql("cast(ts as date)", "day")
 
 
-def q_m4_downsample(spark, sf_dir):
-    """M4 visualization downsampling (temporal.m4_downsample, r5;
-    Jugel et al. VLDB 2014): per event_type, 400 pixel-column buckets
-    each keeping the first/last/min/max points — the error-free
-    rendering reducer dashboards run before plotting.  Per-group time
-    bounds are a broadcast pre-agg, bucket index is pure int64
-    arithmetic, and the four role points come from one hash aggregate
-    of lexicographic struct min/max with total tie orders — every
-    output number is an input datum, so the frame is engine-exact with
-    no rounding contract."""
-    from ts2g2_spark.operators.temporal import m4_downsample
-
-    return m4_downsample(
-        _events(spark, sf_dir), "ts", "value",
-        group_cols=("event_type",), n_buckets=400)
-
-
-# the four role points replay as row_number firsts over the same total
-# orders the struct min/max encode; // is integer division on the
-# non-negative int64 operands in both engines
-M4_SQL = """
-with src as (
-  select event_type, epoch_us(ts) as t, value::DOUBLE as v
-  from events where ts is not null and value is not null
-), bounds as (
-  select event_type, min(t) as t0, max(t) as t1 from src group by 1
-), b as (
-  select s.event_type,
-         ((s.t - bo.t0) * 400) // (bo.t1 - bo.t0 + 1) as bucket,
-         s.t, s.v
-  from src s join bounds bo using (event_type)
-), r as (
-  select *,
-    row_number() over (partition by event_type, bucket
-                       order by t, v) as rf,
-    row_number() over (partition by event_type, bucket
-                       order by t desc, v desc) as rl,
-    row_number() over (partition by event_type, bucket
-                       order by v, t) as rmin,
-    row_number() over (partition by event_type, bucket
-                       order by v desc, t) as rmax,
-    count(*) over (partition by event_type, bucket) as cnt
-  from b
-)
-select event_type, bucket, cnt::BIGINT as n,
-       max(case when rf = 1 then t end) as t_first,
-       max(case when rf = 1 then v end) as v_first,
-       max(case when rl = 1 then t end) as t_last,
-       max(case when rl = 1 then v end) as v_last,
-       max(case when rmin = 1 then t end) as t_min_at,
-       max(case when rmin = 1 then v end) as v_min,
-       max(case when rmax = 1 then t end) as t_max_at,
-       max(case when rmax = 1 then v end) as v_max
-from r group by event_type, bucket, cnt
-"""
-
-
 # Planted crawl URLs (documents carry no url column): four variants per
 # (host, page) pair differing ONLY in what canonicalization removes —
 # case, default port, userinfo, tracking params, param order, trailing
@@ -8980,7 +8923,6 @@ _RAW_QUERIES = {
         "quality_auc": q_quality_auc,
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "hdr_quantiles_daily_merged": q_hdr_quantiles_daily_merged,
-        "m4_downsample_400": q_m4_downsample,
     }
 
 
@@ -9061,7 +9003,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_auc": QUALITY_AUC_SQL,
         "hdr_value_quantiles": HDR_BY_TYPE_SQL,
         "hdr_quantiles_daily_merged": HDR_DAILY_SQL,
-        "m4_downsample_400": M4_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -317,76 +317,3 @@ def test_state_durations_empty_and_single(spark):
     assert out[0]["total_us"] == 0 and out[0]["n_intervals"] == 1
     assert state_durations(df.limit(0), low=1.0, high=2.0,
                            order_col="event_id").count() == 0
-
-
-def _m4_bruteforce(pdf, n_buckets):
-    """Pure-pandas M4 twin with the same tie contracts."""
-    out = {}
-    t0, t1 = pdf["t"].min(), pdf["t"].max()
-    for _, r in pdf.iterrows():
-        b = ((r["t"] - t0) * n_buckets) // (t1 - t0 + 1)
-        out.setdefault(b, []).append((int(r["t"]), float(r["v"])))
-    rows = {}
-    for b, pts in out.items():
-        first = min(pts, key=lambda p: (p[0], p[1]))
-        last = max(pts, key=lambda p: (p[0], p[1]))
-        vmin = min(pts, key=lambda p: (p[1], p[0]))
-        vmax = max(pts, key=lambda p: (p[1], -p[0]))
-        rows[b] = (len(pts), first[0], first[1], last[0], last[1],
-                   vmin[0], vmin[1], vmax[0], vmax[1])
-    return rows
-
-
-def test_m4_downsample_matches_bruteforce(spark):
-    from ts2g2_spark.operators.temporal import m4_downsample
-
-    rng = np.random.default_rng(5)
-    n = 3000
-    pdf = pd.DataFrame({
-        "key": rng.integers(0, 3, size=n),
-        "ts": [_ts(0) + dt.timedelta(microseconds=int(u))
-               for u in rng.integers(0, 10**9, size=n)],
-        "value": np.round(rng.normal(size=n), 1),  # ties in values
-    })
-    out = m4_downsample(spark.createDataFrame(pdf), "ts", "value",
-                        group_cols=("key",), n_buckets=50)
-    got = {(r.key, r.bucket):
-           (r.n, r.t_first, r.v_first, r.t_last, r.v_last,
-            r.t_min_at, r.v_min, r.t_max_at, r.v_max)
-           for r in out.collect()}
-    pdf["t"] = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
-    pdf["v"] = pdf["value"]
-    want = {}
-    for k, g in pdf.groupby("key"):
-        for b, row in _m4_bruteforce(g, 50).items():
-            want[(k, b)] = row
-    assert got == want
-    # every bucket index within range, per-group buckets <= n_buckets
-    assert all(0 <= b < 50 for _, b in got)
-
-
-def test_m4_downsample_edges(spark):
-    from ts2g2_spark.operators.temporal import m4_downsample
-
-    # single point: all four roles are that point, bucket 0
-    one = spark.createDataFrame(
-        pd.DataFrame({"ts": [_ts(7)], "value": [3.5]}))
-    r = m4_downsample(one, "ts", "value", n_buckets=10).collect()[0]
-    assert (r.bucket, r.n) == (0, 1)
-    assert r.v_first == r.v_last == r.v_min == r.v_max == 3.5
-    assert r.t_first == r.t_last == r.t_min_at == r.t_max_at
-
-    # constant timestamps: one bucket, ties broken by value
-    const = spark.createDataFrame(pd.DataFrame({
-        "ts": [_ts(1)] * 3, "value": [2.0, 1.0, 3.0]}))
-    r = m4_downsample(const, "ts", "value").collect()[0]
-    assert (r.v_first, r.v_last, r.v_min, r.v_max) == (1.0, 3.0, 1.0, 3.0)
-
-    # nulls skipped; empty in -> empty out
-    withnull = spark.createDataFrame(pd.DataFrame({
-        "ts": [_ts(1), None], "value": [1.0, 2.0]}))
-    assert m4_downsample(withnull, "ts", "value").count() == 1
-    assert m4_downsample(withnull.limit(0), "ts", "value").count() == 0
-
-    with pytest.raises(ValueError, match="n_buckets"):
-        m4_downsample(one, "ts", "value", n_buckets=0)

@@ -295,85 +295,3 @@ def state_durations(
         # the pinned-UTC session contract the wall-clock is the instant
         F.timestamp_micros(F.min("_enter_us")).cast("timestamp_ntz")
         .alias("first_enter"))
-
-
-def m4_downsample(
-    df: DataFrame,
-    ts_col: str,
-    value_col: str,
-    group_cols: tuple[str, ...] = (),
-    n_buckets: int = 400,
-) -> DataFrame:
-    """M4 downsampling (Jugel et al., VLDB 2014): per pixel-column
-    bucket keep the first, last, min, and max points — the
-    error-free-rendering reducer every timeseries dashboard runs
-    before plotting millions of points into a few hundred pixels.
-
-    Output one row per (group, bucket):
-    (group_cols..., bucket, n, t_first, v_first, t_last, v_last,
-    t_min_at, v_min, t_max_at, v_max) with timestamps as exact
-    unix-microsecond int64 (`timestamp_micros` to convert back).
-
-    Scale shape: per-group time bounds are a dimension-sized pre-agg
-    BROADCAST back (never an ordered window over raw rows, which would
-    funnel each group through one partition); bucket index =
-    (t - t0) * n_buckets div (t1 - t0 + 1) in pure int64 (no float,
-    micros * n_buckets overflows only past ~2^63/n spans), and the
-    four role points come from ONE hash aggregate via lexicographic
-    struct min/max with total (value, time) orderings — map-side
-    combine collapses every partition to <= n_buckets rows per group
-    before the exchange.
-
-    Determinism: ties are broken inside the struct orderings —
-    first = min(t, v); last = max(t, v); min point = earliest t
-    achieving the min value; max point = earliest t achieving the max
-    (via max(struct(v, -t)), integer negation, so no -0.0 wrinkle).
-    No arithmetic ever touches the values themselves, so every output
-    is an input datum and the frame replays engine-exact with no
-    rounding contract."""
-    if n_buckets < 1:
-        raise ValueError(
-            f"m4_downsample: need n_buckets >= 1, got {n_buckets=}")
-    g = list(group_cols)
-    base = (
-        df.where(F.col(ts_col).isNotNull()
-                 & F.col(value_col).isNotNull())
-        .select(*g,
-                # NTZ -> timestamp is instant-preserving under the
-                # pinned-UTC session contract (parquet TIMESTAMP_NTZ)
-                F.unix_micros(F.col(ts_col).cast("timestamp"))
-                .alias("_t"),
-                F.col(value_col).cast("double").alias("_v"))
-    )
-    bounds = base.groupBy(*g).agg(
-        F.min("_t").alias("_t0"), F.max("_t").alias("_t1"))
-    joined = (base.join(F.broadcast(bounds), g) if g
-              else base.crossJoin(F.broadcast(bounds)))
-    bucket = F.expr(
-        f"((_t - _t0) * CAST({n_buckets} AS BIGINT)) div (_t1 - _t0 + 1)")
-    agg = (
-        joined.select(*g, bucket.alias("bucket"), "_t", "_v")
-        .groupBy(*g, "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.struct(F.col("_t").alias("t"),
-                           F.col("_v").alias("v"))).alias("_first"),
-            F.max(F.struct(F.col("_t").alias("t"),
-                           F.col("_v").alias("v"))).alias("_last"),
-            F.min(F.struct(F.col("_v").alias("v"),
-                           F.col("_t").alias("t"))).alias("_min"),
-            F.max(F.struct(F.col("_v").alias("v"),
-                           (-F.col("_t")).alias("nt"))).alias("_max"),
-        )
-    )
-    return agg.select(
-        *g, "bucket", "n",
-        F.col("_first.t").alias("t_first"),
-        F.col("_first.v").alias("v_first"),
-        F.col("_last.t").alias("t_last"),
-        F.col("_last.v").alias("v_last"),
-        F.col("_min.t").alias("t_min_at"),
-        F.col("_min.v").alias("v_min"),
-        (-F.col("_max.nt")).alias("t_max_at"),
-        F.col("_max.v").alias("v_max"),
-    )
