@@ -8205,6 +8205,86 @@ HDR_BY_TYPE_SQL = _hdr_sql("event_type", "event_type")
 HDR_DAILY_SQL = _hdr_sql("cast(ts as date)", "day")
 
 
+def q_props_key_census(spark, sf_dir):
+    """Schema-on-read key census of the events JSON payload
+    (semistructured.json_key_census, r5): which keys live in `props`,
+    how often, how many distinct / null / integer-text / numeric-text
+    values — the inference pass that decides what to promote to typed
+    columns.  Map-only pair generation (from_json to
+    map<string,string>, zero Python) then ONE hash aggregate bounded
+    by the key vocabulary; malformed and non-object payloads drop out
+    identically in both engines.  All-integer output — no rounding
+    contract."""
+    from ts2g2_spark.operators.semistructured import json_key_census
+
+    return json_key_census(
+        _events(spark, sf_dir), "props", group_cols=("event_type",))
+
+
+# Spark's map<string,string> parse emits scalar values as raw literal
+# text — exactly json_extract_string; json null -> SQL NULL; the
+# rlike / regexp_full_match patterns are shared module constants
+def _props_census_sql() -> str:
+    from ts2g2_spark.operators.semistructured import (
+        JSON_INT_RE, JSON_NUM_RE,
+    )
+
+    return f"""
+with pairs as (
+  select event_type, key,
+         json_extract_string(props, '$."' || key || '"') as v
+  from events, unnest(json_keys(props)) as t(key)
+  where props is not null and json_valid(props)
+)
+select event_type, key, count(*)::BIGINT as n,
+       sum((v is null)::int)::BIGINT as n_null,
+       count(distinct v)::BIGINT as n_distinct,
+       sum((v is not null
+            and regexp_full_match(v, '{JSON_INT_RE}'))::int)::BIGINT
+         as n_int,
+       sum((v is not null
+            and regexp_full_match(v, '{JSON_NUM_RE}'))::int)::BIGINT
+         as n_num
+from pairs group by event_type, key
+"""
+
+
+def q_props_k_rollup(spark, sf_dir):
+    """Promote-then-rollup composition (semistructured
+    .json_extract_typed, r5): extract props.k as a typed BIGINT in a
+    map-only codegen projection (get_json_object + try_cast — bad text
+    nulls out instead of failing under ANSI), then the standard daily
+    tier aggregate per event_type: n_k, sum_k, min_k, max_k — all
+    exact integers.  This is the schema-on-read to rollup-tiers bridge
+    a payload column needs before any of the engine's tier machinery
+    applies to it."""
+    from ts2g2_spark.operators.semistructured import json_extract_typed
+
+    ev = _events(spark, sf_dir)
+    typed = json_extract_typed(
+        ev, "props", {"k": ("$.k", "bigint")},
+        keep_cols=("ts", "event_type"))
+    return (
+        typed.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("k").alias("n_k"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+PROPS_K_ROLLUP_SQL = """
+with typed as (
+  select cast(ts as date) as day, event_type,
+         try_cast(json_extract_string(props, '$.k') as bigint) as k
+  from events
+)
+select day, event_type, count(k)::BIGINT as n_k,
+       sum(k)::BIGINT as sum_k, min(k) as min_k, max(k) as max_k
+from typed group by day, event_type
+"""
+
+
 # Planted crawl URLs (documents carry no url column): four variants per
 # (host, page) pair differing ONLY in what canonicalization removes —
 # case, default port, userinfo, tracking params, param order, trailing
@@ -8923,6 +9003,8 @@ _RAW_QUERIES = {
         "quality_auc": q_quality_auc,
         "hdr_value_quantiles": q_hdr_value_quantiles,
         "hdr_quantiles_daily_merged": q_hdr_quantiles_daily_merged,
+        "props_key_census": q_props_key_census,
+        "props_k_rollup": q_props_k_rollup,
     }
 
 
@@ -9003,6 +9085,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_auc": QUALITY_AUC_SQL,
         "hdr_value_quantiles": HDR_BY_TYPE_SQL,
         "hdr_quantiles_daily_merged": HDR_DAILY_SQL,
+        "props_key_census": _props_census_sql(),
+        "props_k_rollup": PROPS_K_ROLLUP_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,
