@@ -70,6 +70,10 @@ AUDIT = [
     "bloom_prune_orders", "lpa_communities_hvg", "lpa_modularity_hvg",
     "kmv_users_by_type", "kmv_users_daily_merged", "url_canonical_dedup",
     "span_corruption_docs", "tpch_q6", "mrl_recall_top5",
+    # round 5 final-session additions
+    "bpe_merges_k8", "bpe_apply_k8", "quality_auc",
+    "hdr_value_quantiles", "hdr_quantiles_daily_merged",
+    "props_key_census", "props_k_rollup",
 ]
 
 
