@@ -882,3 +882,86 @@ def test_streaming_hll_converges_to_batch(spark, tmp_path):
             for k, v in want2.items()}
     # the running estimate grew (more distincts streamed)
     assert all(got2[k].n_occupied >= got1[k].n_occupied for k in got1)
+
+
+def test_streaming_hdr_converges_to_batch(spark, tmp_path):
+    """streaming_hdr_quantiles: update-mode running quantiles; after
+    each drain the LATEST rows per group equal the batch
+    hdr_quantiles(hdr_sketch(...)) over all rows streamed so far —
+    integer-exact, including across a checkpoint-resumed second
+    drain."""
+    from ts2g2_spark.operators import sketches
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def mk_events(lo, hi, scale=37):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(1704067200 + F.col("id")).alias("ts"),
+            (F.col("id") % 7).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3)).alias("event_type"),
+            ((F.col("id") * scale) % 9001).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    emitted: list[tuple[int, list]] = []
+
+    def drain():
+        q = (
+            ingest.streaming_hdr_quantiles(
+                ingest.stream_events(spark, in_dir, max_files=1),
+                "CAST(value AS BIGINT)", qs=(0.5, 0.99))
+            .writeStream
+            .foreachBatch(lambda df, bid: emitted.append(
+                (bid, df.collect())))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def latest_per_key():
+        last = {}
+        for bid, rows in sorted(emitted, key=lambda t: t[0]):
+            for r in rows:
+                last[(r.event_type, r.q)] = (
+                    r.n_total, r.rank, r.q_lo, r.q_hi)
+        return last
+
+    def batch(df):
+        sk = sketches.hdr_sketch(df, "CAST(value AS BIGINT)",
+                                 group_cols=("event_type",))
+        return {(r.event_type, r.q): (r.n_total, r.rank, r.q_lo, r.q_hi)
+                for r in sketches.hdr_quantiles(
+                    sk, (0.5, 0.99),
+                    group_cols=("event_type",)).collect()}
+
+    mk_events(0, 400).write.mode("append").parquet(in_dir)
+    drain()
+    assert latest_per_key() == batch(mk_events(0, 400))
+
+    # second drain resumes bucket state from the checkpoint; a new
+    # value scale shifts the distribution upward
+    mk_events(4000, 4500, scale=91).write.mode("append").parquet(in_dir)
+    drain()
+    union = mk_events(0, 400).unionByName(mk_events(4000, 4500,
+                                                    scale=91))
+    got2 = latest_per_key()
+    assert got2 == batch(union)
+    # n_total grew by exactly the second batch's rows (900 / 3 groups)
+    assert all(got2[k][0] == 300 for k in got2)
+
+
+def test_streaming_hdr_validation(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    stream = ingest.stream_events(spark, in_dir, max_files=1)
+    with pytest.raises(ValueError, match="group_cols"):
+        ingest.streaming_hdr_quantiles(stream, "value", group_cols=())
+    with pytest.raises(ValueError, match="q must be"):
+        ingest.streaming_hdr_quantiles(stream, "value", qs=(0.0,))
+    with pytest.raises(ValueError, match="sub_bits"):
+        ingest.streaming_hdr_quantiles(stream, "value", sub_bits=99)

@@ -21,6 +21,7 @@ Two streaming tiers:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -719,4 +720,102 @@ def streaming_hll_distinct(
 
     return regs.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, "idx array<int>, rho array<int>", "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def streaming_hdr_quantiles(
+    rows: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Running quantiles-so-far per group from a stream, on the
+    engine's portable HDR base-2 buckets (operators/sketches.hdr_*) —
+    the streaming face of the same sketch: the live bucket state is
+    bit-identical to the batch `hdr_sketch` frame over the rows seen
+    so far, so the emitted quantiles converge EXACTLY to
+    `hdr_quantiles(hdr_sketch(union of micro-batches))` (pinned by
+    test across a checkpoint-resumed second drain).  This is the
+    streaming p99 an SRE tier actually wants: no watermark needed —
+    there is no lateness to wait out, a late point just folds into
+    its bucket like any other.
+
+    Plumbing mirrors streaming_hll_distinct: (b_lo, b_hi) are computed
+    JVM-side by the shared Catalyst expressions
+    (sketches.hdr_bucket_cols) BEFORE the stateful operator — Python
+    never bins a row — and the state fold is one pandas groupby-sum
+    per Arrow batch into a (b_lo, b_hi, n) pair-list bounded at
+    ~(64 - sub_bits) * 2**sub_bits entries per group no matter how
+    many rows streamed.  All-integer state and rank arithmetic (the
+    same max(1, ceil(q*n)) order statistic as the batch estimator), so
+    there is no estimate-regime caveat at all.  Emits in UPDATE mode:
+    one (q, n_total, rank, q_lo, q_hi) row per q per group per
+    micro-batch."""
+    import numpy as np
+
+    from ts2g2_spark.operators import sketches
+
+    sketches._check_hdr(sub_bits)
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(
+            f"streaming_hdr_quantiles: each q must be in (0, 1], "
+            f"got {list(qs)}")
+    if not group_cols:
+        raise ValueError(
+            "streaming_hdr_quantiles: group_cols must be non-empty — "
+            "for a global sketch add a constant column "
+            "(.withColumn('all', F.lit(1))) and group on it")
+    b_lo, b_hi = sketches.hdr_bucket_cols(value_col, sub_bits)
+    binned = rows.where(F.expr(value_col).isNotNull()).select(
+        *group_cols, b_lo.alias("b_lo"), b_hi.alias("b_hi"))
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in binned.select(*group_cols).schema.fields)
+    out_schema = ", ".join(filter(None, [
+        key_schema,
+        "q double, n_total bigint, rank bigint, q_lo bigint, "
+        "q_hi bigint"]))
+    q_list = [float(q) for q in qs]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        counts: dict[int, list[int]] = {}
+        if state.exists:
+            slo, shi, sn = state.get
+            for lo, hi, n in zip(slo, shi, sn):
+                counts[int(lo)] = [int(hi), int(n)]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            agg = pdf.groupby(["b_lo", "b_hi"], sort=False).size()
+            for (lo, hi), n in agg.items():
+                cell = counts.setdefault(int(lo), [int(hi), 0])
+                cell[1] += int(n)
+        los = sorted(counts)
+        state.update((
+            los, [counts[lo][0] for lo in los],
+            [counts[lo][1] for lo in los]))
+        ns = np.asarray([counts[lo][1] for lo in los], dtype=np.int64)
+        cum = np.cumsum(ns)
+        n_total = int(cum[-1]) if len(cum) else 0
+        out = []
+        for q in q_list:
+            if not n_total:
+                continue
+            # same order statistic as the batch hdr_quantiles: the
+            # ceil of one IEEE multiply, exact on integer-valued input
+            rank = max(1, math.ceil(q * n_total))
+            i = int(np.searchsorted(cum, rank, side="left"))
+            out.append({
+                **{c: k for c, k in zip(group_cols, key)},
+                "q": q, "n_total": n_total, "rank": rank,
+                "q_lo": los[i], "q_hi": counts[los[i]][0],
+            })
+        yield pd.DataFrame(out, columns=list(group_cols)
+                           + ["q", "n_total", "rank", "q_lo", "q_hi"])
+
+    return binned.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema,
+        "lo array<long>, hi array<long>, n array<long>", "update",
         GroupStateTimeout.NoTimeout)
