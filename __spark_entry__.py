@@ -8273,6 +8273,60 @@ def q_props_k_rollup(spark, sf_dir):
     )
 
 
+def q_quality_top25(spark, sf_dir):
+    """Per-source top-25% quality gate (sampling.top_fraction_by_score,
+    r5): keep exactly ceil(0.25 * n) docs per source ranked by the
+    rounded stopword-ratio quality score, cut ties by doc_id — the
+    fair-per-group filtering step between scoring and training.  Exact
+    top-k WITHOUT a global sort: distinct-score collapse -> bounded
+    ordered window -> dimension-sized broadcast cut table -> map-only
+    survivor filter; only the cut's tie class ever sees a per-row
+    window."""
+    from ts2g2_spark.operators.sampling import top_fraction_by_score
+    from ts2g2_spark.operators.text import quality_columns
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source",
+        quality_columns("text")["stopword_ratio"].alias("s"))
+    return top_fraction_by_score(
+        scored, "s", 0.25, "doc_id", group_cols=("source",))
+
+
+QUALITY_TOP25_SQL = r"""
+with q as (
+  select doc_id, source,
+         round(len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|that|with)\b', 1))
+               / greatest(len(regexp_split_to_array(trim(text), '\s+')),
+                          1), 6) as s
+  from documents
+), c as (
+  select source, s, count(*)::BIGINT as n from q group by 1, 2
+), w as (
+  select source, s, n,
+         coalesce(sum(n) over (partition by source order by s desc
+               rows between unbounded preceding and 1 preceding),
+             0)::BIGINT as above,
+         (sum(n) over (partition by source))::BIGINT as ntot
+  from c
+), cut as (
+  select source, s as thr,
+         (ceil(0.25 * ntot)::BIGINT - above) as need
+  from w
+  where above < ceil(0.25 * ntot) and above + n >= ceil(0.25 * ntot)
+)
+select doc_id, source, s from q join cut using (source) where s > thr
+union all
+select doc_id, source, s from (
+  select q.doc_id, q.source, q.s, cut.need,
+         row_number() over (partition by q.source
+                            order by q.doc_id) as rn
+  from q join cut using (source) where q.s = cut.thr
+) where rn <= need
+"""
+
+
 PROPS_K_ROLLUP_SQL = """
 with typed as (
   select cast(ts as date) as day, event_type,
@@ -9005,6 +9059,7 @@ _RAW_QUERIES = {
         "hdr_quantiles_daily_merged": q_hdr_quantiles_daily_merged,
         "props_key_census": q_props_key_census,
         "props_k_rollup": q_props_k_rollup,
+        "quality_top25_by_source": q_quality_top25,
     }
 
 
@@ -9087,6 +9142,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_quantiles_daily_merged": HDR_DAILY_SQL,
         "props_key_census": _props_census_sql(),
         "props_k_rollup": PROPS_K_ROLLUP_SQL,
+        "quality_top25_by_source": QUALITY_TOP25_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -326,3 +326,74 @@ def _bucket_u60(key_col: str, salt: str) -> F.Column:
     the A-ES uniform needs the whole width so ln(u) has real entropy."""
     return h64(
         F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+
+
+def top_fraction_by_score(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    id_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep the top `fraction` of rows per group ranked by `score_col`
+    descending — the quality-gating step ("keep the best 25% per
+    source") a filtering pipeline applies after scoring, applied
+    FAIRLY per group so one source's score distribution never starves
+    another.  Exactly ceil(fraction * n) rows survive per group,
+    deterministically: rows strictly above the cut score all survive,
+    and the cut's tie class is broken by `id_col` ascending (must be
+    unique within its group for a total order).
+
+    Scale shape — this is exact top-k selection WITHOUT a global sort:
+    rows collapse to one per (group, distinct score) in a partial agg;
+    the ordered window runs over that bounded frame only, yielding a
+    per-group (cut score, rows-still-needed-at-the-cut) table that is
+    dimension-sized and BROADCAST back; survivors above the cut are a
+    map-only filter, and the only per-row window is over the cut's
+    tie class alone.  With rounded scores (this repo's contract) the
+    tie class is a tiny slice; a pathological everyone-tied score
+    degrades to one group-sized rank walk — re-round or add a salted
+    jitter column first if that is your data.
+
+    k = ceil(fraction * n_group) with one IEEE multiply + exact ceil —
+    the same arithmetic in any engine, so kept sets replay
+    identically.  Like every selector here the choice is RNG-free and
+    resize-stable."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(
+            f"top_fraction_by_score: need 0 < fraction <= 1, "
+            f"got {fraction=}")
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    s = F.col(score_col)
+    counts = (
+        df.groupBy(*g, s.alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_prev = (Window.partitionBy(*g).orderBy(F.col("_s").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy(*g)
+    staged = counts.select(
+        *g, "_s", "_n",
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_above"),
+        F.sum("_n").over(w_all).alias("_ntot"),
+    )
+    k = F.ceil(F.lit(float(fraction)) * F.col("_ntot"))
+    cut = (
+        staged.where((F.col("_above") < k)
+                     & (F.col("_above") + F.col("_n") >= k))
+        .select(*g, F.col("_s").alias("_thr"),
+                (k - F.col("_above")).alias("_need"))
+    )
+    joined = (df.join(F.broadcast(cut), g) if g
+              else df.crossJoin(F.broadcast(cut)))
+    kept_above = joined.where(s > F.col("_thr"))
+    boundary = joined.where(s == F.col("_thr"))
+    w_tie = Window.partitionBy(*g).orderBy(F.col(id_col))
+    kept_tie = (
+        boundary.withColumn("_rn", F.row_number().over(w_tie))
+        .where(F.col("_rn") <= F.col("_need"))
+        .drop("_rn")
+    )
+    return kept_above.unionByName(kept_tie).drop("_thr", "_need")
