@@ -7176,6 +7176,67 @@ l{i} as (
 LPA_HVG_SQL = _lpa_hvg_sql(4)
 
 
+def q_link_prediction_hvg(spark, sf_dir):
+    """Link-prediction scores per sampled HVG series graph
+    (graphmetrics.link_prediction, r5; Liben-Nowell & Kleinberg 2003):
+    common-neighbor count, Jaccard and Adamic-Adar for every non-edge
+    pair sharing a hub — the "which link forms next" ranking, run
+    relationally (one wedge self-join + one hash agg + an anti-join).
+    cn/degrees are exact integers, jaccard one rounded IEEE division,
+    and Adamic-Adar an explicit sequential fold over the SORTED hub
+    degree list (sum-over-doubles is never oracle-safe; the sort is
+    total on the folded values).  Same shared 1-in-5 HVG edge layer as
+    LPA/BFS/Brandes — one visibility-condition definition."""
+    from ts2g2_spark.operators import graphmetrics, graphs
+
+    series = _event_series(spark, sf_dir).where(
+        F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
+    edges = graphs.visibility_edges(series, kind="horizontal")
+    return graphmetrics.link_prediction(edges, min_cn=2).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "u", "v", "cn", "jaccard", "adamic_adar")
+
+
+LINK_PREDICTION_HVG_SQL = _SAMPLED_HVG_EDGE_CTES + """,
+deg as materialized (
+  select user_id, node, count(*)::BIGINT as degree
+  from adj group by 1, 2
+),
+hub as materialized (
+  select a.user_id, a.node as z, d.degree as dz, a.nb
+  from adj a
+  join deg d on d.user_id = a.user_id and d.node = a.node
+),
+wedge as (
+  select l.user_id, l.nb as u, r.nb as v, l.dz
+  from hub l join hub r on l.user_id = r.user_id and l.z = r.z
+  where l.nb < r.nb
+),
+cand as (
+  select * from (
+    select user_id, u, v, count(*)::BIGINT as cn,
+           list_reduce(list_prepend(0.0, list_transform(
+               list_sort(array_agg(dz)),
+               x -> 1.0 / ln(x::DOUBLE))), (acc, t) -> acc + t) as aa
+    from wedge group by 1, 2, 3
+  ) where cn >= 2
+),
+nonedge as (
+  select c.* from cand c
+  left join hvg e on e.user_id = c.user_id
+                 and e.src = c.u and e.dst = c.v
+  where e.src is null
+)
+select n.user_id, n.u, n.v, n.cn,
+       round(n.cn::DOUBLE / (du.degree + dv.degree - n.cn), 6)
+         as jaccard,
+       round(n.aa, 6) as adamic_adar
+from nonedge n
+join deg du on du.user_id = n.user_id and du.node = n.u
+join deg dv on dv.user_id = n.user_id and dv.node = n.v
+"""
+
+
 def q_lpa_modularity_hvg(spark, sf_dir):
     """Newman modularity + community count of the LPA partition per HVG
     series (graphmetrics.lpa_modularity_from_series /
@@ -9060,6 +9121,7 @@ _RAW_QUERIES = {
         "props_key_census": q_props_key_census,
         "props_k_rollup": q_props_k_rollup,
         "quality_top25_by_source": q_quality_top25,
+        "link_prediction_hvg": q_link_prediction_hvg,
     }
 
 
@@ -9143,6 +9205,7 @@ def oracle_sql() -> dict[str, str]:
         "props_key_census": _props_census_sql(),
         "props_k_rollup": PROPS_K_ROLLUP_SQL,
         "quality_top25_by_source": QUALITY_TOP25_SQL,
+        "link_prediction_hvg": LINK_PREDICTION_HVG_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

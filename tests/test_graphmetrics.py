@@ -194,3 +194,49 @@ def test_degree_exponent_matches_bruteforce(spark):
     # 2-node graph: both degrees 1 -> alpha = 1 + 2/(2*ln2)
     assert got["tiny"].alpha == pytest.approx(
         1.0 + 2.0 / (2.0 * np.log(2.0)), abs=2e-6)
+
+
+def test_link_prediction_matches_networkx(spark, edge_df):
+    from ts2g2_spark.operators.graphmetrics import link_prediction
+
+    out = link_prediction(edge_df)
+    got = {(r.series_key, r.u, r.v): (r.cn, r.jaccard, r.adamic_adar)
+           for r in out.collect()}
+    want = {}
+    for key, g in _nx(GRAPHS).items():
+        # every non-edge pair with >= 1 common neighbor
+        pairs = [(u, v) for u in g for v in g
+                 if u < v and not g.has_edge(u, v)
+                 and len(list(nx.common_neighbors(g, u, v))) > 0]
+        for u, v, j in nx.jaccard_coefficient(g, pairs):
+            want.setdefault((key, u, v), {})["j"] = j
+        for u, v, a in nx.adamic_adar_index(g, pairs):
+            want[(key, u, v)]["a"] = a
+        for u, v in pairs:
+            want[(key, u, v)]["cn"] = len(
+                list(nx.common_neighbors(g, u, v)))
+    assert set(got) == set(want)
+    for k, (cn, j, a) in got.items():
+        assert cn == want[k]["cn"]
+        assert j == pytest.approx(want[k]["j"], abs=1e-6)
+        assert a == pytest.approx(want[k]["a"], abs=1e-6)
+
+
+def test_link_prediction_edges(spark):
+    from ts2g2_spark.operators.graphmetrics import link_prediction
+
+    # a single edge: no wedge, no candidates
+    one = _edge_df(spark, {"e": [(0, 1)]})
+    assert link_prediction(one).count() == 0
+    # path 0-1-2: exactly one prediction (0,2) through hub 1 (deg 2)
+    path = _edge_df(spark, {"p": [(0, 1), (1, 2)]})
+    rows = link_prediction(path).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.u, r.v, r.cn) == (0, 2, 1)
+    assert r.jaccard == 1.0           # cn=1, du=dv=1, union=1
+    assert r.adamic_adar == round(1.0 / np.log(2.0), 6)
+    # empty frame
+    empty = spark.createDataFrame(
+        [], "series_key string, src long, dst long, weight double")
+    assert link_prediction(empty).count() == 0

@@ -690,3 +690,83 @@ def lpa_modularity_from_series(
         series_df, build,
         "series_key string, n_communities long, modularity double",
     )
+
+
+def link_prediction(
+    edges: DataFrame, min_cn: int = 1, round_dp: int = 6,
+) -> DataFrame:
+    """Classic link-prediction scores for every NON-edge pair sharing
+    at least one common neighbor, per series graph: common-neighbor
+    count, Jaccard coefficient, and Adamic-Adar (Liben-Nowell &
+    Kleinberg 2003).  Output (series_key, u, v, cn, jaccard,
+    adamic_adar) with u < v.
+
+    Plan shape: one wedge enumeration (the symmetric adjacency joined
+    to itself on the hub node — sum-of-deg² work, the triangle-count
+    budget) feeding a single hash aggregate per candidate pair, a
+    LEFT ANTI join against the edge set (predictions are for pairs NOT
+    yet linked), and one broadcast-scale degree join for Jaccard.
+
+    Cross-engine determinism: cn and the degree terms are exact
+    integers; jaccard = cn / (deg_u + deg_v - cn) is ONE IEEE
+    division, rounded; Adamic-Adar sums 1/ln(deg_z) over common
+    neighbors via an explicit SEQUENTIAL fold over the SORTED hub
+    degree list — groupBy sum over doubles is partition-order
+    nondeterministic and never oracle-safe (the PQ/ADC contract), the
+    sorted fold replays bit-identically as a DuckDB list_reduce (the
+    sort is total on the values themselves: equal degrees contribute
+    equal terms, so tie order cannot change any partial sum).
+    deg_z >= 2 by construction (the hub has both u and v), so
+    ln(deg_z) > 0 always.
+
+    `min_cn` prunes weak candidates right at the aggregate (a pair
+    with one shared hub on a dense graph is noise); the filter sits on
+    an exact integer so it never perturbs the surviving scores."""
+    if min_cn < 1:
+        raise ValueError(
+            f"link_prediction: need min_cn >= 1, got {min_cn=}")
+    e = canonical_edges(edges)
+    adj = e.select(
+        "series_key", F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        e.select(
+            "series_key", F.col("b").alias("node"),
+            F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("series_key", "node").agg(
+        F.count(F.lit(1)).alias("degree"))
+    hub = adj.join(deg, ["series_key", "node"]).select(
+        "series_key", F.col("node").alias("z"), "nb",
+        F.col("degree").alias("dz"))
+    left = hub.select("series_key", "z", "dz", F.col("nb").alias("u"))
+    right = hub.select("series_key", "z", F.col("nb").alias("v"))
+    wedges = left.join(right, ["series_key", "z"]).where(
+        F.col("u") < F.col("v"))
+    cand = (
+        wedges.groupBy("series_key", "u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.array_sort(F.collect_list("dz")).alias("_hubs"),
+        )
+        .where(F.col("cn") >= min_cn)
+    )
+    non_edges = cand.join(
+        e.select("series_key", F.col("a").alias("u"),
+                 F.col("b").alias("v")),
+        ["series_key", "u", "v"], "left_anti")
+    du = deg.select("series_key", F.col("node").alias("u"),
+                    F.col("degree").alias("_du"))
+    dv = deg.select("series_key", F.col("node").alias("v"),
+                    F.col("degree").alias("_dv"))
+    scored = non_edges.join(du, ["series_key", "u"]).join(
+        dv, ["series_key", "v"])
+    union_sz = F.col("_du") + F.col("_dv") - F.col("cn")
+    aa = F.aggregate(
+        "_hubs", F.lit(0.0),
+        lambda acc, x: acc + F.lit(1.0) / F.log(x.cast("double")))
+    return scored.select(
+        "series_key", "u", "v", "cn",
+        F.round(F.col("cn").cast("double") / union_sz, round_dp)
+        .alias("jaccard"),
+        F.round(aa, round_dp).alias("adamic_adar"),
+    )
