@@ -8388,6 +8388,51 @@ select doc_id, source, s from (
 """
 
 
+def q_mase_hourly24(spark, sf_dir):
+    """Seasonal-forecast go/no-go backtest (metrics.mase_backtest, r5;
+    Hyndman & Koehler 2006): MASE of the 24-hour seasonal-naive
+    forecaster per event_type over the hourly fixed-point value tier.
+    Milli-unit integer sums make both error totals exact int64, so the
+    whole output is three IEEE divisions on exact integers — rounded
+    once, engine-identical.  mase < 1 = daily seasonality genuinely
+    beats persistence; this is the check that gates the
+    holt_winters/seasonal_naive forecasters before they serve."""
+    from ts2g2_spark.operators.metrics import mase_backtest
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type",
+                 F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.sum(F.floor(F.col("value") * 1000).cast("long"))
+             .alias("v"))
+    )
+    return mase_backtest(hourly, 24, series_cols=("event_type",),
+                         order_col="bucket_ts", val_col="v")
+
+
+MASE_HOURLY24_SQL = """
+with hourly as (
+  select event_type, date_trunc('hour', ts) as bucket_ts,
+         sum(cast(floor(value * 1000) as bigint))::BIGINT as v
+  from events group by 1, 2
+), lagged as (
+  select event_type, v,
+         lag(v, 24) over w as vs, lag(v, 1) over w as vn
+  from hourly
+  window w as (partition by event_type order by bucket_ts)
+)
+select event_type, count(*)::BIGINT as n,
+       count(vs)::BIGINT as n_seasonal, count(vn)::BIGINT as n_naive,
+       coalesce(sum(abs(v - vs)), 0)::BIGINT as sum_abs_err_seasonal,
+       coalesce(sum(abs(v - vn)), 0)::BIGINT as sum_abs_err_naive,
+       case when count(vs) > 0 and count(vn) > 0
+                 and coalesce(sum(abs(v - vn)), 0) > 0 then
+         round((sum(abs(v - vs))::DOUBLE / count(vs))
+               / (sum(abs(v - vn))::DOUBLE / count(vn)), 6) end as mase
+from lagged group by event_type
+"""
+
+
 PROPS_K_ROLLUP_SQL = """
 with typed as (
   select cast(ts as date) as day, event_type,
@@ -9122,6 +9167,7 @@ _RAW_QUERIES = {
         "props_k_rollup": q_props_k_rollup,
         "quality_top25_by_source": q_quality_top25,
         "link_prediction_hvg": q_link_prediction_hvg,
+        "mase_hourly24": q_mase_hourly24,
     }
 
 
@@ -9206,6 +9252,7 @@ def oracle_sql() -> dict[str, str]:
         "props_k_rollup": PROPS_K_ROLLUP_SQL,
         "quality_top25_by_source": QUALITY_TOP25_SQL,
         "link_prediction_hvg": LINK_PREDICTION_HVG_SQL,
+        "mase_hourly24": MASE_HOURLY24_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

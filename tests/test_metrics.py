@@ -759,3 +759,58 @@ def test_counter_rate_resets_and_changes_counts(spark):
     assert r.n_resets == 1      # 150 -> 30
     assert r.n_changes == 3     # 100->150, 150->30, 30->45
     assert r.increase == 95.0   # 50 + 0 + 30 + 0 + 15
+
+
+def _mase_bruteforce(vals, period):
+    se = [abs(vals[t] - vals[t - period]) for t in range(period, len(vals))]
+    ne = [abs(vals[t] - vals[t - 1]) for t in range(1, len(vals))]
+    if not se or not ne or sum(ne) == 0:
+        return None
+    return (sum(se) / len(se)) / (sum(ne) / len(ne))
+
+
+def test_mase_backtest_matches_bruteforce(spark):
+    from ts2g2_spark.operators.metrics import mase_backtest
+
+    rng = np.random.default_rng(17)
+    rows = []
+    series = {}
+    for key, periodic in (("a", True), ("b", False)):
+        base = (np.tile(np.arange(24) * 100, 8) if periodic
+                else rng.integers(0, 2000, 192))
+        vals = (base + rng.integers(0, 10, 192)).astype(int).tolist()
+        series[key] = vals
+        rows += [(key, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {r.k: r for r in mase_backtest(
+        df, 24, series_cols=("k",), order_col="t").collect()}
+    for key, vals in series.items():
+        want = _mase_bruteforce(vals, 24)
+        r = out[key]
+        assert r.n == 192 and r.n_seasonal == 168 and r.n_naive == 191
+        assert r.mase == pytest.approx(want, abs=1e-6)
+    # the strongly periodic series must beat persistence decisively
+    assert out["a"].mase < 0.5 < out["b"].mase
+
+
+def test_mase_backtest_edges(spark):
+    from ts2g2_spark.operators.metrics import mase_backtest
+
+    # constant series: naive error sum 0 -> NULL mase
+    const = spark.createDataFrame(
+        [("c", t, 7) for t in range(10)], "k string, t long, v long")
+    r = mase_backtest(const, 3, ("k",), "t").collect()[0]
+    assert r.mase is None and r.sum_abs_err_naive == 0
+
+    # series shorter than period: no seasonal pairs -> NULL
+    short = spark.createDataFrame(
+        [("s", t, t * 10) for t in range(4)], "k string, t long, v long")
+    r = mase_backtest(short, 9, ("k",), "t").collect()[0]
+    assert r.n_seasonal == 0 and r.mase is None
+
+    # single row / empty / validation
+    one = spark.createDataFrame([("o", 0, 5)], "k string, t long, v long")
+    assert mase_backtest(one, 2, ("k",), "t").collect()[0].mase is None
+    assert mase_backtest(one.limit(0), 2, ("k",), "t").count() == 0
+    with pytest.raises(ValueError, match="period"):
+        mase_backtest(one, 0, ("k",), "t")

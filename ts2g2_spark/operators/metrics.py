@@ -1017,3 +1017,71 @@ def ks_drift(
         F.round(crit, round_dp).alias("crit"),
         (d > crit).alias("drift"),
     )
+
+
+def mase_backtest(
+    series: DataFrame,
+    period: int,
+    series_cols: tuple[str, ...] = ("event_type",),
+    order_col: str = "bucket_ts",
+    val_col: str = "v",
+    round_dp: int = 6,
+) -> DataFrame:
+    """MASE backtest of the seasonal-naive forecaster (Hyndman &
+    Koehler 2006): per series, the mean absolute error of forecasting
+    v[t] = v[t - period] scaled by the in-sample naive (lag-1) MAE.
+    mase < 1 means the claimed seasonality genuinely beats persistence
+    — the go/no-go check before shipping a seasonal forecast off a
+    rollup tier.
+
+    Input is an already-bucketed series frame (one row per (series,
+    order_col), `order_col` unique within its series — a rollup grain
+    is); `val_col` should be an INTEGER value (fixed-point encode
+    doubles first, e.g. the milli-unit floor(x*1000) contract): then
+    both error sums are exact int64, and the output is three IEEE
+    divisions on exact integers — engine-identical, rounded once.
+
+    Output per series: (series_cols..., n, n_seasonal, n_naive,
+    sum_abs_err_seasonal, sum_abs_err_naive, mase); mase is NULL when
+    either error set is empty or the naive error sum is zero (a
+    constant series has no persistence error to scale by).
+
+    Scale shape: two lag columns in ONE ordered window pass per series
+    + one hash aggregate; series partitions are rollup-grain sized
+    (points per series at the tier grain), never raw-event sized."""
+    if period < 1:
+        raise ValueError(f"mase_backtest: need period >= 1, "
+                         f"got {period=}")
+    from pyspark.sql.window import Window
+
+    g = list(series_cols)
+    w = Window.partitionBy(*g).orderBy(order_col)
+    v = F.col(val_col).cast("long")
+    lagged = series.select(
+        *g, v.alias("_v"),
+        F.lag(v, period).over(w).alias("_vs"),
+        F.lag(v, 1).over(w).alias("_vn"),
+    )
+    se = F.abs(F.col("_v") - F.col("_vs"))
+    ne = F.abs(F.col("_v") - F.col("_vn"))
+    agg = lagged.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("_vs").alias("n_seasonal"),
+        F.count("_vn").alias("n_naive"),
+        F.coalesce(F.sum(se), F.lit(0)).cast("long")
+        .alias("sum_abs_err_seasonal"),
+        F.coalesce(F.sum(ne), F.lit(0)).cast("long")
+        .alias("sum_abs_err_naive"),
+    )
+    ok = ((F.col("n_seasonal") > 0) & (F.col("n_naive") > 0)
+          & (F.col("sum_abs_err_naive") > 0))
+    mase = (
+        (F.col("sum_abs_err_seasonal").cast("double")
+         / F.col("n_seasonal"))
+        / (F.col("sum_abs_err_naive").cast("double") / F.col("n_naive"))
+    )
+    return agg.select(
+        *g, "n", "n_seasonal", "n_naive",
+        "sum_abs_err_seasonal", "sum_abs_err_naive",
+        F.when(ok, F.round(mase, round_dp)).alias("mase"),
+    )
