@@ -7191,7 +7191,11 @@ def q_link_prediction_hvg(spark, sf_dir):
 
     series = _event_series(spark, sf_dir).where(
         F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
-    edges = graphs.visibility_edges(series, kind="horizontal")
+    # cache: link_prediction consumes the edge frame six ways (adj x2,
+    # degrees, anti-join, both degree joins) — materialize the Arrow
+    # visibility kernel once (the q_duplicated_spans shared-frame
+    # pattern) instead of re-running it per consumer
+    edges = graphs.visibility_edges(series, kind="horizontal").cache()
     return graphmetrics.link_prediction(edges, min_cn=2).select(
         F.col("series_key").cast("long").alias("user_id"),
         "u", "v", "cn", "jaccard", "adamic_adar")
