@@ -8437,6 +8437,44 @@ from lagged group by event_type
 """
 
 
+def q_vocab_coverage20(spark, sf_dir):
+    """Vocabulary-coverage / OOV report at vocab_size=20 per source
+    (text.vocab_coverage, r5): what a 20-entry closed vocabulary would
+    miss — the report that sizes a tokenizer vocabulary before
+    committing to it.  Ranking reuses build_vocab's no-global-sort
+    dense ids; membership is a BROADCAST left join at scan
+    parallelism; counts exact integers, oov_rate one rounded IEEE
+    division."""
+    from ts2g2_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(
+        _docs(spark, sf_dir), 20, group_cols=("source",))
+
+
+VOCAB_COVERAGE20_SQL = r"""
+with w as (
+  select source, regexp_split_to_array(trim(text), '\s+') as ws
+  from documents where length(trim(text)) > 0
+), tok as (
+  select source, unnest(ws) as word from w
+), cnt as (
+  select word, count(*)::BIGINT as cnt from tok group by 1
+), vocab as (
+  select word, 1 as _in from cnt order by cnt desc, word asc limit 20
+)
+select t.source, count(*)::BIGINT as n_tokens,
+       sum((v._in is null)::int)::BIGINT as n_oov_tokens,
+       count(distinct t.word)::BIGINT as n_distinct_words,
+       count(distinct case when v._in is null then t.word end)::BIGINT
+         as n_distinct_oov,
+       case when count(*) > 0 then
+         round(sum((v._in is null)::int)::DOUBLE / count(*), 6)
+       end as oov_rate
+from tok t left join vocab v using (word)
+group by t.source
+"""
+
+
 PROPS_K_ROLLUP_SQL = """
 with typed as (
   select cast(ts as date) as day, event_type,
@@ -9172,6 +9210,7 @@ _RAW_QUERIES = {
         "quality_top25_by_source": q_quality_top25,
         "link_prediction_hvg": q_link_prediction_hvg,
         "mase_hourly24": q_mase_hourly24,
+        "vocab_coverage_20": q_vocab_coverage20,
     }
 
 
@@ -9257,6 +9296,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_top25_by_source": QUALITY_TOP25_SQL,
         "link_prediction_hvg": LINK_PREDICTION_HVG_SQL,
         "mase_hourly24": MASE_HOURLY24_SQL,
+        "vocab_coverage_20": VOCAB_COVERAGE20_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -951,3 +951,58 @@ def test_span_corruption_edges_and_validation(spark):
         span_corruption(df, span_every=1)
     with pytest.raises(ValueError, match="span_corruption"):
         span_corruption(df, max_span=0)
+
+
+def test_vocab_coverage_matches_bruteforce(spark):
+    from collections import Counter
+
+    from ts2g2_spark.operators.text import vocab_coverage
+
+    rows = [
+        (0, "a", "the cat sat on the mat"),
+        (1, "a", "the dog sat"),
+        (2, "b", "a rare xylophone melody"),
+        (3, "b", "the the the zz"),
+        (4, "b", "   "),           # empty after trim -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    vocab_size = 4
+    # brute-force: top-4 words by (cnt desc, word asc) over raw ws splits
+    toks = []
+    for _, src, text in rows:
+        if not text.strip():
+            continue
+        toks += [(src, w) for w in text.strip().split()]
+    cnt = Counter(w for _, w in toks)
+    vocab = {w for w, _ in sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:vocab_size]}
+    got = {r.source: r for r in vocab_coverage(
+        df, vocab_size, group_cols=("source",)).collect()}
+    for src in ("a", "b"):
+        st = [(s, w) for s, w in toks if s == src]
+        n = len(st)
+        n_oov = sum(1 for _, w in st if w not in vocab)
+        r = got[src]
+        assert r.n_tokens == n and r.n_oov_tokens == n_oov
+        assert r.n_distinct_words == len({w for _, w in st})
+        assert r.n_distinct_oov == len({w for _, w in st
+                                        if w not in vocab})
+        assert r.oov_rate == round(n_oov / n, 6)
+
+
+def test_vocab_coverage_edges(spark):
+    from ts2g2_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(0, "s", "x y z")], "doc_id long, source string, text string")
+    # vocab covers everything -> zero OOV
+    r = vocab_coverage(df, 10, group_cols=("source",)).collect()[0]
+    assert r.n_oov_tokens == 0 and r.oov_rate == 0.0
+    # vocab_size 1 keeps only the lexicographically-first tied word
+    r1 = vocab_coverage(df, 1, group_cols=("source",)).collect()[0]
+    assert r1.n_oov_tokens == 2 and r1.n_distinct_oov == 2
+    # empty corpus -> no rows; validation
+    assert vocab_coverage(df.limit(0), 5,
+                          group_cols=("source",)).count() == 0
+    with pytest.raises(ValueError, match="vocab_size"):
+        vocab_coverage(df, 0)

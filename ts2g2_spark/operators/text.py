@@ -1360,3 +1360,59 @@ def span_corruption(
             F.array_sort(F.flatten(F.collect_list(tgt_pair))),
             lambda s: s["p"]), " ").alias("target_text"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Vocabulary-coverage / OOV report: rank the corpus vocabulary by
+    frequency (build_vocab's (cnt desc, word asc) dense ids — no global
+    sort), keep the top `vocab_size` words, and measure per group what
+    a tokenizer with that closed vocabulary would miss: n_tokens,
+    n_oov_tokens, n_distinct_words, n_distinct_oov, and
+    oov_rate = n_oov_tokens / n_tokens.  The report that sizes a
+    vocabulary before committing to it — the flat tail of
+    oov_rate(vocab_size) is where the next thousand entries stop
+    paying.
+
+    Scale shape: the vocabulary is dimension-sized by contract and
+    BROADCAST onto the token stream (a left join at scan parallelism,
+    the big side never shuffles for membership); the per-group stats
+    are one hash aggregate (the two exact distincts add one expand
+    exchange, still keyed on (group, word), never raw rows x columns).
+    Counts are exact integers, oov_rate one rounded IEEE division."""
+    if vocab_size < 1:
+        raise ValueError(
+            f"vocab_coverage: need vocab_size >= 1, got {vocab_size=}")
+    vocab = (
+        build_vocab(docs, text_col)
+        .where(F.col("id") < vocab_size)
+        .select("word", F.lit(1).alias("_in"))
+    )
+    words = (
+        _staged_words(
+            docs.where(F.length(F.trim(F.col(text_col))) > 0), text_col)
+        .select(*[F.col(c) for c in group_cols],
+                F.explode("_ws").alias("word"))
+    )
+    j = words.join(F.broadcast(vocab), "word", "left")
+    oov = F.col("_in").isNull()
+    agg = j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov.cast("long")).alias("n_oov_tokens"),
+        F.countDistinct("word").alias("n_distinct_words"),
+        F.countDistinct(F.when(oov, F.col("word")))
+        .alias("n_distinct_oov"),
+    )
+    return agg.select(
+        *group_cols, "n_tokens", "n_oov_tokens", "n_distinct_words",
+        "n_distinct_oov",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_oov_tokens").cast("double")
+                       / F.col("n_tokens"), round_dp))
+        .alias("oov_rate"),
+    )
