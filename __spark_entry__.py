@@ -8475,6 +8475,38 @@ group by t.source
 """
 
 
+def q_user_growth_daily(spark, sf_dir):
+    """Daily growth curve (eventseq.user_growth, r5): distinct active
+    users, first-seen new users, and the running audience size per
+    day.  Event rows collapse to (user, day) pairs in one map-side-
+    combined distinct; everything after — first-seen min, counts, the
+    cumulative — runs on day-grain frames.  All-integer, no rounding
+    contract."""
+    from ts2g2_spark.operators.eventseq import user_growth
+
+    return user_growth(_events(spark, sf_dir))
+
+
+USER_GROWTH_SQL = """
+with ub as (
+  select distinct user_id as u, date_trunc('day', ts) as bucket_ts
+  from events where user_id is not null and ts is not null
+), active as (
+  select bucket_ts, count(*)::BIGINT as n_active from ub group by 1
+), fs as (
+  select u, min(bucket_ts) as bucket_ts from ub group by 1
+), nw as (
+  select bucket_ts, count(*)::BIGINT as n_new from fs group by 1
+)
+select a.bucket_ts, a.n_active,
+       coalesce(nw.n_new, 0)::BIGINT as n_new,
+       (sum(coalesce(nw.n_new, 0)) over (order by a.bucket_ts
+          rows between unbounded preceding and current row))::BIGINT
+         as cum_users
+from active a left join nw using (bucket_ts)
+"""
+
+
 PROPS_K_ROLLUP_SQL = """
 with typed as (
   select cast(ts as date) as day, event_type,
@@ -9211,6 +9243,7 @@ _RAW_QUERIES = {
         "link_prediction_hvg": q_link_prediction_hvg,
         "mase_hourly24": q_mase_hourly24,
         "vocab_coverage_20": q_vocab_coverage20,
+        "user_growth_daily": q_user_growth_daily,
     }
 
 
@@ -9297,6 +9330,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_hvg": LINK_PREDICTION_HVG_SQL,
         "mase_hourly24": MASE_HOURLY24_SQL,
         "vocab_coverage_20": VOCAB_COVERAGE20_SQL,
+        "user_growth_daily": USER_GROWTH_SQL,
         "pelt_daily": _pelt_dp_sql(),
         "simhash_near": SIMHASH_SQL,
         "link_seasonality_7": LINK_SEASONALITY_SQL,

@@ -351,3 +351,51 @@ def test_burst_detection_flags_planted_burst(spark):
         burst_detection(spark.createDataFrame(pdf), s=1.0)
     with pytest.raises(ValueError, match="gamma"):
         burst_detection(spark.createDataFrame(pdf), gamma=-0.5)
+
+
+def test_user_growth_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from ts2g2_spark.operators.eventseq import user_growth
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = {r.bucket_ts.date(): (r.n_active, r.n_new, r.cum_users)
+           for r in user_growth(ev).collect()}
+    rows = ev.select("user_id", "ts").collect()
+    by_day = defaultdict(set)
+    first = {}
+    for r in rows:
+        d = r.ts.date()
+        by_day[d].add(r.user_id)
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    cum, want = 0, {}
+    for d in sorted(by_day):
+        n_new = sum(1 for u, fd in first.items() if fd == d)
+        cum += n_new
+        want[d] = (len(by_day[d]), n_new, cum)
+    assert out == want
+    # the final cumulative equals total distinct users
+    assert list(out.values())[-1][2] == len(first) if out else True
+
+
+def test_user_growth_edges(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from ts2g2_spark.operators.eventseq import user_growth
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 2, None, 3],
+        "ts": [dt.datetime(2024, 1, 1, 5), dt.datetime(2024, 1, 2, 6),
+               dt.datetime(2024, 1, 2, 7), dt.datetime(2024, 1, 3, 8),
+               None],
+    })
+    df = spark.createDataFrame(pdf)
+    rows = {r.bucket_ts.day: r for r in user_growth(df).collect()}
+    # day1: u1 new; day2: u1 returning + u2 new; null user/ts dropped
+    assert (rows[1].n_active, rows[1].n_new, rows[1].cum_users) == (1, 1, 1)
+    assert (rows[2].n_active, rows[2].n_new, rows[2].cum_users) == (2, 1, 2)
+    assert 3 not in rows
+    assert user_growth(df.limit(0)).count() == 0

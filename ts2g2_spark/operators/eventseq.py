@@ -410,3 +410,47 @@ def burst_detection(
         F.timestamp_seconds("bucket_sec").alias("bucket_ts"),
         "cnt", "burst",
     )
+
+
+def user_growth(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "day",
+) -> DataFrame:
+    """Growth curve at the chosen `date_trunc` grain: per bucket,
+    n_active (distinct users seen), n_new (users whose FIRST-ever
+    event lands in the bucket), and cum_users (distinct users seen up
+    to and including the bucket — the running audience size).  The
+    top-line activation/retention readout every events pipeline
+    reports first.
+
+    Scale shape: one hash aggregate to (user, bucket) distinct pairs
+    (map-side combine collapses per-event duplicates), a user-keyed
+    min for the first-seen bucket, then all remaining work — counts,
+    the cumulative window — runs on bucket-grain frames (days, never
+    events).  cum_users comes from summing n_new, correct because
+    first-seen buckets partition the user set.  All-integer output, no
+    rounding contract."""
+    ub = (
+        events.where(F.col(user_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"),
+                F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"))
+        .distinct()
+    )
+    active = ub.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_active"))
+    first_seen = ub.groupBy("_u").agg(
+        F.min("bucket_ts").alias("bucket_ts"))
+    new = first_seen.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_new"))
+    w = (Window.orderBy("bucket_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        active.join(new, "bucket_ts", "left")
+        .select(
+            "bucket_ts", "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"))
+        .withColumn("cum_users", F.sum("n_new").over(w))
+    )
