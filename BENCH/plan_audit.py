@@ -74,7 +74,8 @@ AUDIT = [
     "bpe_merges_k8", "bpe_apply_k8", "quality_auc",
     "hdr_value_quantiles", "hdr_quantiles_daily_merged",
     "props_key_census", "props_k_rollup", "quality_top25_by_source",
-    "link_prediction_hvg", "mase_hourly24",
+    "link_prediction_hvg", "mase_hourly24", "vocab_coverage_20",
+    "user_growth_daily",
 ]
 
 
