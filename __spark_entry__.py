@@ -2905,6 +2905,75 @@ select sa as src, sb as dst, round(coalesce(c, 0), 6) as weight from pairs
 """
 
 
+def q_link_spearman(spark, sf_dir):
+    """Spearman rank-correlation linking (linking.link_spearman, r5): the
+    L3 all-pairs shape weighted by the tie-aware rank correlation over the
+    common prefix of each pair's daily series — the robust sibling of
+    link_correlation.  Daily values are exact milli-unit integer sums
+    (floor(value*1000) per row, int64 addition), ranks are integer
+    half-rank units computed after common-prefix truncation, and all five
+    moment sums are exact int64, so the weight is engine-identical up to
+    the fixed sqrt/multiply/divide tail.  +0.0 canonicalizes -0.0."""
+    from ts2g2_spark.operators import linking
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("val"))
+    packed = F.array_sort(
+        F.collect_list(F.struct("day", F.col("val").alias("v"))))
+    nodes = daily.groupBy("user_id").agg(
+        F.transform(packed, lambda s: s["v"].cast("double")).alias("values")
+    ).select(F.col("user_id").cast("string").alias("node_id"), "values")
+    return linking.link_spearman(nodes).select(
+        "src", "dst", (F.round("weight", 9) + F.lit(0.0)).alias("weight"))
+
+
+LINK_SPEARMAN_SQL = """
+with daily as (
+  select user_id, date_trunc('day', ts) as day,
+         sum(floor(value * 1000)::BIGINT)::BIGINT as val
+  from events where user_id < 20 group by 1, 2
+),
+numbered as (
+  select user_id,
+         row_number() over (partition by user_id order by day) - 1 as rn,
+         val
+  from daily
+),
+-- rn is dense per user, so the equi-join IS the common-prefix truncation
+pairs as (
+  select a.user_id::VARCHAR as ua, b.user_id::VARCHAR as ub,
+         a.val as xa, b.val as xb
+  from numbered a join numbered b
+    on a.rn = b.rn and a.user_id::VARCHAR < b.user_id::VARCHAR
+),
+-- integer half-rank units: 2*avg_rank = 2*min_rank + tie_count - 1
+ranked as (
+  select ua, ub,
+         2 * rank() over (partition by ua, ub order by xa)
+           + count(*) over (partition by ua, ub, xa) - 1 as ha,
+         2 * rank() over (partition by ua, ub order by xb)
+           + count(*) over (partition by ua, ub, xb) - 1 as hb
+  from pairs
+),
+m as (
+  select ua, ub, count(*)::BIGINT as n,
+         sum(ha)::BIGINT as sa, sum(hb)::BIGINT as sb,
+         sum(ha * ha)::BIGINT as saa, sum(hb * hb)::BIGINT as sbb,
+         sum(ha * hb)::BIGINT as sab
+  from ranked group by 1, 2
+)
+select ua as src, ub as dst,
+       round(case when (n * saa - sa * sa) > 0 and (n * sbb - sb * sb) > 0
+             then (n * sab - sa * sb)::DOUBLE
+                  / (sqrt((n * saa - sa * sa)::DOUBLE)
+                     * sqrt((n * sbb - sb * sb)::DOUBLE))
+             else 0.0 end, 9) + 0.0 as weight
+from m
+"""
+
+
 def q_link_correlation_grouped(spark, sf_dir):
     """L4 correlation linking per window group (ref
     strategy_linking_multi_graphs.py:80-118): daily nodes pair only
@@ -9123,6 +9192,7 @@ _RAW_QUERIES = {
         "repetition_signals": q_repetition_signals,
         "entropy_signals": q_entropy_signals,
         "link_xcorr": q_link_xcorr,
+        "link_spearman": q_link_spearman,
         "pii_counts": q_pii_counts,
         "logodds_quality": q_logodds_quality,
         "dsir_weights": q_dsir_weights,
@@ -9374,6 +9444,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": REPETITION_SQL,
         "entropy_signals": ENTROPY_SQL,
         "link_xcorr": LINK_XCORR_SQL,
+        "link_spearman": LINK_SPEARMAN_SQL,
         "pii_counts": _pii_sql(),
         "logodds_quality": LOGODDS_SQL,
         "dsir_weights": DSIR_WEIGHTS_SQL,

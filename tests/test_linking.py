@@ -447,3 +447,81 @@ def test_link_cross_correlation_validation_and_edges(spark):
     rows = link_cross_correlation(flat, max_lag=1).collect()
     assert len(rows) == 1
     assert rows[0].weight == 0.0 and rows[0].lag == -1
+
+
+# ---------------------------------------------------------- L3 Spearman
+def _spearman_brute(a, b):
+    """Pure-numpy tie-aware Spearman over the common prefix (scipy-free)."""
+    n = min(len(a), len(b))
+    if n < 2:
+        return 0.0
+    a, b = np.asarray(a[:n], float), np.asarray(b[:n], float)
+
+    def avg_ranks(x):
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(n, float)
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and x[order[j + 1]] == x[order[i]]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    da, db = ra - ra.mean(), rb - rb.mean()
+    va, vb = (da * da).sum(), (db * db).sum()
+    if va <= 0 or vb <= 0:
+        return 0.0
+    return float((da * db).sum() / np.sqrt(va) / np.sqrt(vb))
+
+
+def test_link_spearman_brute_parity(spark):
+    rng = np.random.default_rng(7)
+    # heavy ties (integers from a small domain) + one monotone pair
+    vals = {
+        "A": rng.integers(0, 6, size=25).astype(float).tolist(),
+        "B": rng.integers(0, 6, size=31).astype(float).tolist(),
+        "C": list(range(25)),
+        "D": [float(x * x) for x in range(25)],   # rank-identical to C
+        "E": [3.0] * 25,                          # constant -> weight 0
+    }
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "node_id": list(vals), "values": list(vals.values())}))
+    got = {(r.src, r.dst): r.weight
+           for r in linking.link_spearman(nodes).collect()}
+    keys = sorted(vals)
+    assert set(got) == {(x, y) for i, x in enumerate(keys)
+                        for y in keys[i + 1:]}
+    for (x, y), w in got.items():
+        assert w == pytest.approx(_spearman_brute(vals[x], vals[y]),
+                                  abs=1e-12), (x, y)
+    # monotone transform invariance: exactly 1.0, not approximately
+    assert got[("C", "D")] == 1.0
+    assert all(got[(k, "E")] == 0.0 for k in "ABCD")
+
+
+def test_link_spearman_outlier_robustness(spark):
+    # one spike wrecks Pearson but leaves Spearman near 1
+    base = list(range(20))
+    spiked = base[:-1] + [10000.0]
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "node_id": ["x", "y"],
+        "values": [[float(v) for v in base], [float(v) for v in spiked]]}))
+    sp = linking.link_spearman(nodes).collect()[0].weight
+    assert sp == 1.0  # ranks unchanged by the spike
+    assert sp == pytest.approx(_spearman_brute(base, spiked), abs=1e-12)
+    short = spark.createDataFrame(pd.DataFrame({
+        "node_id": ["x", "y"], "values": [[1.0], [2.0]]}))
+    assert linking.link_spearman(short).collect()[0].weight == 0.0
+
+
+def test_link_spearman_empty_prefix_pair_kept(spark):
+    # empty common prefix: pair must appear with weight 0.0 (NaN -> 0
+    # convention), not vanish
+    deg = spark.createDataFrame(pd.DataFrame({
+        "node_id": ["a", "b"], "values": [[], [1.0, 2.0]]}))
+    rows = linking.link_spearman(deg).collect()
+    assert len(rows) == 1
+    assert rows[0].src == "a" and rows[0].weight == 0.0

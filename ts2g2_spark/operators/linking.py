@@ -155,6 +155,86 @@ def link_correlation(nodes: DataFrame, group_col: str | None = None) -> DataFram
     return _pearson_pairs(pairs, "Correlation")
 
 
+# ------------------------------------------------------- L3 rank variant
+def link_spearman(nodes: DataFrame) -> DataFrame:
+    """Spearman rank-correlation linking: the L3 all-pairs shape (ref
+    strategy_linking_multi_graphs.py:41-77 pairs every distinct node) but
+    weighted by the rank correlation over the common prefix length — the
+    robust-to-outliers sibling every monitoring deployment wants next to
+    Pearson (a single spike can't dominate the weight).
+
+    Engine-exact by construction, unlike float Pearson: ranks are computed
+    AFTER truncation to the common length (ranking the full series first
+    would change tie structure), carried as integer HALF-RANK units
+    (2*avg_rank = 2*min_rank + tie_count - 1, always integral — the
+    quality_auc posture), and every moment sum is exact int64 addition, so
+    partition order can't move a bit.  The only float ops are two
+    correctly-rounded sqrts, one multiply and one divide, in a fixed order
+    both engines replay identically.  Degenerate (constant-rank or n < 2)
+    pairs weigh 0.0, matching the NaN -> 0 Pearson convention above.
+
+    Physical plan: self-join a < b (node count = variable count, small
+    side broadcastable), one posexplode of the zipped common prefix, two
+    pair-partitioned windows for the tie-aware ranks, one hash agg.  Sums
+    stay exact for series up to ~6.9k points (4*n^4 < 2^53); callers at
+    rollup grain are far below that.
+
+    int64 bound: half-ranks <= 2n, so n*sum(ha*hb) <= 4*n^4 — the int64
+    ceiling is n ~ 38k and the double-exactness ceiling n ~ 6.9k."""
+    n = nodes.select("node_id", "values")
+    keyed = (
+        n.alias("a").join(n.alias("b"),
+                          on=F.col("a.node_id") < F.col("b.node_id"))
+        .select(
+            F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"),
+            F.col("a.values").alias("va"), F.col("b.values").alias("vb"),
+        )
+    )
+    pairs = (
+        keyed
+        .withColumn("n", F.least(F.size("va"), F.size("vb")))
+        .select("src", "dst",
+                F.slice("va", 1, F.col("n")).alias("pa"),
+                F.slice("vb", 1, F.col("n")).alias("pb"))
+        .select("src", "dst",
+                F.posexplode(F.arrays_zip(F.col("pa"), F.col("pb"))))
+        .select("src", "dst", F.col("col.pa").alias("xa"),
+                F.col("col.pb").alias("xb"))
+    )
+    ha = (2 * F.rank().over(Window.partitionBy("src", "dst").orderBy("xa"))
+          + F.count("*").over(Window.partitionBy("src", "dst", "xa")) - 1)
+    hb = (2 * F.rank().over(Window.partitionBy("src", "dst").orderBy("xb"))
+          + F.count("*").over(Window.partitionBy("src", "dst", "xb")) - 1)
+    ranked = pairs.select(
+        "src", "dst", ha.cast("long").alias("ha"), hb.cast("long").alias("hb"))
+    m = ranked.groupBy("src", "dst").agg(
+        F.count("*").alias("n"),
+        F.sum("ha").alias("sa"), F.sum("hb").alias("sb"),
+        F.sum(F.col("ha") * F.col("ha")).alias("saa"),
+        F.sum(F.col("hb") * F.col("hb")).alias("sbb"),
+        F.sum(F.col("ha") * F.col("hb")).alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    da = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    db = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    w = F.when(
+        (da > 0) & (db > 0),
+        num.cast("double")
+        / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    scored = m.select("src", "dst", w.alias("weight"))
+    # left join back onto the pair list so a pair whose common prefix is
+    # empty (posexplode emits nothing) still appears with weight 0.0 —
+    # the NaN -> 0 Pearson convention above, not a silent drop
+    return (
+        keyed.select("src", "dst")
+        .join(scored, on=["src", "dst"], how="left")
+        .select("src", "dst",
+                F.coalesce("weight", F.lit(0.0)).alias("weight"),
+                F.lit("spearman").alias("binding"))
+    )
+
+
 # --------------------------------------------------------------- L5
 def link_time_cooccurrence(nodes: DataFrame) -> DataFrame:
     """Edge between nodes of different graphs with equal insertion order
