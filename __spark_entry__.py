@@ -7245,6 +7245,70 @@ l{i} as (
 LPA_HVG_SQL = _lpa_hvg_sql(4)
 
 
+def q_wl_fingerprints_hvg(spark, sf_dir):
+    """Weisfeiler-Lehman graph fingerprints per sampled HVG series graph
+    (graphmetrics.wl_from_series / kernels.graph_wl_kernel, r5): 1-WL
+    color refinement — labels start as degrees, each of 3 rounds hashes
+    "own|sorted,neighbor,labels" with the md5-derived h64 — then the
+    sorted final label multiset hashes to one fingerprint per graph.
+    Extends the reference's graph-hashing surface (core/model.py
+    hash_graph: exact edge identity) to structural equivalence: equal
+    wl_fp <=> 1-WL-indistinguishable graphs, the dedup key for
+    structurally identical series graphs across a corpus.  All-integer
+    /string ops, RNG-free, no rounding contract; the oracle unrolls the
+    identical 3 rounds as chained CTEs over the shared sampled-HVG edge
+    layer.  Runs as the fused map-only kernel (zero shuffle); parity
+    vs the relational wl_fingerprints is pytest-pinned."""
+    from ts2g2_spark.operators import graphmetrics
+
+    series = _event_series(spark, sf_dir).where(
+        F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
+    return graphmetrics.wl_from_series(
+        series, kind="horizontal", n_iter=3
+    ).select(
+        F.col("series_key").cast("long").alias("user_id"),
+        "n_nodes", "wl_fp")
+
+
+def _wl_hvg_sql(n_iter: int = 3) -> str:
+    """Unrolled 1-WL oracle: label tables w0..w{n} as chained CTEs (each
+    round = one adjacency join collecting the ordered neighbor-label
+    string + one own-label join + the h64 rehash), over the shared
+    sampled-HVG edge layer."""
+    def h(x: str) -> str:
+        return f"cast(concat('0x', substr(md5({x}), 1, 15)) as bigint)"
+
+    parts = [",\nw0 as (select user_id, node, count(*)::BIGINT as lab"
+             " from adj group by 1, 2)"]
+    prev = "w0"
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+s{i} as (
+  select a.user_id, a.node,
+         string_agg(l.lab::VARCHAR, ',' order by l.lab) as sig
+  from adj a join {prev} l on l.user_id = a.user_id and l.node = a.nb
+  group by 1, 2
+),
+w{i} as (
+  select s.user_id, s.node,
+         {h("o.lab::VARCHAR || '|' || s.sig")} as lab
+  from s{i} s join {prev} o
+    on o.user_id = s.user_id and o.node = s.node
+)""")
+        prev = f"w{i}"
+    return (
+        _SAMPLED_HVG_EDGE_CTES
+        + "".join(parts)
+        + f"""
+select user_id, count(*)::BIGINT as n_nodes,
+       {h("string_agg(lab::VARCHAR, ',' order by lab)")} as wl_fp
+from {prev} group by user_id"""
+    )
+
+
+WL_HVG_SQL = _wl_hvg_sql(3)
+
+
 def q_link_prediction_hvg(spark, sf_dir):
     """Link-prediction scores per sampled HVG series graph
     (graphmetrics.link_prediction, r5; Liben-Nowell & Kleinberg 2003):
@@ -9295,6 +9359,7 @@ _RAW_QUERIES = {
         "cms_hot_words": q_cms_hot_words,
         "bloom_prune_orders": q_bloom_prune_orders,
         "lpa_communities_hvg": q_lpa_communities_hvg,
+        "wl_fingerprints_hvg": q_wl_fingerprints_hvg,
         "lpa_modularity_hvg": q_lpa_modularity_hvg,
         "kmv_users_by_type": q_kmv_users_by_type,
         "kmv_users_daily_merged": q_kmv_users_daily_merged,
@@ -9382,6 +9447,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_hot_words": CMS_HOT_WORDS_SQL,
         "bloom_prune_orders": BLOOM_PRUNE_SQL,
         "lpa_communities_hvg": LPA_HVG_SQL,
+        "wl_fingerprints_hvg": WL_HVG_SQL,
         "lpa_modularity_hvg": LPA_MODULARITY_SQL,
         "kmv_users_by_type": KMV_BY_TYPE_SQL,
         "kmv_users_daily_merged": KMV_DAILY_SQL,

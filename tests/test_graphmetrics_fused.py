@@ -534,3 +534,98 @@ def test_modularity_relational_matches_fused(spark):
         for r in graphmetrics.modularity(edf, comm).collect()
     }
     assert fused == rel
+
+
+# ------------------------------------------------------------------ WL
+def _brute_wl(edges, n_iter):
+    """Dict-based 1-WL twin: degree init, h64_py relabel rounds."""
+    from ts2g2_spark.functions.hashing import h64_py
+
+    adj = {}
+    for a, b in edges:
+        a, b = min(a, b), max(a, b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: len(nbs) for v, nbs in adj.items()}
+    for _ in range(n_iter):
+        lab = {
+            v: h64_py(f"{lab[v]}|"
+                      + ",".join(str(x) for x in sorted(lab[u] for u in nbs)))
+            for v, nbs in adj.items()
+        }
+    return lab
+
+
+def test_wl_kernel_random_graphs():
+    from ts2g2_spark.operators.kernels import graph_wl_kernel
+
+    rng = np.random.default_rng(29)
+    for trial in range(30):
+        m = int(rng.integers(1, 50))
+        e = rng.integers(0, 18, size=(m, 2))
+        nodes, lab = graph_wl_kernel(e, n_iter=3)
+        want = _brute_wl(map(tuple, e.tolist()), 3)
+        assert dict(zip(nodes.tolist(), lab.tolist())) == want, trial
+    nodes, lab = graph_wl_kernel(np.empty((0, 2), dtype=np.int64))
+    assert len(nodes) == 0 and len(lab) == 0
+    with pytest.raises(ValueError):
+        graph_wl_kernel(np.array([[0, 1]]), n_iter=0)
+
+
+def _fp_of(edges, n_iter=3):
+    from ts2g2_spark.functions.hashing import h64_py
+    from ts2g2_spark.operators.kernels import graph_wl_kernel
+
+    _, lab = graph_wl_kernel(np.asarray(edges, np.int64), n_iter=n_iter)
+    return h64_py(",".join(str(x) for x in np.sort(lab)))
+
+
+def test_wl_fingerprint_invariance_and_power():
+    # isomorphism invariance: a node-id permutation keeps the fingerprint
+    rng = np.random.default_rng(31)
+    e = rng.integers(0, 12, size=(25, 2))
+    perm = rng.permutation(100)
+    assert _fp_of(e) == _fp_of(perm[e])
+    # separating power beyond the degree sequence: C4 + K2 vs P6 share
+    # the degree multiset {1,1,2,2,2,2} but WL splits them in round 1
+    c4_k2 = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5)]
+    p6 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _fp_of(c4_k2) != _fp_of(p6)
+    # documented 1-WL limit: regular graphs of equal degree and size are
+    # indistinguishable (C6 vs two triangles both read 2-regular, n=6)
+    c6 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)]
+    two_c3 = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    assert _fp_of(c6) == _fp_of(two_c3)
+
+
+def test_wl_relational_matches_fused(spark):
+    from ts2g2_spark.operators import graphmetrics
+    from ts2g2_spark.operators.kernels import visibility_graph
+
+    rng = np.random.default_rng(37)
+    series_rows = [
+        (str(k), [float(x) for x in rng.integers(0, 9, 40)])
+        for k in range(5)
+    ]
+    sdf = spark.createDataFrame(
+        series_rows, "series_key string, values array<double>")
+    fused = {
+        r.series_key: (r.n_nodes, r.wl_fp)
+        for r in graphmetrics.wl_from_series(
+            sdf, kind="horizontal", n_iter=3).collect()
+    }
+    edge_rows = []
+    for key, vals in series_rows:
+        e, _ = visibility_graph(np.asarray(vals, float), kind="horizontal")
+        edge_rows += [(key, int(a), int(b)) for a, b in e]
+    edf = spark.createDataFrame(
+        edge_rows, "series_key string, src long, dst long")
+    rel = {
+        r.series_key: (r.n_nodes, r.wl_fp)
+        for r in graphmetrics.wl_fingerprints(edf, n_iter=3).collect()
+    }
+    assert fused == rel
+    with pytest.raises(ValueError):
+        graphmetrics.wl_labels(edf, n_iter=0)

@@ -770,3 +770,91 @@ def link_prediction(
         .alias("jaccard"),
         F.round(aa, round_dp).alias("adamic_adar"),
     )
+
+
+def wl_labels(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (1-WL) over the (series_key,
+    src, dst) edge frame: (series_key, node, lab) after exactly n_iter
+    rounds.  Labels start as integer degrees; each round every node's
+    new label is h64("own|sorted,neighbor,labels") — md5-derived, so
+    the refinement replays bit-identically in any engine (the lpa
+    fixed-schedule posture, labels carried as strings-of-integers).
+
+    Plan shape per round: one equi-join on (series_key, neighbor), one
+    hash agg collecting the bounded neighbor-label list, one join back
+    for the own label.  For millions of small per-series graphs prefer
+    the fused `wl_from_series` (zero shuffle)."""
+    from ts2g2_spark.functions.hashing import h64
+
+    if n_iter < 1:
+        raise ValueError(f"wl_labels: need n_iter >= 1, got {n_iter}")
+    e = canonical_edges(edges)
+    adj = e.select(
+        "series_key", F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        e.select(
+            "series_key", F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    labels = adj.groupBy("series_key", "node").agg(
+        F.count(F.lit(1)).cast("long").alias("lab"))
+    for _ in range(n_iter):
+        sig = adj.join(
+            labels.select(
+                "series_key", F.col("node").alias("nb"), "lab"),
+            ["series_key", "nb"],
+        ).groupBy("series_key", "node").agg(
+            F.array_join(F.array_sort(F.collect_list("lab")), ",")
+            .alias("sig"))
+        labels = sig.join(labels, ["series_key", "node"]).select(
+            "series_key", "node",
+            h64(F.concat_ws("|", F.col("lab"), F.col("sig"))).alias("lab"))
+    return labels
+
+
+def wl_fingerprints(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Per-graph Weisfeiler-Lehman fingerprint: (series_key, n_nodes,
+    wl_fp) where wl_fp = h64 of the sorted final WL label multiset.
+    Equal fingerprints <=> 1-WL-indistinguishable graphs (a strictly
+    stronger invariant than the degree-sequence/edge-set hashes of
+    functions/hashing — it separates most non-isomorphic graph pairs),
+    so grouping by wl_fp deduplicates structurally identical series
+    graphs across a corpus; ref graph hashing surface
+    (core/model.py hash_graph) extended beyond exact edge identity.
+    One bounded hash agg over the label frame."""
+    from ts2g2_spark.functions.hashing import h64
+
+    labs = wl_labels(edges, n_iter=n_iter)
+    return labs.groupBy("series_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        h64(F.array_join(F.array_sort(F.collect_list("lab")), ","))
+        .alias("wl_fp"),
+    )
+
+
+def wl_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0, n_iter: int = 3,
+):
+    """Fused visibility_edges(kind) |> wl_fingerprints, map-only:
+    (series_key, n_nodes, wl_fp) with zero shuffles — the per-series
+    fingerprint path for millions of small graphs.  Parity-pinned
+    against the relational twin (identical labels by construction:
+    both hash the same md5 strings)."""
+    import numpy as np
+    import pandas as pd
+
+    from ts2g2_spark.functions.hashing import h64_py
+    from ts2g2_spark.operators import kernels
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        nodes, lab = kernels.graph_wl_kernel(e, n_iter=n_iter)
+        if len(nodes) == 0:
+            return None
+        fp = h64_py(",".join(str(x) for x in np.sort(lab)))
+        return pd.DataFrame(
+            {"series_key": [key], "n_nodes": [len(nodes)], "wl_fp": [fp]})
+
+    return _fused(
+        series_df, build,
+        "series_key string, n_nodes long, wl_fp long",
+    )

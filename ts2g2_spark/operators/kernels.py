@@ -1102,3 +1102,44 @@ def graph_pagerank_kernel(
         inflow = np.bincount(dst, weights=share[src], minlength=n)
         rank = round_half_up(base + damping * inflow, round_dp)
     return nodes, rank
+
+
+def graph_wl_kernel(
+    edges: np.ndarray,
+    n_iter: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weisfeiler-Lehman relabeling (1-WL color refinement) over one
+    small undirected graph: (nodes, final_label) after exactly n_iter
+    rounds.  Labels start as integer degrees; each round every node's
+    new label is h64 of "own_label|sorted,neighbor,labels" — the md5
+    hash shared across engines — so the refinement is RNG-free and an
+    SQL oracle replays each round verbatim (string_agg order by label
+    == sorted integer join; the '|' separator disambiguates the own
+    label from the neighbor list).  Two graphs that 1-WL distinguishes
+    get different label multisets; hash the sorted multiset for a
+    graph fingerprint (see graphmetrics.wl_fingerprints)."""
+    from ts2g2_spark.functions.hashing import h64_py
+
+    if n_iter < 1:
+        raise ValueError(f"graph_wl_kernel: need n_iter >= 1, got {n_iter}")
+    a, b, nodes, deg = _canonical_edge_arrays(edges)
+    n = len(nodes)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    bounds = np.searchsorted(src_s, np.arange(n + 1))
+    lab = deg.astype(np.int64)
+    for _ in range(n_iter):
+        new_lab = np.empty(n, dtype=np.int64)
+        for v in range(n):
+            nb = np.sort(lab[dst_s[bounds[v]:bounds[v + 1]]])
+            sig = f"{lab[v]}|" + ",".join(str(x) for x in nb)
+            new_lab[v] = h64_py(sig)
+        lab = new_lab
+    return nodes, lab
