@@ -2239,6 +2239,88 @@ def q_eigencentrality_hvg(spark, sf_dir):
         .alias("c0"), F.size("embedding").alias("n"))
 
 
+def q_eigencentrality_power_hvg(spark, sf_dir):
+    """E1 eigenvector centrality, REPLAYABLE variant (r5): fixed-12-
+    iteration A+I power method whose every float op has a pinned total
+    order (analytics.power_centrality_kernel), so the oracle folds the
+    SAME sorted lists with DuckDB list_reduce (a sequential left fold)
+    and reproduces every double BIT-EXACTLY — no rounding contract at
+    all, raw doubles hash-match.  This graduates E1 from rows-only:
+    the eigh kernel keeps networkx parity (pytest), this kernel proves
+    the values cross-engine.  Same bounded prefix as the eigh query
+    (20 users x 64 points); 12 rounds bounds the oracle recursion."""
+    from ts2g2_spark.operators import analytics, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    series = graphs.series_from_points(
+        ev, "user_id", order_col="event_id")
+    series = series.select(
+        "series_key", F.slice("values", 1, 64).alias("values"))
+    edges = graphs.visibility_edges(series, kind="horizontal")
+    return analytics.eigenvector_centrality_power(
+        edges, n_iter=12
+    ).select(F.col("series_key").cast("long").alias("user_id"),
+             "node", "centrality")
+
+
+EIGENCENTRALITY_POWER_SQL = """
+with recursive pts as (
+  select user_id,
+         row_number() over (partition by user_id
+                            order by ts, event_id) - 1 as pos,
+         value as v
+  from events where user_id < 20
+),
+p as (select * from pts where pos < 64),
+hvg as materialized (
+  select a.user_id, a.pos as src, b.pos as dst
+  from p a join p b on a.user_id = b.user_id and b.pos > a.pos
+  where not exists (
+    select 1 from p m
+    where m.user_id = a.user_id and m.pos > a.pos and m.pos < b.pos
+      and m.v > greatest(a.v, b.v))
+),
+adj as materialized (
+  select user_id, src as node, dst as nb from hvg
+  union all
+  select user_id, dst as node, src as nb from hvg
+),
+nodes as (select distinct user_id, node from adj),
+power as (
+  select user_id, node, 0 as it, 1.0::DOUBLE as x from nodes
+  union all
+  (
+    with cur as (select * from power where it < 12),
+    y as (
+      -- A+I fold: start from the node's own x, then add neighbor x
+      -- in ascending neighbor order (list_reduce = sequential left
+      -- fold, the exact op order the numpy kernel pins)
+      select c.user_id, c.node, c.it,
+             list_reduce(
+               list_prepend(c.x,
+                 coalesce(list(c2.x order by c2.node)
+                          filter (where c2.x is not null), [])),
+               (a, b) -> a + b) as yv
+      from cur c
+      left join adj e on e.user_id = c.user_id and e.node = c.node
+      left join cur c2 on c2.user_id = e.user_id and c2.node = e.nb
+                       and c2.it = c.it
+      group by c.user_id, c.node, c.it, c.x
+    ),
+    nrm as (
+      select user_id,
+             sqrt(list_reduce(list(yv * yv order by node),
+                              (a, b) -> a + b)) as nm
+      from y group by user_id
+    )
+    select y.user_id, y.node, y.it + 1 as it, y.yv / n.nm as x
+    from y join nrm n using (user_id)
+  )
+)
+select user_id, node, x as centrality from power where it = 12
+"""
+
+
 def q_generate_sequences(spark, sf_dir):
     """R2 generative inversion on per-user QGs, seeded (no SQL oracle:
     stochastic walk; rows-only).  Bit-parity with the seeded reference is
@@ -8570,6 +8652,68 @@ from lagged group by event_type
 """
 
 
+def q_predict_linear_1h(spark, sf_dir):
+    """PromQL predict_linear (metrics.predict_linear, r5): at every
+    occupied minute bucket, least-squares over the trailing hour of
+    the milli-unit value tier, extrapolated one hour ahead — the
+    capacity-planning primitive.  Every regression moment is an exact
+    int64 (integer y, re-based integer t), so slope/prediction are
+    three IEEE ops on exact integers — engine-identical, rounded
+    once."""
+    from ts2g2_spark.operators.metrics import predict_linear
+
+    minutely = (
+        _events(spark, sf_dir)
+        .groupBy("event_type",
+                 F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(F.sum(F.floor(F.col("value") * 1000).cast("long"))
+             .alias("v"))
+    )
+    return predict_linear(minutely, range_s=3600, horizon_s=3600,
+                          series_cols=("event_type",))
+
+
+PREDICT_LINEAR_1H_SQL = """
+with minutely as (
+  select event_type, date_trunc('minute', ts) as bucket_ts,
+         sum(cast(floor(value * 1000) as bigint))::BIGINT as v
+  from events group by 1, 2
+), based as (
+  select event_type, bucket_ts, v,
+         epoch(bucket_ts)::BIGINT
+           - min(epoch(bucket_ts)::BIGINT)
+               over (partition by event_type) as t
+  from minutely
+), sums as (
+  select event_type, bucket_ts, t, v,
+         count(*) over w as m,
+         sum(t) over w as s_t, sum(t * t) over w as s_tt,
+         sum(v) over w as s_y, sum(t * v) over w as s_ty
+  from based
+  window w as (partition by event_type order by t
+               range between 3540 preceding and current row)
+), alg as (
+  select event_type, bucket_ts, m,
+         s_t - m * t as sx,
+         s_tt - 2 * t * s_t + m * t * t as sxx,
+         s_ty - t * s_y as sxy, s_y
+  from sums
+), fit as (
+  select event_type, bucket_ts, m, sx, s_y,
+         (m * sxy - sx * s_y)::DOUBLE
+           / (m * sxx - sx * sx)::DOUBLE as slope,
+         (m * sxx - sx * sx) as den
+  from alg
+)
+select event_type, bucket_ts, m::BIGINT as n_samples,
+       case when m >= 2 and den != 0 then round(slope, 6) end as slope,
+       case when m >= 2 and den != 0 then
+         round((s_y::DOUBLE - slope * sx::DOUBLE) / m::DOUBLE
+               + slope * 3600.0, 6) end as predicted
+from fit
+"""
+
+
 def q_vocab_coverage20(spark, sf_dir):
     """Vocabulary-coverage / OOV report at vocab_size=20 per source
     (text.vocab_coverage, r5): what a 20-entry closed vocabulary would
@@ -9377,6 +9521,10 @@ _RAW_QUERIES = {
         "quality_top25_by_source": q_quality_top25,
         "link_prediction_hvg": q_link_prediction_hvg,
         "mase_hourly24": q_mase_hourly24,
+        "predict_linear_1h": q_predict_linear_1h,
+        # E1 replayable variant (below the prefix; the prefix slot keeps
+        # the declared rows-only eigh query for sample-window stability)
+        "eigencentrality_power_hvg": q_eigencentrality_power_hvg,
         "vocab_coverage_20": q_vocab_coverage20,
         "user_growth_daily": q_user_growth_daily,
     }
@@ -9465,6 +9613,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_top25_by_source": QUALITY_TOP25_SQL,
         "link_prediction_hvg": LINK_PREDICTION_HVG_SQL,
         "mase_hourly24": MASE_HOURLY24_SQL,
+        "predict_linear_1h": PREDICT_LINEAR_1H_SQL,
         "vocab_coverage_20": VOCAB_COVERAGE20_SQL,
         "user_growth_daily": USER_GROWTH_SQL,
         "pelt_daily": _pelt_dp_sql(),
@@ -9497,7 +9646,10 @@ def oracle_sql() -> dict[str, str]:
         # pinned in tests/test_generate.py.
         # eigencentrality_hvg / media_features: no SQL oracle
         # (eigensolver / binary decode) -> rows-only checks; parity
-        # pinned by the reference-oracle pytest suites.
+        # pinned by the reference-oracle pytest suites.  The power-
+        # method variant below IS oracled (bit-exact list_reduce
+        # replay), covering E1 with a value check.
+        "eigencentrality_power_hvg": EIGENCENTRALITY_POWER_SQL,
         # link_dtw graduated to a full oracle in r4 (recursive-CTE DP
         # replay, see LINK_DTW_SQL).
         "link_dtw": LINK_DTW_SQL,

@@ -354,3 +354,113 @@ def test_walk_pmi_embedding_guards_and_empty(spark):
         analytics.walk_pmi_embedding(walks, max_cells=2)
     with pytest.raises(ValueError, match="dense"):
         analytics.walk_pmi_embedding(walks, max_dense=2)
+
+
+def test_accumulate_is_sequential_fold():
+    """The power kernel's replay contract rests on np.add.accumulate
+    performing SEQUENTIAL adds (pairwise summation would desync the SQL
+    list_reduce twin); pin it on adversarial magnitude-mixed floats."""
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(2, 500))
+        a = rng.standard_normal(n) * 10.0 ** rng.integers(-8, 9, n)
+        seq = a[0]
+        for v in a[1:]:
+            seq = seq + v
+        assert np.add.accumulate(a)[-1] == seq
+
+
+def test_power_centrality_converges_to_eigh():
+    import networkx as nx
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        n = int(rng.integers(4, 14))
+        g = nx.gnp_random_graph(n, 0.5, seed=int(rng.integers(1e6)))
+        if not nx.is_connected(g):
+            g = nx.compose(g, nx.path_graph(n))
+        e = np.array(g.edges(), dtype=np.int64)
+        ref = analytics.eigenvector_centrality_kernel(n, e[:, 0], e[:, 1])
+        got = analytics.power_centrality_kernel(
+            n, e[:, 0], e[:, 1], n_iter=200)
+        assert np.allclose(got, np.abs(ref), atol=1e-8)
+
+
+def test_power_centrality_fold_order_matches_sql_semantics():
+    """Bit-replay the kernel with a pure-Python left fold (the exact
+    semantics DuckDB's list_reduce has) — equality must be EXACT, not
+    approximate, since the SQL oracle hashes unrounded doubles."""
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        n = int(rng.integers(3, 20))
+        m = int(rng.integers(n - 1, n * 2))
+        src = rng.integers(0, n - 1, m)
+        dst = src + 1 + rng.integers(0, np.maximum(n - 1 - src, 1))
+        dst = np.minimum(dst, n - 1)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        # path backbone so the graph is connected
+        bb = np.arange(n - 1)
+        src = np.concatenate([src, bb])
+        dst = np.concatenate([dst, bb + 1])
+        pairs = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                        for a, b in zip(src, dst)})
+        src = np.array([p[0] for p in pairs], np.int64)
+        dst = np.array([p[1] for p in pairs], np.int64)
+        n_iter = 5
+        # pure-Python replay with explicit left folds
+        adj = {u: [] for u in range(n)}
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        x = [1.0] * n
+        for _i in range(n_iter):
+            y = []
+            for u in range(n):
+                nb = sorted(adj[u])
+                s = x[u]  # A+I: fold starts from the node's own value
+                for v in nb:
+                    s = s + x[v]
+                y.append(s)
+            nsq = y[0] * y[0]
+            for u in range(1, n):
+                nsq = nsq + y[u] * y[u]
+            nrm = np.sqrt(nsq)
+            x = [v / nrm for v in y]
+        got = analytics.power_centrality_kernel(n, src, dst,
+                                                n_iter=n_iter)
+        assert list(got) == x
+
+
+def test_power_centrality_edge_cases():
+    # empty graph
+    assert analytics.power_centrality_kernel(
+        0, np.empty(0, np.int64), np.empty(0, np.int64)).size == 0
+    # edgeless graph: A+I fixes at the uniform vector (no div-by-zero)
+    out = analytics.power_centrality_kernel(
+        3, np.empty(0, np.int64), np.empty(0, np.int64))
+    assert np.allclose(out, 1.0 / np.sqrt(3.0))
+    # isolated node (id 2, internal): decays geometrically toward its
+    # true centrality 0 — (1/(lambda+1))^32 small, strictly dominated
+    out = analytics.power_centrality_kernel(
+        4, np.array([0, 0], np.int64), np.array([1, 3], np.int64))
+    assert out[2] < 1e-4 and out[2] < out[1] and out[0] > 0.1
+    # out-of-range ids raise
+    with pytest.raises(ValueError, match="outside"):
+        analytics.power_centrality_kernel(
+            2, np.array([0], np.int64), np.array([5], np.int64))
+
+
+def test_eigenvector_centrality_power_spark(spark):
+    import networkx as nx
+
+    g = nx.path_graph(6)
+    edges = spark.createDataFrame(
+        [("s", int(a), int(b)) for a, b in g.edges()],
+        "series_key string, src long, dst long")
+    rows = analytics.eigenvector_centrality_power(
+        edges, n_iter=200).orderBy("node").collect()
+    ref = nx.eigenvector_centrality(g, max_iter=2000, tol=1e-12)
+    assert [r.node for r in rows] == list(range(6))
+    assert np.allclose([r.centrality for r in rows],
+                       [ref[i] for i in range(6)], atol=1e-8)

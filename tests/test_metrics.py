@@ -814,3 +814,74 @@ def test_mase_backtest_edges(spark):
     assert mase_backtest(one.limit(0), 2, ("k",), "t").count() == 0
     with pytest.raises(ValueError, match="period"):
         mase_backtest(one, 0, ("k",), "t")
+
+
+def _ols_predict(ts, ys, t_eval, horizon):
+    """Brute-force least squares over the trailing window, numpy lstsq."""
+    x = np.asarray(ts, float) - t_eval
+    y = np.asarray(ys, float)
+    A = np.vstack([x, np.ones_like(x)]).T
+    slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+    return slope, intercept + slope * horizon
+
+
+def test_predict_linear_matches_lstsq(spark):
+    from ts2g2_spark.operators.metrics import predict_linear
+
+    rng = np.random.default_rng(23)
+    t0 = dt.datetime(2026, 1, 1)
+    rows, truth = [], {}
+    for key, drift in (("up", 7), ("down", -3)):
+        vals = 100000 + drift * np.arange(120) * 60 \
+            + rng.integers(-500, 500, 120)
+        for i, v in enumerate(vals):
+            rows.append((key, t0 + dt.timedelta(minutes=i), int(v)))
+        truth[key] = vals
+    df = spark.createDataFrame(
+        rows, "k string, bucket_ts timestamp, v long")
+    out = predict_linear(df, range_s=3600, horizon_s=7200,
+                         series_cols=("k",))
+    got = {(r.k, r.bucket_ts): r for r in out.collect()}
+    assert len(got) == 240
+    for key, vals in truth.items():
+        for i in (0, 1, 59, 119):
+            r = got[(key, t0 + dt.timedelta(minutes=i))]
+            lo = max(0, i - 59)
+            ts = [j * 60 for j in range(lo, i + 1)]
+            assert r.n_samples == i - lo + 1
+            if r.n_samples < 2:
+                assert r.slope is None and r.predicted is None
+                continue
+            slope, pred = _ols_predict(
+                ts, vals[lo:i + 1], i * 60, 7200)
+            assert r.slope == pytest.approx(slope, abs=1e-5)
+            assert r.predicted == pytest.approx(pred, abs=1e-3)
+
+
+def test_predict_linear_gaps_and_guards(spark):
+    from ts2g2_spark.operators.metrics import predict_linear
+
+    t0 = dt.datetime(2026, 1, 1)
+    # occupied buckets 0, 1, 90 (60-bucket gap): the window at bucket
+    # 90 only sees itself -> degenerate, NULL prediction
+    df = spark.createDataFrame(
+        [("k", t0, 100), ("k", t0 + dt.timedelta(minutes=1), 160),
+         ("k", t0 + dt.timedelta(minutes=90), 400)],
+        "k string, bucket_ts timestamp, v long")
+    rows = {r.bucket_ts: r for r in predict_linear(
+        df, range_s=3600, horizon_s=600,
+        series_cols=("k",)).collect()}
+    assert len(rows) == 3
+    r1 = rows[t0 + dt.timedelta(minutes=1)]
+    # exact 2-point line: slope 1/s, predict 160 + 600
+    assert r1.n_samples == 2 and r1.slope == 1.0 and r1.predicted == 760.0
+    r90 = rows[t0 + dt.timedelta(minutes=90)]
+    assert r90.n_samples == 1 and r90.slope is None
+    with pytest.raises(ValueError, match="grid"):
+        predict_linear(df, grid="week")
+    with pytest.raises(ValueError, match="grid_s"):
+        predict_linear(df, grid="hour", grid_s=60)
+    with pytest.raises(ValueError, match="multiple"):
+        predict_linear(df, range_s=90)
+    with pytest.raises(ValueError, match="horizon"):
+        predict_linear(df, horizon_s=-1)

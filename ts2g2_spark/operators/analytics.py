@@ -107,6 +107,107 @@ def eigenvector_centrality(
         kern, schema="series_key string, embedding array<double>")
 
 
+def power_centrality_kernel(
+    n: int, src: np.ndarray, dst: np.ndarray, n_iter: int = 32
+) -> np.ndarray:
+    """Eigenvector centrality by FIXED-ITERATION power method with a
+    pinned floating-point op order, so the result is REPLAYABLE in any
+    engine (the eigh kernel above matches networkx but a dense
+    eigensolver has no ANSI-SQL twin — this variant does):
+
+      x_0[u] = 1.0
+      y_i[u] = left fold starting from x_{i-1}[u] (the A+I shift
+               networkx uses — plain A oscillates on bipartite graphs,
+               and path-like visibility graphs can be bipartite), then
+               adding x_{i-1}[v] over neighbors v in ASCENDING v order
+               (sequential adds — np.add.accumulate, which is bit-exact
+               sequential, pinned in tests; np.add.reduce / reduceat
+               are PAIRWISE and must never touch these sums)
+      x_i    = y_i / sqrt(left fold of y_i[u]^2 in ascending u order)
+
+    Every operation is an IEEE double add/mul/div/sqrt in a total
+    order, so a SQL twin folding with list_reduce over the same sorted
+    lists ([x_u] || neighbor values) produces bit-identical doubles —
+    no rounding contract needed.  The output is DEFINED as the
+    n_iter-round iterate (a deterministic quantity); A+I shares A's
+    eigenvectors with spectrum shifted to lambda+1, so the iterate
+    converges to the eigh dominant eigenvector on connected graphs
+    (visibility graphs always are: consecutive points share an edge),
+    bipartite included.  Closeness to the eigensolver is pinned
+    loosely in tests; the replay contract is exact.
+
+    Isolated nodes decay geometrically toward their true centrality 0
+    (networkx behaves identically); an edgeless graph fixes at the
+    uniform vector — centrality is meaningless there, callers filter
+    such series upstream."""
+    if n == 0:
+        return np.empty(0)
+    if len(src) and (src.max() >= n or dst.max() >= n
+                     or src.min() < 0 or dst.min() < 0):
+        raise ValueError(
+            f"power_centrality: edge node ids outside [0, {n})")
+    nodes = np.concatenate([src, dst])
+    nbrs = np.concatenate([dst, src])
+    order = np.lexsort((nbrs, nodes))
+    nodes_s, nbrs_s = nodes[order], nbrs[order]
+    # segment bounds per node (possibly empty)
+    starts = np.searchsorted(nodes_s, np.arange(n), side="left")
+    ends = np.searchsorted(nodes_s, np.arange(n), side="right")
+    x = np.ones(n)
+    for _ in range(n_iter):
+        y = np.empty(n)
+        vals = x[nbrs_s]
+        for u in range(n):
+            s, e = starts[u], ends[u]
+            # A+I: the fold STARTS from x[u], then adds neighbor
+            # values in ascending-neighbor order — one accumulate over
+            # the prepended segment keeps the op order total
+            if e > s:
+                y[u] = np.add.accumulate(
+                    np.concatenate(([x[u]], vals[s:e])))[-1]
+            else:
+                y[u] = x[u]
+        nsq = np.add.accumulate(y * y)[-1]
+        x = y / np.sqrt(nsq)
+    return x
+
+
+def eigenvector_centrality_power(
+    edges: DataFrame, n_iter: int = 32
+) -> DataFrame:
+    """Per-series eigenvector centrality via the replayable fixed-
+    iteration power kernel (one row per (series_key, node)) — same
+    packing shape as `eigenvector_centrality` (per-series graphs are
+    segment-sized; one groupBy + a map-only Arrow kernel, no iterative
+    join-agg rounds on the cluster), but every float op has a pinned
+    order so a SQL oracle can replay the values bit-exactly.  n is
+    inferred as max(src, dst)+1 (trailing isolated nodes excluded,
+    fine for visibility graphs)."""
+    packed = edges.groupBy("series_key").agg(
+        F.collect_list("src").alias("srcs"),
+        F.collect_list("dst").alias("dsts"),
+        (F.greatest(F.max("src"), F.max("dst")) + 1).alias("n"),
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                v = power_centrality_kernel(
+                    int(r.n),
+                    np.asarray(r.srcs, np.int64),
+                    np.asarray(r.dsts, np.int64),
+                    n_iter=n_iter)
+                for node, c in enumerate(v):
+                    rows.append({"series_key": r.series_key,
+                                 "node": node, "centrality": c})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return packed.mapInPandas(
+        kern, schema="series_key string, node int, centrality double")
+
+
 # ------------------------------------------------------------------ E2
 def random_walk_paths_kernel(
     srcs, dsts, sample_size: int, path_length: int,

@@ -1085,3 +1085,95 @@ def mase_backtest(
         "sum_abs_err_seasonal", "sum_abs_err_naive",
         F.when(ok, F.round(mase, round_dp)).alias("mase"),
     )
+
+
+def predict_linear(
+    series: DataFrame,
+    range_s: int = 3600,
+    horizon_s: int = 3600,
+    grid: str = "minute",
+    grid_s: int = 60,
+    series_cols: tuple[str, ...] = (),
+    ts_col: str = "bucket_ts",
+    val_col: str = "v",
+    round_dp: int = 6,
+) -> DataFrame:
+    """PromQL `predict_linear`: at every occupied grid bucket, fit a
+    least-squares line to the trailing `range_s` window of the series
+    and extrapolate `horizon_s` ahead — the capacity-planning alert
+    primitive ("disk full in 4h", "token budget exhausted tomorrow").
+
+    Input is an already-bucketed series frame (one row per (series,
+    ts_col) at `grid` spacing, e.g. a 1m rollup tier); `val_col` must
+    be an INTEGER value (fixed-point encode doubles first — the
+    mase_backtest contract).  Every regression moment is then an exact
+    int64: with t = epoch seconds re-based to the series' first bucket
+    and x = t - t_eval (|x| <= range_s inside the window),
+        sum_x  = sum_t  - m * t0
+        sum_xx = sum_tt - 2 * t0 * sum_t + m * t0^2
+        sum_xy = sum_ty - t0 * sum_y
+    are all integer algebra over window sums of integer columns, so
+        slope   = (m*sum_xy - sum_x*sum_y) / (m*sum_xx - sum_x^2)
+        predict = (sum_y - slope*sum_x)/m + slope*horizon_s
+    costs exactly three IEEE divisions/multiplies on exact integers —
+    engine-identical, rounded once.  Exactness bound (documented, not
+    guarded): |t| * |v| and sum_tt must stay under 2^63 — a decade-long
+    series (t ~ 3e8 s) of milli-unit values up to ~1e7 is safe; re-base
+    the epoch or drop to a coarser grid beyond that.
+
+    Output per (series, bucket): n_samples, slope, predicted — NULL
+    slope/prediction when the window holds < 2 samples or a single
+    distinct timestamp (degenerate regression).
+
+    Scale shape: identical to slo_burn_rate — the trailing RANGE window
+    runs over the bucket-grain frame (rows = covered buckets, never raw
+    events), one exchange on the series key shared by the re-basing
+    min() and the ordered window."""
+    from pyspark.sql.window import Window
+
+    if grid not in BUCKET_SECONDS:
+        raise ValueError(
+            f"predict_linear: unsupported grid='{grid}' — fixed-width "
+            f"units only ({sorted(BUCKET_SECONDS)}); variable-width "
+            f"buckets cannot size the trailing RANGE window")
+    if BUCKET_SECONDS[grid] != grid_s:
+        raise ValueError(
+            f"predict_linear: grid='{grid}' is {BUCKET_SECONDS[grid]}s "
+            f"but grid_s={grid_s} — the RANGE window would be sized "
+            f"for the wrong bucket spacing")
+    if range_s % grid_s or range_s < grid_s:
+        raise ValueError(
+            f"predict_linear: range_s must be a positive grid multiple, "
+            f"got {range_s=} {grid_s=}")
+    if horizon_s < 0:
+        raise ValueError(f"predict_linear: need horizon_s >= 0, "
+                         f"got {horizon_s=}")
+    g = list(series_cols)
+    wa = Window.partitionBy(*g)
+    base = series.select(
+        *g, F.col(ts_col).alias("bucket_ts"),
+        F.col(val_col).cast("long").alias("_y"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("_ep"),
+    ).withColumn("_t", F.col("_ep") - F.min("_ep").over(wa))
+    wr = (Window.partitionBy(*g).orderBy("_t")
+          .rangeBetween(-(range_s - grid_s), 0))
+    m = F.count(F.lit(1)).over(wr)
+    s_t = F.sum("_t").over(wr)
+    s_tt = F.sum(F.col("_t") * F.col("_t")).over(wr)
+    s_y = F.sum("_y").over(wr)
+    s_ty = F.sum(F.col("_t") * F.col("_y")).over(wr)
+    t0 = F.col("_t")
+    sx = s_t - m * t0
+    sxx = s_tt - F.lit(2) * t0 * s_t + m * t0 * t0
+    sxy = s_ty - t0 * s_y
+    num = m * sxy - sx * s_y
+    den = m * sxx - sx * sx
+    slope = num.cast("double") / den.cast("double")
+    predict = ((s_y.cast("double") - slope * sx.cast("double"))
+               / m.cast("double")) + slope * F.lit(float(horizon_s))
+    ok = (m >= 2) & (den != 0)
+    return base.select(
+        *g, "bucket_ts", m.alias("n_samples"),
+        F.when(ok, F.round(slope, round_dp)).alias("slope"),
+        F.when(ok, F.round(predict, round_dp)).alias("predicted"),
+    )
