@@ -3407,6 +3407,107 @@ def q_generate_walks(spark, sf_dir):
     return out
 
 
+def q_generate_walks_hashed(spark, sf_dir):
+    """R2/R6/R7 generative walk, REPLAYABLE variant (r5): weighted
+    random walks over per-user quantile transition graphs (Q=4) where
+    every draw is the portable md5 h64 of (seed, series, walk, step,
+    node) and all weight arithmetic is int64 (generate.hash_walks) —
+    so the recursive-CTE oracle reproduces every row EXACTLY.  This
+    gives the generation family a value-checked driver row; the
+    Mersenne-Twister visitors (generate_walks) keep their seeded
+    bit-parity pytest suites and rows-only slots below the prefix.
+    8 walks x 16 steps per series, halting on dead-end nodes."""
+    from ts2g2_spark.operators import generate, graphs
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    edges = graphs.qg_edges_relational(
+        ev, "user_id", 4, 1, ts_col="ts", val_col="value",
+        order_col="event_id", normalize=False)
+    return generate.hash_walks(
+        edges, n_walks=8, n_steps=16, run_seed=42
+    ).select(F.col("series_key").cast("long").alias("user_id"),
+             "walk_id", "step", "node")
+
+
+_QG_WALK_BINS = """
+pts as (
+  select user_id,
+         row_number() over (partition by user_id order by ts, event_id) - 1
+           as pos,
+         value as v
+  from events where user_id < 50
+),
+b as (
+  select user_id, quantile_cont(v, [0.0, 0.25, 0.5, 0.75, 1.0]) qb
+  from pts group by 1
+),
+binned as (
+  select p.user_id, p.pos,
+         len(list_filter(
+               list_prepend(b.qb[1] - 1e-9, b.qb[2:5]),
+               x -> x < p.v)) - 1 as q
+  from pts p join b on p.user_id = b.user_id
+),
+trans as (
+  select user_id, q as src,
+         lead(q) over (partition by user_id order by pos) as dst
+  from binned
+),
+cnt as (
+  select user_id, src, dst, count(*)::bigint as w
+  from trans where dst is not null group by 1, 2, 3
+)
+"""
+
+_H64 = ("cast(cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
+        " as bigint)")
+
+GENERATE_WALKS_HASHED_SQL = f"""
+with recursive {_QG_WALK_BINS},
+cum as (
+  select user_id, src, dst, w,
+         sum(w) over (partition by user_id, src
+                      order by dst rows unbounded preceding) as hi,
+         sum(w) over (partition by user_id, src) as tw
+  from cnt
+),
+cum2 as (select user_id, src, dst, hi - w as lo, hi, tw from cum),
+nodes as (
+  select user_id, node,
+         row_number() over (partition by user_id order by node) - 1 as idx,
+         count(*) over (partition by user_id) as nn
+  from (select distinct user_id, src as node from cnt
+        union
+        select distinct user_id, dst as node from cnt)
+),
+starts as (
+  select n.user_id, w.walk_id, 0 as step, n.node
+  from (select distinct user_id, nn from nodes) k
+  cross join (select unnest(range(8)) as walk_id) w
+  join nodes n on n.user_id = k.user_id
+   and n.idx = {_H64.format(expr="'start|42|' || k.user_id::varchar"
+                                 " || '|' || w.walk_id::varchar")} % k.nn
+),
+walk(user_id, walk_id, step, node) as (
+  select user_id, walk_id, step, node from starts
+  union all
+  select w.user_id, w.walk_id, w.step + 1, c.dst
+  from walk w
+  join cum2 c on c.user_id = w.user_id and c.src = w.node
+   and ({_H64.format(expr="'step|42|' || w.user_id::varchar || '|' ||"
+                          " w.walk_id::varchar || '|' ||"
+                          " (w.step + 1)::varchar || '|' ||"
+                          " w.node::varchar")} % c.tw) >= c.lo
+   and ({_H64.format(expr="'step|42|' || w.user_id::varchar || '|' ||"
+                          " w.walk_id::varchar || '|' ||"
+                          " (w.step + 1)::varchar || '|' ||"
+                          " w.node::varchar")} % c.tw) < c.hi
+  where w.step < 16
+)
+select user_id, walk_id, step, node from walk
+"""
+
+
 def _hvg_walks(spark, sf_dir):
     """Shared E2 front half: per-user HVG edges -> seeded random-walk
     corpus (one definition so the three walk queries can never drift on
@@ -9356,8 +9457,11 @@ _RAW_QUERIES = {
         # -- analytics E1/E4 + generation R2-R5 ------------------ 4
         "embedding_rank": q_embedding_rank,
         "kendall_tau_fast": q_kendall_tau_fast,
-        "eigencentrality_hvg": q_eigencentrality_hvg,  # rows-only
-        "generate_walks": q_generate_walks,  # rows-only: seeded RNG
+        # r5: the prefix's E1 and generation representatives are the
+        # ORACLED variants (bit-exact power method / md5 hash walks);
+        # the eigensolver and seeded-MT twins keep their slots below.
+        "eigencentrality_power_hvg": q_eigencentrality_power_hvg,
+        "generate_walks_hashed": q_generate_walks_hashed,
         # -- text / dedup / datamix families --------------------- 11
         "dedup_exact": q_dedup_exact,
         "fingerprints": q_fingerprints,
@@ -9522,9 +9626,11 @@ _RAW_QUERIES = {
         "link_prediction_hvg": q_link_prediction_hvg,
         "mase_hourly24": q_mase_hourly24,
         "predict_linear_1h": q_predict_linear_1h,
-        # E1 replayable variant (below the prefix; the prefix slot keeps
-        # the declared rows-only eigh query for sample-window stability)
-        "eigencentrality_power_hvg": q_eigencentrality_power_hvg,
+        # rows-only twins whose ORACLED variants hold the prefix slots
+        # (r5): eigh eigensolver and seeded-Mersenne-Twister visitors,
+        # parity-pinned in tests/test_analytics.py / test_generate.py.
+        "eigencentrality_hvg": q_eigencentrality_hvg,  # rows-only
+        "generate_walks": q_generate_walks,  # rows-only: seeded RNG
         "vocab_coverage_20": q_vocab_coverage20,
         "user_growth_daily": q_user_growth_daily,
     }
@@ -9650,6 +9756,9 @@ def oracle_sql() -> dict[str, str]:
         # method variant below IS oracled (bit-exact list_reduce
         # replay), covering E1 with a value check.
         "eigencentrality_power_hvg": EIGENCENTRALITY_POWER_SQL,
+        # generation family's oracled representative (r5): md5-driven
+        # integer-weighted walks, replayed by a recursive CTE.
+        "generate_walks_hashed": GENERATE_WALKS_HASHED_SQL,
         # link_dtw graduated to a full oracle in r4 (recursive-CTE DP
         # replay, see LINK_DTW_SQL).
         "link_dtw": LINK_DTW_SQL,

@@ -295,6 +295,7 @@ def qg_edges_relational(
     ts_col: str = "ts",
     val_col: str = "value",
     order_col: str | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Catalyst-native quantile graph over row-per-point tables.
 
@@ -302,7 +303,13 @@ def qg_edges_relational(
     interpolation — the same estimator as np.quantile, ref
     to_graph/strategies.py:409-411 incl. the bins[0] -= 1e-9 epsilon),
     digitize(right=True)-1 as size(filter(bins, b -> b < value)) - 1,
-    transitions via lead(phi), per-source normalization via window sum."""
+    transitions via lead(phi), per-source normalization via window sum.
+
+    normalize=False returns the raw integer transition counts as `w`
+    (long) instead of the per-source probability `weight` — the exact
+    integer form generate.hash_walks needs for its modular weighted
+    choice (integer arithmetic end to end, no float weight on the
+    walk path)."""
     okeys = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     pwin = Window.partitionBy(key_col)
     qs = [i / Q for i in range(Q + 1)]
@@ -327,6 +334,11 @@ def qg_edges_relational(
         F.lead("q", phi).over(owin).alias("dst"),
     ).where(F.col("dst").isNotNull())
     counted = trans.groupBy("series_key", "src", "dst").count()
+    if not normalize:
+        return counted.select(
+            "series_key", F.col("src").cast("long"),
+            F.col("dst").cast("long"), F.col("count").alias("w"),
+        )
     norm = Window.partitionBy("series_key", "src")
     return counted.select(
         "series_key", F.col("src").cast("long"), F.col("dst").cast("long"),
