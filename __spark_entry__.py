@@ -3416,14 +3416,18 @@ def q_generate_walks_hashed(spark, sf_dir):
     gives the generation family a value-checked driver row; the
     Mersenne-Twister visitors (generate_walks) keep their seeded
     bit-parity pytest suites and rows-only slots below the prefix.
-    8 walks x 16 steps per series, halting on dead-end nodes."""
+    8 walks x 16 steps per series, halting on dead-end nodes.
+    Runs the FUSED kernel (hash_walks_fused: one applyInPandas pass,
+    same draw schedule) — the relational n_steps-join loop replays
+    the identical rows (pinned in tests/test_generate.py) but pays
+    O(n_steps^2) nested-lineage join evaluations per action."""
     from ts2g2_spark.operators import generate, graphs
 
     ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
     edges = graphs.qg_edges_relational(
         ev, "user_id", 4, 1, ts_col="ts", val_col="value",
         order_col="event_id", normalize=False)
-    return generate.hash_walks(
+    return generate.hash_walks_fused(
         edges, n_walks=8, n_steps=16, run_seed=42
     ).select(F.col("series_key").cast("long").alias("user_id"),
              "walk_id", "step", "node")
@@ -7507,11 +7511,16 @@ def q_link_prediction_hvg(spark, sf_dir):
 
     series = _event_series(spark, sf_dir).where(
         F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
-    # cache: link_prediction consumes the edge frame six ways (adj x2,
-    # degrees, anti-join, both degree joins) — materialize the Arrow
-    # visibility kernel once (the q_duplicated_spans shared-frame
-    # pattern) instead of re-running it per consumer
+    # cache EAGERLY: link_prediction consumes the edge frame six ways
+    # (adj x2, degrees, anti-join, both degree joins), and several of
+    # those scans sit in INDEPENDENT stages of the one scoring job —
+    # Spark schedules independent stages concurrently, so a lazily
+    # cached frame gets its Arrow visibility kernel recomputed by every
+    # stage that starts before the first one finishes populating the
+    # blocks.  The count() materializes once up front (measured at
+    # sf0.1: lazy 15.2s -> eager 8.9s on the same quiet host)
     edges = graphs.visibility_edges(series, kind="horizontal").cache()
+    edges.count()
     return graphmetrics.link_prediction(edges, min_cn=2).select(
         F.col("series_key").cast("long").alias("user_id"),
         "u", "v", "cn", "jaccard", "adamic_adar")

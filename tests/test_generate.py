@@ -397,3 +397,58 @@ def test_generate_sliding_spark(spark):
     out2 = generate.generate_sliding_sequences(
         s, win_size=10, move_len=5, ts_length=20, run_seed=7).collect()
     assert out[0].seq == out2[0].seq  # seeded determinism
+
+
+def _walk_edges(spark):
+    # two series: s1 a 3-node weighted cycle with a dead-end spur,
+    # s2 a 2-node back-and-forth — integer weights, the hash_walks
+    # input contract (qg_edges_relational(normalize=False) shape)
+    rows = [
+        ("s1", 0, 1, 3), ("s1", 0, 2, 1), ("s1", 1, 2, 2),
+        ("s1", 2, 0, 5), ("s1", 1, 9, 1),  # 9 has no out-edges
+        ("s2", 0, 1, 1), ("s2", 1, 0, 4),
+    ]
+    return spark.createDataFrame(
+        rows, "series_key string, src long, dst long, w long")
+
+
+def test_hash_walks_fused_matches_relational(spark):
+    """The fused applyInPandas kernel and the relational n_steps-join
+    loop must emit IDENTICAL rows: same md5 draw schedule, same int64
+    cumulative-interval choice, same dead-end halting."""
+    from ts2g2_spark.operators import generate
+
+    e = _walk_edges(spark)
+    rel = sorted(map(tuple, generate.hash_walks(
+        e, n_walks=4, n_steps=6, run_seed=11).collect()))
+    fus = sorted(map(tuple, generate.hash_walks_fused(
+        e, n_walks=4, n_steps=6, run_seed=11).collect()))
+    assert rel == fus
+    assert len(fus) > 0
+    # seed sensitivity: a different run_seed changes some draw
+    fus2 = sorted(map(tuple, generate.hash_walks_fused(
+        e, n_walks=4, n_steps=6, run_seed=12).collect()))
+    assert fus2 != fus
+
+
+def test_hash_walks_fused_dead_end_halts(spark):
+    """A walk that reaches a node with no out-edges stops emitting
+    (never errors, never pads): series 'd' is a straight line into a
+    sink, so every walk is at most 3 rows (steps 0..2)."""
+    from ts2g2_spark.operators import generate
+
+    e = spark.createDataFrame(
+        [("d", 0, 1, 1), ("d", 1, 2, 1)],
+        "series_key string, src long, dst long, w long")
+    out = generate.hash_walks_fused(
+        e, n_walks=8, n_steps=16, run_seed=5).collect()
+    per_walk = {}
+    for r in out:
+        per_walk.setdefault(r.walk_id, []).append(r)
+    for wid, rows in per_walk.items():
+        steps = sorted(r.step for r in rows)
+        assert steps == list(range(len(steps)))  # contiguous from 0
+        assert len(rows) <= 3
+        last = max(rows, key=lambda r: r.step)
+        if len(rows) < 3:
+            assert last.node == 2  # halted only because it hit the sink

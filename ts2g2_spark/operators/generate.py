@@ -254,6 +254,73 @@ def generate_ordinal_sequences(
 
 
 # ------------------------------------------- hash-replayable walks (R2/R7)
+def hash_walks_fused(
+    edges: DataFrame,
+    n_walks: int = 8,
+    n_steps: int = 16,
+    run_seed: int = 42,
+) -> DataFrame:
+    """Fused Arrow twin of `hash_walks`: identical rows (same md5 draw
+    schedule, same int64 interval arithmetic), computed in ONE
+    applyInPandas pass over per-series edge groups instead of n_steps
+    chained joins.
+
+    Why it exists: the relational loop unions n_steps+1 step frames
+    whose lineages nest (step t replays joins 1..t inside one action —
+    O(n_steps^2) join executions), which is correct and shuffle-free
+    but pays ~n_steps^2/2 broadcast-join evaluations of plan overhead
+    per run.  Per-series transition graphs are tiny by construction
+    (Q^2 edges for a quantile graph), so fusing the whole walk into a
+    per-series kernel costs one shuffle on series_key and a few
+    thousand md5 calls — the 100-TB posture is unchanged
+    (embarrassingly parallel across series, no driver state, no
+    broadcast) and the ANSI-SQL oracle still replays every row.
+
+    Kept alongside the relational loop (`hash_walks`), which remains
+    the pure-Catalyst reference: tests pin frame equality between the
+    two and the recursive-CTE oracle."""
+    from ts2g2_spark.functions.hashing import h64_py
+
+    sk_type = edges.schema["series_key"].dataType.simpleString()
+    schema = f"series_key {sk_type}, walk_id long, step int, node long"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = pdf["series_key"].iloc[0]
+        sks = str(sk)
+        g = pdf.sort_values(["src", "dst"])
+        srcs = g["src"].to_numpy(np.int64)
+        dsts = g["dst"].to_numpy(np.int64)
+        ws = g["w"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([srcs, dsts]))
+        nn = len(nodes)
+        # per-src cumulative [lo, hi) intervals in dst order — the same
+        # windowed cumsum the relational loop builds
+        out_edges: dict[int, tuple] = {}
+        for s in np.unique(srcs):
+            m = srcs == s
+            d, w = dsts[m], ws[m]
+            hi = np.cumsum(w)
+            out_edges[int(s)] = (d, hi, int(hi[-1]))
+        rows = []
+        for wid in range(n_walks):
+            idx = h64_py(f"start|{run_seed}|{sks}|{wid}") % nn
+            node = int(nodes[idx])
+            rows.append((sk, wid, 0, node))
+            for t in range(1, n_steps + 1):
+                oe = out_edges.get(node)
+                if oe is None:  # dead end: the relational join drops too
+                    break
+                d, hi, tw = oe
+                u = h64_py(
+                    f"step|{run_seed}|{sks}|{wid}|{t}|{node}") % tw
+                node = int(d[int(np.searchsorted(hi, u, side="right"))])
+                rows.append((sk, wid, t, node))
+        return pd.DataFrame(
+            rows, columns=["series_key", "walk_id", "step", "node"])
+
+    return edges.groupBy("series_key").applyInPandas(kern, schema=schema)
+
+
 def hash_walks(
     edges: DataFrame,
     n_walks: int = 8,
