@@ -26,9 +26,13 @@ Scale shape (the 100 TB story):
     carries one row per DISTINCT pair per partition (vocab^2-bounded,
     in practice Zipf-tiny), never one row per token.
   * `learn_bpe` is an eager driver loop (documented, like
-    `dedup.connected_components`): per merge, one count job + one
-    map-only merge pass, with the working set localCheckpoint-ed so
-    lineage stays O(1) across rounds.  Production BPE learners train
+    `dedup.connected_components`): per merge, ONE fused job — a
+    mapInPandas kernel re-applies the merges learned so far to each
+    Arrow batch and emits numpy-partial pair counts directly, so no
+    merged working set is ever materialized for small merge counts;
+    every `materialize_every` merges the prefix folds into a
+    localCheckpoint so lineage and re-apply cost stay bounded at large
+    merge counts.  Production BPE learners train
     the vocabulary on a SAMPLE of the corpus (the merge ranking is a
     frequency estimate — a hash sample is unbiased for it); pass
     `sample_fraction` to learn on sampling.hash_sample of the corpus,
@@ -120,6 +124,43 @@ def _seq_batches(tokens: pd.Series) -> tuple[np.ndarray, np.ndarray,
     return flat, row, lens
 
 
+def _pair_counts_after_merges_kernel(merges: Sequence[tuple[int, int, int]],
+                                     tokens_col: str):
+    """mapInPandas kernel: re-apply `merges` in rank order to each batch
+    (vectorized, exactly `_merge_flat`), then emit PARTIAL pair counts
+    (tok_a, tok_b, cnt) via one np.unique over the packed int64 pair
+    keys — the numpy twin of `pair_counts` fused with the merge pass.
+    One row per distinct pair per batch reaches the exchange; no JVM
+    struct explode, no materialized merged working set."""
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat, row, lens = _seq_batches(pdf[tokens_col])
+            for a, b, c in merges:
+                flat, per_row = _merge_flat(flat, row, a, b, c)
+                if per_row.shape[0]:
+                    lens = lens.copy()
+                    lens[:per_row.shape[0]] -= per_row
+                    row = np.repeat(
+                        np.arange(lens.shape[0], dtype=np.int64), lens)
+            if flat.shape[0] < 2:
+                continue
+            mask = row[:-1] == row[1:]
+            if not mask.any():
+                continue
+            # pack (a, b) into one int64 key: ids are int32-bounded and
+            # non-negative in this table shape, so a<<32 | b is exact
+            key = (flat[:-1][mask] << np.int64(32)) | flat[1:][mask]
+            uniq, cnt = np.unique(key, return_counts=True)
+            yield pd.DataFrame({
+                "tok_a": (uniq >> np.int64(32)).astype(np.int64),
+                "tok_b": (uniq & np.int64(0xFFFFFFFF)).astype(np.int64),
+                "cnt": cnt.astype(np.int64),
+            })
+    return kern
+
+
 def _apply_merges_kernel(merges: Sequence[tuple[int, int, int]],
                          id_col: str, tokens_col: str):
     """mapInPandas kernel applying `merges` in rank order: per merge one
@@ -181,12 +222,23 @@ def learn_bpe(
     min_count: int = 2,
     new_id_start: int | None = None,
     sample_fraction: float | None = None,
+    materialize_every: int = 16,
 ) -> DataFrame:
-    """Learn `n_merges` BPE merges over the corpus.  EAGER: runs 2 jobs
-    per merge at call time (pair-count agg + map-only merge pass on a
-    localCheckpoint-ed working set) — same documented posture as
+    """Learn `n_merges` BPE merges over the corpus.  EAGER: runs ONE
+    job per merge at call time — a fused mapInPandas pass that
+    re-applies the merges learned so far to each Arrow batch and emits
+    numpy-partial pair counts directly (no JVM struct explode, no
+    materialized merged working set) — same documented eager posture as
     `dedup.connected_components`.  Stops early when the best remaining
     pair's count falls below `min_count`.
+
+    Re-applying an unbounded merge prefix each round would cost O(k^2)
+    vectorized passes at large k, so every `materialize_every` merges
+    the accumulated prefix is folded into a localCheckpoint-ed working
+    set and the re-apply list resets — checkpoint writes stay
+    O(k / materialize_every) while per-round re-apply passes stay
+    < materialize_every.  At the default 16, a typical 8-merge contract
+    call never checkpoints at all.
 
     Returns (rank, tok_a, tok_b, new_id, pair_count), new_id =
     new_id_start + rank.  Pass `new_id_start` explicitly to keep the
@@ -201,32 +253,44 @@ def learn_bpe(
         raise ValueError("learn_bpe: n_merges must be >= 0")
     if min_count < 1:
         raise ValueError("learn_bpe: min_count must be >= 1")
+    if materialize_every < 1:
+        raise ValueError("learn_bpe: materialize_every must be >= 1")
     id_t = seqs.schema[id_col].dataType.simpleString()
-    cur = seqs.select(id_col, tokens_col).where(F.size(tokens_col) >= 2)
+    base = seqs.select(id_col, tokens_col).where(F.size(tokens_col) >= 2)
     if sample_fraction is not None:
         from ts2g2_spark.operators.sampling import hash_sample
-        cur = hash_sample(cur, sample_fraction, key_col=id_col)
+        base = hash_sample(base, sample_fraction, key_col=id_col)
     if new_id_start is None:
-        row = cur.agg(F.max(F.array_max(tokens_col)).alias("m")).first()
+        row = base.agg(F.max(F.array_max(tokens_col)).alias("m")).first()
         new_id_start = (int(row.m) + 1) if row.m is not None else 0
     merges: list[tuple[int, int, int, int, int]] = []
+    pending: list[tuple[int, int, int]] = []  # merges not yet folded in
     prev_ckpt = None
     for rank in range(n_merges):
-        best = (pair_counts(cur, tokens_col)
-                .orderBy(F.desc("cnt"), "tok_a", "tok_b")
-                .limit(1).collect())
+        best = (
+            base.mapInPandas(
+                _pair_counts_after_merges_kernel(pending, tokens_col),
+                schema="tok_a long, tok_b long, cnt long")
+            .groupBy("tok_a", "tok_b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), "tok_a", "tok_b")
+            .limit(1).collect())
         if not best or best[0].cnt < min_count:
             break
         a, b, cnt = int(best[0].tok_a), int(best[0].tok_b), int(best[0].cnt)
         c = new_id_start + rank
         merges.append((rank, a, b, c, cnt))
-        cur = cur.mapInPandas(
-            _apply_merges_kernel([(a, b, c)], id_col, tokens_col),
-            schema=f"{id_col} {id_t}, {tokens_col} array<int>, n_tok int",
-        ).drop("n_tok").localCheckpoint()  # eager: truncate lineage
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
-        prev_ckpt = cur
+        pending.append((a, b, c))
+        if len(pending) >= materialize_every:
+            base = base.mapInPandas(
+                _apply_merges_kernel(pending, id_col, tokens_col),
+                schema=f"{id_col} {id_t}, {tokens_col} array<int>, "
+                       f"n_tok int",
+            ).drop("n_tok").localCheckpoint()  # eager: truncate lineage
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = base
+            pending = []
     out = spark.createDataFrame(
         [tuple(m) for m in merges], schema=MERGE_SCHEMA)
     if prev_ckpt is not None:
