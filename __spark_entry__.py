@@ -7505,23 +7505,25 @@ def q_link_prediction_hvg(spark, sf_dir):
     cn/degrees are exact integers, jaccard one rounded IEEE division,
     and Adamic-Adar an explicit sequential fold over the SORTED hub
     degree list (sum-over-doubles is never oracle-safe; the sort is
-    total on the folded values).  Same shared 1-in-5 HVG edge layer as
-    LPA/BFS/Brandes — one visibility-condition definition."""
-    from ts2g2_spark.operators import graphmetrics, graphs
+    total on the folded values).  Same shared 1-in-5 HVG sampling and
+    visibility condition as LPA/BFS/Brandes.
+
+    r5: runs the FUSED many-small-graphs strategy
+    (graphmetrics.link_prediction_from_series — HVG build + scoring in
+    one Arrow pass, zero shuffles, no edge-frame cache), bit-identical
+    to the relational `link_prediction` by the fused parity suite
+    (sequential ascending-degree fold, JVM-side rounding); the oracle
+    SQL still replays the RELATIONAL algebra, so the value hash pins
+    both strategies at once.  Measured at sf0.1 on the same quiet
+    host: 16.3s end to end relational (4.8s edge build + 13.5s for the
+    8-exchange scoring plan, overhead-bound on thousands of tiny
+    per-series graphs) -> 8.2s fused."""
+    from ts2g2_spark.operators import graphmetrics
 
     series = _event_series(spark, sf_dir).where(
         F.pmod(F.col("series_key").cast("long"), F.lit(5)) == 0)
-    # cache EAGERLY: link_prediction consumes the edge frame six ways
-    # (adj x2, degrees, anti-join, both degree joins), and several of
-    # those scans sit in INDEPENDENT stages of the one scoring job —
-    # Spark schedules independent stages concurrently, so a lazily
-    # cached frame gets its Arrow visibility kernel recomputed by every
-    # stage that starts before the first one finishes populating the
-    # blocks.  The count() materializes once up front (measured at
-    # sf0.1: lazy 15.2s -> eager 8.9s on the same quiet host)
-    edges = graphs.visibility_edges(series, kind="horizontal").cache()
-    edges.count()
-    return graphmetrics.link_prediction(edges, min_cn=2).select(
+    return graphmetrics.link_prediction_from_series(
+        series, kind="horizontal", min_cn=2).select(
         F.col("series_key").cast("long").alias("user_id"),
         "u", "v", "cn", "jaccard", "adamic_adar")
 

@@ -629,3 +629,62 @@ def test_wl_relational_matches_fused(spark):
     assert fused == rel
     with pytest.raises(ValueError):
         graphmetrics.wl_labels(edf, n_iter=0)
+
+
+@pytest.mark.parametrize("kind", ["horizontal", "natural"])
+@pytest.mark.parametrize("min_cn", [1, 2])
+def test_fused_link_prediction_bitequal_relational(
+    spark, series_df, kind, min_cn
+):
+    from ts2g2_spark.operators.graphmetrics import (
+        link_prediction, link_prediction_from_series,
+    )
+
+    edges = graphs.visibility_edges(series_df, kind=kind)
+    rel = _sorted_pdf(
+        link_prediction(edges, min_cn=min_cn), ["series_key", "u", "v"])
+    fus = _sorted_pdf(
+        link_prediction_from_series(series_df, kind=kind, min_cn=min_cn),
+        ["series_key", "u", "v"])
+    assert len(rel), "fixture must produce candidate pairs"
+    pd.testing.assert_frame_equal(rel, fus[rel.columns.tolist()])
+
+
+def test_link_prediction_kernel_matches_networkx():
+    from ts2g2_spark.operators.kernels import link_prediction_kernel
+
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (2, 3), (0, 2), (1, 3), (3, 4),
+                      (4, 5), (2, 5)])
+    e = np.array(g.edges(), dtype=np.int64)
+    u, v, cn, jacc, aa = link_prediction_kernel(e, min_cn=1)
+    got = {(int(a), int(b)): (int(c), float(j), float(s))
+           for a, b, c, j, s in zip(u, v, cn, jacc, aa)}
+    nonedges = list(nx.non_edges(g))
+    want_j = {tuple(sorted((a, b))): p
+              for a, b, p in nx.jaccard_coefficient(g, nonedges)}
+    want_a = {tuple(sorted((a, b))): p
+              for a, b, p in nx.adamic_adar_index(g, nonedges)}
+    want_c = {tuple(sorted((a, b))): len(list(
+        nx.common_neighbors(g, a, b))) for a, b in nonedges}
+    want = {k: v for k, v in want_c.items() if v >= 1}
+    assert set(got) == set(want)
+    for k, (c, j, s) in got.items():
+        assert c == want_c[k]
+        assert j == pytest.approx(want_j[k], abs=1e-12)
+        assert s == pytest.approx(want_a[k], abs=1e-12)
+
+
+def test_link_prediction_kernel_empty_and_min_cn():
+    from ts2g2_spark.operators.kernels import link_prediction_kernel
+
+    u, v, cn, jacc, aa = link_prediction_kernel(
+        np.empty((0, 2), dtype=np.int64))
+    assert len(u) == 0 and len(jacc) == 0
+    # a path graph: every candidate pair has exactly 1 common neighbor
+    path = np.array([(i, i + 1) for i in range(5)], dtype=np.int64)
+    u1, *_ = link_prediction_kernel(path, min_cn=1)
+    u2, *_ = link_prediction_kernel(path, min_cn=2)
+    assert len(u1) == 4 and len(u2) == 0
+    with pytest.raises(ValueError):
+        link_prediction_kernel(path, min_cn=0)

@@ -858,3 +858,45 @@ def wl_from_series(
         series_df, build,
         "series_key string, n_nodes long, wl_fp long",
     )
+
+
+def link_prediction_from_series(
+    series_df, kind: str = "horizontal", limit: int = 0,
+    min_cn: int = 1, round_dp: int = 6,
+):
+    """Fused visibility_edges(kind) |> link_prediction, map-only — the
+    many-small-graphs strategy (one Arrow pass, zero shuffles; the
+    relational `link_prediction` stays the one-huge-graph path and the
+    SQL-oracle cross-check).  Bit-identical to the relational twin by
+    construction: `kernels.link_prediction_kernel` emits raw IEEE
+    doubles with the same operand order (one jaccard division; a
+    sequential ascending-degree Adamic-Adar fold matching
+    array_sort |> aggregate), and the rounding contract is applied
+    JVM-side here by the same F.round the relational path uses —
+    pinned by the parity suite (test_graphmetrics_fused)."""
+    import pandas as pd
+
+    from ts2g2_spark.operators import kernels
+
+    if min_cn < 1:
+        raise ValueError(
+            f"link_prediction_from_series: need min_cn >= 1, got {min_cn=}")
+
+    def build(key, y):
+        e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
+        u, v, cn, jacc, aa = kernels.link_prediction_kernel(e, min_cn)
+        if len(u) == 0:
+            return None
+        return pd.DataFrame({"series_key": key, "u": u, "v": v, "cn": cn,
+                             "_jacc": jacc, "_aa": aa})
+
+    raw = _fused(
+        series_df, build,
+        "series_key string, u long, v long, cn long,"
+        " _jacc double, _aa double",
+    )
+    return raw.select(
+        "series_key", "u", "v", "cn",
+        F.round("_jacc", round_dp).alias("jaccard"),
+        F.round("_aa", round_dp).alias("adamic_adar"),
+    )

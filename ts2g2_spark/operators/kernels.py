@@ -1143,3 +1143,83 @@ def graph_wl_kernel(
             new_lab[v] = h64_py(sig)
         lab = new_lab
     return nodes, lab
+
+
+def link_prediction_kernel(
+    edges: np.ndarray, min_cn: int = 1,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Common-neighbor / Jaccard / Adamic-Adar scores for every
+    NON-edge pair sharing >= min_cn hubs, over one small graph's edge
+    array — the in-kernel twin of `graphmetrics.link_prediction`
+    (Liben-Nowell & Kleinberg 2003) with identical numeric semantics:
+    cn and the degree terms are exact integers, jaccard is ONE IEEE
+    double division, and Adamic-Adar is a SEQUENTIAL fold of
+    1/ln(deg_z) over the hub degree list sorted ASCENDING — the same
+    operand order as the relational twin's
+    array_sort(collect_list(dz)) |> aggregate fold, so the two
+    strategies (and the DuckDB list_reduce oracle) are bit-identical
+    before rounding.  Returns RAW unrounded doubles; the caller applies
+    the repo's rounding contract JVM-side (F.round, HALF_UP).
+
+    Fully vectorized: wedge enumeration is a rank-expansion over the
+    hub-sorted adjacency (sum-of-deg^2 rows, the triangle-count
+    budget), the fold is a rank-position loop bounded by max(cn).
+    Returns (u, v, cn, jaccard_raw, aa_raw) with u < v in original
+    node labels."""
+    if min_cn < 1:
+        raise ValueError(
+            f"link_prediction_kernel: need min_cn >= 1, got {min_cn=}")
+    a, b, nodes, degree = _canonical_edge_arrays(edges)
+    m = len(a)
+    zi = np.empty(0, dtype=np.int64)
+    zd = np.empty(0, dtype=np.float64)
+    if m == 0:
+        return zi, zi, zi, zd, zd
+    n = len(nodes)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    hub = np.concatenate([ai, bi])
+    nb = np.concatenate([bi, ai])
+    order = np.lexsort((nb, hub))
+    hub_s, nb_s = hub[order], nb[order]
+    counts = np.bincount(hub_s, minlength=n)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    idx = np.arange(2 * m, dtype=np.int64)
+    rank = idx - np.repeat(starts, counts)
+    # the element at rank r of its hub's (ascending) neighbor list pairs
+    # as the LARGER side with the r earlier neighbors — u < v for free,
+    # every unordered pair exactly once
+    j_rep = np.repeat(idx, rank)
+    if j_rep.shape[0] == 0:
+        return zi, zi, zi, zd, zd
+    csum = np.cumsum(rank) - rank
+    offs = np.arange(j_rep.shape[0], dtype=np.int64) - np.repeat(csum, rank)
+    i_idx = np.repeat(starts[hub_s], rank) + offs
+    u = nb_s[i_idx]
+    v = nb_s[j_rep]
+    dz = degree[hub_s[j_rep]]
+    key = u * np.int64(n) + v
+    order2 = np.lexsort((dz, key))
+    key_s = key[order2]
+    dz_s = dz[order2].astype(np.float64)
+    uniq, cn = np.unique(key_s, return_counts=True)
+    # sequential ascending fold, vectorized across pairs: one pass per
+    # rank position adds each pair's k-th smallest 1/ln(dz) term — the
+    # exact per-pair operand order of the relational fold
+    seg_id = np.repeat(np.arange(uniq.shape[0], dtype=np.int64), cn)
+    pos = np.arange(key_s.shape[0], dtype=np.int64) - np.repeat(
+        np.cumsum(cn) - cn, cn)
+    terms = 1.0 / np.log(dz_s)
+    aa = np.zeros(uniq.shape[0], dtype=np.float64)
+    for k in range(int(cn.max())):
+        sel = pos == k
+        aa[seg_id[sel]] += terms[sel]  # <=1 term per segment per rank
+    edge_key = ai * np.int64(n) + bi
+    keep = (cn >= min_cn) & ~np.isin(uniq, np.sort(edge_key))
+    uu = (uniq // n)[keep]
+    vv = (uniq % n)[keep]
+    cnk = cn[keep].astype(np.int64)
+    du = degree[uu]
+    dv = degree[vv]
+    jacc = cnk.astype(np.float64) / (du + dv - cnk).astype(np.float64)
+    return nodes[uu], nodes[vv], cnk, jacc, aa[keep]
