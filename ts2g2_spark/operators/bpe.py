@@ -266,6 +266,13 @@ def learn_bpe(
     merges: list[tuple[int, int, int, int, int]] = []
     pending: list[tuple[int, int, int]] = []  # merges not yet folded in
     prev_ckpt = None
+    if n_merges > 1:
+        # materialize the (possibly sampled) working set ONCE so the
+        # per-round fused job reads tokens instead of re-deriving the
+        # source lineage (tokenize/filter/sample) every round; strictly
+        # cheaper than the pre-r5 posture of checkpointing every round
+        base = base.localCheckpoint(eager=True)
+        prev_ckpt = base
     for rank in range(n_merges):
         best = (
             base.mapInPandas(
