@@ -80,6 +80,12 @@ def main() -> None:
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
+        # each query pays for (and only for) its own caches: without
+        # this, a query whose subplan equals one an earlier query
+        # cached silently free-rides (Spark cache lookup matches
+        # canonicalized plans), and ~200 leaked caches build executor
+        # memory pressure that inflates the tail of the run
+        spark.catalog.clearCache()
 
     # north-rule headline: rolled-up points/sec through all three tiers
     # (map-only 1m kernel + tier-from-tier 1h/1d) on the tokenized table.
@@ -115,7 +121,9 @@ def main() -> None:
         "timing_mode": ("each timed query is its plan's FIRST execution "
                         "on a session pre-warmed by one untimed run of "
                         "warmup_query (plan-cold, session-warm); "
-                        "warmup_query itself is timed fully warm"),
+                        "warmup_query itself is timed fully warm; "
+                        "caches cleared between queries (r5) so no "
+                        "query free-rides an earlier query's cache"),
     }
     # full detail: stdout line 1 (may scroll out of the driver's tail) and
     # a file next to this script, for offline per-query diffing
