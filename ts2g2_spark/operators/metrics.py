@@ -877,14 +877,17 @@ def ar2_forecast(
     m = b.groupBy(*scols).agg(
         (F.sum("y") / F.count(F.lit(1))).alias("ybar"),
         F.count(F.lit(1)).alias("n"))
+    # ONE ascending window serves all three functions — the "k-th from
+    # the end" seeds fall out of the ascending row number compared to
+    # the already-known series length n, saving the second per-series
+    # sort a descending row_number window would add
     wo = Window.partitionBy(*scols).orderBy("bucket_ts")
-    wd = Window.partitionBy(*scols).orderBy(F.desc("bucket_ts"))
     d = (
         b.join(m, scols)
         .select(
             *scols, "ybar", "n",
             (F.col("y") - F.col("ybar")).alias("d"),
-            F.row_number().over(wd).alias("_rk"),
+            F.row_number().over(wo).alias("_rn"),
             F.lag(F.col("y") - F.col("ybar"), 1).over(wo).alias("_d1"),
             F.lag(F.col("y") - F.col("ybar"), 2).over(wo).alias("_d2"),
         )
@@ -895,8 +898,9 @@ def ar2_forecast(
         F.sum(F.col("d") * F.col("d")).alias("c0"),
         F.sum(F.col("d") * F.col("_d1")).alias("c1"),
         F.sum(F.col("d") * F.col("_d2")).alias("c2"),
-        F.max(F.when(F.col("_rk") == 1, F.col("d"))).alias("dn"),
-        F.max(F.when(F.col("_rk") == 2, F.col("d"))).alias("dn1"),
+        F.max(F.when(F.col("_rn") == F.col("n"), F.col("d"))).alias("dn"),
+        F.max(F.when(F.col("_rn") == F.col("n") - 1, F.col("d")))
+        .alias("dn1"),
     ).where(F.col("n") >= 3)
     r1 = F.when(F.col("c0") != 0, F.col("c1") / F.col("c0")) \
           .otherwise(F.lit(0.0))
