@@ -688,3 +688,76 @@ def test_link_prediction_kernel_empty_and_min_cn():
     assert len(u1) == 4 and len(u2) == 0
     with pytest.raises(ValueError):
         link_prediction_kernel(path, min_cn=0)
+
+
+@pytest.mark.parametrize("cap", [2, 3, 5])
+def test_link_prediction_hub_cap_bitequal_both_strategies(
+    spark, series_df, cap
+):
+    """Under max_hub_degree both strategies stay bit-identical, and the
+    capped candidate set is a subset of the exact one with cn bounded
+    by the exact cn (wedges only removed, never added)."""
+    from ts2g2_spark.operators.graphmetrics import (
+        link_prediction, link_prediction_from_series,
+    )
+
+    edges = graphs.visibility_edges(series_df, kind="horizontal")
+    rel = _sorted_pdf(
+        link_prediction(edges, min_cn=1, max_hub_degree=cap),
+        ["series_key", "u", "v"])
+    fus = _sorted_pdf(
+        link_prediction_from_series(
+            series_df, kind="horizontal", min_cn=1, max_hub_degree=cap),
+        ["series_key", "u", "v"])
+    pd.testing.assert_frame_equal(rel, fus[rel.columns.tolist()])
+    exact = _sorted_pdf(
+        link_prediction(edges, min_cn=1), ["series_key", "u", "v"])
+    ex = {(r.series_key, r.u, r.v): r.cn for r in exact.itertuples()}
+    for r in rel.itertuples():
+        assert (r.series_key, r.u, r.v) in ex
+        assert r.cn <= ex[(r.series_key, r.u, r.v)]
+    assert len(rel) <= len(exact)
+
+
+def test_link_prediction_kernel_hub_cap_star():
+    """A planted k-star: the hub is the only wedge center, so capping
+    below k removes every candidate; capping at k keeps all C(k,2)."""
+    from ts2g2_spark.operators.kernels import link_prediction_kernel
+
+    k = 6
+    star = np.array([(0, i) for i in range(1, k + 1)], dtype=np.int64)
+    u, v, cn, jacc, aa = link_prediction_kernel(star, min_cn=1)
+    assert len(u) == k * (k - 1) // 2
+    u2, *_ = link_prediction_kernel(star, min_cn=1, max_hub_degree=k - 1)
+    assert len(u2) == 0
+    u3, *_ = link_prediction_kernel(star, min_cn=1, max_hub_degree=k)
+    assert len(u3) == k * (k - 1) // 2
+    with pytest.raises(ValueError):
+        link_prediction_kernel(star, min_cn=1, max_hub_degree=0)
+
+
+def test_link_prediction_hub_cap_nontrivial_survivors(spark):
+    """A cap that demonstrably KEEPS some candidates (cap=8 on a
+    50-point random HVG keeps ~30 of ~1500) — guards against the cap
+    parity tests passing trivially on all-empty frames."""
+    from ts2g2_spark.operators.graphmetrics import (
+        link_prediction, link_prediction_from_series,
+    )
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "series_key": ["r1", "r2"],
+        "values": [rng.normal(size=50).tolist(),
+                   rng.normal(size=40).tolist()],
+    })
+    df = spark.createDataFrame(pdf)
+    edges = graphs.visibility_edges(df, kind="horizontal")
+    rel = _sorted_pdf(
+        link_prediction(edges, min_cn=1, max_hub_degree=8),
+        ["series_key", "u", "v"])
+    fus = _sorted_pdf(
+        link_prediction_from_series(df, min_cn=1, max_hub_degree=8),
+        ["series_key", "u", "v"])
+    n_exact = link_prediction(edges, min_cn=1).count()
+    assert 0 < len(rel) < n_exact
+    pd.testing.assert_frame_equal(rel, fus[rel.columns.tolist()])

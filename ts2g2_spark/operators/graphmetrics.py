@@ -694,6 +694,7 @@ def lpa_modularity_from_series(
 
 def link_prediction(
     edges: DataFrame, min_cn: int = 1, round_dp: int = 6,
+    max_hub_degree: int | None = None,
 ) -> DataFrame:
     """Classic link-prediction scores for every NON-edge pair sharing
     at least one common neighbor, per series graph: common-neighbor
@@ -721,10 +722,19 @@ def link_prediction(
 
     `min_cn` prunes weak candidates right at the aggregate (a pair
     with one shared hub on a dense graph is noise); the filter sits on
-    an exact integer so it never perturbs the surviving scores."""
+    an exact integer so it never perturbs the surviving scores.
+
+    `max_hub_degree` caps the sum-deg^2 wedge budget (the LSH
+    hot-bucket-cap posture, see SCALE.md): hubs above the cap emit NO
+    wedges — on high-entropy series one k-degree hub is k^2/2 candidate
+    rows — while du/dv stay true degrees.  Bit-equal to the fused
+    kernel's cap by the parity suite.  None (default) = exact."""
     if min_cn < 1:
         raise ValueError(
             f"link_prediction: need min_cn >= 1, got {min_cn=}")
+    if max_hub_degree is not None and max_hub_degree < 1:
+        raise ValueError("link_prediction: need max_hub_degree >= 1, "
+                         f"got {max_hub_degree=}")
     e = canonical_edges(edges)
     adj = e.select(
         "series_key", F.col("a").alias("node"), F.col("b").alias("nb")
@@ -738,6 +748,8 @@ def link_prediction(
     hub = adj.join(deg, ["series_key", "node"]).select(
         "series_key", F.col("node").alias("z"), "nb",
         F.col("degree").alias("dz"))
+    if max_hub_degree is not None:
+        hub = hub.where(F.col("dz") <= max_hub_degree)
     left = hub.select("series_key", "z", "dz", F.col("nb").alias("u"))
     right = hub.select("series_key", "z", F.col("nb").alias("v"))
     wedges = left.join(right, ["series_key", "z"]).where(
@@ -863,6 +875,7 @@ def wl_from_series(
 def link_prediction_from_series(
     series_df, kind: str = "horizontal", limit: int = 0,
     min_cn: int = 1, round_dp: int = 6,
+    max_hub_degree: int | None = None,
 ):
     """Fused visibility_edges(kind) |> link_prediction, map-only — the
     many-small-graphs strategy (one Arrow pass, zero shuffles; the
@@ -884,7 +897,8 @@ def link_prediction_from_series(
 
     def build(key, y):
         e, _w = kernels.visibility_graph(y, kind=kind, limit=limit)
-        u, v, cn, jacc, aa = kernels.link_prediction_kernel(e, min_cn)
+        u, v, cn, jacc, aa = kernels.link_prediction_kernel(
+            e, min_cn, max_hub_degree=max_hub_degree)
         if len(u) == 0:
             return None
         return pd.DataFrame({"series_key": key, "u": u, "v": v, "cn": cn,

@@ -1147,6 +1147,7 @@ def graph_wl_kernel(
 
 def link_prediction_kernel(
     edges: np.ndarray, min_cn: int = 1,
+    max_hub_degree: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Common-neighbor / Jaccard / Adamic-Adar scores for every
     NON-edge pair sharing >= min_cn hubs, over one small graph's edge
@@ -1165,10 +1166,22 @@ def link_prediction_kernel(
     hub-sorted adjacency (sum-of-deg^2 rows, the triangle-count
     budget), the fold is a rank-position loop bounded by max(cn).
     Returns (u, v, cn, jaccard_raw, aa_raw) with u < v in original
-    node labels."""
+    node labels.
+
+    `max_hub_degree` is the sum-deg^2 guard (the LSH hot-bucket-cap
+    posture): hubs whose degree exceeds it contribute NO wedges — a
+    single k-degree hub otherwise emits k^2/2 candidate rows, and on
+    high-entropy series (SCALE.md measured 305-point raw token streams
+    at ~59k candidates/series) that budget, not the edge count, is the
+    cost.  cn/jaccard/aa then count only wedges through kept hubs,
+    while du/dv stay TRUE degrees — identical semantics in the
+    relational twin's `where dz <= cap`.  None (default) = exact."""
     if min_cn < 1:
         raise ValueError(
             f"link_prediction_kernel: need min_cn >= 1, got {min_cn=}")
+    if max_hub_degree is not None and max_hub_degree < 1:
+        raise ValueError("link_prediction_kernel: need max_hub_degree "
+                         f">= 1, got {max_hub_degree=}")
     a, b, nodes, degree = _canonical_edge_arrays(edges)
     m = len(a)
     zi = np.empty(0, dtype=np.int64)
@@ -1182,9 +1195,17 @@ def link_prediction_kernel(
     nb = np.concatenate([bi, ai])
     order = np.lexsort((nb, hub))
     hub_s, nb_s = hub[order], nb[order]
+    if max_hub_degree is not None:
+        # drop ALL adjacency entries of over-cap hubs before the rank
+        # expansion: their wedges never materialize (du/dv below still
+        # read true degrees from the uncapped edge set)
+        keep_e = degree[hub_s] <= max_hub_degree
+        hub_s, nb_s = hub_s[keep_e], nb_s[keep_e]
+        if hub_s.shape[0] == 0:
+            return zi, zi, zi, zd, zd
     counts = np.bincount(hub_s, minlength=n)
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    idx = np.arange(2 * m, dtype=np.int64)
+    idx = np.arange(hub_s.shape[0], dtype=np.int64)
     rank = idx - np.repeat(starts, counts)
     # the element at rank r of its hub's (ascending) neighbor list pairs
     # as the LARGER side with the r earlier neighbors — u < v for free,
