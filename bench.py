@@ -94,11 +94,20 @@ def main() -> None:
         datagen.tokenized_sequences(spark, n_docs, seed=42), buckets=64)
     toks = toks.localCheckpoint()  # pin input so datagen cost is excluded
     n_points = toks.selectExpr("sum(n_tok)").collect()[0][0]
+
+    def _tiers():
+        m1 = rollup_mod.rollup_from_tokens(toks, tier="1m", gapfill=True)
+        m1 = m1.localCheckpoint()
+        h1 = rollup_mod.rollup_tier_up(m1, "1h").localCheckpoint()
+        _force(rollup_mod.rollup_tier_up(h1, "1d"))
+
+    # same regime as the queries: one untimed warm-up so the headline
+    # points/sec isn't dominated by plan-cold codegen on this small
+    # (~7M-point) sample — the scaling harness measures the same job
+    # warm at 188M points
+    _tiers()
     t0 = time.time()
-    m1 = rollup_mod.rollup_from_tokens(toks, tier="1m", gapfill=True)
-    m1 = m1.localCheckpoint()
-    h1 = rollup_mod.rollup_tier_up(m1, "1h").localCheckpoint()
-    _force(rollup_mod.rollup_tier_up(h1, "1d"))
+    _tiers()
     rollup_dt = time.time() - t0
     pps = n_points / rollup_dt
 
